@@ -1,0 +1,75 @@
+"""Table catalog over the driver-provided parquet test tables.
+
+The reference keeps a DDL-declared, whitelisted table registry
+(reference infra/db/init.sql; whitelist guard src/api/main.py:55-76).
+Here the same idea: a fixed set of named tables, loaded with explicit
+paths, registered as temp views so both the DataFrame API and
+``spark.sql`` can address them. Unknown names are rejected — the
+injection-guard semantics of the reference's ``validate_table_name``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# the ten tables the driver materializes per scale factor (TESTDATA.md)
+TESTDATA_TABLES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def validate_table_name(name: str) -> str:
+    """Whitelist guard (reference src/api/main.py:55-76)."""
+    if name not in TESTDATA_TABLES:
+        raise ValueError(f"unknown table {name!r}; allowed: {TESTDATA_TABLES}")
+    return name
+
+
+# columns stored as nanosecond INT64 in the driver's parquet; Spark reads
+# them as LongType (spark.sql.legacy.parquet.nanosAsLong) and we convert
+# to TimestampType via exact integer division — double-based casts would
+# lose precision above 2^53 nanos
+_NANO_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    validate_table_name(name)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for col in _NANO_TS_COLS.get(name, ()):
+        if dict(df.dtypes).get(col) == "bigint":
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str | None = None, register_views: bool = True
+) -> dict[str, DataFrame]:
+    """Load every test table; optionally register each as a temp view.
+
+    Views let queries be expressed as Spark SQL text (the reference's
+    feature views are SQL views, init.sql:236-368) while DataFrame-level
+    queries use the returned dict.
+    """
+    sf_dir = sf_dir or DEFAULT_SF_DIR
+    out: dict[str, DataFrame] = {}
+    for name in TESTDATA_TABLES:
+        df = load_table(spark, sf_dir, name)
+        if register_views:
+            df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

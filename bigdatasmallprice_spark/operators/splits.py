@@ -1,0 +1,75 @@
+"""Chronological train/val/test splitters (reference
+src/processing/export_pipeline.py:129-207,537-560,626-642).
+
+Three variants, matching the reference exactly:
+- ratio split: first floor(n*train) rows train, next floor(n*val) val,
+  rest test — computed over a total time order;
+- calendar split: date <= train_end / (train_end, val_end] / > val_end;
+- rolling split: anchored at max(time): test = last ``test_days`` days,
+  val = ``val_days`` before that.
+
+Invariants tested in the reference (test_feature_pipeline.py:109-146):
+ordering, exact sizes, no overlap, totality. Ratio splits need a global
+row_number — fine post-aggregation; for raw-scale data use the calendar
+variants (pure filters, partition-prunable, no shuffle).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def split_label_by_ratio(
+    df: DataFrame,
+    order_by: list[str],
+    train_frac: float = 0.7,
+    val_frac: float = 0.15,
+    label_col: str = "split",
+) -> DataFrame:
+    """Add 'train'/'val'/'test' labels by row position (export_pipeline
+    .py:164-207: sizes floor(n*train_frac), floor(n*val_frac), remainder)."""
+    n = df.count()
+    n_train = int(n * train_frac)
+    n_val = int(n * val_frac)
+    w = Window.orderBy(*order_by)
+    rn = F.row_number().over(w)
+    return df.withColumn(
+        label_col,
+        F.when(rn <= n_train, F.lit("train"))
+        .when(rn <= n_train + n_val, F.lit("val"))
+        .otherwise(F.lit("test")),
+    )
+
+
+def split_by_dates(
+    df: DataFrame,
+    time_col: str,
+    train_end: dt.date,
+    val_end: dt.date,
+    label_col: str = "split",
+) -> DataFrame:
+    """Calendar split (export_pipeline.py:537-560): train date <= train_end,
+    val in (train_end, val_end], test after. Pure filter — prunes
+    partitions at scale."""
+    d = F.to_date(F.col(time_col))
+    return df.withColumn(
+        label_col,
+        F.when(d <= F.lit(train_end), F.lit("train"))
+        .when(d <= F.lit(val_end), F.lit("val"))
+        .otherwise(F.lit("test")),
+    )
+
+
+def rolling_split_bounds(
+    df: DataFrame, time_col: str, test_days: int = 7, val_days: int = 14
+) -> tuple[dt.date, dt.date]:
+    """Anchor at max(time) (export_pipeline.py:626-642): test = last
+    test_days days, val = val_days before that. Returns (train_end,
+    val_end) dates for split_by_dates."""
+    mx = df.agg(F.max(F.to_date(F.col(time_col)))).collect()[0][0]
+    val_end = mx - dt.timedelta(days=test_days)
+    train_end = val_end - dt.timedelta(days=val_days)
+    return train_end, val_end

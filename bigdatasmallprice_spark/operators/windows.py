@@ -1,0 +1,172 @@
+"""Lag / rolling-window operators — the heart of the reference's feature
+engine (reference infra/db/init.sql:243-251,260-303,324-326,433-438).
+
+Semantics preserved exactly (reference src/testing/unittests/
+test_feature_pipeline.py:63-75): ``lag(n)`` of row i is the value at row
+i-n with NULL for the first n rows; rolling means use ROW-based frames
+(``ROWS BETWEEN k PRECEDING AND CURRENT ROW``) averaging *available*
+rows — row 0's 24-row mean is itself, not NULL. ROWS, not RANGE: the
+reference's hourly grid may have gaps and the features count rows.
+
+Scale note (SURVEY §7.3): the reference's windows are global
+``ORDER BY time`` — a single-partition window in Spark, the #1 scale
+hazard at 100 TB. Two strategies are provided:
+
+- ``lag_features`` / ``rolling_mean``: plain global window. Correct at
+  any size but serializes one partition; acceptable for series that are
+  small *after* aggregation (an hourly series for 30 years is ~260k rows
+  — trivially one partition even at 100 TB of raw events, because the
+  groupBy that produced it already reduced the data).
+- ``partitioned_lag_stitch``: partitions by a coarse time bucket (e.g.
+  month), computes windows per partition in parallel, and fixes the
+  first ``max_lag`` rows of each partition with an overlap join. Use
+  when the *windowed* series itself is huge (e.g. per-entity windows —
+  then partition by entity instead, which Spark parallelizes natively).
+
+When lagging per-key series (per domain / psr_type / tariff_type in the
+reference), ALWAYS pass ``partition_by`` — that is embarrassingly
+parallel and needs no stitching.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window, WindowSpec
+from pyspark.sql import functions as F
+
+
+def ordered_window(
+    order_by: Sequence[str | Column], partition_by: Sequence[str | Column] = ()
+) -> WindowSpec:
+    w = Window.orderBy(*order_by)
+    if partition_by:
+        w = Window.partitionBy(*partition_by).orderBy(*order_by)
+    return w
+
+
+def lag_features(
+    df: DataFrame,
+    value_col: str,
+    lags: Sequence[int],
+    order_by: Sequence[str | Column],
+    partition_by: Sequence[str | Column] = (),
+    prefix: str | None = None,
+) -> DataFrame:
+    """Add ``{prefix}_lag_{n}`` columns (init.sql:243-245 LAG(price,1|24|168))."""
+    prefix = prefix or value_col
+    w = ordered_window(order_by, partition_by)
+    for n in lags:
+        df = df.withColumn(f"{prefix}_lag_{n}", F.lag(value_col, n).over(w))
+    return df
+
+
+def rolling_mean(
+    df: DataFrame,
+    value_col: str,
+    windows: Sequence[int],
+    order_by: Sequence[str | Column],
+    partition_by: Sequence[str | Column] = (),
+    prefix: str | None = None,
+) -> DataFrame:
+    """Add ``{prefix}_roll_{k}`` = AVG over ROWS BETWEEN k-1 PRECEDING AND
+    CURRENT ROW (init.sql:246-251: 24-row and 168-row means)."""
+    prefix = prefix or value_col
+    for k in windows:
+        w = ordered_window(order_by, partition_by).rowsBetween(-(k - 1), 0)
+        df = df.withColumn(f"{prefix}_roll_{k}", F.avg(value_col).over(w))
+    return df
+
+
+def rolling_int_mean(
+    df: DataFrame,
+    int_col: str,
+    windows: Sequence[int],
+    order_by: Sequence[str | Column],
+    partition_by: Sequence[str | Column] = (),
+    prefix: str | None = None,
+    scale: float = 1.0,
+) -> DataFrame:
+    """Rolling mean computed as integer-sum / count — bit-reproducible
+    across engines (used by oracle-checked queries; see registry.py).
+    ``scale`` divides the result (e.g. 100.0 for cent-encoded money)."""
+    prefix = prefix or int_col
+    for k in windows:
+        w = ordered_window(order_by, partition_by).rowsBetween(-(k - 1), 0)
+        df = df.withColumn(
+            f"{prefix}_roll_{k}",
+            F.sum(int_col).over(w).cast("double")
+            / (F.lit(scale) * F.count(int_col).over(w)),
+        )
+    return df
+
+
+def partitioned_lag_stitch(
+    df: DataFrame,
+    value_col: str,
+    lags: Sequence[int],
+    time_col: str,
+    bucket_expr: Column,
+    prefix: str | None = None,
+) -> DataFrame:
+    """Scale-path lag: window inside coarse time buckets, then repair the
+    first max(lags) rows of each bucket from the previous bucket's tail.
+
+    Equivalent to the global window (proven in tests/test_windows.py) but
+    runs one task per bucket instead of one task total. For a 100 TB
+    event table bucketed by month this turns a single-partition sort into
+    ~1200 parallel window tasks plus a broadcast-sized tail join.
+    """
+    prefix = prefix or value_col
+    max_lag = max(lags)
+    b = df.withColumn("__bucket", bucket_expr)
+
+    # per-bucket windows (parallel)
+    w_in = Window.partitionBy("__bucket").orderBy(time_col)
+    out = b
+    for n in lags:
+        out = out.withColumn(f"{prefix}_lag_{n}", F.lag(value_col, n).over(w_in))
+
+    # tail of each bucket (last max_lag rows) shifted into the next bucket;
+    # ranked from the end so row r of the tail fills lag n where needed.
+    w_desc = Window.partitionBy("__bucket").orderBy(F.col(time_col).desc())
+    tail = (
+        b.withColumn("__rev", F.row_number().over(w_desc))
+        .filter(F.col("__rev") <= max_lag)
+        .select(
+            F.col("__bucket").alias("__prev_bucket"),
+            F.col("__rev"),
+            F.col(value_col).alias("__tail_val"),
+        )
+    )
+    # position of each row inside its bucket (1-based)
+    w_asc = Window.partitionBy("__bucket").orderBy(time_col)
+    out = out.withColumn("__pos", F.row_number().over(w_asc))
+
+    # successor bucket mapping: distinct buckets sorted, joined shifted
+    buckets = b.select("__bucket").distinct()
+    w_b = Window.orderBy("__bucket")
+    succ = buckets.withColumn("__next_bucket", F.lead("__bucket").over(w_b))
+    tail = tail.join(
+        F.broadcast(succ),
+        tail["__prev_bucket"] == succ["__bucket"],
+        "inner",
+    ).select("__next_bucket", "__rev", "__tail_val")
+
+    for n in lags:
+        # row at position p (< n+1... p <= n) needs the previous bucket's
+        # value at distance n-p+1 from its end, i.e. __rev == n - p + 1
+        need = F.col("__pos") <= F.lit(n)
+        t = tail.withColumnRenamed("__tail_val", f"__fill_{n}")
+        out = out.join(
+            F.broadcast(t),
+            (out["__bucket"] == t["__next_bucket"])
+            & (t["__rev"] == F.lit(n) - out["__pos"] + 1),
+            "left",
+        ).drop("__next_bucket", "__rev")
+        out = out.withColumn(
+            f"{prefix}_lag_{n}",
+            F.when(need, F.col(f"__fill_{n}")).otherwise(F.col(f"{prefix}_lag_{n}")),
+        ).drop(f"__fill_{n}")
+
+    return out.drop("__bucket", "__pos")

@@ -1,0 +1,297 @@
+"""Relational operator queries: multi-way joins, splits, idempotent
+upsert, grain-aligning joins, backfill estimation — over the TPC-H-ish
+tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bigdatasmallprice_spark.operators.splits import split_label_by_ratio
+from bigdatasmallprice_spark.operators.upsert import upsert_do_nothing
+from bigdatasmallprice_spark.queries.core import (
+    cents,
+    events,
+    fmt_ts,
+    o_cents,
+    o_fmt_ts,
+    table,
+)
+from bigdatasmallprice_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# J1-J3 analog: multi-way dimension joins (star join, broadcast dims)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "market_revenue",
+    f"""
+SELECT r.r_name,
+       strftime(date_trunc('month', o.o_orderdate), '%Y-%m') AS ym,
+       CAST(SUM({o_cents('l.l_extendedprice * (1 - l.l_discount)')}) AS DOUBLE) / 100.0 AS revenue,
+       COUNT(DISTINCT o.o_orderkey) AS n_orders,
+       COUNT(*) AS n_items
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY 1, 2
+""",
+    doc="Multi-way equi-join + time-bucketed rollup (J1-J3 shape, "
+    "init.sql:349-368): fact joins 3 broadcast-able dims; Catalyst "
+    "broadcasts every dim (verified in tests), one shuffle total.",
+    tags=("join", "agg"),
+)
+def market_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    nat = table(spark, sf_dir, "nation")
+    reg = table(spark, sf_dir, "region")
+    rev_cents = cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nat), cust["c_nationkey"] == nat["n_nationkey"])
+        .join(F.broadcast(reg), nat["n_regionkey"] == reg["r_regionkey"])
+        .groupBy(
+            F.col("r_name"),
+            F.date_format(F.date_trunc("month", F.col("o_orderdate")), "yyyy-MM").alias("ym"),
+        )
+        .agg(
+            (F.sum(rev_cents).cast("double") / 100.0).alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# D4/P13: chronological ratio split
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "chrono_split_summary",
+    """
+WITH r AS (
+  SELECT o_orderkey, o_orderdate,
+         row_number() OVER (ORDER BY o_orderdate, o_orderkey) AS rn,
+         COUNT(*) OVER () AS n
+  FROM orders
+),
+lab AS (
+  SELECT *,
+         CASE WHEN rn <= CAST(floor(n * 0.7) AS BIGINT) THEN 'train'
+              WHEN rn <= CAST(floor(n * 0.7) AS BIGINT) + CAST(floor(n * 0.15) AS BIGINT) THEN 'val'
+              ELSE 'test' END AS split
+  FROM r
+)
+SELECT split, COUNT(*) AS n_rows,
+       strftime(MIN(o_orderdate), '%Y-%m-%d') AS min_d,
+       strftime(MAX(o_orderdate), '%Y-%m-%d') AS max_d
+FROM lab GROUP BY 1
+""",
+    doc="70/15/15 chronological split (D4, export_pipeline.py:164-207): "
+    "sizes floor(n*frac); invariants: ordering, no overlap, totality "
+    "(test_feature_pipeline.py:109-146).",
+    tags=("split", "window"),
+)
+def chrono_split_summary_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    lab = split_label_by_ratio(orders, ["o_orderdate", "o_orderkey"], 0.7, 0.15)
+    return lab.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("min_d"),
+        F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("max_d"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# S14/T2: idempotent keyed upsert (INSERT ... ON CONFLICT DO NOTHING)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "upsert_idempotency",
+    f"""
+WITH existing AS (
+  SELECT * FROM events WHERE event_id % 2 = 0
+),
+batch AS (
+  SELECT event_id, ts, user_id, event_type, value + 1.0 AS value, props
+  FROM events WHERE event_id % 3 = 0
+),
+merged AS (
+  SELECT * FROM existing
+  UNION ALL
+  SELECT * FROM batch b
+  WHERE NOT EXISTS (SELECT 1 FROM existing e WHERE e.event_id = b.event_id)
+)
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM({o_cents('value')}) AS DOUBLE) / 100.0 AS value_sum
+FROM merged GROUP BY 1
+""",
+    doc="Idempotent first-writer-wins ingestion (S14/T2, timescale_client"
+    ".py:53-240): re-ingesting overlapping keys with CHANGED values must "
+    "keep the existing rows — DO NOTHING semantics via left-anti join.",
+    tags=("upsert", "join"),
+)
+def upsert_idempotency_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events(spark, sf_dir)
+    existing = ev.filter(F.col("event_id") % 2 == 0)
+    batch = ev.filter(F.col("event_id") % 3 == 0).withColumn("value", F.col("value") + 1.0)
+    merged = upsert_do_nothing(existing, batch, keys=["event_id"], order_by=["event_id"])
+    return merged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(cents(F.col("value"))).cast("double") / 100.0).alias("value_sum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J4: grain-aligning join (row time -> containing hour bucket)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "grain_align_join",
+    f"""
+WITH pa AS (
+  SELECT date_trunc('hour', ts) AS h,
+         CAST(SUM({o_cents('value')}) AS DOUBLE) / (100.0 * COUNT(*)) AS hourly_purchase_avg
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+)
+SELECT e.event_type,
+       COUNT(*) AS n,
+       CAST(COALESCE(SUM(CASE WHEN e.value > pa.hourly_purchase_avg THEN 1 END), 0) AS BIGINT) AS n_above,
+       CAST(COALESCE(SUM(CASE WHEN pa.h IS NULL THEN 1 END), 0) AS BIGINT) AS n_unmatched
+FROM events e
+LEFT JOIN pa ON date_trunc('hour', e.ts) = pa.h
+GROUP BY 1
+""",
+    doc="Grain-aligning left join (J4, init.sql:452-455): fine-grained rows "
+    "join their containing hour's aggregate via date_trunc equi-key.",
+    tags=("join", "agg"),
+)
+def grain_align_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events(spark, sf_dir)
+    pa = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("h"))
+        .agg(
+            (F.sum(cents(F.col("value"))).cast("double") / (F.lit(100.0) * F.count(F.lit(1)))).alias(
+                "hourly_purchase_avg"
+            )
+        )
+    )
+    j = ev.withColumn("eh", F.date_trunc("hour", F.col("ts"))).join(
+        F.broadcast(pa), F.col("eh") == pa["h"], "left"
+    )
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum(F.when(F.col("value") > F.col("hourly_purchase_avg"), F.lit(1))), F.lit(0))
+        .cast("long")
+        .alias("n_above"),
+        F.coalesce(F.sum(F.when(F.col("h").isNull(), F.lit(1))), F.lit(0)).cast("long").alias("n_unmatched"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A8: backfill gap estimate
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "backfill_estimate",
+    """
+SELECT event_type,
+       CAST(date_diff('day', MIN(CAST(ts AS DATE)), MAX(CAST(ts AS DATE))) + 1 AS BIGINT) AS span_days,
+       COUNT(DISTINCT CAST(ts AS DATE)) AS days_present,
+       CAST(date_diff('day', MIN(CAST(ts AS DATE)), MAX(CAST(ts AS DATE))) + 1
+            - COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS days_missing,
+       CAST(date_diff('day', MIN(CAST(ts AS DATE)), MAX(CAST(ts AS DATE))) + 1
+            - COUNT(DISTINCT CAST(ts AS DATE)) AS DOUBLE) * 1.5 AS est_seconds
+FROM events
+GROUP BY 1
+""",
+    doc="Backfill gap estimation (A8, main.py:755-822): span vs distinct "
+    "days present, 1.5 s/call cost model (main.py:816).",
+    tags=("agg",),
+)
+def backfill_estimate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events(spark, sf_dir)
+    d = F.to_date(F.col("ts"))
+    span = F.datediff(F.max(d), F.min(d)) + 1
+    missing = span - F.countDistinct(d)
+    return ev.groupBy("event_type").agg(
+        span.cast("long").alias("span_days"),
+        F.countDistinct(d).alias("days_present"),
+        missing.cast("long").alias("days_missing"),
+        (missing.cast("double") * 1.5).alias("est_seconds"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A5: rate-limit style rollup (per source/hour monitoring)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "error_monitor",
+    f"""
+SELECT {o_fmt_ts("date_trunc('hour', ts)")} AS t,
+       COUNT(*) AS n_errors,
+       COUNT(DISTINCT user_id) AS n_users,
+       {o_fmt_ts('MAX(ts)')} AS last_error_t
+FROM events
+WHERE event_type = 'error'
+GROUP BY 1
+""",
+    doc="Ops monitoring rollup (A5, main.py:663-690,718-744): hourly "
+    "error counts + distinct users + last occurrence.",
+    tags=("agg",),
+)
+def error_monitor_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events(spark, sf_dir).filter(F.col("event_type") == "error")
+    return ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("h")).agg(
+        F.count(F.lit(1)).alias("n_errors"),
+        F.countDistinct("user_id").alias("n_users"),
+        fmt_ts(F.max("ts")).alias("last_error_t"),
+    ).select(fmt_ts(F.col("h")).alias("t"), "n_errors", "n_users", "last_error_t")
+
+
+# ---------------------------------------------------------------------------
+# top-N heavy hitters (serving-style leaderboard with total order)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "top_users",
+    """
+SELECT user_id, COUNT(*) AS n_events,
+       CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS BIGINT) AS n_purchases
+FROM events
+GROUP BY 1
+ORDER BY n_events DESC, user_id
+LIMIT 20
+""",
+    doc="Top-k heavy hitters with deterministic tie-break (O1-O4 family): "
+    "TakeOrderedAndProject, no global sort.",
+    tags=("topk", "agg"),
+)
+def top_users_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events(spark, sf_dir)
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.coalesce(F.sum(F.when(F.col("event_type") == "purchase", F.lit(1))), F.lit(0))
+            .cast("long")
+            .alias("n_purchases"),
+        )
+        .orderBy(F.col("n_events").desc(), F.col("user_id"))
+        .limit(20)
+    )

@@ -1,0 +1,672 @@
+"""Time-series operator queries over the synthetic ``events`` table.
+
+Each query re-expresses one or more SURVEY §2 operators on the
+driver's TPC-H-ish tables, with a DuckDB oracle. The ``events`` table
+plays the role of the reference's time-keyed hypertables: the
+``purchase`` series stands in for day-ahead prices, ``click`` for actual
+load, ``error`` for generation, ``signup`` for the load forecast —
+mirroring the CTE structure of the reference feature view
+(reference infra/db/init.sql:236-368).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bigdatasmallprice_spark.functions.calendar import ORACLE_CALENDAR, calendar_columns
+from bigdatasmallprice_spark.functions.tariffs import (
+    energiepreis,
+    gesamttarif,
+    netzpreis,
+    traffic_light,
+)
+from bigdatasmallprice_spark.queries.core import (
+    cents,
+    events,
+    fmt_ts,
+    fmt_ts_us,
+    hourly_cents,
+    o_cents,
+    o_fmt_ts,
+    o_fmt_ts_us,
+    o_hourly_cents,
+    safe_div,
+)
+from bigdatasmallprice_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# flagship: the training_features analog (W1-W6, A2, F1-F3, J2, J3)
+# ---------------------------------------------------------------------------
+
+_FLAGSHIP_ORACLE = f"""
+WITH p AS ({o_hourly_cents('purchase')}),
+pw AS (
+  SELECT h,
+         CAST(pc AS DOUBLE) / (100.0 * cnt) AS price,
+         lag(CAST(pc AS DOUBLE) / (100.0 * cnt), 1)   OVER w AS price_lag_1h,
+         lag(CAST(pc AS DOUBLE) / (100.0 * cnt), 24)  OVER w AS price_lag_24h,
+         lag(CAST(pc AS DOUBLE) / (100.0 * cnt), 168) OVER w AS price_lag_168h,
+         CAST(SUM(pc) OVER w24 AS DOUBLE) / (100.0 * SUM(cnt) OVER w24) AS price_roll_24h,
+         CAST(SUM(pc) OVER w168 AS DOUBLE) / (100.0 * SUM(cnt) OVER w168) AS price_roll_168h
+  FROM p
+  WINDOW w AS (ORDER BY h),
+         w24 AS (ORDER BY h ROWS BETWEEN 23 PRECEDING AND CURRENT ROW),
+         w168 AS (ORDER BY h ROWS BETWEEN 167 PRECEDING AND CURRENT ROW)
+),
+c AS (
+  SELECT date_trunc('hour', ts) AS h, COUNT(*) AS clicks
+  FROM events WHERE event_type = 'click' GROUP BY 1
+),
+cw AS (
+  SELECT h, clicks, lag(clicks, 24) OVER (ORDER BY h) AS clicks_lag_24h FROM c
+),
+g AS (
+  SELECT date_trunc('hour', ts) AS h,
+         CAST(SUM({o_cents('value')}) AS BIGINT) AS gc
+  FROM events WHERE event_type = 'error' GROUP BY 1
+),
+gw AS (
+  SELECT h,
+         CAST(gc AS DOUBLE) / 100.0 AS errgen,
+         lag(CAST(gc AS DOUBLE) / 100.0, 24)  OVER w AS errgen_lag_24h,
+         lag(CAST(gc AS DOUBLE) / 100.0, 168) OVER w AS errgen_lag_168h
+  FROM g WINDOW w AS (ORDER BY h)
+),
+np AS (
+  SELECT date_trunc('hour', ts) AS h,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN {o_cents('value')} ELSE 0 END) AS BIGINT) AS buy,
+         CAST(SUM(CASE WHEN event_type = 'error' THEN {o_cents('value')} ELSE 0 END) AS BIGINT) AS err
+  FROM events GROUP BY 1
+),
+npw AS (
+  SELECT h,
+         CAST(buy - err AS DOUBLE) / 100.0 AS net_pos,
+         lag(CAST(buy - err AS DOUBLE) / 100.0, 24)  OVER w AS net_pos_lag_24h,
+         lag(CAST(buy - err AS DOUBLE) / 100.0, 168) OVER w AS net_pos_lag_168h
+  FROM np WINDOW w AS (ORDER BY h)
+),
+s AS (
+  SELECT date_trunc('hour', ts) AS h, COUNT(*) AS signups
+  FROM events WHERE event_type = 'signup' GROUP BY 1
+)
+SELECT {o_fmt_ts('pw.h')} AS t,
+       pw.price, pw.price_lag_1h, pw.price_lag_24h, pw.price_lag_168h,
+       pw.price_roll_24h, pw.price_roll_168h,
+       {ORACLE_CALENDAR.format(t='pw.h')},
+       cw.clicks, cw.clicks_lag_24h,
+       CASE WHEN COUNT(cw.clicks) OVER wb > 0
+            THEN CAST(SUM(cw.clicks) OVER wb AS DOUBLE) / COUNT(cw.clicks) OVER wb
+       END AS clicks_roll_24h,
+       gw.errgen, gw.errgen_lag_24h, gw.errgen_lag_168h,
+       npw.net_pos, npw.net_pos_lag_24h, npw.net_pos_lag_168h,
+       s.signups AS signups_forecast
+FROM pw
+LEFT JOIN cw ON pw.h = cw.h
+LEFT JOIN gw ON pw.h = gw.h
+LEFT JOIN npw ON pw.h = npw.h
+LEFT JOIN s ON pw.h = s.h
+WINDOW wb AS (ORDER BY pw.h ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+"""
+
+
+@register(
+    "training_features",
+    _FLAGSHIP_ORACLE,
+    doc="Flagship feature view: lags (W1,W3-W5), rolling means (W2,W6), "
+    "calendar block (F1-F3), conditional net-position agg (A2), multi-way "
+    "left time-joins (J2,J3) — the Spark re-expression of the reference's "
+    "training_features view (init.sql:236-368).",
+    tags=("window", "join", "agg", "flagship"),
+)
+def training_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events(spark, sf_dir)
+
+    # price CTE analog: hourly purchase value series + lags + rolling means
+    p = hourly_cents(ev, "purchase")
+    price = F.col("pc").cast("double") / (F.lit(100.0) * F.col("cnt"))
+    w = Window.orderBy("h")
+    w24 = w.rowsBetween(-23, 0)
+    w168 = w.rowsBetween(-167, 0)
+    pw = p.select(
+        "h",
+        price.alias("price"),
+        F.lag(price, 1).over(w).alias("price_lag_1h"),
+        F.lag(price, 24).over(w).alias("price_lag_24h"),
+        F.lag(price, 168).over(w).alias("price_lag_168h"),
+        (F.sum("pc").over(w24).cast("double") / (F.lit(100.0) * F.sum("cnt").over(w24))).alias("price_roll_24h"),
+        (F.sum("pc").over(w168).cast("double") / (F.lit(100.0) * F.sum("cnt").over(w168))).alias("price_roll_168h"),
+    )
+
+    # actual-load analog: hourly click counts + 24h lag (W4)
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("h"))
+        .agg(F.count(F.lit(1)).alias("clicks"))
+    )
+    cw = c.select("h", "clicks", F.lag("clicks", 24).over(Window.orderBy("h")).alias("clicks_lag_24h"))
+
+    # generation analog: hourly error value + lags (W3)
+    g = hourly_cents(ev, "error").select("h", F.col("pc").alias("gc"))
+    errgen = F.col("gc").cast("double") / 100.0
+    gw = g.select(
+        "h",
+        errgen.alias("errgen"),
+        F.lag(errgen, 24).over(Window.orderBy("h")).alias("errgen_lag_24h"),
+        F.lag(errgen, 168).over(Window.orderBy("h")).alias("errgen_lag_168h"),
+    )
+
+    # net position: conditional aggregation (A2) + lags (W5)
+    np_ = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("h")).agg(
+        F.sum(F.when(F.col("event_type") == "purchase", cents(F.col("value"))).otherwise(F.lit(0))).alias("buy"),
+        F.sum(F.when(F.col("event_type") == "error", cents(F.col("value"))).otherwise(F.lit(0))).alias("err"),
+    )
+    net = (F.col("buy") - F.col("err")).cast("double") / 100.0
+    npw = np_.select(
+        "h",
+        net.alias("net_pos"),
+        F.lag(net, 24).over(Window.orderBy("h")).alias("net_pos_lag_24h"),
+        F.lag(net, 168).over(Window.orderBy("h")).alias("net_pos_lag_168h"),
+    )
+
+    # load-forecast analog (J3)
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("h"))
+        .agg(F.count(F.lit(1)).alias("signups"))
+    )
+
+    joined = (
+        pw.join(cw, "h", "left")
+        .join(gw, "h", "left")
+        .join(npw, "h", "left")
+        .join(s.select("h", F.col("signups").alias("signups_forecast")), "h", "left")
+    )
+
+    # W6 analog: rolling mean computed AFTER the joins, over the base order
+    wb = Window.orderBy("h").rowsBetween(-23, 0)
+    n_clicks = F.count("clicks").over(wb)
+    clicks_roll = F.when(n_clicks > 0, F.sum("clicks").over(wb).cast("double") / n_clicks)
+
+    cal = calendar_columns(F.col("h"))
+    return joined.select(
+        fmt_ts(F.col("h")).alias("t"),
+        "price",
+        "price_lag_1h",
+        "price_lag_24h",
+        "price_lag_168h",
+        "price_roll_24h",
+        "price_roll_168h",
+        *[c.alias(n) for n, c in cal.items()],
+        "clicks",
+        "clicks_lag_24h",
+        clicks_roll.alias("clicks_roll_24h"),
+        "errgen",
+        "errgen_lag_24h",
+        "errgen_lag_168h",
+        "net_pos",
+        "net_pos_lag_24h",
+        "net_pos_lag_168h",
+        "signups_forecast",
+    )
+
+
+# ---------------------------------------------------------------------------
+# A1/A6/T4: hourly continuous-aggregate rollup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "hourly_rollup",
+    f"""
+SELECT {o_fmt_ts("date_trunc('hour', ts)")} AS t,
+       event_type,
+       CAST(SUM({o_cents('value')}) AS DOUBLE) / (100.0 * COUNT(*)) AS avg_value,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value,
+       COUNT(*) AS n
+FROM events
+GROUP BY date_trunc('hour', ts), event_type
+""",
+    doc="15-min→hourly continuous-aggregate analog (A1/A6/T4): per (hour, "
+    "key) avg/min/max/count, init.sql:81-100. Map-side partial agg does "
+    "the heavy lifting at scale.",
+    tags=("agg", "rollup"),
+)
+def hourly_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events(spark, sf_dir)
+    return ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("h"), F.col("event_type")
+    ).agg(
+        (F.sum(cents(F.col("value"))).cast("double") / (F.lit(100.0) * F.count(F.lit(1)))).alias("avg_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        F.count(F.lit(1)).alias("n"),
+    ).select(fmt_ts(F.col("h")).alias("t"), "event_type", "avg_value", "min_value", "max_value", "n")
+
+
+# ---------------------------------------------------------------------------
+# A2: conditional-aggregation net position, standalone
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "net_position",
+    f"""
+SELECT {o_fmt_ts("date_trunc('hour', ts)")} AS t,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN {o_cents('value')} ELSE 0 END) AS DOUBLE) / 100.0 AS purchase_sum,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN {o_cents('value')} ELSE 0 END) AS DOUBLE) / 100.0 AS error_sum,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN {o_cents('value')}
+                     WHEN event_type = 'error' THEN -{o_cents('value')}
+                     ELSE 0 END) AS DOUBLE) / 100.0 AS net_pos
+FROM events
+GROUP BY 1
+""",
+    doc="SUM(CASE WHEN out=CH)−SUM(CASE WHEN in=CH) net-position agg (A2, "
+    "init.sql:288-297) on event flows.",
+    tags=("agg",),
+)
+def net_position_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events(spark, sf_dir)
+    c = cents(F.col("value"))
+    return ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("h")).agg(
+        (F.sum(F.when(F.col("event_type") == "purchase", c).otherwise(F.lit(0))).cast("double") / 100.0).alias("purchase_sum"),
+        (F.sum(F.when(F.col("event_type") == "error", c).otherwise(F.lit(0))).cast("double") / 100.0).alias("error_sum"),
+        (
+            F.sum(
+                F.when(F.col("event_type") == "purchase", c)
+                .when(F.col("event_type") == "error", -c)
+                .otherwise(F.lit(0))
+            ).cast("double")
+            / 100.0
+        ).alias("net_pos"),
+    ).select(fmt_ts(F.col("h")).alias("t"), "purchase_sum", "error_sum", "net_pos")
+
+
+# ---------------------------------------------------------------------------
+# O1/O2: newest-k history re-sorted ascending
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "price_history",
+    f"""
+WITH p AS ({o_hourly_cents('purchase')}),
+newest AS (
+  SELECT h, CAST(pc AS DOUBLE) / (100.0 * cnt) AS price
+  FROM p ORDER BY h DESC LIMIT 96
+)
+SELECT {o_fmt_ts('h')} AS t, price FROM newest ORDER BY h
+""",
+    doc="ORDER BY time DESC LIMIT k then re-sort ascending (O1/O2, "
+    "main.py:355-372). Spark compiles to TakeOrderedAndProject — "
+    "per-partition top-k, no global sort.",
+    tags=("topk",),
+)
+def price_history_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = hourly_cents(events(spark, sf_dir), "purchase")
+    newest = (
+        p.select("h", (F.col("pc").cast("double") / (F.lit(100.0) * F.col("cnt"))).alias("price"))
+        .orderBy(F.col("h").desc())
+        .limit(96)
+    )
+    return newest.orderBy("h").select(fmt_ts(F.col("h")).alias("t"), "price")
+
+
+# ---------------------------------------------------------------------------
+# O3: LIMIT/OFFSET pagination
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "row_explorer_page",
+    f"""
+SELECT event_id, {o_fmt_ts_us('ts')} AS t, user_id, event_type, value
+FROM events
+ORDER BY ts DESC, event_id DESC
+LIMIT 100 OFFSET 200
+""",
+    doc="Row-explorer pagination ORDER BY time DESC LIMIT 100 OFFSET 200 "
+    "(O3, main.py:429-452), totally ordered via (ts, event_id).",
+    tags=("topk",),
+)
+def row_explorer_page_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events(spark, sf_dir)
+    return (
+        ev.orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        .offset(200)
+        .limit(100)
+        .select("event_id", fmt_ts_us(F.col("ts")).alias("t"), "user_id", "event_type", "value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# S10/J6 analog: pivot to wide per-hour traces
+# ---------------------------------------------------------------------------
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@register(
+    "hourly_pivot",
+    f"""
+SELECT {o_fmt_ts("date_trunc('hour', ts)")} AS t,
+       {', '.join(
+           f"CAST(COALESCE(SUM(CASE WHEN event_type = '{t}' THEN {o_cents('value')} END), 0) AS DOUBLE) / 100.0 AS {t}_sum"
+           for t in _EVENT_TYPES
+       )}
+FROM events
+GROUP BY 1
+""",
+    doc="Pivot long→wide per time bucket (S10 BAFU pivot / pivot-to-traces "
+    "main.py dashboard): groupBy(hour).pivot(event_type).",
+    tags=("pivot", "agg"),
+)
+def hourly_pivot_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events(spark, sf_dir)
+    wide = (
+        ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("h"))
+        .pivot("event_type", list(_EVENT_TYPES))
+        .agg(F.sum(cents(F.col("value"))))
+    )
+    return wide.select(
+        fmt_ts(F.col("h")).alias("t"),
+        *[
+            (F.coalesce(F.col(t), F.lit(0)).cast("double") / 100.0).alias(f"{t}_sum")
+            for t in _EVENT_TYPES
+        ],
+    )
+
+
+# ---------------------------------------------------------------------------
+# A4: FILTER'd aggregates
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "filtered_counts",
+    f"""
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(COALESCE(SUM(CASE WHEN value > 50 THEN 1 END), 0) AS BIGINT) AS n_high,
+       {o_fmt_ts('MAX(CASE WHEN value > 50 THEN ts END)')} AS last_high_t
+FROM events
+GROUP BY event_type
+""",
+    doc="COUNT(*)/MAX(...) FILTER (WHERE ...) conditional aggregates (A4, "
+    "main.py:589-597,666-674).",
+    tags=("agg",),
+)
+def filtered_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events(spark, sf_dir)
+    high = F.col("value") > 50
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum(F.when(high, F.lit(1))), F.lit(0)).cast("long").alias("n_high"),
+        fmt_ts(F.max(F.when(high, F.col("ts")))).alias("last_high_t"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A3: per-table stats (catalog sweep)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "table_stats",
+    """
+SELECT 'region' AS tbl, COUNT(*) AS n_rows FROM region
+UNION ALL SELECT 'nation', COUNT(*) FROM nation
+UNION ALL SELECT 'customer', COUNT(*) FROM customer
+UNION ALL SELECT 'supplier', COUNT(*) FROM supplier
+UNION ALL SELECT 'part', COUNT(*) FROM part
+UNION ALL SELECT 'orders', COUNT(*) FROM orders
+UNION ALL SELECT 'lineitem', COUNT(*) FROM lineitem
+UNION ALL SELECT 'events', COUNT(*) FROM events
+UNION ALL SELECT 'documents', COUNT(*) FROM documents
+UNION ALL SELECT 'embeddings', COUNT(*) FROM embeddings
+""",
+    doc="Per-table count sweep (A3, main.py:380-398) over the whole "
+    "catalog — the /api/status analog.",
+    tags=("agg", "union"),
+)
+def table_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdatasmallprice_spark.catalog import TESTDATA_TABLES, load_table
+
+    out = None
+    for name in TESTDATA_TABLES:
+        df = load_table(spark, sf_dir, name).agg(F.count(F.lit(1)).alias("n_rows")).select(
+            F.lit(name).alias("tbl"), "n_rows"
+        )
+        out = df if out is None else out.unionByName(df)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# A7: daily-mean transform broadcast back to rows
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "daily_mean_deviation",
+    f"""
+WITH p AS (
+  SELECT event_id, CAST(ts AS DATE) AS d, value,
+         CAST(SUM({o_cents('value')}) OVER (PARTITION BY CAST(ts AS DATE)) AS DOUBLE)
+           / (100.0 * COUNT(*) OVER (PARTITION BY CAST(ts AS DATE))) AS daily_avg
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT event_id, strftime(d, '%Y-%m-%d') AS d, value,
+       daily_avg, value - daily_avg AS deviation
+FROM p
+""",
+    doc="groupby(date).transform('mean') analog (A7, export_pipeline.py:"
+    "619-621): windowed daily mean broadcast back, deviation per row. "
+    "Partitioned window — fully parallel.",
+    tags=("window", "agg"),
+)
+def daily_mean_deviation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    wd = Window.partitionBy(F.to_date(F.col("ts")))
+    daily_avg = F.sum(cents(F.col("value"))).over(wd).cast("double") / (
+        F.lit(100.0) * F.count(F.lit(1)).over(wd)
+    )
+    return ev.select(
+        "event_id",
+        F.date_format(F.to_date(F.col("ts")), "yyyy-MM-dd").alias("d"),
+        "value",
+        daily_avg.alias("daily_avg"),
+        (F.col("value") - daily_avg).alias("deviation"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F10/F15: tariff formulas + traffic-light bucketing
+# ---------------------------------------------------------------------------
+
+_TARIFF_ORACLE_BODY = f"""
+  SELECT event_id,
+         150.0 + value * 7.5 AS net_load,
+         value * 2.0 - 20.0 AS epex,
+         LEAST(GREATEST(15.0 * (LEAST(GREATEST((150.0 + value * 7.5 - 150.0) / 750.0, 0.0), 1.0))
+                              * (LEAST(GREATEST((150.0 + value * 7.5 - 150.0) / 750.0, 0.0), 1.0)), 5.0), 25.0) AS netz,
+         LEAST(GREATEST(0.15 * ((value * 2.0 - 20.0) / 10.0) + 2.0, 3.0), 13.0) AS energie
+  FROM events WHERE event_type = 'purchase'
+"""
+
+
+@register(
+    "tariff_breakdown",
+    f"""
+WITH t AS ({_TARIFF_ORACLE_BODY})
+SELECT event_id, round(netz, 2) AS netzpreis_rp_kwh,
+       round(energie, 2) AS energiepreis_rp_kwh,
+       round(netz + energie, 2) AS gesamttarif_rp_kwh
+FROM t
+""",
+    doc="Dynamic tariff formulas (F10, tariff_formulas.py:26-170): "
+    "clip(alpha*L_norm^2) + clip(k_pe*EPEX/10+k_le), pure JVM column "
+    "arithmetic, golden-tested vs the reference's constants.",
+    tags=("scalar",),
+)
+def tariff_breakdown_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    net_load = F.lit(150.0) + F.col("value") * 7.5
+    epex = F.col("value") * 2.0 - 20.0
+    netz = netzpreis(net_load)
+    energie = energiepreis(epex)
+    return ev.select(
+        "event_id",
+        F.round(netz, 2).alias("netzpreis_rp_kwh"),
+        F.round(energie, 2).alias("energiepreis_rp_kwh"),
+        F.round(gesamttarif(netz, energie), 2).alias("gesamttarif_rp_kwh"),
+    )
+
+
+@register(
+    "traffic_light",
+    f"""
+WITH t AS ({_TARIFF_ORACLE_BODY})
+SELECT CASE WHEN netz + energie < 15.0 THEN 'low'
+            WHEN netz + energie > 22.0 THEN 'high'
+            ELSE 'medium' END AS level,
+       COUNT(*) AS n
+FROM t
+GROUP BY 1
+""",
+    doc="Traffic-light tariff bucketing (F15, main.py:336-337) + count per "
+    "level.",
+    tags=("scalar", "agg"),
+)
+def traffic_light_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    net_load = F.lit(150.0) + F.col("value") * 7.5
+    epex = F.col("value") * 2.0 - 20.0
+    total = gesamttarif(netzpreis(net_load), energiepreis(epex))
+    return ev.select(traffic_light(total).alias("level")).groupBy("level").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+# ---------------------------------------------------------------------------
+# F11: forecast metrics with masked MAPE (naive lag-24 baseline)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "forecast_metrics",
+    f"""
+WITH p AS ({o_hourly_cents('purchase')}),
+m AS (
+  SELECT h, CAST(round(pc * 1000.0 / cnt) AS BIGINT) AS p_milli FROM p
+),
+e AS (
+  SELECT h, p_milli, lag(p_milli, 24) OVER (ORDER BY h) AS yhat_milli FROM m
+),
+v AS (SELECT * FROM e WHERE yhat_milli IS NOT NULL)
+SELECT COUNT(*) AS n,
+       CAST(SUM(abs(yhat_milli - p_milli)) AS DOUBLE) / (1000.0 * COUNT(*)) AS mae,
+       sqrt(CAST(SUM((yhat_milli - p_milli) * (yhat_milli - p_milli)) AS DOUBLE) / COUNT(*)) / 1000.0 AS rmse,
+       round(100.0 * SUM(CASE WHEN abs(p_milli) >= 10000
+                              THEN CAST(abs(yhat_milli - p_milli) AS DOUBLE) / abs(p_milli) END)
+                   / SUM(CASE WHEN abs(p_milli) >= 10000 THEN 1 END), 6) AS mape_pct,
+       CAST(COALESCE(SUM(CASE WHEN abs(p_milli) >= 10000 THEN 1 END), 0) AS BIGINT) AS n_mape
+FROM v
+""",
+    doc="MAE/RMSE/masked-MAPE metrics (F11, evaluate.py:23-61): MAPE only "
+    "over |y|>=10, naive yhat = lag-24 price. Integer-milli encoding keeps "
+    "both engines bit-identical.",
+    tags=("metrics", "window", "agg"),
+)
+def forecast_metrics_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = hourly_cents(events(spark, sf_dir), "purchase")
+    m = p.select(
+        "h", F.round(F.col("pc") * 1000.0 / F.col("cnt"), 0).cast("long").alias("p_milli")
+    )
+    e = m.select("h", "p_milli", F.lag("p_milli", 24).over(Window.orderBy("h")).alias("yhat_milli"))
+    v = e.filter(F.col("yhat_milli").isNotNull())
+    err = F.col("yhat_milli") - F.col("p_milli")
+    qual = F.abs(F.col("p_milli")) >= 10000
+    return v.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(F.abs(err)).cast("double") / (F.lit(1000.0) * F.count(F.lit(1)))).alias("mae"),
+        (F.sqrt(F.sum(err * err).cast("double") / F.count(F.lit(1))) / 1000.0).alias("rmse"),
+        F.round(
+            F.lit(100.0)
+            * F.sum(F.when(qual, F.abs(err).cast("double") / F.abs(F.col("p_milli"))))
+            / F.sum(F.when(qual, F.lit(1))),
+            6,
+        ).alias("mape_pct"),
+        F.coalesce(F.sum(F.when(qual, F.lit(1))), F.lit(0)).cast("long").alias("n_mape"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# T3: freshness gate with injectable clock
+# ---------------------------------------------------------------------------
+
+_CLOCK = "2024-02-01 00:00:00"
+
+
+@register(
+    "freshness_gate",
+    f"""
+SELECT {o_fmt_ts('MAX(ts)')} AS last_t,
+       MAX(ts) >= TIMESTAMP '{_CLOCK}' - INTERVAL 26 HOUR AS is_fresh,
+       CAST(floor(epoch(TIMESTAMP '{_CLOCK}' - MAX(ts)) / 3600.0) AS BIGINT) AS hours_behind
+FROM events
+""",
+    doc="Freshness gate (T3, export_pipeline.py:270-290): newest row must "
+    "be younger than 26h relative to an injectable clock (fixed literal "
+    "here for reproducibility).",
+    tags=("agg",),
+)
+def freshness_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events(spark, sf_dir)
+    clock = F.to_timestamp(F.lit(_CLOCK))
+    mx = F.max("ts")
+    return ev.agg(
+        fmt_ts(mx).alias("last_t"),
+        (mx >= clock - F.expr("INTERVAL 26 HOURS")).alias("is_fresh"),
+        F.floor(
+            (clock.cast("double") - mx.cast("double")) / 3600.0
+        ).cast("long").alias("hours_behind"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# O7: stride downsample to <=500 chart points
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "chart_downsample",
+    f"""
+WITH p AS ({o_hourly_cents('purchase')}),
+r AS (
+  SELECT h, CAST(pc AS DOUBLE) / (100.0 * cnt) AS price,
+         row_number() OVER (ORDER BY h) AS rn,
+         COUNT(*) OVER () AS n
+  FROM p
+)
+SELECT {o_fmt_ts('h')} AS t, price
+FROM r
+WHERE (rn - 1) % CAST(ceil(n / 500.0) AS BIGINT) = 0
+""",
+    doc="Chart downsample to <=500 points by stride sampling (O7, "
+    "main.py:1038-1045).",
+    tags=("topk", "window"),
+)
+def chart_downsample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = hourly_cents(events(spark, sf_dir), "purchase")
+    w = Window.orderBy("h")
+    r = p.select(
+        "h",
+        (F.col("pc").cast("double") / (F.lit(100.0) * F.col("cnt"))).alias("price"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    step = F.ceil(F.col("n") / 500.0).cast("long")
+    return r.filter(((F.col("rn") - 1) % step) == 0).select(
+        fmt_ts(F.col("h")).alias("t"), "price"
+    )
