@@ -1,0 +1,210 @@
+"""Deduplication operators for large-scale corpus curation.
+
+Four families, all shuffle-conscious:
+
+- **Exact**: md5(text) groupBy — one shuffle on a 16-byte key; keep the
+  lowest id per group (first-writer-wins, consistent with the upsert
+  semantics in operators/upsert.py).
+- **MinHash + LSH**: word-shingle → k minhashes → band buckets →
+  candidate pairs by band-equi-join → exact Jaccard verify. The
+  band join is THE scale trick: no all-pairs comparison ever happens;
+  cost is one explode (docs × bands) + one shuffle on band keys, and
+  near-dup candidates cluster into tiny buckets.
+- **SimHash**: k-bit signature from per-token hash votes; blocking on
+  byte-chunks of the signature (two docs within Hamming distance d must
+  share an exact chunk if chunks > d) turns all-pairs into an equi-join.
+- **N-gram Jaccard**: exact set similarity on token shingles for a
+  bounded candidate set (the verify stage of the LSH pipeline, or
+  small-N audits).
+
+All hashes are deterministic arithmetic (polynomial mod 1e9+7) — no
+engine-specific hash builtins — so results replay identically in the
+DuckDB oracle and across Spark versions/cluster sizes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from bigdatasmallprice_spark.functions.texts import HASH_MOD, _WORDHASH
+
+# fixed (a, b) coefficient pairs for the k minhash permutations
+# h_i(x) = (a_i * x + b_i) mod 1e9+7 — generated once from a tiny LCG so
+# both engines inline identical literals
+def _lcg_pairs(k: int, seed: int = 20260813) -> list[tuple[int, int]]:
+    s = seed
+    out = []
+    for _ in range(k):
+        s = (s * 1103515245 + 12345) % (2**31)
+        a = s % 999_983 + 1
+        s = (s * 1103515245 + 12345) % (2**31)
+        b = s % 999_983
+        out.append((a, b))
+    return out
+
+
+MINHASH_K = 8
+LSH_BANDS = 4  # bands of 2 rows each
+MINHASH_COEFS = _lcg_pairs(MINHASH_K)
+
+
+def with_shingles(df: DataFrame, text_col: str = "text", out: str = "shingles") -> DataFrame:
+    """3-word-shingle hash array per document (docs shorter than 3 tokens
+    get an empty array).
+
+    The word-hash array binds to a lambda variable (``__wh``) so it is
+    computed once per row — inlining it per shingle element would make
+    the expression O(tokens^2) per document (a 20x slowdown measured at
+    sf0.1)."""
+    wh = _WORDHASH.format(w="w")
+    # guard: sequence(0, n) with n < 0 DESCENDS in Spark, producing invalid
+    # indices for documents shorter than the shingle width
+    return df.withColumn(
+        out,
+        F.expr(
+            f"transform(array(transform(split({text_col}, ' '), w -> CAST({wh} AS BIGINT))), "
+            f"__wh -> CASE WHEN size(__wh) >= 3 THEN "
+            f"transform(sequence(0, size(__wh) - 3), i -> "
+            f"((element_at(__wh, i + 1) * 31 + element_at(__wh, i + 2)) * 31 "
+            f"+ element_at(__wh, i + 3)) % {HASH_MOD}) "
+            f"ELSE array() END)[0]"
+        ),
+    )
+
+
+def with_minhash(df: DataFrame, shingle_col: str = "shingles") -> DataFrame:
+    """k minhash values h_i = min over shingles of (a_i*x+b_i) mod p.
+    NULL when the shingle set is empty.
+
+    All k mins are computed in ONE expression binding the shingle array
+    to a lambda variable once (see with_shingles for why), then unpacked
+    into mh0..mh{k-1} columns."""
+    mins = ", ".join(
+        f"array_min(transform(__sh, x -> ({a} * x + {b}) % {HASH_MOD}))"
+        for (a, b) in MINHASH_COEFS
+    )
+    df = df.withColumn(
+        "__mhs", F.expr(f"transform(array({shingle_col}), __sh -> array({mins}))[0]")
+    )
+    for i in range(len(MINHASH_COEFS)):
+        df = df.withColumn(f"mh{i}", F.col("__mhs")[i])
+    return df.drop("__mhs")
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Candidate pairs: docs sharing >= 1 of the LSH bands (2 rows per
+    band). Output (id_a, id_b), id_a < id_b, distinct. One explode + one
+    self-equi-join on (band, key) — never all-pairs."""
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                (F.col(f"mh{2 * b}") * F.lit(HASH_MOD) + F.col(f"mh{2 * b + 1}")).alias("key"),
+            )
+            for b in range(LSH_BANDS)
+        ]
+    )
+    exploded = (
+        sigs.select(F.col(id_col), F.explode(bands).alias("bk"))
+        .select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    )
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard(shingles_a: Column, shingles_b: Column) -> Column:
+    """Exact Jaccard over distinct shingle sets, via |A∩B| and
+    |A|+|B|-|A∩B| (avoids engine-specific union-dedup semantics)."""
+    da = F.array_distinct(shingles_a)
+    db = F.array_distinct(shingles_b)
+    inter = F.size(F.array_intersect(da, db)).cast("double")
+    union = F.size(da) + F.size(db) - F.size(F.array_intersect(da, db))
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+SIMHASH_BITS = 32
+SIMHASH_CHUNKS = 4  # 8-bit chunks; Hamming<=3 pairs must share one (pigeonhole)
+
+# strong per-word hash: character polynomial mod 2^32 (the weak first/last
+# -char hash collapses a small vocabulary and floods simhash with false
+# near-pairs; the char fold keeps signatures uniform)
+STRONG_WORDHASH = (
+    "aggregate(split({w}, ''), 0L, (hh, c) -> (hh * 131 + ascii(c)) % 4294967296)"
+)
+
+
+def with_word_hashes(df: DataFrame, text_col: str = "text", out: str = "whs") -> DataFrame:
+    wh = STRONG_WORDHASH.format(w="w")
+    return df.withColumn(out, F.expr(f"transform(split({text_col}, ' '), w -> {wh})"))
+
+
+def with_simhash(df: DataFrame, text_col: str = "text", out: str = "simhash") -> DataFrame:
+    """32-bit SimHash: bit j is the sign of the vote sum over tokens of
+    (bit j of strong wordhash -> +1 / -1)."""
+    df = with_word_hashes(df, text_col)
+    terms = []
+    for j in range(SIMHASH_BITS):
+        vote = (
+            f"aggregate(whs, 0L, "
+            f"(acc, h) -> acc + (CASE WHEN (h div {1 << j}) % 2 = 1 THEN 1 ELSE -1 END))"
+        )
+        terms.append(f"(CASE WHEN {vote} >= 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)")
+    return df.withColumn(out, F.expr(" + ".join(terms))).drop("whs")
+
+
+def simhash_near_pairs(
+    df: DataFrame, id_col: str = "doc_id", sim_col: str = "simhash", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by Hamming distance with byte-chunk blocking: the
+    32-bit signature splits into 4 byte-chunks; any pair within
+    Hamming<=3 shares at least one exact chunk (pigeonhole), so the join
+    is an equi-join on (chunk_idx, chunk_value), never all-pairs."""
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("ci"),
+                (F.expr(f"{sim_col} div {1 << (8 * i)}") % 256).alias("cv"),
+            )
+            for i in range(SIMHASH_CHUNKS)
+        ]
+    )
+    ex = df.select(id_col, sim_col, F.explode(chunks).alias("c")).select(
+        id_col, sim_col, F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv")
+    )
+    a, b = ex.alias("a"), ex.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.ci") == F.col("b.ci"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col(f"a.{sim_col}").alias("sh_a"),
+            F.col(f"b.{sim_col}").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.expr("bit_count(sh_a ^ sh_b)")
+    return cand.withColumn("hamming", hamming.cast("long")).filter(
+        F.col("hamming") <= max_hamming
+    ).select("id_a", "id_b", "hamming")

@@ -1,0 +1,136 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two paths, matching the brief for 100 TB training-data curation:
+
+- **Brute-force cosine top-k** (the correctness baseline): query set ×
+  corpus cross join, in-order fold dot product, per-query top-k via a
+  partitioned window. Cost O(|Q|·N) — fine when |Q| is small or N is a
+  pre-filtered candidate set.
+- **LSH-bucketed ANN** (the scale path): random-hyperplane signatures
+  (fixed deterministic planes, inlined as literals) bucket the corpus;
+  each query probes only its bucket — the cross join shrinks by ~2^planes
+  and becomes an equi-join on the signature, which Spark shuffles on the
+  bucket key instead of broadcasting the corpus.
+
+Dot products fold left-to-right over index order (F.aggregate), with
+every element cast to double first, so the result is reproducible
+bit-for-bit across engines; reported similarities are rounded to 6
+decimals to absorb any residual last-ulp association differences.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: str, b: str) -> Column:
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def _norm(a: str) -> Column:
+    return F.sqrt(
+        F.expr(
+            f"aggregate(transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+            f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+    )
+
+
+def cosine(a: str, b: str) -> Column:
+    den = _norm(a) * _norm(b)
+    return F.when(den > 0, _dot(a, b) / den).otherwise(F.lit(0.0))
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k per query. Queries are broadcast (small side);
+    the corpus scan parallelizes; rank ties break on candidate id."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = corpus.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .withColumn("sim", F.round(cosine("qv", "cv"), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "sim", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+# deterministic pseudo-random hyperplanes (LCG, inlined as literals so the
+# oracle can embed the identical numbers)
+def _lcg_planes(n_planes: int, dim: int, seed: int = 77770001) -> list[list[float]]:
+    s = seed
+    planes = []
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            s = (s * 1103515245 + 12345) % (2**31)
+            row.append(round((s / (2**31)) * 2.0 - 1.0, 6))
+        planes.append(row)
+    return planes
+
+
+ANN_PLANES = 4
+EMBED_DIM = 64
+PLANES = _lcg_planes(ANN_PLANES, EMBED_DIM)
+
+
+def _plane_literal(p: list[float]) -> str:
+    return "array(" + ", ".join(f"CAST({v} AS DOUBLE)" for v in p) + ")"
+
+
+def with_lsh_bucket(df: DataFrame, vec_col: str = "embedding", out: str = "bucket") -> DataFrame:
+    """Random-hyperplane signature: bit j = [dot(v, plane_j) >= 0]."""
+    terms = []
+    for j, p in enumerate(PLANES):
+        dot = (
+            f"aggregate(zip_with({vec_col}, {_plane_literal(p)}, (x, y) -> CAST(x AS DOUBLE) * y), "
+            f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+        terms.append(f"(CASE WHEN {dot} >= 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)")
+    return df.withColumn(out, F.expr(" + ".join(terms)))
+
+
+def ann_lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: only candidates in the query's LSH bucket are
+    scored. Equi-join on the bucket key — shuffle-partitioned by bucket,
+    no broadcast of the corpus needed at scale."""
+    q = with_lsh_bucket(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")), "qv"
+    )
+    c = with_lsh_bucket(
+        corpus.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv")), "cv"
+    )
+    scored = (
+        q.join(c, "bucket")
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .withColumn("sim", F.round(cosine("qv", "cv"), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "sim", F.col("rank").cast("long").alias("rank"))
+    )

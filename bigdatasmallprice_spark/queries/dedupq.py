@@ -1,0 +1,229 @@
+"""Deduplication queries over ``documents`` — exact, MinHash+LSH,
+SimHash, and n-gram Jaccard, each oracle-paired."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdatasmallprice_spark.functions.texts import HASH_MOD, bag_fingerprint, o_bag_fingerprint
+from bigdatasmallprice_spark.operators.dedup import (
+    MINHASH_COEFS,
+    jaccard,
+    lsh_candidate_pairs,
+    simhash_near_pairs,
+    with_minhash,
+    with_shingles,
+    with_simhash,
+)
+from bigdatasmallprice_spark.queries.core import table
+from bigdatasmallprice_spark.registry import register
+
+# DuckDB fragments mirroring operators/dedup.py exactly (1-based lists)
+_O_WH = (
+    "list_transform(string_split(text, ' '), x -> "
+    "CAST(length(x) * 97 + ascii(substr(x, 1, 1)) * 31 + ascii(substr(x, length(x), 1)) AS BIGINT))"
+)
+_O_SHINGLE_CTES = f"""
+w AS (SELECT doc_id, {_O_WH} AS wh FROM documents),
+s AS (SELECT doc_id,
+             list_transform(range(1, len(wh) - 1),
+                            i -> ((wh[i] * 31 + wh[i + 1]) * 31 + wh[i + 2]) % {HASH_MOD}) AS sh
+      FROM w)
+"""
+_O_MH_COLS = ", ".join(
+    f"list_min(list_transform(sh, x -> ({a} * x + {b}) % {HASH_MOD})) AS mh{i}"
+    for i, (a, b) in enumerate(MINHASH_COEFS)
+)
+_O_BANDS = "\nUNION ALL ".join(
+    f"SELECT doc_id, {b} AS band, mh{2*b} * {HASH_MOD} + mh{2*b+1} AS key FROM sig"
+    for b in range(4)
+)
+
+
+@register(
+    "dedup_exact",
+    f"""
+WITH h AS (
+  SELECT doc_id, md5(text) AS th, {o_bag_fingerprint('text')} AS bfp FROM documents
+)
+SELECT COUNT(*) AS n_docs,
+       COUNT(DISTINCT th) AS n_unique_texts,
+       COUNT(DISTINCT bfp) AS n_unique_bags,
+       CAST(COUNT(*) - COUNT(DISTINCT th) AS BIGINT) AS n_exact_dups,
+       CAST(COUNT(*) - COUNT(DISTINCT bfp) AS BIGINT) AS n_bag_dups
+FROM h
+""",
+    doc="Exact dedup by content hash + order/repetition-invariant bag "
+    "fingerprint: one hash-groupBy shuffle on a 16-byte key; at 100 TB "
+    "this is the cheapest dedup pass and runs first.",
+    tags=("dedup", "agg"),
+)
+def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    h = docs.select(
+        "doc_id", F.md5(F.col("text")).alias("th"), bag_fingerprint(F.col("text")).alias("bfp")
+    )
+    return h.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("th").alias("n_unique_texts"),
+        F.countDistinct("bfp").alias("n_unique_bags"),
+        (F.count(F.lit(1)) - F.countDistinct("th")).cast("long").alias("n_exact_dups"),
+        (F.count(F.lit(1)) - F.countDistinct("bfp")).cast("long").alias("n_bag_dups"),
+    )
+
+
+@register(
+    "minhash_signatures",
+    f"""
+WITH {_O_SHINGLE_CTES}
+SELECT doc_id, {_O_MH_COLS} FROM s
+""",
+    doc="MinHash signatures (k=8) over 3-word-shingle polynomial hashes — "
+    "deterministic (a*x+b) mod p permutations, identical literals in both "
+    "engines. The signature computation of the MinHash-LSH dedup pipeline.",
+    tags=("dedup",),
+)
+def minhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    sigs = with_minhash(with_shingles(docs.select("doc_id", "text")))
+    return sigs.select("doc_id", *[f"mh{i}" for i in range(len(MINHASH_COEFS))])
+
+
+@register(
+    "minhash_lsh_pairs",
+    f"""
+WITH {_O_SHINGLE_CTES},
+sig AS (SELECT doc_id, {_O_MH_COLS} FROM s),
+bands AS ({_O_BANDS}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT c.id_a, c.id_b,
+       round(CASE WHEN len(list_distinct(sa.sh)) + len(list_distinct(sb.sh))
+                       - len(list_intersect(list_distinct(sa.sh), list_distinct(sb.sh))) > 0
+                  THEN CAST(len(list_intersect(list_distinct(sa.sh), list_distinct(sb.sh))) AS DOUBLE)
+                       / (len(list_distinct(sa.sh)) + len(list_distinct(sb.sh))
+                          - len(list_intersect(list_distinct(sa.sh), list_distinct(sb.sh))))
+                  ELSE 0.0 END, 6) AS jaccard
+FROM cand c
+JOIN s sa ON c.id_a = sa.doc_id
+JOIN s sb ON c.id_b = sb.doc_id
+""",
+    doc="MinHash-LSH candidate pairs (4 bands x 2 rows) + exact shingle-"
+    "Jaccard verify. Banding replaces the all-pairs comparison with one "
+    "explode + equi-join on band keys — the O(n^2)->O(n) scale move.",
+    tags=("dedup", "join"),
+)
+def minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    s = with_shingles(docs.select("doc_id", "text")).select("doc_id", "shingles")
+    sigs = with_minhash(s)
+    cand = lsh_candidate_pairs(sigs)
+    sa = s.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    sb = s.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"),
+        )
+    )
+
+
+# strong char-polynomial word hash (mirrors operators/dedup.STRONG_WORDHASH)
+_O_STRONG_WH = (
+    "list_transform(string_split(text, ' '), w -> "
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(string_split(w, ''), c -> CAST(ascii(c) AS BIGINT))), "
+    "(hh, c) -> (hh * 131 + c) % 4294967296))"
+)
+_O_SIMHASH = " + ".join(
+    f"(CASE WHEN CAST(list_sum(list_transform(wh, h -> CASE WHEN (h // {1 << j}) % 2 = 1 THEN 1 ELSE -1 END)) AS BIGINT) >= 0 "
+    f"THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+    for j in range(32)
+)
+
+
+@register(
+    "simhash_pairs",
+    f"""
+WITH w AS (SELECT doc_id, {_O_STRONG_WH} AS wh FROM documents),
+sh AS (SELECT doc_id, {_O_SIMHASH} AS simhash FROM w),
+chunks AS (
+  SELECT doc_id, simhash, 0 AS ci, (simhash // 1) % 256 AS cv FROM sh
+  UNION ALL SELECT doc_id, simhash, 1, (simhash // 256) % 256 FROM sh
+  UNION ALL SELECT doc_id, simhash, 2, (simhash // 65536) % 256 FROM sh
+  UNION ALL SELECT doc_id, simhash, 3, (simhash // 16777216) % 256 FROM sh
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                  a.simhash AS sh_a, b.simhash AS sh_b
+  FROM chunks a JOIN chunks b
+    ON a.ci = b.ci AND a.cv = b.cv AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
+FROM cand
+WHERE bit_count(xor(sh_a, sh_b)) <= 3
+""",
+    doc="SimHash near-dup pairs: 32-bit token-vote signature over strong "
+    "char-polynomial word hashes, byte-chunk blocking (pigeonhole: "
+    "Hamming<=3 pairs share one of 4 chunks), Hamming verify via "
+    "xor+bit_count. Blocking makes the join an equi-join.",
+    tags=("dedup", "join"),
+)
+def simhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    sh = with_simhash(docs.select("doc_id", "text"))
+    return simhash_near_pairs(sh, max_hamming=3)
+
+
+@register(
+    "ngram_jaccard_pairs",
+    f"""
+WITH w AS (SELECT doc_id, {_O_WH} AS wh FROM documents WHERE doc_id < 40),
+bg AS (SELECT doc_id,
+              list_distinct(list_transform(range(1, len(wh)),
+                            i -> (wh[i] * 31 + wh[i + 1]) % {HASH_MOD})) AS grams
+       FROM w)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(CASE WHEN len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)) > 0
+                  THEN CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                       / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
+                  ELSE 0.0 END, 6) AS jaccard
+FROM bg a JOIN bg b ON a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+      / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.02
+""",
+    doc="Word-bigram Jaccard similarity on a bounded audit set (all pairs "
+    "of the 40 lowest doc_ids, threshold 0.02) — the exact-verify stage "
+    "of near-dup pipelines.",
+    tags=("dedup", "join"),
+)
+def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    wh = (
+        "transform(split(text, ' '), x -> "
+        "CAST(length(x) * 97 + ascii(substr(x, 1, 1)) * 31 + ascii(substr(x, length(x), 1)) AS BIGINT))"
+    )
+    grams = (
+        f"transform(array(wha), __wh -> CASE WHEN size(__wh) >= 2 THEN "
+        f"array_distinct(transform(sequence(0, size(__wh) - 2), "
+        f"i -> (element_at(__wh, i + 1) * 31 + element_at(__wh, i + 2)) % {HASH_MOD})) "
+        f"ELSE array() END)[0]"
+    ).replace("wha", wh)
+    bg = docs.select("doc_id", F.expr(grams).alias("grams"))
+    a = bg.select(F.col("doc_id").alias("id_a"), F.col("grams").alias("ga"))
+    b = bg.select(F.col("doc_id").alias("id_b"), F.col("grams").alias("gb"))
+    inter = F.size(F.array_intersect(F.col("ga"), F.col("gb")))
+    union = F.size("ga") + F.size("gb") - inter
+    jac = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(jac >= 0.02)
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+    )

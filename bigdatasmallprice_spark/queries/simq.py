@@ -1,0 +1,155 @@
+"""Similarity-search queries over ``embeddings`` (array<float>, dim 64)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdatasmallprice_spark.operators.similarity import (
+    PLANES,
+    ann_lsh_topk,
+    brute_force_topk,
+    cosine,
+    with_lsh_bucket,
+)
+from bigdatasmallprice_spark.queries.core import table
+from bigdatasmallprice_spark.registry import register
+
+_O_DOT = (
+    "list_sum(list_transform(range(1, 65), i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+_O_NORM = "sqrt(list_sum(list_transform(range(1, 65), i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))))"
+
+
+def _o_cosine(a: str, b: str) -> str:
+    dot = _O_DOT.format(a=a, b=b)
+    na = _O_NORM.format(a=a)
+    nb = _O_NORM.format(a=b)
+    return f"CASE WHEN {na} * {nb} > 0 THEN {dot} / ({na} * {nb}) ELSE 0.0 END"
+
+
+@register(
+    "ann_cosine_topk",
+    f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS cand_id, embedding AS cv FROM embeddings),
+scored AS (
+  SELECT query_id, cand_id, round({_o_cosine('qv', 'cv')}, 6) AS sim
+  FROM q, c WHERE query_id != cand_id
+),
+ranked AS (
+  SELECT query_id, cand_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rank
+  FROM scored
+)
+SELECT query_id, cand_id, sim, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 5
+""",
+    doc="Exact brute-force cosine top-k (k=5) for a 10-query probe set — "
+    "the ANN correctness baseline. Broadcast queries x corpus scan, "
+    "in-order double fold, deterministic tie-break on cand_id.",
+    tags=("similarity", "topk"),
+)
+def ann_cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb.filter(F.col("vec_id") < 10), emb, k=5)
+
+
+def _o_plane_bucket(vec: str) -> str:
+    terms = []
+    for j, p in enumerate(PLANES):
+        lits = ", ".join(f"CAST({v} AS DOUBLE)" for v in p)
+        dot = f"list_sum(list_transform(range(1, 65), i -> CAST({vec}[i] AS DOUBLE) * [{lits}][i]))"
+        terms.append(f"(CASE WHEN {dot} >= 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)")
+    return " + ".join(terms)
+
+
+@register(
+    "ann_lsh_topk",
+    f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv, {_o_plane_bucket('embedding')} AS bucket
+  FROM embeddings WHERE vec_id < 20
+),
+c AS (
+  SELECT vec_id AS cand_id, embedding AS cv, {_o_plane_bucket('embedding')} AS bucket
+  FROM embeddings
+),
+scored AS (
+  SELECT q.query_id, c.cand_id, round({_o_cosine('q.qv', 'c.cv')}, 6) AS sim
+  FROM q JOIN c ON q.bucket = c.bucket AND q.query_id != c.cand_id
+),
+ranked AS (
+  SELECT query_id, cand_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rank
+  FROM scored
+)
+SELECT query_id, cand_id, sim, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 3
+""",
+    doc="LSH-bucketed approximate top-k: 4 fixed random hyperplanes bucket "
+    "the corpus; queries probe only their bucket — equi-join on the "
+    "signature replaces the cross join (the 100 TB scale path).",
+    tags=("similarity", "topk"),
+)
+def ann_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return ann_lsh_topk(emb.filter(F.col("vec_id") < 20), emb, k=3)
+
+
+@register(
+    "embedding_neardup",
+    f"""
+WITH e AS (
+  SELECT vec_id, label, embedding, {_o_plane_bucket('embedding')} AS bucket
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round({_o_cosine('a.embedding', 'b.embedding')}, 6) AS sim
+  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, sim FROM pairs WHERE sim >= 0.35
+""",
+    doc="Embedding-cosine near-duplicate detection, LSH-bucket blocked "
+    "(same-bucket pairs only, sim >= 0.35) — the semantic-dedup pass of "
+    "a training-data pipeline.",
+    tags=("similarity", "dedup"),
+)
+def embedding_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    e = with_lsh_bucket(emb.select("vec_id", "embedding"), "embedding")
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), "bucket")
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), "bucket")
+    pairs = (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("sim", F.round(cosine("va", "vb"), 6))
+    )
+    return pairs.filter(F.col("sim") >= 0.35).select("id_a", "id_b", "sim")
+
+
+@register(
+    "embedding_norms",
+    f"""
+SELECT label,
+       COUNT(*) AS n,
+       round(MIN({_O_NORM.format(a='embedding')}), 6) AS min_norm,
+       round(MAX({_O_NORM.format(a='embedding')}), 6) AS max_norm
+FROM embeddings
+GROUP BY 1
+""",
+    doc="Per-label embedding norm profile (vector-column hygiene check "
+    "before similarity passes).",
+    tags=("similarity", "agg"),
+)
+def embedding_norms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdatasmallprice_spark.operators.similarity import _norm
+
+    emb = table(spark, sf_dir, "embeddings")
+    n = _norm("embedding")
+    return emb.select("label", n.alias("nrm")).groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("nrm"), 6).alias("min_norm"),
+        F.round(F.max("nrm"), 6).alias("max_norm"),
+    )

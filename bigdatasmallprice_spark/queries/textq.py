@@ -1,0 +1,162 @@
+"""Text-analysis queries over ``documents`` (training-data curation
+surface: language-ID, quality scoring, token stats, fingerprinting)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdatasmallprice_spark.functions.texts import (
+    STOPWORDS_DE,
+    STOPWORDS_EN,
+    STOPWORDS_FR,
+    bag_fingerprint,
+    n_tokens,
+    n_unique_tokens,
+    o_bag_fingerprint,
+    o_n_tokens,
+    o_n_unique_tokens,
+    o_quality_score,
+    o_rolling_hash,
+    o_stopword_hits,
+    quality_score,
+    rolling_hash,
+    stopword_hits,
+)
+from bigdatasmallprice_spark.queries.core import table
+from bigdatasmallprice_spark.registry import register
+
+_NT = o_n_tokens("text")
+_NU = o_n_unique_tokens("text")
+_SH = o_stopword_hits("text", STOPWORDS_EN)
+
+
+@register(
+    "text_stats",
+    f"""
+SELECT doc_id,
+       {_NT} AS n_tok,
+       {_NU} AS n_uniq,
+       (CAST(length(text) AS DOUBLE) - ({_NT} - 1)) / {_NT} AS avg_token_len,
+       {_SH} AS stop_hits,
+       round({o_quality_score(_NT, _NU, _SH)}, 6) AS quality,
+       {o_bag_fingerprint('text')} AS bag_fp,
+       {o_rolling_hash('text')} AS roll_hash
+FROM documents
+""",
+    doc="Per-document token counting, type-token ratio, stopword ratio, "
+    "composite quality score, bag fingerprint (md5 of sorted unique "
+    "tokens) and polynomial rolling hash — all JVM column expressions.",
+    tags=("text",),
+)
+def text_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    t = F.col("text")
+    nt = n_tokens(t)
+    nu = n_unique_tokens(t)
+    sh = stopword_hits(t, STOPWORDS_EN)
+    return docs.select(
+        "doc_id",
+        nt.alias("n_tok"),
+        nu.alias("n_uniq"),
+        ((F.length(t).cast("double") - (nt - 1)) / nt).alias("avg_token_len"),
+        sh.alias("stop_hits"),
+        F.round(quality_score(nt, nu, sh), 6).alias("quality"),
+        bag_fingerprint(t).alias("bag_fp"),
+        rolling_hash("text").alias("roll_hash"),
+    )
+
+
+@register(
+    "lang_id",
+    f"""
+WITH s AS (
+  SELECT doc_id, lang,
+         {o_stopword_hits('text', STOPWORDS_EN)} AS en_hits,
+         {o_stopword_hits('text', STOPWORDS_DE)} AS de_hits,
+         {o_stopword_hits('text', STOPWORDS_FR)} AS fr_hits
+  FROM documents
+)
+SELECT doc_id, lang, en_hits, de_hits, fr_hits,
+       CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits > 0 THEN 'en'
+            WHEN de_hits >= fr_hits AND de_hits > 0 THEN 'de'
+            WHEN fr_hits > 0 THEN 'fr'
+            ELSE 'und' END AS pred_lang
+FROM s
+""",
+    doc="Stopword-list language-ID heuristic (argmax over per-language "
+    "hit counts, 'und' when no list hits).",
+    tags=("text",),
+)
+def lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    t = F.col("text")
+    en = stopword_hits(t, STOPWORDS_EN)
+    de = stopword_hits(t, STOPWORDS_DE)
+    fr = stopword_hits(t, STOPWORDS_FR)
+    s = docs.select("doc_id", "lang", en.alias("en_hits"), de.alias("de_hits"), fr.alias("fr_hits"))
+    pred = (
+        F.when((F.col("en_hits") >= F.col("de_hits")) & (F.col("en_hits") >= F.col("fr_hits")) & (F.col("en_hits") > 0), F.lit("en"))
+        .when((F.col("de_hits") >= F.col("fr_hits")) & (F.col("de_hits") > 0), F.lit("de"))
+        .when(F.col("fr_hits") > 0, F.lit("fr"))
+        .otherwise(F.lit("und"))
+    )
+    return s.select("doc_id", "lang", "en_hits", "de_hits", "fr_hits", pred.alias("pred_lang"))
+
+
+@register(
+    "token_stats_by_source",
+    f"""
+SELECT lang, source,
+       COUNT(*) AS n_docs,
+       CAST(SUM({_NT}) AS BIGINT) AS total_tokens,
+       CAST(SUM({_NT}) AS DOUBLE) / COUNT(*) AS avg_tokens,
+       CAST(MAX(n_chars) AS BIGINT) AS max_chars
+FROM documents
+GROUP BY 1, 2
+""",
+    doc="Corpus token accounting per (lang, source) — the budgeting "
+    "rollup of a tokenizer pipeline; integer sums keep it exact.",
+    tags=("text", "agg"),
+)
+def token_stats_by_source_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    nt = n_tokens(F.col("text"))
+    return docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(nt).alias("total_tokens"),
+        (F.sum(nt).cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+@register(
+    "quality_filter",
+    f"""
+WITH q AS (
+  SELECT lang,
+         {o_quality_score(_NT, _NU, _SH)} AS quality,
+         {_NT} AS n_tok
+  FROM documents
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(COALESCE(SUM(CASE WHEN quality >= 0.55 AND n_tok >= 20 THEN 1 END), 0) AS BIGINT) AS n_kept,
+       CAST(COALESCE(SUM(CASE WHEN quality < 0.55 OR n_tok < 20 THEN 1 END), 0) AS BIGINT) AS n_dropped
+FROM q GROUP BY 1
+""",
+    doc="Quality-gate filter summary per language: the keep/drop decision "
+    "of a corpus-curation pass (quality >= 0.55 AND n_tok >= 20).",
+    tags=("text", "agg"),
+)
+def quality_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    t = F.col("text")
+    nt = n_tokens(t)
+    q = quality_score(nt, n_unique_tokens(t), stopword_hits(t, STOPWORDS_EN))
+    keep = (F.col("quality") >= 0.55) & (F.col("n_tok") >= 20)
+    return docs.select("lang", q.alias("quality"), nt.alias("n_tok")).groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.coalesce(F.sum(F.when(keep, F.lit(1))), F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce(F.sum(F.when(~keep, F.lit(1))), F.lit(0)).cast("long").alias("n_dropped"),
+    )
