@@ -1,0 +1,152 @@
+"""Serving-layer engine methods — the FastAPI query surface of the
+reference (src/api/main.py) as DataFrame-returning engine calls.
+
+Every method takes an injectable ``clock`` where the original used
+NOW(); every table access goes through the whitelist (P8). The HTTP
+layer itself is out of engine scope — these are the compute surface the
+routes call.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdatasmallprice_spark.functions.tariffs import (
+    energiepreis,
+    gesamttarif,
+    netzpreis,
+    traffic_light,
+)
+from bigdatasmallprice_spark.operators.topk import history, paginate, stride_downsample
+
+SERVING_TABLES = frozenset(
+    {
+        "entsoe_day_ahead_prices", "weather_hourly", "ekz_tariffs_raw",
+        "bafu_hydro", "ckw_tariffs_raw", "groupe_e_tariffs_raw",
+        "entsoe_actual_load", "entsoe_generation", "entsoe_crossborder_flows",
+        "entsoe_load_forecast", "api_call_log", "winterthur_load",
+        "winterthur_pv", "training_features", "winterthur_net_load_features",
+        "ekz_tariffs_hourly", "ckw_tariffs_hourly", "groupe_e_tariffs_hourly",
+    }
+)
+
+
+def _view(spark: SparkSession, table: str) -> DataFrame:
+    if table not in SERVING_TABLES:  # P8 whitelist (main.py:55-76)
+        raise ValueError(f"table {table!r} not in serving whitelist")
+    return spark.table(table)
+
+
+def latest_features(spark: SparkSession, view: str = "training_features") -> DataFrame:
+    """O1 — ORDER BY time DESC LIMIT 1 (main.py:277-291)."""
+    return _view(spark, view).orderBy(F.col("time").desc()).limit(1)
+
+
+def price_history(spark: SparkSession, hours: int = 48) -> DataFrame:
+    """O2 — newest N hourly prices, ascending (main.py:355-372)."""
+    df = _view(spark, "entsoe_day_ahead_prices").select("time", "price_eur_mwh")
+    return history(df, "time", "price_eur_mwh", hours)
+
+
+def explore_rows(
+    spark: SparkSession, table: str, limit: int = 100, offset: int = 0
+) -> DataFrame:
+    """O3 — row explorer pagination (main.py:429-452); limit capped at
+    100 rows/page like the reference."""
+    return paginate(_view(spark, table), ["time"], min(limit, 100), offset)
+
+
+def timeseries(
+    spark: SparkSession,
+    table: str,
+    clock: dt.datetime,
+    horizon: str = "7 days",
+    max_rows: int = 10000,
+    chart_points: int | None = 500,
+) -> DataFrame:
+    """P7 + O4 + O7 — horizon-filtered series, 10k guard, optional
+    downsample (main.py:470-535, 1038-1045)."""
+    df = _view(spark, table).filter(
+        F.col("time") >= F.lit(clock) - F.expr(f"INTERVAL {horizon}")
+    )
+    guarded = df.orderBy("time").limit(max_rows)
+    if chart_points:
+        return stride_downsample(guarded, ["time"], chart_points)
+    return guarded
+
+
+def table_stats(spark: SparkSession, tables: list[str]) -> DataFrame:
+    """A3 — per-table count/min/max sweep (main.py:380-398)."""
+    out = None
+    for t in tables:
+        d = _view(spark, t).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("time").alias("min_time"),
+            F.max("time").alias("max_time"),
+        ).select(F.lit(t).alias("tbl"), "n_rows", "min_time", "max_time")
+        out = d if out is None else out.unionByName(d)
+    return out
+
+
+def rate_limit_stats(spark: SparkSession, clock: dt.datetime) -> DataFrame:
+    """A4/A5 — per-source 24h call/rate-limit rollup over api_call_log
+    (main.py:663-690)."""
+    df = _view(spark, "api_call_log").filter(
+        F.col("called_at") >= F.lit(clock) - F.expr("INTERVAL 24 HOURS")
+    )
+    return df.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_calls"),
+        F.coalesce(F.sum(F.when(F.col("was_rate_limited"), F.lit(1))), F.lit(0)).alias(
+            "n_rate_limited"
+        ),
+        F.max(F.when(F.col("was_rate_limited"), F.col("called_at"))).alias(
+            "last_rate_limited_at"
+        ),
+        F.avg("response_ms").alias("avg_response_ms"),
+    )
+
+
+def backfill_estimate(
+    spark: SparkSession,
+    table: str,
+    start: dt.date,
+    end: dt.date,
+    calls_per_day: int = 1,
+    seconds_per_call: float = 1.5,
+) -> dict:
+    """A8 — estimate missing-day backfill cost (main.py:755-822)."""
+    row = _view(spark, table).agg(
+        F.min(F.to_date("time")).alias("mn"), F.max(F.to_date("time")).alias("mx")
+    ).collect()[0]
+    total_days = (end - start).days + 1
+    if row.mn is None:
+        missing = total_days
+    else:
+        covered_start, covered_end = max(start, row.mn), min(end, row.mx)
+        covered = max(0, (covered_end - covered_start).days + 1)
+        missing = total_days - covered
+    calls = missing * calls_per_day
+    return {
+        "days_missing": missing,
+        "estimated_calls": calls,
+        "estimated_seconds": calls * seconds_per_call,
+    }
+
+
+def forecast_tariff(net_load: float, epex_eur_mwh: float, spark: SparkSession) -> dict:
+    """The /api/forecast tariff tail (main.py:296-352): model outputs ->
+    Netz/Energie/Gesamt + traffic-light level. Single-row column eval so
+    the formulas stay the one tested implementation."""
+    df = spark.createDataFrame([(float(net_load), float(epex_eur_mwh))], "load double, epex double")
+    netz = netzpreis(F.col("load"))
+    energie = energiepreis(F.col("epex"))
+    row = df.select(
+        F.round(netz, 2).alias("netzpreis_rp_kwh"),
+        F.round(energie, 2).alias("energiepreis_rp_kwh"),
+        F.round(gesamttarif(netz, energie), 2).alias("gesamttarif_rp_kwh"),
+        traffic_light(gesamttarif(netz, energie)).alias("level"),
+    ).collect()[0]
+    return row.asDict()

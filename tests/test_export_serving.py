@@ -1,0 +1,162 @@
+"""Export pipeline + serving facade tests over the synthetic domain data."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdatasmallprice_spark.export import (
+    FEATURE_COLS,
+    LOAD_FEATURE_COLS,
+    freshness_check,
+    run_export,
+    run_load_export,
+    validate_no_leakage,
+    zh_holidays,
+)
+from bigdatasmallprice_spark.plans.feature_views import register_views
+from bigdatasmallprice_spark.serving import (
+    backfill_estimate,
+    explore_rows,
+    forecast_tariff,
+    latest_features,
+    price_history,
+    rate_limit_stats,
+    table_stats,
+    timeseries,
+)
+from tests.domain_data import START, make_domain_tables
+
+UTC = dt.timezone.utc
+
+
+@pytest.fixture(scope="module")
+def domain(spark):
+    tables = make_domain_tables()
+    sdfs = {}
+    for name, pdf in tables.items():
+        pdf = pdf.copy()
+        pdf["time"] = pdf["time"].map(lambda t: t.replace(tzinfo=None))
+        sdfs[name] = spark.createDataFrame(pdf)
+    # ops log for rate-limit stats
+    log = [
+        (i, "entsoe", dt.datetime(2026, 2, 14, 12, 0) + dt.timedelta(minutes=i), 200, i % 5 == 0, 120 + i)
+        for i in range(50)
+    ]
+    sdfs["api_call_log"] = spark.createDataFrame(
+        log, "id long, source string, called_at timestamp, status_code int, was_rate_limited boolean, response_ms int"
+    ).withColumn("date_fetched", F.lit("2026-02-14"))
+    register_views(spark, sdfs)
+    return spark
+
+
+def test_leakage_guard():
+    validate_no_leakage(list(FEATURE_COLS), "price_eur_mwh")
+    validate_no_leakage(list(LOAD_FEATURE_COLS), "net_load_kwh")
+    with pytest.raises(ValueError, match="leaked"):
+        validate_no_leakage(["lag_1h", "price_eur_mwh"], "price_eur_mwh")
+    with pytest.raises(ValueError, match="ops-metadata"):
+        validate_no_leakage(["lag_1h", "was_rate_limited"], "price_eur_mwh")
+
+
+def test_freshness_gate(domain):
+    spark = domain
+    df = spark.table("training_features")
+    fresh_clock = dt.datetime(2026, 2, 15, 6, 0, tzinfo=UTC)  # data ends 2026-02-15
+    freshness_check(df, "time", fresh_clock, 26)
+    with pytest.raises(ValueError, match="stale"):
+        freshness_check(df, "time", fresh_clock + dt.timedelta(days=10), 26)
+
+
+def test_run_export_roundtrip(domain, tmp_path):
+    spark = domain
+    clock = dt.datetime(2026, 2, 15, 6, 0, tzinfo=UTC)
+    paths = run_export(spark, str(tmp_path / "exp"), clock)
+    x_train = spark.read.parquet(paths["X_train"])
+    y_train = spark.read.parquet(paths["y_train"])
+    assert x_train.count() == y_train.count() > 0
+    assert set(x_train.columns) <= set(FEATURE_COLS)
+    n_total = sum(
+        spark.read.parquet(paths[f"X_{s}"]).count() for s in ("train", "val", "test")
+    )
+    assert n_total == spark.table("training_features").count()
+    # chronological: max train time < min test time via timestamps files
+    ts_val = spark.read.parquet(paths["timestamps_val"]).agg(F.min("time")).collect()[0][0]
+    ts_test = spark.read.parquet(paths["timestamps_test"]).agg(F.min("time")).collect()[0][0]
+    assert ts_val < ts_test
+
+
+def test_run_load_export_with_holidays(domain, tmp_path):
+    spark = domain
+    clock = dt.datetime(2026, 2, 15, 6, 0, tzinfo=UTC)
+    paths = run_load_export(spark, str(tmp_path / "lexp"), clock)
+    x = spark.read.parquet(paths["X_train"])
+    assert "is_holiday_zh" in x.columns and "temp_deviation" in x.columns
+    flags = x.select(F.collect_set("is_holiday_zh")).collect()[0][0]
+    assert set(flags) <= {0, 1}
+    # Jan 1 is a ZH holiday -> some rows must be flagged
+    assert x.filter(F.col("is_holiday_zh") == 1).count() > 0
+    # test split is the last 7 days
+    ts_test = spark.read.parquet(paths["timestamps_test"])
+    n_days = ts_test.select(F.countDistinct(F.to_date("time"))).collect()[0][0]
+    assert n_days <= 7
+
+
+def test_zh_holiday_calendar():
+    h = zh_holidays(2026)
+    assert dt.date(2026, 1, 1) in h and dt.date(2026, 8, 1) in h
+    assert dt.date(2026, 4, 3) in h  # Karfreitag 2026 (Easter = Apr 5)
+    assert dt.date(2026, 4, 6) in h  # Ostermontag
+
+
+def test_serving_latest_and_history(domain):
+    spark = domain
+    latest = latest_features(spark).collect()
+    assert len(latest) == 1
+    mx = spark.table("training_features").agg(F.max("time")).collect()[0][0]
+    assert latest[0]["time"] == mx
+    hist = price_history(spark, hours=48).collect()
+    assert 0 < len(hist) <= 48
+    assert hist == sorted(hist, key=lambda r: r["time"])
+
+
+def test_serving_pagination_and_guards(domain):
+    spark = domain
+    page1 = explore_rows(spark, "entsoe_day_ahead_prices", 50, 0).collect()
+    page2 = explore_rows(spark, "entsoe_day_ahead_prices", 50, 50).collect()
+    assert len(page1) == len(page2) == 50
+    assert {r["time"] for r in page1}.isdisjoint({r["time"] for r in page2})
+    with pytest.raises(ValueError, match="whitelist"):
+        explore_rows(spark, "secrets", 10, 0)
+
+
+def test_serving_timeseries_horizon_downsample(domain):
+    spark = domain
+    clock = dt.datetime(2026, 2, 15, 0, 0)
+    ts = timeseries(spark, "entsoe_day_ahead_prices", clock, "7 days", chart_points=100)
+    rows = ts.collect()
+    assert 0 < len(rows) <= 100
+    assert min(r["time"] for r in rows) >= clock - dt.timedelta(days=7)
+
+
+def test_serving_stats_and_backfill(domain):
+    spark = domain
+    stats = {r["tbl"]: r for r in table_stats(spark, ["entsoe_day_ahead_prices", "winterthur_load"]).collect()}
+    assert stats["entsoe_day_ahead_prices"]["n_rows"] > 1000
+    rl = rate_limit_stats(spark, dt.datetime(2026, 2, 14, 13, 0)).collect()
+    assert rl and rl[0]["n_rate_limited"] > 0
+    est = backfill_estimate(
+        spark, "entsoe_day_ahead_prices", START.date() - dt.timedelta(days=10), START.date() + dt.timedelta(days=5)
+    )
+    assert est["days_missing"] == 10
+    assert est["estimated_seconds"] == 15.0
+
+
+def test_forecast_tariff_roundtrip(domain):
+    out = forecast_tariff(525.0, 80.0, domain)
+    assert out["netzpreis_rp_kwh"] == 5.0
+    assert out["energiepreis_rp_kwh"] == 3.2
+    assert out["gesamttarif_rp_kwh"] == 8.2
+    assert out["level"] == "low"

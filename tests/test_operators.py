@@ -1,0 +1,145 @@
+"""Operator-level semantics tests (SURVEY §5 layer 2)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdatasmallprice_spark.functions.metrics import regression_metrics
+from bigdatasmallprice_spark.functions.tariffs import energiepreis, gesamttarif, netzpreis
+from bigdatasmallprice_spark.operators.splits import (
+    rolling_split_bounds,
+    split_by_dates,
+    split_label_by_ratio,
+)
+from bigdatasmallprice_spark.operators.upsert import upsert_do_nothing
+from bigdatasmallprice_spark.operators.windows import lag_features, partitioned_lag_stitch
+
+UTC = dt.timezone.utc
+
+
+@pytest.fixture(scope="module")
+def series(spark):
+    rng = random.Random(3)
+    rows = [
+        (dt.datetime(2026, 1, 1) + dt.timedelta(hours=i), round(rng.gauss(50, 10), 2))
+        for i in range(2000)
+        if rng.random() > 0.03  # gaps
+    ]
+    return spark.createDataFrame(rows, "t timestamp, v double")
+
+
+def test_partitioned_lag_stitch_equals_global_window(series):
+    """The scale-path lag (per-month windows + overlap repair) must be
+    row-identical to the single-partition global window."""
+    lags = [1, 24, 168]
+    glob = lag_features(series, "v", lags, order_by=["t"]).orderBy("t").collect()
+    stitched = (
+        partitioned_lag_stitch(
+            series, "v", lags, time_col="t", bucket_expr=F.date_trunc("month", F.col("t"))
+        )
+        .orderBy("t")
+        .collect()
+    )
+    assert len(glob) == len(stitched)
+    for g, s in zip(glob, stitched):
+        for n in lags:
+            assert g[f"v_lag_{n}"] == s[f"v_lag_{n}"], (g["t"], n)
+
+
+def test_upsert_first_writer_wins(spark):
+    existing = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0)], "k long, d string, v double"
+    )
+    batch = spark.createDataFrame(
+        [(2, "a", 99.0), (3, "a", 30.0), (3, "a", 31.0)], "k long, d string, v double"
+    )
+    out = upsert_do_nothing(existing, batch, keys=["k", "d"], order_by=["v"]).collect()
+    got = {(r.k, r.v) for r in out}
+    # key 2 keeps the EXISTING value; batch-internal dup of key 3 keeps first by order
+    assert got == {(1, 10.0), (2, 20.0), (3, 30.0)}
+    # idempotency: re-upserting the same batch changes nothing
+    again = upsert_do_nothing(
+        upsert_do_nothing(existing, batch, ["k", "d"], ["v"]), batch, ["k", "d"], ["v"]
+    ).collect()
+    assert {(r.k, r.v) for r in again} == got
+
+
+def test_ratio_split_invariants(series):
+    lab = split_label_by_ratio(series, ["t"], 0.7, 0.15)
+    counts = {r["split"]: r["n"] for r in lab.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    n = sum(counts.values())
+    assert counts["train"] == int(n * 0.7)
+    assert counts["val"] == int(n * 0.15)
+    bounds = {
+        r["split"]: (r["mn"], r["mx"])
+        for r in lab.groupBy("split").agg(F.min("t").alias("mn"), F.max("t").alias("mx")).collect()
+    }
+    assert bounds["train"][1] < bounds["val"][0] < bounds["val"][1] < bounds["test"][0]
+
+
+def test_calendar_and_rolling_split(spark):
+    df = spark.createDataFrame(
+        [(dt.datetime(2026, 1, 1) + dt.timedelta(days=i),) for i in range(60)], "t timestamp"
+    )
+    train_end, val_end = rolling_split_bounds(df, "t", test_days=7, val_days=14)
+    lab = split_by_dates(df, "t", train_end, val_end)
+    counts = {r["split"]: r["n"] for r in lab.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert counts["test"] == 7 and counts["val"] == 14
+    assert counts["train"] == 60 - 21
+
+
+# tariff goldens (reference test_tariff_formulas.py:33-152)
+def test_tariff_goldens(spark):
+    df = spark.createDataFrame(
+        [(150.0, 80.0), (900.0, 10000.0), (525.0, -500.0)], "load double, epex double"
+    )
+    out = df.select(
+        F.round(netzpreis(F.col("load")), 4).alias("netz"),
+        F.round(energiepreis(F.col("epex")), 4).alias("energie"),
+    ).collect()
+    # load=150 -> L_norm=0 -> raw 0 -> clipped to floor 5.0
+    assert out[0].netz == 5.0
+    # EPEX=80 -> 0.15*8+2 = 3.2 (within [3,13])
+    assert out[0].energie == 3.2
+    # load=900 -> L_norm=1 -> 15 -> within [5,25] -> 15
+    assert out[1].netz == 15.0
+    # EPEX=10000 -> 152 -> ceil 13.0
+    assert out[1].energie == 13.0
+    # load=525 -> L_norm=0.5 -> 3.75 -> clipped up to 5.0
+    assert out[2].netz == 5.0
+    # EPEX=-500 -> -5.5 -> floor 3.0
+    assert out[2].energie == 3.0
+
+
+def test_gesamttarif_sum(spark):
+    df = spark.createDataFrame([(500.0, 120.0)], "load double, epex double")
+    r = df.select(
+        (netzpreis(F.col("load")) + energiepreis(F.col("epex"))).alias("a"),
+        gesamttarif(netzpreis(F.col("load")), energiepreis(F.col("epex"))).alias("b"),
+    ).collect()[0]
+    assert r.a == r.b
+
+
+# metric goldens (reference test_model.py:66-120)
+def test_metrics_mape_masking(spark):
+    df = spark.createDataFrame(
+        [(100.0, 110.0), (5.0, 50.0), (-20.0, -10.0), (9.0, 0.0)], "y double, yhat double"
+    )
+    m = regression_metrics(df, "y", "yhat").collect()[0]
+    # MAE over all 4 rows: (10+45+10+9)/4
+    assert math.isclose(m.mae, 18.5)
+    # MAPE only rows |y|>=10: (10/100 + 10/20)/2 = 0.3 -> 30%
+    assert math.isclose(m.mape_pct, 30.0)
+    assert m.n_mape == 2
+
+
+def test_metrics_all_masked_is_null(spark):
+    df = spark.createDataFrame([(1.0, 2.0), (-3.0, 0.0)], "y double, yhat double")
+    m = regression_metrics(df, "y", "yhat").collect()[0]
+    assert m.mape_pct is None
+    assert m.n_mape == 0

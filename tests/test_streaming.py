@@ -1,0 +1,93 @@
+"""Streaming rollup tests (T1/T4 semantics).
+
+Append-mode emission rule: a window emits only once the watermark
+(max event time - lateness) passes its end — the end_offset "don't
+publish the open bucket" behavior. Tests pin that down with a far-future
+sentinel row that closes every real window, and verify the start_offset
+rule by replaying data older than the watermark.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdatasmallprice_spark.streaming.rollup_stream import hourly_rollup_stream, write_rollup
+
+SCHEMA = "time timestamp, tariff_type string, price_chf_kwh double"
+BASE = dt.datetime(2026, 1, 1)
+SENTINEL = BASE + dt.timedelta(days=30)  # watermark pusher: closes all real windows
+
+
+@pytest.fixture()
+def bronze(spark, tmp_path):
+    rng = random.Random(11)
+    rows = [
+        (BASE + dt.timedelta(minutes=15 * i), tt, round(rng.uniform(0.03, 0.25), 4))
+        for i in range(96 * 2)
+        for tt in ("electricity", "integrated")
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    p = str(tmp_path / "bronze")
+    df.repartition(4).write.parquet(p)
+    spark.createDataFrame([(SENTINEL, "electricity", 0.5)], SCHEMA).write.mode(
+        "append"
+    ).parquet(p)
+    return p, df
+
+
+def _run(spark, src_path, out, ckpt, lateness="2 days"):
+    stream = spark.readStream.schema(SCHEMA).parquet(src_path)
+    q = write_rollup(
+        hourly_rollup_stream(stream, lateness=lateness), out, ckpt, available_now=True
+    ).start()
+    q.awaitTermination(180)
+
+
+def test_stream_rollup_matches_batch(spark, bronze, tmp_path):
+    path, batch_df = bronze
+    out, ckpt = str(tmp_path / "gold"), str(tmp_path / "ckpt")
+    _run(spark, path, out, ckpt)
+
+    got = {
+        (str(r["hour"]), r["tariff_type"]): (
+            round(r["price_chf_kwh_avg"], 9), r["price_chf_kwh_min"],
+            r["price_chf_kwh_max"], r["sample_count"],
+        )
+        for r in spark.read.parquet(out).collect()
+    }
+    expect = {
+        (str(r["hour"]), r["tariff_type"]): (round(r["avg"], 9), r["mn"], r["mx"], r["n"])
+        for r in batch_df.groupBy(F.date_trunc("hour", "time").alias("hour"), "tariff_type")
+        .agg(
+            F.avg("price_chf_kwh").alias("avg"),
+            F.min("price_chf_kwh").alias("mn"),
+            F.max("price_chf_kwh").alias("mx"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    }
+    # every real window is closed by the sentinel's watermark; the
+    # sentinel's own (still-open) window must NOT have been published
+    assert got == expect
+    assert len(got) == 48 * 2
+
+
+def test_late_data_beyond_watermark_dropped(spark, bronze, tmp_path):
+    path, _ = bronze
+    out, ckpt = str(tmp_path / "gold2"), str(tmp_path / "ckpt2")
+    _run(spark, path, out, ckpt)
+    n_before = spark.read.parquet(out).count()
+
+    # replay a row 30 days older than the committed watermark
+    spark.createDataFrame([(BASE, "electricity", 99.9)], SCHEMA).write.mode(
+        "append"
+    ).parquet(path)
+    _run(spark, path, out, ckpt)
+
+    after = spark.read.parquet(out)
+    assert after.count() == n_before  # closed bucket not reopened
+    assert after.filter(F.col("price_chf_kwh_max") == 99.9).count() == 0
