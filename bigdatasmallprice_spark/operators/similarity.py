@@ -45,6 +45,14 @@ def cosine(a: str, b: str) -> Column:
     return F.when(den > 0, _dot(a, b) / den).otherwise(F.lit(0.0))
 
 
+def cosine_prenormed(a: str, b: str, na: str, nb: str) -> Column:
+    """Cosine with norms precomputed per side BEFORE a pair join — one
+    fold per pair instead of three (the norms amortize over every pair a
+    vector participates in)."""
+    den = F.col(na) * F.col(nb)
+    return F.when(den > 0, _dot(a, b) / den).otherwise(F.lit(0.0))
+
+
 def brute_force_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -55,14 +63,16 @@ def brute_force_topk(
     """Exact cosine top-k per query. Queries are broadcast (small side);
     the corpus scan parallelizes; rank ties break on candidate id."""
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), _norm(vec_col).alias("nq")
     )
-    c = corpus.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv"))
+    c = corpus.select(
+        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv"), _norm(vec_col).alias("nc")
+    )
     scored = (
         F.broadcast(q)
         .crossJoin(c)
         .filter(F.col("query_id") != F.col("cand_id"))
-        .withColumn("sim", F.round(cosine("qv", "cv"), 6))
+        .withColumn("sim", F.round(cosine_prenormed("qv", "cv", "nq", "nc"), 6))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("cand_id"))
     return (
@@ -118,15 +128,21 @@ def ann_lsh_topk(
     scored. Equi-join on the bucket key — shuffle-partitioned by bucket,
     no broadcast of the corpus needed at scale."""
     q = with_lsh_bucket(
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")), "qv"
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), _norm(vec_col).alias("nq")
+        ),
+        "qv",
     )
     c = with_lsh_bucket(
-        corpus.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv")), "cv"
+        corpus.select(
+            F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv"), _norm(vec_col).alias("nc")
+        ),
+        "cv",
     )
     scored = (
         q.join(c, "bucket")
         .filter(F.col("query_id") != F.col("cand_id"))
-        .withColumn("sim", F.round(cosine("qv", "cv"), 6))
+        .withColumn("sim", F.round(cosine_prenormed("qv", "cv", "nq", "nc"), 6))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("cand_id"))
     return (

@@ -2,6 +2,7 @@
 
 from bigdatasmallprice_spark.queries import (  # noqa: F401
     dedupq,
+    mlq,
     relational,
     simq,
     textq,

@@ -1,0 +1,200 @@
+"""Remaining §2 coverage: distribution stats (A9), median imputation
+(F12), by-name union (U2), and Arrow-vectorized model scoring (D3)."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from bigdatasmallprice_spark.queries.core import cents, events, o_cents
+from bigdatasmallprice_spark.registry import register
+
+
+@register(
+    "value_distribution",
+    f"""
+WITH s AS (
+  SELECT event_type,
+         COUNT(*) AS n,
+         CAST(SUM({o_cents('value')}) AS BIGINT) AS sum_c,
+         CAST(SUM({o_cents('value')} * {o_cents('value')}) AS BIGINT) AS sumsq_c,
+         MIN(value) AS min_value,
+         MAX(value) AS max_value
+  FROM events GROUP BY 1
+)
+SELECT event_type, n, min_value, max_value,
+       CAST(sum_c AS DOUBLE) / (100.0 * n) AS mean_value,
+       sqrt((CAST(sumsq_c AS DOUBLE) - CAST(sum_c AS DOUBLE) * sum_c / n) / (n - 1)) / 100.0 AS stddev_value
+FROM s
+""",
+    doc="Distribution stats (A9, inspect_api.py:48-60): count/min/max/"
+    "mean/sample-stddev per key. Variance from exact integer sums of "
+    "cents and squared cents — order-independent, unlike naive float "
+    "accumulation.",
+    tags=("agg", "stats"),
+)
+def value_distribution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events(spark, sf_dir)
+    c = cents(F.col("value"))
+    s = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(c).alias("sum_c"),
+        F.sum(c * c).alias("sumsq_c"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+    return s.select(
+        "event_type",
+        "n",
+        "min_value",
+        "max_value",
+        (F.col("sum_c").cast("double") / (F.lit(100.0) * F.col("n"))).alias("mean_value"),
+        (
+            F.sqrt(
+                (F.col("sumsq_c").cast("double") - F.col("sum_c").cast("double") * F.col("sum_c") / F.col("n"))
+                / (F.col("n") - 1)
+            )
+            / 100.0
+        ).alias("stddev_value"),
+    )
+
+
+@register(
+    "median_impute",
+    """
+WITH masked AS (
+  SELECT event_type, CASE WHEN value > 90 THEN NULL ELSE value END AS v
+  FROM events
+)
+SELECT event_type,
+       CAST(COALESCE(SUM(CASE WHEN v IS NULL THEN 1 END), 0) AS BIGINT) AS n_missing,
+       round(quantile_cont(v, 0.5), 6) AS median_fill
+FROM masked GROUP BY 1
+""",
+    doc="Median imputation strategy (F12, train.py:46/predict.py:66): "
+    "missing values (simulated by masking value>90) fill with the "
+    "column median — interpolated percentile, identical in both engines.",
+    tags=("agg", "stats"),
+)
+def median_impute_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events(spark, sf_dir)
+    v = F.when(F.col("value") > 90, F.lit(None)).otherwise(F.col("value"))
+    return ev.select("event_type", v.alias("v")).groupBy("event_type").agg(
+        F.coalesce(F.sum(F.when(F.col("v").isNull(), F.lit(1))), F.lit(0))
+        .cast("long")
+        .alias("n_missing"),
+        F.round(F.expr("percentile(v, 0.5)"), 6).alias("median_fill"),
+    )
+
+
+@register(
+    "union_by_name",
+    f"""
+WITH a AS (
+  SELECT event_type AS kind, value, 'hi' AS band FROM events WHERE value > 50
+),
+b AS (
+  SELECT 'lo' AS band, value, event_type AS kind FROM events WHERE value <= 50
+),
+u AS (
+  SELECT kind, value, band FROM a
+  UNION ALL
+  SELECT kind, value, band FROM b
+)
+SELECT kind, band, COUNT(*) AS n,
+       CAST(SUM({o_cents('value')}) AS DOUBLE) / 100.0 AS value_sum
+FROM u GROUP BY 1, 2
+""",
+    doc="Union of differently-ordered projections by column NAME (U2, "
+    "the EKZ two-response combine, ekz_collector.py:53-71): "
+    "unionByName, not positional union.",
+    tags=("union", "agg"),
+)
+def union_by_name_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events(spark, sf_dir)
+    a = ev.filter(F.col("value") > 50).select(
+        F.col("event_type").alias("kind"), F.col("value"), F.lit("hi").alias("band")
+    )
+    b = ev.filter(F.col("value") <= 50).select(
+        F.lit("lo").alias("band"), F.col("value"), F.col("event_type").alias("kind")
+    )
+    u = a.unionByName(b)
+    return u.groupBy("kind", "band").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(cents(F.col("value"))).cast("double") / 100.0).alias("value_sum"),
+    )
+
+
+# D3 — model scoring as an Arrow-vectorized pandas_udf. The "model" is a
+# fixed linear form so the oracle can replay it in SQL; the execution
+# path (Arrow batch in -> numpy math -> Arrow batch out) is exactly how
+# a joblib-loaded regressor scores at scale (predict.py:60-88).
+_W = {"price_lag_1h": 2.0, "clicks": 0.5, "net_pos": 0.01}
+_B = 10.0
+
+
+def _make_linear_score():
+    # Built lazily: decorating with a DDL-string return type parses it
+    # through the active SparkSession, which doesn't exist at import time.
+    @pandas_udf("double")
+    def _linear_score(
+        price_lag_1h: pd.Series, clicks: pd.Series, net_pos: pd.Series
+    ) -> pd.Series:
+        return (
+            _W["price_lag_1h"] * price_lag_1h
+            + _W["clicks"] * clicks.astype("float64")
+            + _W["net_pos"] * net_pos
+            + _B
+        )
+
+    return _linear_score
+
+
+def _flagship_oracle() -> str:
+    from bigdatasmallprice_spark.queries.timeseries import _FLAGSHIP_ORACLE
+
+    return _FLAGSHIP_ORACLE
+
+
+@register(
+    "model_score",
+    None,  # oracle attached below after import-order-safe construction
+    doc="Batch model scoring via Arrow-vectorized pandas_udf (D3, "
+    "predict.py:60-88): feature frame -> per-row prediction; linear "
+    "stand-in model so the SQL oracle can verify the pipeline.",
+    tags=("ml", "udf"),
+)
+def model_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdatasmallprice_spark.queries.timeseries import training_features
+
+    base = training_features(spark, sf_dir)
+    linear_score = _make_linear_score()
+    scored = base.filter(
+        F.col("price_lag_1h").isNotNull() & F.col("clicks").isNotNull() & F.col("net_pos").isNotNull()
+    ).select(
+        "t",
+        F.round(
+            linear_score(F.col("price_lag_1h"), F.col("clicks"), F.col("net_pos")), 6
+        ).alias("score"),
+    )
+    return scored
+
+
+def _attach_model_score_oracle() -> None:
+    from bigdatasmallprice_spark.queries.timeseries import _FLAGSHIP_ORACLE
+    from bigdatasmallprice_spark.registry import _REGISTRY
+
+    _REGISTRY["model_score"].oracle = f"""
+WITH base AS ({_FLAGSHIP_ORACLE})
+SELECT t,
+       round({_W['price_lag_1h']} * price_lag_1h
+             + {_W['clicks']} * CAST(clicks AS DOUBLE)
+             + {_W['net_pos']} * net_pos + {_B}, 6) AS score
+FROM base
+WHERE price_lag_1h IS NOT NULL AND clicks IS NOT NULL AND net_pos IS NOT NULL
+"""
+
+
+_attach_model_score_oracle()

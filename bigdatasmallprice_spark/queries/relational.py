@@ -46,14 +46,22 @@ GROUP BY 1, 2
     tags=("join", "agg"),
 )
 def market_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plan: pre-aggregate the fact table per order key BEFORE the star
+    join — the join input shrinks ~4x (items -> orders) and the
+    COUNT(DISTINCT o_orderkey) collapses to COUNT(*) because the
+    pre-aggregated key is unique. One fact shuffle on l_orderkey, then
+    broadcast-only joins, then the final small group-by."""
     li = table(spark, sf_dir, "lineitem")
     orders = table(spark, sf_dir, "orders")
     cust = table(spark, sf_dir, "customer")
     nat = table(spark, sf_dir, "nation")
     reg = table(spark, sf_dir, "region")
     rev_cents = cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sum(rev_cents).alias("rev_c"), F.count(F.lit(1)).alias("items")
+    )
     return (
-        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        per_order.join(orders, per_order["l_orderkey"] == orders["o_orderkey"])
         .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
         .join(F.broadcast(nat), cust["c_nationkey"] == nat["n_nationkey"])
         .join(F.broadcast(reg), nat["n_regionkey"] == reg["r_regionkey"])
@@ -62,9 +70,9 @@ def market_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format(F.date_trunc("month", F.col("o_orderdate")), "yyyy-MM").alias("ym"),
         )
         .agg(
-            (F.sum(rev_cents).cast("double") / 100.0).alias("revenue"),
-            F.countDistinct("o_orderkey").alias("n_orders"),
-            F.count(F.lit(1)).alias("n_items"),
+            (F.sum("rev_c").cast("double") / 100.0).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("items").alias("n_items"),
         )
     )
 

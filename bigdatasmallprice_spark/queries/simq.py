@@ -28,13 +28,22 @@ def _o_cosine(a: str, b: str) -> str:
     return f"CASE WHEN {na} * {nb} > 0 THEN {dot} / ({na} * {nb}) ELSE 0.0 END"
 
 
+def _o_cosine_prenormed(a: str, b: str, na: str, nb: str) -> str:
+    dot = _O_DOT.format(a=a, b=b)
+    return f"CASE WHEN {na} * {nb} > 0 THEN {dot} / ({na} * {nb}) ELSE 0.0 END"
+
+
 @register(
     "ann_cosine_topk",
     f"""
-WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
-c AS (SELECT vec_id AS cand_id, embedding AS cv FROM embeddings),
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv,
+                  {_O_NORM.format(a='embedding')} AS nq
+           FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS cand_id, embedding AS cv,
+             {_O_NORM.format(a='embedding')} AS nc
+      FROM embeddings),
 scored AS (
-  SELECT query_id, cand_id, round({_o_cosine('qv', 'cv')}, 6) AS sim
+  SELECT query_id, cand_id, round({_o_cosine_prenormed('qv', 'cv', 'nq', 'nc')}, 6) AS sim
   FROM q, c WHERE query_id != cand_id
 ),
 ranked AS (
@@ -68,15 +77,20 @@ def _o_plane_bucket(vec: str) -> str:
     "ann_lsh_topk",
     f"""
 WITH q AS (
-  SELECT vec_id AS query_id, embedding AS qv, {_o_plane_bucket('embedding')} AS bucket
+  SELECT vec_id AS query_id, embedding AS qv,
+         {_O_NORM.format(a='embedding')} AS nq,
+         {_o_plane_bucket('embedding')} AS bucket
   FROM embeddings WHERE vec_id < 20
 ),
 c AS (
-  SELECT vec_id AS cand_id, embedding AS cv, {_o_plane_bucket('embedding')} AS bucket
+  SELECT vec_id AS cand_id, embedding AS cv,
+         {_O_NORM.format(a='embedding')} AS nc,
+         {_o_plane_bucket('embedding')} AS bucket
   FROM embeddings
 ),
 scored AS (
-  SELECT q.query_id, c.cand_id, round({_o_cosine('q.qv', 'c.cv')}, 6) AS sim
+  SELECT q.query_id, c.cand_id,
+         round({_o_cosine_prenormed('q.qv', 'c.cv', 'q.nq', 'c.nc')}, 6) AS sim
   FROM q JOIN c ON q.bucket = c.bucket AND q.query_id != c.cand_id
 ),
 ranked AS (
@@ -101,12 +115,14 @@ def ann_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding_neardup",
     f"""
 WITH e AS (
-  SELECT vec_id, label, embedding, {_o_plane_bucket('embedding')} AS bucket
+  SELECT vec_id, label, embedding,
+         {_O_NORM.format(a='embedding')} AS nrm,
+         {_o_plane_bucket('embedding')} AS bucket
   FROM embeddings
 ),
 pairs AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         round({_o_cosine('a.embedding', 'b.embedding')}, 6) AS sim
+         round({_o_cosine_prenormed('a.embedding', 'b.embedding', 'a.nrm', 'b.nrm')}, 6) AS sim
   FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 )
 SELECT id_a, id_b, sim FROM pairs WHERE sim >= 0.35
@@ -117,14 +133,24 @@ SELECT id_a, id_b, sim FROM pairs WHERE sim >= 0.35
     tags=("similarity", "dedup"),
 )
 def embedding_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdatasmallprice_spark.operators.similarity import _norm, cosine_prenormed
+
     emb = table(spark, sf_dir, "embeddings")
-    e = with_lsh_bucket(emb.select("vec_id", "embedding"), "embedding")
-    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), "bucket")
-    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), "bucket")
+    e = with_lsh_bucket(
+        emb.select("vec_id", "embedding", _norm("embedding").alias("nrm")), "embedding"
+    )
+    a = e.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"),
+        F.col("nrm").alias("na"), "bucket",
+    )
+    b = e.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"),
+        F.col("nrm").alias("nb"), "bucket",
+    )
     pairs = (
         a.join(b, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("sim", F.round(cosine("va", "vb"), 6))
+        .withColumn("sim", F.round(cosine_prenormed("va", "vb", "na", "nb"), 6))
     )
     return pairs.filter(F.col("sim") >= 0.35).select("id_a", "id_b", "sim")
 

@@ -120,10 +120,30 @@ WINDOW wb AS (ORDER BY pw.h ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
     tags=("window", "join", "agg", "flagship"),
 )
 def training_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-scan plan: ONE groupBy(hour) with conditional aggregates
+    replaces five per-type scans+shuffles of the fact table — at 100 TB
+    the difference between reading the corpus once and five times. The
+    per-series lag windows then run over *filtered* slices of the tiny
+    hourly frame (per-type row sets, preserving the reference's
+    per-CTE window semantics), and the slices re-join on hour."""
     ev = events(spark, sf_dir)
+    c = cents(F.col("value"))
+    et = F.col("event_type")
 
-    # price CTE analog: hourly purchase value series + lags + rolling means
-    p = hourly_cents(ev, "purchase")
+    hourly = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("h")).agg(
+        F.sum(F.when(et == "purchase", c)).alias("pc"),
+        F.count(F.when(et == "purchase", F.lit(1))).alias("cnt"),
+        F.count(F.when(et == "click", F.lit(1))).alias("clicks_n"),
+        F.sum(F.when(et == "error", c)).alias("gc"),
+        F.count(F.when(et == "error", F.lit(1))).alias("err_n"),
+        F.count(F.when(et == "signup", F.lit(1))).alias("signup_n"),
+        F.coalesce(F.sum(F.when(et == "purchase", c)), F.lit(0)).alias("buy_all"),
+        F.coalesce(F.sum(F.when(et == "error", c)), F.lit(0)).alias("err_all"),
+    )
+    hourly = hourly.persist()
+
+    # price CTE analog: rows where purchases exist (cnt > 0)
+    p = hourly.filter(F.col("cnt") > 0)
     price = F.col("pc").cast("double") / (F.lit(100.0) * F.col("cnt"))
     w = Window.orderBy("h")
     w24 = w.rowsBetween(-23, 0)
@@ -138,49 +158,41 @@ def training_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("pc").over(w168).cast("double") / (F.lit(100.0) * F.sum("cnt").over(w168))).alias("price_roll_168h"),
     )
 
-    # actual-load analog: hourly click counts + 24h lag (W4)
-    c = (
-        ev.filter(F.col("event_type") == "click")
-        .groupBy(F.date_trunc("hour", F.col("ts")).alias("h"))
-        .agg(F.count(F.lit(1)).alias("clicks"))
+    # actual-load analog (W4): click-hour slice
+    cw = (
+        hourly.filter(F.col("clicks_n") > 0)
+        .select("h", F.col("clicks_n").alias("clicks"))
+        .select("h", "clicks", F.lag("clicks", 24).over(Window.orderBy("h")).alias("clicks_lag_24h"))
     )
-    cw = c.select("h", "clicks", F.lag("clicks", 24).over(Window.orderBy("h")).alias("clicks_lag_24h"))
 
-    # generation analog: hourly error value + lags (W3)
-    g = hourly_cents(ev, "error").select("h", F.col("pc").alias("gc"))
+    # generation analog (W3): error-hour slice
     errgen = F.col("gc").cast("double") / 100.0
-    gw = g.select(
+    gw = hourly.filter(F.col("err_n") > 0).select(
         "h",
         errgen.alias("errgen"),
         F.lag(errgen, 24).over(Window.orderBy("h")).alias("errgen_lag_24h"),
         F.lag(errgen, 168).over(Window.orderBy("h")).alias("errgen_lag_168h"),
     )
 
-    # net position: conditional aggregation (A2) + lags (W5)
-    np_ = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("h")).agg(
-        F.sum(F.when(F.col("event_type") == "purchase", cents(F.col("value"))).otherwise(F.lit(0))).alias("buy"),
-        F.sum(F.when(F.col("event_type") == "error", cents(F.col("value"))).otherwise(F.lit(0))).alias("err"),
-    )
-    net = (F.col("buy") - F.col("err")).cast("double") / 100.0
-    npw = np_.select(
+    # net position (A2 + W5): all event hours
+    net = (F.col("buy_all") - F.col("err_all")).cast("double") / 100.0
+    npw = hourly.select(
         "h",
         net.alias("net_pos"),
         F.lag(net, 24).over(Window.orderBy("h")).alias("net_pos_lag_24h"),
         F.lag(net, 168).over(Window.orderBy("h")).alias("net_pos_lag_168h"),
     )
 
-    # load-forecast analog (J3)
-    s = (
-        ev.filter(F.col("event_type") == "signup")
-        .groupBy(F.date_trunc("hour", F.col("ts")).alias("h"))
-        .agg(F.count(F.lit(1)).alias("signups"))
+    # load-forecast analog (J3): signup-hour slice
+    s = hourly.filter(F.col("signup_n") > 0).select(
+        "h", F.col("signup_n").alias("signups_forecast")
     )
 
     joined = (
         pw.join(cw, "h", "left")
         .join(gw, "h", "left")
         .join(npw, "h", "left")
-        .join(s.select("h", F.col("signups").alias("signups_forecast")), "h", "left")
+        .join(s, "h", "left")
     )
 
     # W6 analog: rolling mean computed AFTER the joins, over the base order
