@@ -118,7 +118,9 @@ JOIN s sb ON c.id_b = sb.doc_id
 )
 def minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    s = with_shingles(docs.select("doc_id", "text")).select("doc_id", "shingles")
+    # persist: shingles feed the signature branch AND both sides of the
+    # verify join — four recomputes of the tokenize+shingle pipeline without it
+    s = with_shingles(docs.select("doc_id", "text")).select("doc_id", "shingles").persist()
     sigs = with_minhash(s)
     cand = lsh_candidate_pairs(sigs)
     sa = s.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
@@ -134,17 +136,21 @@ def minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# strong char-polynomial word hash (mirrors operators/dedup.STRONG_WORDHASH)
+# strong char-polynomial word hash (mirrors operators/dedup.STRONG_WORDHASH:
+# two 24-bit polynomials packed into 48 bits)
+_O_CHARS = (
+    "list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(string_split(w, ''), c -> CAST(ascii(c) AS BIGINT)))"
+)
 _O_STRONG_WH = (
     "list_transform(string_split(text, ' '), w -> "
-    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
-    "list_transform(string_split(w, ''), c -> CAST(ascii(c) AS BIGINT))), "
-    "(hh, c) -> (hh * 131 + c) % 4294967296))"
+    f"list_reduce({_O_CHARS}, (hh, c) -> (hh * 131 + c) % 16777216) * 16777216 "
+    f"+ list_reduce({_O_CHARS}, (hh, c) -> (hh * 137 + c) % 16777216))"
 )
 _O_SIMHASH = " + ".join(
     f"(CASE WHEN CAST(list_sum(list_transform(wh, h -> CASE WHEN (h // {1 << j}) % 2 = 1 THEN 1 ELSE -1 END)) AS BIGINT) >= 0 "
     f"THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
-    for j in range(32)
+    for j in range(48)
 )
 
 
@@ -154,10 +160,10 @@ _O_SIMHASH = " + ".join(
 WITH w AS (SELECT doc_id, {_O_STRONG_WH} AS wh FROM documents),
 sh AS (SELECT doc_id, {_O_SIMHASH} AS simhash FROM w),
 chunks AS (
-  SELECT doc_id, simhash, 0 AS ci, (simhash // 1) % 256 AS cv FROM sh
-  UNION ALL SELECT doc_id, simhash, 1, (simhash // 256) % 256 FROM sh
-  UNION ALL SELECT doc_id, simhash, 2, (simhash // 65536) % 256 FROM sh
-  UNION ALL SELECT doc_id, simhash, 3, (simhash // 16777216) % 256 FROM sh
+  SELECT doc_id, simhash, 0 AS ci, (simhash // 1) % 4096 AS cv FROM sh
+  UNION ALL SELECT doc_id, simhash, 1, (simhash // 4096) % 4096 FROM sh
+  UNION ALL SELECT doc_id, simhash, 2, (simhash // 16777216) % 4096 FROM sh
+  UNION ALL SELECT doc_id, simhash, 3, (simhash // 68719476736) % 4096 FROM sh
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -169,15 +175,19 @@ SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
 FROM cand
 WHERE bit_count(xor(sh_a, sh_b)) <= 3
 """,
-    doc="SimHash near-dup pairs: 32-bit token-vote signature over strong "
-    "char-polynomial word hashes, byte-chunk blocking (pigeonhole: "
+    doc="SimHash near-dup pairs: 48-bit token-vote signature over strong "
+    "char-polynomial word hashes, 12-bit-chunk blocking (pigeonhole: "
     "Hamming<=3 pairs share one of 4 chunks), Hamming verify via "
-    "xor+bit_count. Blocking makes the join an equi-join.",
+    "xor+bit_count. Blocking makes the join an equi-join; 4096 bucket "
+    "values per chunk keep candidates near-linear in corpus size.",
     tags=("dedup", "join"),
 )
 def simhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    sh = with_simhash(docs.select("doc_id", "text"))
+    # persist: the self-join in simhash_near_pairs references the signature
+    # subtree on both sides — without materializing, Spark recomputes the
+    # full tokenize+hash+vote pipeline twice (measured 2x wall at sf0.1)
+    sh = with_simhash(docs.select("doc_id", "text")).select("doc_id", "simhash").persist()
     return simhash_near_pairs(sh, max_hamming=3)
 
 
