@@ -117,6 +117,79 @@ def with_lsh_bucket(df: DataFrame, vec_col: str = "embedding", out: str = "bucke
     return df.withColumn(out, F.expr(" + ".join(terms)))
 
 
+def with_ivf_cells(
+    df: DataFrame,
+    centroids: DataFrame,
+    vec_col: str,
+    norm_col: str,
+    id_col: str,
+    nprobe: int = 1,
+) -> DataFrame:
+    """Assign each vector to its ``nprobe`` nearest centroids by cosine
+    (IVF coarse quantization). ``centroids`` must have (cid, cvec, ncv)
+    and be small — it broadcasts; assignment is a narrow map over the
+    corpus, no shuffle. Similarity is rounded to 6 decimals before
+    ranking with a cid tie-break, so the argmax is reproducible across
+    engines and partitionings."""
+    scored = df.crossJoin(F.broadcast(centroids)).withColumn(
+        "__csim", F.round(cosine_prenormed(vec_col, "cvec", norm_col, "ncv"), 6)
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("__csim").desc(), F.col("cid"))
+    return (
+        scored.withColumn("__crn", F.row_number().over(w))
+        .filter(F.col("__crn") <= nprobe)
+        .select(*df.columns, F.col("cid").alias("cell"))
+    )
+
+
+def ann_ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: the corpus is inverted-file-partitioned by
+    nearest centroid (one cell each); every query probes its ``nprobe``
+    nearest cells and scores only those candidates. The candidate join is
+    an equi-join on the cell id — shuffle-partitioned by cell, so at 100
+    TB each executor scans one cell's slice, never the whole corpus.
+    Recall/cost trades via nprobe; centroid count scales cells."""
+    q = with_ivf_cells(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), _norm(vec_col).alias("nq")
+        ),
+        centroids,
+        "qv",
+        "nq",
+        "query_id",
+        nprobe=nprobe,
+    )
+    c = with_ivf_cells(
+        corpus.select(
+            F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv"), _norm(vec_col).alias("nc")
+        ),
+        centroids,
+        "cv",
+        "nc",
+        "cand_id",
+        nprobe=1,
+    )
+    scored = (
+        q.join(c, "cell")
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .withColumn("sim", F.round(cosine_prenormed("qv", "cv", "nq", "nc"), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "sim", F.col("rank").cast("long").alias("rank"))
+    )
+
+
 def ann_lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,

@@ -4,6 +4,7 @@ from bigdatasmallprice_spark.queries import (  # noqa: F401
     dedupq,
     mlq,
     relational,
+    seqq,
     simq,
     textq,
     timeseries,

@@ -1,0 +1,121 @@
+"""Sequence analytics over ``events``: point-in-time (as-of) joins and
+gap-based sessionization — per-key ordered-window operators a
+training-data pipeline needs beyond the reference's global windows.
+Both shuffle once on user_id and parallelize across keys."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bigdatasmallprice_spark.operators.asof import asof_join_backward
+from bigdatasmallprice_spark.queries.core import cents, events, o_cents
+from bigdatasmallprice_spark.registry import register
+
+_GAP_US = 30 * 60 * 1_000_000  # 30-min session gap
+
+
+@register(
+    "asof_last_purchase",
+    f"""
+WITH src AS (
+  SELECT user_id, ts, {o_cents('value')} AS p_cents, epoch_us(ts) AS p_us
+  FROM events WHERE event_type = 'purchase'
+),
+j AS (
+  SELECT e.event_type, epoch_us(e.ts) AS e_us, s.p_cents, s.p_us
+  FROM events e ASOF LEFT JOIN src s
+    ON e.user_id = s.user_id AND e.ts >= s.ts
+)
+SELECT event_type,
+       COUNT(*) AS n,
+       COUNT(p_cents) AS n_matched,
+       round(CAST(SUM(e_us - p_us) AS DOUBLE) / (1000000.0 * COUNT(p_cents)), 6) AS avg_staleness_sec,
+       CAST(SUM(p_cents) AS DOUBLE) / 100.0 AS matched_value_sum
+FROM j
+GROUP BY 1
+""",
+    doc="As-of join (point-in-time): every event gains the latest prior "
+    "purchase of the same user (ties at equal ts match). Spark side is "
+    "the union-sentinel window (operators/asof.py) — one shuffle on "
+    "user_id, no range join; oracle is DuckDB's native ASOF LEFT JOIN, "
+    "so the tie/NULL semantics are checked against a reference "
+    "implementation, not against ourselves.",
+    tags=("join", "window", "asof"),
+)
+def asof_last_purchase_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events(spark, sf_dir)
+    src = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        cents(F.col("value")).alias("p_cents"),
+        F.unix_micros(F.col("ts")).alias("p_us"),
+    )
+    j = asof_join_backward(ev, src, keys=["user_id"], ts_col="ts", payload=["p_cents", "p_us"])
+    stale_us = F.unix_micros(F.col("ts")) - F.col("p_us")
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("p_cents").alias("n_matched"),
+        F.round(
+            F.sum(stale_us).cast("double") / (F.lit(1_000_000.0) * F.count("p_cents")), 6
+        ).alias("avg_staleness_sec"),
+        (F.sum("p_cents").cast("double") / 100.0).alias("matched_value_sum"),
+    )
+
+
+@register(
+    "session_stats",
+    f"""
+WITH g AS (
+  SELECT user_id, ts,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS gap_us
+  FROM events
+),
+s AS (
+  SELECT user_id, ts,
+         SUM(CASE WHEN gap_us IS NULL OR gap_us > {_GAP_US} THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+  FROM g
+),
+per_sess AS (
+  SELECT user_id, sess, COUNT(*) AS n_events,
+         epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS dur_us
+  FROM s GROUP BY 1, 2
+)
+SELECT user_id,
+       CAST(SUM(n_events) AS BIGINT) AS n_events,
+       COUNT(*) AS n_sessions,
+       CAST(MAX(n_events) AS BIGINT) AS max_session_events,
+       round(CAST(MAX(dur_us) AS DOUBLE) / 1000000.0, 6) AS longest_session_sec
+FROM per_sess
+GROUP BY 1
+""",
+    doc="Gap-based sessionization (30-min inactivity gap): lag-over-key "
+    "marks session starts, a cumulative sum numbers sessions, then "
+    "per-session and per-user rollups. The classic event-stream "
+    "sessionizer; one shuffle on user_id, integer microsecond "
+    "arithmetic end-to-end.",
+    tags=("window", "agg", "session"),
+)
+def session_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events(spark, sf_dir)
+    wu = Window.partitionBy("user_id").orderBy("ts")
+    us = F.unix_micros(F.col("ts"))
+    g = ev.select("user_id", "ts", (us - F.lag(us).over(wu)).alias("gap_us"))
+    new_sess = F.when(F.col("gap_us").isNull() | (F.col("gap_us") > _GAP_US), 1).otherwise(0)
+    s = g.select(
+        "user_id",
+        "ts",
+        F.sum(new_sess).over(wu.rowsBetween(Window.unboundedPreceding, 0)).alias("sess"),
+    )
+    per_sess = s.groupBy("user_id", "sess").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("dur_us"),
+    )
+    return per_sess.groupBy("user_id").agg(
+        F.sum("n_events").cast("long").alias("n_events"),
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.max("n_events").cast("long").alias("max_session_events"),
+        F.round(F.max("dur_us").cast("double") / 1_000_000.0, 6).alias("longest_session_sec"),
+    )

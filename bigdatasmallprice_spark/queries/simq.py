@@ -179,3 +179,61 @@ def embedding_norms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("nrm"), 6).alias("min_norm"),
         F.round(F.max("nrm"), 6).alias("max_norm"),
     )
+
+
+_O_CENT = f"SELECT vec_id AS cid, embedding AS cvec, {_O_NORM.format(a='embedding')} AS ncv FROM embeddings WHERE vec_id < 8"
+
+
+def _o_ivf_cells(src: str, idc: str, vecc: str, nrmc: str, nprobe: int) -> str:
+    return f"""
+  SELECT {idc}, {vecc}, {nrmc}, cid AS cell FROM (
+    SELECT t.*, c.cid,
+           row_number() OVER (
+             PARTITION BY t.{idc}
+             ORDER BY round({_o_cosine_prenormed(f't.{vecc}', 'c.cvec', f't.{nrmc}', 'c.ncv')}, 6) DESC, c.cid
+           ) AS crn
+    FROM ({src}) t CROSS JOIN cent c
+  ) WHERE crn <= {nprobe}
+"""
+
+
+@register(
+    "ann_ivf_topk",
+    f"""
+WITH cent AS ({_O_CENT}),
+q AS ({_o_ivf_cells(
+    f"SELECT vec_id AS query_id, embedding AS qv, {_O_NORM.format(a='embedding')} AS nq FROM embeddings WHERE vec_id < 10",
+    'query_id', 'qv', 'nq', 2)}),
+c AS ({_o_ivf_cells(
+    f"SELECT vec_id AS cand_id, embedding AS cv, {_O_NORM.format(a='embedding')} AS nc FROM embeddings",
+    'cand_id', 'cv', 'nc', 1)}),
+scored AS (
+  SELECT q.query_id, c.cand_id,
+         round({_o_cosine_prenormed('q.qv', 'c.cv', 'q.nq', 'c.nc')}, 6) AS sim
+  FROM q JOIN c ON q.cell = c.cell AND q.query_id != c.cand_id
+),
+ranked AS (
+  SELECT query_id, cand_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rank
+  FROM scored
+)
+SELECT query_id, cand_id, sim, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 5
+""",
+    doc="IVF approximate top-k: corpus inverted-file-partitioned by "
+    "nearest of 8 centroids (coarse cosine quantization, broadcast "
+    "centroids, no shuffle to assign); queries probe their nprobe=2 "
+    "nearest cells. The candidate join is an equi-join on cell id — at "
+    "scale each executor scans one cell slice, never the corpus.",
+    tags=("similarity", "topk"),
+)
+def ann_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdatasmallprice_spark.operators.similarity import _norm, ann_ivf_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("cvec"),
+        _norm("embedding").alias("ncv"),
+    )
+    return ann_ivf_topk(emb.filter(F.col("vec_id") < 10), emb, centroids, k=5, nprobe=2)

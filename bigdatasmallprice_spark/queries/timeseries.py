@@ -682,3 +682,84 @@ def chart_downsample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.filter(((F.col("rn") - 1) % step) == 0).select(
         fmt_ts(F.col("h")).alias("t"), "price"
     )
+
+
+# ---------------------------------------------------------------------------
+# second feature view: net_load_features (W7, J5, F1-F4)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "net_load_features",
+    f"""
+WITH l AS (
+  SELECT date_trunc('hour', ts) AS h,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN {o_cents('value')} END) AS BIGINT) AS lc,
+         COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS lcnt,
+         CAST(SUM(CASE WHEN event_type = 'signup' THEN {o_cents('value')} END) AS BIGINT) AS pv_c
+  FROM events GROUP BY 1
+),
+net AS (
+  SELECT h, lc - COALESCE(pv_c, 0) AS net_c
+  FROM l WHERE lcnt > 0
+),
+w AS (
+  SELECT h, net_c,
+         lag(net_c, 1)   OVER win AS net_lag_1,
+         lag(net_c, 24)  OVER win AS net_lag_24,
+         lag(net_c, 168) OVER win AS net_lag_168,
+         CAST(SUM(net_c) OVER w24 AS DOUBLE) / (100.0 * COUNT(*) OVER w24) AS net_roll_24h
+  FROM net
+  WINDOW win AS (ORDER BY h),
+         w24 AS (ORDER BY h ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+)
+SELECT {o_fmt_ts('h')} AS t,
+       CAST(net_c AS DOUBLE) / 100.0 AS net_load,
+       CAST(net_lag_1 AS DOUBLE) / 100.0 AS net_load_lag_1h,
+       CAST(net_lag_24 AS DOUBLE) / 100.0 AS net_load_lag_24h,
+       CAST(net_lag_168 AS DOUBLE) / 100.0 AS net_load_lag_168h,
+       net_roll_24h,
+       {ORACLE_CALENDAR.format(t='h')}
+FROM w
+""",
+    doc="Second feature view (winterthur_net_load_features, init.sql:"
+    "421-455): derived target load - COALESCE(pv, 0) (J5/F4), lags "
+    "1/24/168 + rolling-24 mean OF THE DERIVED EXPRESSION (W7), calendar "
+    "block (F1-F2). Net stays integer cents through the windows, so "
+    "lag/rolling arithmetic is exact in both engines.",
+    tags=("window", "join", "agg"),
+)
+def net_load_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events(spark, sf_dir)
+    c = cents(F.col("value"))
+    et = F.col("event_type")
+    hourly = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("h")).agg(
+        F.sum(F.when(et == "purchase", c)).alias("lc"),
+        F.count(F.when(et == "purchase", F.lit(1))).alias("lcnt"),
+        F.sum(F.when(et == "signup", c)).alias("pv_c"),
+    )
+    net = hourly.filter(F.col("lcnt") > 0).select(
+        "h", (F.col("lc") - F.coalesce(F.col("pv_c"), F.lit(0))).alias("net_c")
+    )
+    win = Window.orderBy("h")
+    w24 = win.rowsBetween(-23, 0)
+    w = net.select(
+        "h",
+        "net_c",
+        F.lag("net_c", 1).over(win).alias("net_lag_1"),
+        F.lag("net_c", 24).over(win).alias("net_lag_24"),
+        F.lag("net_c", 168).over(win).alias("net_lag_168"),
+        (F.sum("net_c").over(w24).cast("double") / (F.lit(100.0) * F.count(F.lit(1)).over(w24))).alias(
+            "net_roll_24h"
+        ),
+    )
+    cal = calendar_columns(F.col("h"))
+    return w.select(
+        fmt_ts(F.col("h")).alias("t"),
+        (F.col("net_c").cast("double") / 100.0).alias("net_load"),
+        (F.col("net_lag_1").cast("double") / 100.0).alias("net_load_lag_1h"),
+        (F.col("net_lag_24").cast("double") / 100.0).alias("net_load_lag_24h"),
+        (F.col("net_lag_168").cast("double") / 100.0).alias("net_load_lag_168h"),
+        "net_roll_24h",
+        *[col.alias(n) for n, col in cal.items()],
+    )

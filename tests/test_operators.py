@@ -143,3 +143,90 @@ def test_metrics_all_masked_is_null(spark):
     m = regression_metrics(df, "y", "yhat").collect()[0]
     assert m.mape_pct is None
     assert m.n_mape == 0
+
+
+# ---------------------------------------------------------------------------
+# as-of join (operators/asof.py)
+# ---------------------------------------------------------------------------
+
+
+def test_asof_backward_semantics(spark):
+    """Most-recent-prior match per key; equal timestamps match; probes
+    before any source row get NULL; keys never cross."""
+    T = dt.datetime
+    probe = spark.createDataFrame(
+        [
+            (1, T(2026, 1, 1, 0, 0), "p0"),   # before any source -> NULL
+            (1, T(2026, 1, 1, 1, 0), "p1"),   # == s1 ts -> matches s1
+            (1, T(2026, 1, 1, 2, 30), "p2"),  # between s1 and s2 -> s1
+            (1, T(2026, 1, 1, 9, 0), "p3"),   # after s2 -> s2
+            (2, T(2026, 1, 1, 5, 0), "q0"),   # other key: only its own source
+        ],
+        "user_id long, ts timestamp, tag string",
+    )
+    source = spark.createDataFrame(
+        [
+            (1, T(2026, 1, 1, 1, 0), 100),
+            (1, T(2026, 1, 1, 3, 0), 300),
+            (2, T(2026, 1, 1, 4, 0), 400),
+        ],
+        "user_id long, ts timestamp, pv long",
+    )
+    from bigdatasmallprice_spark.operators.asof import asof_join_backward
+
+    out = {
+        r["tag"]: r["pv"]
+        for r in asof_join_backward(probe, source, ["user_id"], "ts", ["pv"]).collect()
+    }
+    assert out == {"p0": None, "p1": 100, "p2": 100, "p3": 300, "q0": 400}
+
+
+def test_asof_join_no_cartesian_in_plan(spark):
+    probe = spark.createDataFrame([(1, dt.datetime(2026, 1, 1), "x")], "k long, ts timestamp, t string")
+    source = spark.createDataFrame([(1, dt.datetime(2026, 1, 1), 5)], "k long, ts timestamp, v long")
+    from bigdatasmallprice_spark.operators.asof import asof_join_backward
+
+    plan = asof_join_backward(probe, source, ["k"], "ts", ["v"])._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN (operators/similarity.py)
+# ---------------------------------------------------------------------------
+
+
+def test_ivf_topk_structure_and_recall(spark):
+    """Each query yields <=k ranked candidates; rank-1 IVF hit is the
+    true nearest neighbor for most queries (nprobe=2 of 4 cells on
+    clustered data -> high recall)."""
+    from bigdatasmallprice_spark.operators.similarity import (
+        _norm,
+        ann_ivf_topk,
+        brute_force_topk,
+    )
+
+    rng = random.Random(11)
+    centers = [[10.0 if d == c * 4 else 0.0 for d in range(16)] for c in range(4)]
+    rows = []
+    for i in range(200):
+        c = centers[i % 4]
+        rows.append((i, [round(v + rng.gauss(0, 1.0), 3) for v in c]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cent = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("cvec"),
+        _norm("embedding").alias("ncv"),
+    )
+    q = emb.filter(F.col("vec_id") < 12)
+    ivf = ann_ivf_topk(q, emb, cent, k=3, nprobe=2).collect()
+    per_q = {}
+    for r in ivf:
+        per_q.setdefault(r["query_id"], []).append(r)
+    assert all(len(v) <= 3 for v in per_q.values())
+    for v in per_q.values():
+        assert [x["rank"] for x in sorted(v, key=lambda x: x["rank"])] == list(range(1, len(v) + 1))
+
+    bf = {r["query_id"]: r["cand_id"] for r in brute_force_topk(q, emb, k=1).collect()}
+    ivf1 = {qid: min(v, key=lambda x: x["rank"])["cand_id"] for qid, v in per_q.items()}
+    hits = sum(1 for qid in bf if ivf1.get(qid) == bf[qid])
+    assert hits >= int(0.8 * len(bf)), f"IVF rank-1 recall too low: {hits}/{len(bf)}"
