@@ -91,3 +91,77 @@ def test_late_data_beyond_watermark_dropped(spark, bronze, tmp_path):
     after = spark.read.parquet(out)
     assert after.count() == n_before  # closed bucket not reopened
     assert after.filter(F.col("price_chf_kwh_max") == 99.9).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# stateful sessionization (applyInPandasWithState)
+# ---------------------------------------------------------------------------
+
+EV_SCHEMA = "ts timestamp, user_id long"
+
+
+def _batch_sessions(spark, df, gap_minutes=30):
+    """Reference batch sessionizer (same logic as queries/seqq.py)."""
+    from pyspark.sql import Window
+
+    wu = Window.partitionBy("user_id").orderBy("ts")
+    us = F.unix_micros(F.col("ts"))
+    gap = gap_minutes * 60 * 1_000_000
+    g = df.select("user_id", "ts", (us - F.lag(us).over(wu)).alias("gap_us"))
+    new = F.when(F.col("gap_us").isNull() | (F.col("gap_us") > gap), 1).otherwise(0)
+    s = g.select(
+        "user_id", "ts",
+        F.sum(new).over(wu.rowsBetween(Window.unboundedPreceding, 0)).alias("sess"),
+    )
+    return {
+        (r["user_id"], str(r["st"]), str(r["en"])): r["n"]
+        for r in s.groupBy("user_id", "sess")
+        .agg(F.min("ts").alias("st"), F.max("ts").alias("en"), F.count("*").alias("n"))
+        .collect()
+    }
+
+
+def test_stateful_sessionization_matches_batch(spark, tmp_path):
+    from bigdatasmallprice_spark.streaming.session_stream import (
+        sessionize_stream,
+        write_sessions,
+    )
+
+    rng = random.Random(5)
+    rows = []
+    for uid in (1, 2, 3):
+        t = BASE
+        for _ in range(40):
+            # bursts with occasional >30min gaps
+            step = dt.timedelta(minutes=rng.choice([2, 5, 9, 45, 120]))
+            t = t + step
+            rows.append((t, uid))
+    df = spark.createDataFrame(rows, EV_SCHEMA)
+    src = str(tmp_path / "ev")
+    df.write.parquet(src)
+    # sentinel user 99 far in the future: advances the watermark past
+    # every real session's quiet period
+    spark.createDataFrame([(SENTINEL, 99)], EV_SCHEMA).write.mode("append").parquet(src)
+
+    out, ckpt = str(tmp_path / "sessions"), str(tmp_path / "sckpt")
+
+    def run():
+        stream = spark.readStream.schema(EV_SCHEMA).parquet(src)
+        q = write_sessions(sessionize_stream(stream, 30, "1 hour"), out, ckpt).start()
+        q.awaitTermination(180)
+
+    run()
+    # event-time timeouts fire on the trigger AFTER the watermark
+    # advances; a second availableNow run with one new file delivers it
+    spark.createDataFrame([(SENTINEL + dt.timedelta(days=1), 99)], EV_SCHEMA).write.mode(
+        "append"
+    ).parquet(src)
+    run()
+
+    got = {
+        (r["user_id"], str(r["session_start"]), str(r["session_end"])): r["n_events"]
+        for r in spark.read.parquet(out).filter(F.col("user_id") != 99).collect()
+    }
+    expect = _batch_sessions(spark, df)
+    assert got == expect
+    assert len(got) >= 10  # the gap mix actually produced multiple sessions
