@@ -177,8 +177,12 @@ def ann_ivf_topk(
         "cand_id",
         nprobe=1,
     )
+    # the probe set is the small side by contract — broadcast it so the
+    # cell join is a map-side hash join over the corpus partitions
+    # (post-window stats are unknown, so Catalyst would otherwise SMJ)
     scored = (
-        q.join(c, "cell")
+        F.broadcast(q)
+        .join(c, "cell")
         .filter(F.col("query_id") != F.col("cand_id"))
         .withColumn("sim", F.round(cosine_prenormed("qv", "cv", "nq", "nc"), 6))
     )
