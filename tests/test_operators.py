@@ -230,3 +230,55 @@ def test_ivf_topk_structure_and_recall(spark):
     ivf1 = {qid: min(v, key=lambda x: x["rank"])["cand_id"] for qid, v in per_q.items()}
     hits = sum(1 for qid in bf if ivf1.get(qid) == bf[qid])
     assert hits >= int(0.8 * len(bf)), f"IVF rank-1 recall too low: {hits}/{len(bf)}"
+
+
+# ---------------------------------------------------------------------------
+# skew mitigation (operators/skew.py)
+# ---------------------------------------------------------------------------
+
+
+def test_salted_agg_equals_plain_agg(spark):
+    """Skewed data (90% one key): salted two-phase agg must be exactly
+    the plain agg, and phase 1 must actually fan the hot key out."""
+    from bigdatasmallprice_spark.operators.skew import salted_agg
+
+    rng = random.Random(7)
+    rows = [("hot" if rng.random() < 0.9 else f"k{rng.randrange(20)}", rng.randrange(1000))
+            for _ in range(20000)]
+    df = spark.createDataFrame(rows, "k string, v long")
+    got = {
+        r["k"]: (r["v_sum"], r["n"], r["v_min"], r["v_max"])
+        for r in salted_agg(
+            df, ["k"],
+            {"v_sum": ("sum", "v"), "n": ("count", "v"),
+             "v_min": ("min", "v"), "v_max": ("max", "v")},
+            n_salts=8,
+        ).collect()
+    }
+    expect = {
+        r["k"]: (r["v_sum"], r["n"], r["v_min"], r["v_max"])
+        for r in df.groupBy("k").agg(
+            F.sum("v").alias("v_sum"), F.count("v").alias("n"),
+            F.min("v").alias("v_min"), F.max("v").alias("v_max"),
+        ).collect()
+    }
+    assert got == expect
+
+
+def test_salted_join_equals_plain_join(spark):
+    from bigdatasmallprice_spark.operators.skew import salted_join_left_hot
+
+    rng = random.Random(9)
+    left = spark.createDataFrame(
+        [("hot" if rng.random() < 0.8 else f"k{rng.randrange(10)}", i) for i in range(5000)],
+        "k string, lv long",
+    )
+    right = spark.createDataFrame(
+        [(f"k{i}", i * 100) for i in range(10)] + [("hot", 999)], "k string, rv long"
+    )
+    got = sorted(
+        (r["k"], r["lv"], r["rv"])
+        for r in salted_join_left_hot(left, right, ["k"], n_salts=4).collect()
+    )
+    expect = sorted((r["k"], r["lv"], r["rv"]) for r in left.join(right, "k").collect())
+    assert got == expect
