@@ -31,6 +31,11 @@ def split_label_by_ratio(
 ) -> DataFrame:
     """Add 'train'/'val'/'test' labels by row position (export_pipeline
     .py:164-207: sizes floor(n*train_frac), floor(n*val_frac), remainder)."""
+    if train_frac <= 0 or val_frac < 0 or train_frac + val_frac >= 1:
+        raise ValueError(
+            f"invalid split fractions train={train_frac} val={val_frac}: "
+            "need train > 0, val >= 0, train + val < 1 (test is the remainder)"
+        )
     n = df.count()
     n_train = int(n * train_frac)
     n_val = int(n * val_frac)
