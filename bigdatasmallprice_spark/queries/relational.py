@@ -303,3 +303,101 @@ def top_users_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_events").desc(), F.col("user_id"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# pricing summary (TPC-H Q1 shape): wide aggregate battery, exact decimals
+# ---------------------------------------------------------------------------
+
+
+def _o_micros(expr: str) -> str:
+    return f"CAST(round(({expr}) * 1000000) AS BIGINT)"
+
+
+def _micros(c):
+    return F.round(c * 1_000_000, 0).cast("long")
+
+
+@register(
+    "pricing_summary",
+    f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM({o_cents('l_quantity')}) AS DOUBLE) / 100.0 AS sum_qty,
+       CAST(SUM({o_cents('l_extendedprice')}) AS DOUBLE) / 100.0 AS sum_base_price,
+       CAST(SUM({_o_micros('l_extendedprice * (1 - l_discount)')}) AS DOUBLE) / 1000000.0 AS sum_disc_price,
+       CAST(SUM({_o_micros('l_extendedprice * (1 - l_discount) * (1 + l_tax)')}) AS DOUBLE) / 1000000.0 AS sum_charge,
+       CAST(SUM({o_cents('l_quantity')}) AS DOUBLE) / (100.0 * COUNT(*)) AS avg_qty,
+       CAST(SUM({o_cents('l_extendedprice')}) AS DOUBLE) / (100.0 * COUNT(*)) AS avg_price,
+       CAST(SUM({o_cents('l_discount')}) AS DOUBLE) / (100.0 * COUNT(*)) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2024-09-01 00:00:00'
+GROUP BY 1, 2
+""",
+    doc="Pricing-summary battery (TPC-H Q1 shape; the reference's A3/A9 "
+    "stat sweeps generalized): 8 aggregates over a filtered fact scan in "
+    "ONE pass — map-side partial agg carries (flag,status)-partials, so "
+    "the shuffle moves a handful of rows regardless of table size. "
+    "Multi-decimal products summed as integer micros for exactness.",
+    tags=("agg",),
+)
+def pricing_summary_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2024-09-01 00:00:00").cast("timestamp")
+    )
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc * (1 + F.col("l_tax"))
+    n = F.count(F.lit(1))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        (F.sum(cents(F.col("l_quantity"))).cast("double") / 100.0).alias("sum_qty"),
+        (F.sum(cents(F.col("l_extendedprice"))).cast("double") / 100.0).alias("sum_base_price"),
+        (F.sum(_micros(disc)).cast("double") / 1_000_000.0).alias("sum_disc_price"),
+        (F.sum(_micros(charge)).cast("double") / 1_000_000.0).alias("sum_charge"),
+        (F.sum(cents(F.col("l_quantity"))).cast("double") / (F.lit(100.0) * n)).alias("avg_qty"),
+        (F.sum(cents(F.col("l_extendedprice"))).cast("double") / (F.lit(100.0) * n)).alias("avg_price"),
+        (F.sum(cents(F.col("l_discount"))).cast("double") / (F.lit(100.0) * n)).alias("avg_disc"),
+        n.alias("count_order"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# supplier/part star join (brand revenue by supplier nation)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "brand_nation_revenue",
+    f"""
+SELECT n.n_name, p.p_brand,
+       CAST(SUM({o_cents('l.l_extendedprice * (1 - l.l_discount)')}) AS DOUBLE) / 100.0 AS revenue,
+       CAST(SUM({o_cents('l.l_quantity')}) AS DOUBLE) / 100.0 AS total_qty,
+       COUNT(*) AS n_items
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+GROUP BY 1, 2
+""",
+    doc="Fact × three broadcast dimensions (part, supplier, nation) + "
+    "rollup — the J1-J3 star shape over the OTHER dimension arms. All "
+    "dim joins are map-side broadcasts; the only shuffle is the final "
+    "(nation, brand) aggregate of pre-combined partials.",
+    tags=("join", "agg"),
+)
+def brand_nation_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(nat), supp["s_nationkey"] == nat["n_nationkey"])
+        .groupBy("n_name", "p_brand")
+        .agg(
+            (F.sum(rev).cast("double") / 100.0).alias("revenue"),
+            (F.sum(cents(F.col("l_quantity"))).cast("double") / 100.0).alias("total_qty"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )

@@ -160,3 +160,40 @@ def quality_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum(F.when(keep, F.lit(1))), F.lit(0)).cast("long").alias("n_kept"),
         F.coalesce(F.sum(F.when(~keep, F.lit(1))), F.lit(0)).cast("long").alias("n_dropped"),
     )
+
+
+@register(
+    "json_props_stats",
+    """
+WITH x AS (
+  SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type,
+       COUNT(*) AS n,
+       COUNT(k) AS n_with_k,
+       CAST(SUM(k) AS BIGINT) AS k_sum,
+       COUNT(DISTINCT k) AS k_distinct,
+       CAST(MIN(k) AS BIGINT) AS k_min,
+       CAST(MAX(k) AS BIGINT) AS k_max
+FROM x GROUP BY 1
+""",
+    doc="Semi-structured extraction: JSON property pulled out of a "
+    "string column (get_json_object / json_extract_string) then "
+    "aggregated. The pattern for props/metadata blobs in event streams; "
+    "extraction is JVM-side, no UDF.",
+    tags=("text", "agg", "json"),
+)
+def json_props_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdatasmallprice_spark.queries.core import table as _table
+
+    ev = _table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return ev.select("event_type", k.alias("k")).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("k").alias("n_with_k"),
+        F.sum("k").cast("long").alias("k_sum"),
+        F.countDistinct("k").alias("k_distinct"),
+        F.min("k").cast("long").alias("k_min"),
+        F.max("k").cast("long").alias("k_max"),
+    )

@@ -282,3 +282,32 @@ def test_salted_join_equals_plain_join(spark):
     )
     expect = sorted((r["k"], r["lv"], r["rv"]) for r in left.join(right, "k").collect())
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# bucketed co-located join (operators/bucketing.py)
+# ---------------------------------------------------------------------------
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    from bigdatasmallprice_spark.operators.bucketing import bucketed_join, write_bucketed
+
+    n = 5000
+    left = spark.range(n).selectExpr("id AS k", "id * 2 AS lv")
+    right = spark.range(n).selectExpr("id AS k", "id * 3 AS rv")
+    write_bucketed(left, "bk_left", ["k"], 8, path=str(tmp_path / "l"))
+    write_bucketed(right, "bk_right", ["k"], 8, path=str(tmp_path / "r"))
+
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = bucketed_join(spark, "bk_left", "bk_right", ["k"])
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan  # the whole point of bucketing
+        assert j.count() == n
+        got = j.filter(F.col("k") == 42).collect()[0]
+        assert (got["lv"], got["rv"]) == (84, 126)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+        spark.sql("DROP TABLE IF EXISTS bk_left")
+        spark.sql("DROP TABLE IF EXISTS bk_right")
