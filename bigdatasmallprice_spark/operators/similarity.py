@@ -117,6 +117,70 @@ def with_lsh_bucket(df: DataFrame, vec_col: str = "embedding", out: str = "bucke
     return df.withColumn(out, F.expr(" + ".join(terms)))
 
 
+def brute_force_topk_vectorized(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k via Arrow-batched numpy matmul (mapInPandas).
+
+    Same contract and results as ``brute_force_topk``, different
+    execution: the (small) probe set is collected once and broadcast as
+    a normalized float64 matrix; each corpus Arrow batch computes
+    ``C_norm @ Q_norm.T`` with BLAS and keeps only its local top-k per
+    query (argpartition), so the shuffle into the final global top-k
+    window carries ``n_batches * |Q| * k`` rows — not |Q|·N pairs. This
+    is the scale path when per-pair fold evaluation (interpreted
+    higher-order functions) becomes compute-bound.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = queries.sparkSession
+    qpdf = queries.select(id_col, vec_col).toPandas()  # probe set: small by contract
+    qids = qpdf[id_col].to_numpy()
+    Q = np.stack(qpdf[vec_col].to_numpy()).astype("float64")
+    qn = np.linalg.norm(Q, axis=1)
+    qsafe = np.where(qn > 0, qn, 1.0)
+    bq = spark.sparkContext.broadcast((qids, Q / qsafe[:, None], qn > 0))
+
+    def score_batches(pdfs):
+        b_qids, Qn, q_ok = bq.value
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            C = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+            cids = pdf[id_col].to_numpy()
+            cn = np.linalg.norm(C, axis=1)
+            c_ok = cn > 0
+            Cn = C / np.where(c_ok, cn, 1.0)[:, None]
+            S = Cn @ Qn.T  # (batch, |Q|)
+            S = np.where(c_ok[:, None] & q_ok[None, :], S, 0.0).round(6)
+            S[cids[:, None] == b_qids[None, :]] = -np.inf  # self-match
+            kk = min(k, S.shape[0])
+            top = np.argpartition(-S, kk - 1, axis=0)[:kk]  # (kk, |Q|)
+            out_q, out_c, out_s = [], [], []
+            for j in range(S.shape[1]):
+                for i in top[:, j]:
+                    if S[i, j] != -np.inf:
+                        out_q.append(b_qids[j])
+                        out_c.append(cids[i])
+                        out_s.append(S[i, j])
+            yield pd.DataFrame({"query_id": out_q, "cand_id": out_c, "sim": out_s})
+
+    local = corpus.select(id_col, vec_col).mapInPandas(
+        score_batches, "query_id long, cand_id long, sim double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("cand_id"))
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "sim", F.col("rank").cast("long").alias("rank"))
+    )
+
+
 def with_ivf_cells(
     df: DataFrame,
     centroids: DataFrame,

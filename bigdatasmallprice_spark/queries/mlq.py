@@ -198,3 +198,45 @@ WHERE price_lag_1h IS NOT NULL AND clicks IS NOT NULL AND net_pos IS NOT NULL
 
 
 _attach_model_score_oracle()
+
+
+# deterministic LCG-hash sampling: the 100 TB-scale substitute for
+# rand()-based sampling — reproducible across engines, partitionings,
+# and reruns, and pushable into any engine as plain arithmetic
+_SAMPLE_A = 48271
+_SAMPLE_B = 11
+_SAMPLE_P = 1_000_000_007
+_SAMPLE_PCT = 10  # keep ~10%
+
+
+@register(
+    "hash_sample_summary",
+    f"""
+SELECT event_type,
+       COUNT(*) AS n_total,
+       CAST(COALESCE(SUM(CASE WHEN (event_id * {_SAMPLE_A} + {_SAMPLE_B}) % {_SAMPLE_P}
+                                   < {_SAMPLE_P} // {_SAMPLE_PCT} THEN 1 END), 0) AS BIGINT) AS n_sampled,
+       CAST(COALESCE(SUM(CASE WHEN (event_id * {_SAMPLE_A} + {_SAMPLE_B}) % {_SAMPLE_P}
+                                   < {_SAMPLE_P} // {_SAMPLE_PCT} THEN {o_cents('value')} END), 0) AS DOUBLE) / 100.0 AS value_sum_sampled
+FROM events
+GROUP BY 1
+""",
+    doc="Deterministic ~10% sample via keyed LCG hash predicate "
+    "((id*a+b) mod p < p/10): reproducible across engines/partitions/"
+    "reruns, unlike rand() — the sampling primitive for corpus "
+    "subsetting and split assignment at scale. Summarized per type.",
+    tags=("sample", "agg"),
+)
+def hash_sample_summary_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events(spark, sf_dir)
+    sampled = ((F.col("event_id") * _SAMPLE_A + _SAMPLE_B) % _SAMPLE_P) < (
+        _SAMPLE_P // _SAMPLE_PCT
+    )
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.coalesce(F.sum(F.when(sampled, F.lit(1))), F.lit(0)).cast("long").alias("n_sampled"),
+        (
+            F.coalesce(F.sum(F.when(sampled, cents(F.col("value")))), F.lit(0)).cast("double")
+            / 100.0
+        ).alias("value_sum_sampled"),
+    )

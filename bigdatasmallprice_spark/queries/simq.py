@@ -237,3 +237,38 @@ def ann_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         _norm("embedding").alias("ncv"),
     )
     return ann_ivf_topk(emb.filter(F.col("vec_id") < 10), emb, centroids, k=5, nprobe=2)
+
+
+@register(
+    "ann_cosine_topk_np",
+    f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv,
+                  {_O_NORM.format(a='embedding')} AS nq
+           FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS cand_id, embedding AS cv,
+             {_O_NORM.format(a='embedding')} AS nc
+      FROM embeddings),
+scored AS (
+  SELECT query_id, cand_id, round({_o_cosine_prenormed('qv', 'cv', 'nq', 'nc')}, 6) AS sim
+  FROM q, c WHERE query_id != cand_id
+),
+ranked AS (
+  SELECT query_id, cand_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rank
+  FROM scored
+)
+SELECT query_id, cand_id, sim, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 5
+""",
+    doc="Vectorized exact cosine top-k: Arrow batch -> numpy/BLAS matmul "
+    "via mapInPandas, per-batch argpartition top-k pruning, then a tiny "
+    "global top-k window. Must return the identical result as "
+    "ann_cosine_topk (same oracle) — the execution-strategy swap the "
+    "engine makes when fold evaluation becomes compute-bound.",
+    tags=("similarity", "topk", "udf"),
+)
+def ann_cosine_topk_np_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdatasmallprice_spark.operators.similarity import brute_force_topk_vectorized
+
+    emb = table(spark, sf_dir, "embeddings")
+    return brute_force_topk_vectorized(emb.filter(F.col("vec_id") < 10), emb, k=5)

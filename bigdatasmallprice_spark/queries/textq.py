@@ -197,3 +197,44 @@ def json_props_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("k").cast("long").alias("k_min"),
         F.max("k").cast("long").alias("k_max"),
     )
+
+
+# BPE-ish subword segmentation: letter runs / digit runs / single
+# punctuation — the cheap regex proxy for tokenizer cost accounting
+_BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+@register(
+    "bpe_token_stats",
+    f"""
+WITH x AS (
+  SELECT lang, len(regexp_extract_all(text, '{_BPE_PATTERN}')) AS n_bpe,
+         {o_n_tokens('text')} AS n_ws
+  FROM documents
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_bpe) AS BIGINT) AS bpe_tokens,
+       CAST(SUM(n_ws) AS BIGINT) AS ws_tokens,
+       CAST(MAX(n_bpe) AS BIGINT) AS max_bpe,
+       round(CAST(SUM(n_bpe) AS DOUBLE) / SUM(n_ws), 6) AS bpe_per_word
+FROM x GROUP BY 1
+""",
+    doc="BPE-ish token accounting: regex subword segmentation (letter "
+    "runs | digit runs | punct) counted JVM-side via regexp_count, "
+    "vs whitespace tokens — the tokens-per-word budgeting ratio of a "
+    "tokenizer pipeline.",
+    tags=("text", "agg"),
+)
+def bpe_token_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    n_bpe = F.regexp_count(F.col("text"), F.lit(_BPE_PATTERN))
+    n_ws = n_tokens(F.col("text"))
+    x = docs.select("lang", n_bpe.alias("n_bpe"), n_ws.alias("n_ws"))
+    return x.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_bpe").cast("long").alias("bpe_tokens"),
+        F.sum("n_ws").cast("long").alias("ws_tokens"),
+        F.max("n_bpe").cast("long").alias("max_bpe"),
+        F.round(F.sum("n_bpe").cast("double") / F.sum("n_ws"), 6).alias("bpe_per_word"),
+    )
