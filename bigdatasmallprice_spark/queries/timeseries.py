@@ -11,6 +11,8 @@ mirroring the CTE structure of the reference feature view
 
 from __future__ import annotations
 
+import datetime as dt
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -762,4 +764,117 @@ def net_load_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("net_lag_168").cast("double") / 100.0).alias("net_load_lag_168h"),
         "net_roll_24h",
         *[col.alias(n) for n, col in cal.items()],
+    )
+
+
+# ---------------------------------------------------------------------------
+# gap filling: dense hourly grid + forward fill (time-series repair)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "gap_fill_hourly",
+    f"""
+WITH sparse AS (
+  SELECT date_trunc('hour', ts) AS h,
+         CAST(SUM({o_cents('value')}) AS BIGINT) AS pc,
+         COUNT(*) AS cnt
+  FROM events WHERE event_type = 'purchase' AND value > 90
+  GROUP BY 1
+),
+grid AS (
+  SELECT unnest(generate_series((SELECT MIN(h) FROM sparse), (SELECT MAX(h) FROM sparse), INTERVAL 1 HOUR)) AS h
+),
+joined AS (
+  SELECT g.h, s.pc, s.cnt FROM grid g LEFT JOIN sparse s ON g.h = s.h
+),
+filled AS (
+  SELECT h,
+         CASE WHEN cnt IS NULL THEN 1 ELSE 0 END AS is_filled,
+         last_value(CASE WHEN cnt IS NOT NULL THEN CAST(pc AS DOUBLE) / (100.0 * cnt) END IGNORE NULLS)
+           OVER (ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS price_ff
+  FROM joined
+)
+SELECT {o_fmt_ts('h')} AS t, CAST(is_filled AS INT) AS is_filled, round(price_ff, 6) AS price_ff
+FROM filled
+""",
+    doc="Gap filling: sparse hourly series (high-value purchases) -> "
+    "dense hourly grid via sequence+explode, then forward fill with "
+    "last(ignorenulls) — the time-series repair step before row-frame "
+    "windows can assume a gap-free grid (SURVEY §7.3). Grid generation "
+    "is O(span) rows, not a cross join.",
+    tags=("window", "gapfill"),
+)
+def gap_fill_hourly_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events(spark, sf_dir)
+    sparse = (
+        ev.filter((F.col("event_type") == "purchase") & (F.col("value") > 90))
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("h"))
+        .agg(F.sum(cents(F.col("value"))).alias("pc"), F.count(F.lit(1)).alias("cnt"))
+    )
+    bounds = sparse.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+    grid = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("h")
+    )
+    joined = grid.join(sparse, "h", "left")
+    price = F.when(
+        F.col("cnt").isNotNull(), F.col("pc").cast("double") / (F.lit(100.0) * F.col("cnt"))
+    )
+    w = Window.orderBy("h").rowsBetween(Window.unboundedPreceding, 0)
+    return joined.select(
+        fmt_ts(F.col("h")).alias("t"),
+        F.when(F.col("cnt").isNull(), 1).otherwise(0).cast("int").alias("is_filled"),
+        F.round(F.last(price, ignorenulls=True).over(w), 6).alias("price_ff"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# interval (range) join via date expansion
+# ---------------------------------------------------------------------------
+
+_RANGES = [
+    ("new_year", "2024-01-01", "2024-01-02"),
+    ("sports_week", "2024-01-08", "2024-01-14"),
+    ("promo", 	"2024-01-17", "2024-01-19"),
+    ("month_end", "2024-01-28", "2024-01-31"),
+]
+
+
+@register(
+    "holiday_range_join",
+    f"""
+WITH ranges(label, d_start, d_end) AS (
+  VALUES {', '.join(f"('{l}', DATE '{s}', DATE '{e}')" for l, s, e in _RANGES)}
+),
+j AS (
+  SELECT r.label, e.user_id, {o_cents('e.value')} AS c
+  FROM events e
+  JOIN ranges r ON CAST(e.ts AS DATE) BETWEEN r.d_start AND r.d_end
+)
+SELECT label, COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users,
+       CAST(SUM(c) AS DOUBLE) / 100.0 AS value_sum
+FROM j GROUP BY 1
+""",
+    doc="Interval/range join (the D2 school-holiday-ranges shape, "
+    "export_pipeline.py:409-534): the range dim EXPANDS to one row per "
+    "covered date (sequence+explode) and the join becomes a broadcast "
+    "EQUI-join on the date — at 100 TB a BETWEEN theta-join would plan "
+    "as a nested loop over the fact table; expansion costs only "
+    "O(total covered days).",
+    tags=("join", "range"),
+)
+def holiday_range_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events(spark, sf_dir)
+    ranges = ev.sparkSession.createDataFrame(
+        [(l, dt.date.fromisoformat(s), dt.date.fromisoformat(e)) for l, s, e in _RANGES],
+        "label string, d_start date, d_end date",
+    )
+    dates = ranges.select(
+        "label", F.explode(F.sequence("d_start", "d_end")).alias("d")
+    )
+    j = ev.withColumn("d", F.to_date(F.col("ts"))).join(F.broadcast(dates), "d")
+    return j.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        (F.sum(cents(F.col("value"))).cast("double") / 100.0).alias("value_sum"),
     )
