@@ -40,8 +40,16 @@ def main() -> None:
         n for n in sorted(specs) if n not in HEADLINE
     ]
 
-    # warm the JVM + parquet footers once (excluded from timings)
-    specs[names[0]].fn(spark, sf_dir).count()
+    # Warmup pass: run every query once so codegen/JIT compilation and
+    # parquet footer reads are excluded from timings (first execution of
+    # a plan costs 2-4x its steady state). Then DROP all cached data —
+    # queries that persist intermediate frames (dedup signatures) must
+    # recompute them inside their timed run; only compiled code and file
+    # metadata stay warm. What's measured is steady-state wall time per
+    # query, cold data every time.
+    for name in names:
+        specs[name].fn(spark, sf_dir).collect()
+    spark.catalog.clearCache()
 
     timings: dict[str, float] = {}
     for name in names:
@@ -49,6 +57,7 @@ def main() -> None:
         df = specs[name].fn(spark, sf_dir)
         df.collect()
         timings[name] = round(time.perf_counter() - t0, 4)
+        spark.catalog.clearCache()  # each query's persists stay in ITS timing
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(

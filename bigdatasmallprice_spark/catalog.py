@@ -46,13 +46,25 @@ def validate_table_name(name: str) -> str:
 _NANO_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 
+# analyzed-DataFrame cache: repeated load_table calls (50 registry
+# queries x 1-3 tables each) would re-list files and re-read parquet
+# footers every time; the logical plan is immutable, so reuse it.
+# Keyed by application id — a new session gets fresh plans.
+_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     validate_table_name(name)
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for col in _NANO_TS_COLS.get(name, ()):
         if dict(df.dtypes).get(col) == "bigint":
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    _TABLE_CACHE[key] = df
     return df
 
 
