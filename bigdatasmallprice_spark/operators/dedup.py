@@ -144,17 +144,15 @@ SIMHASH_CHUNKS = 4  # 12-bit chunks; Hamming<=3 pairs must share one (pigeonhole
 CHUNK_BITS = SIMHASH_BITS // SIMHASH_CHUNKS
 CHUNK_MOD = 1 << CHUNK_BITS
 
-# strong per-word hash: two independent character polynomials mod 2^24
-# packed into 48 bits. A narrower signature (32-bit, 8-bit chunks) floods
-# the chunk buckets: 256 values per chunk over n docs gives O(n^2/256)
-# candidate pairs — measured 294k pairs at sf0.1. 12-bit chunks cut the
-# collision rate 16x per chunk; every intermediate stays < 2^31 so the
-# identical arithmetic runs overflow-free in both engines.
-STRONG_WORDHASH = (
-    "(aggregate(split({w}, ''), 0L, (hh, c) -> (hh * 131 + ascii(c)) % 16777216)"
-    " * 16777216"
-    " + aggregate(split({w}, ''), 0L, (hh, c) -> (hh * 137 + ascii(c)) % 16777216))"
-)
+# strong per-word hash: the first 12 hex digits of md5(word) as a 48-bit
+# int. md5 is engine-native on BOTH sides (Spark JVM codegen, DuckDB
+# builtin) and produces byte-identical hex, so the hash is uniform,
+# cross-engine reproducible, and ~2x faster in Spark than the previous
+# interpreted per-character polynomial fold. A narrower signature
+# (32-bit, 8-bit chunks) floods the chunk buckets: 256 values per chunk
+# over n docs gives O(n^2/256) candidate pairs — measured 294k pairs at
+# sf0.1; 48 bits with 12-bit chunks keeps candidates near-linear.
+STRONG_WORDHASH = "CAST(conv(substr(md5(CAST({w} AS BINARY)), 1, 12), 16, 10) AS BIGINT)"
 
 
 def with_word_hashes(df: DataFrame, text_col: str = "text", out: str = "whs") -> DataFrame:

@@ -136,16 +136,16 @@ def minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# strong char-polynomial word hash (mirrors operators/dedup.STRONG_WORDHASH:
-# two 24-bit polynomials packed into 48 bits)
-_O_CHARS = (
-    "list_prepend(CAST(0 AS BIGINT), "
-    "list_transform(string_split(w, ''), c -> CAST(ascii(c) AS BIGINT)))"
-)
+# strong md5-prefix word hash (mirrors operators/dedup.STRONG_WORDHASH:
+# first 12 hex digits of md5(word) parsed as a 48-bit int — md5 hex is
+# byte-identical across engines; the hex parse is a 12-step fold here
+# because DuckDB lacks conv(), which only runs at oracle scale)
 _O_STRONG_WH = (
     "list_transform(string_split(text, ' '), w -> "
-    f"list_reduce({_O_CHARS}, (hh, c) -> (hh * 131 + c) % 16777216) * 16777216 "
-    f"+ list_reduce({_O_CHARS}, (hh, c) -> (hh * 137 + c) % 16777216))"
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(string_split(substr(md5(w), 1, 12), ''), "
+    "c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))), "
+    "(h, c) -> h * 16 + c))"
 )
 _O_SIMHASH = " + ".join(
     f"(CASE WHEN CAST(list_sum(list_transform(wh, h -> CASE WHEN (h // {1 << j}) % 2 = 1 THEN 1 ELSE -1 END)) AS BIGINT) >= 0 "
