@@ -181,6 +181,48 @@ def brute_force_topk_vectorized(
     )
 
 
+def bucketed_neardup_vectorized(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate pairs above a cosine threshold, computed
+    bucket-locally with numpy: LSH-bucket the corpus, then ONE
+    ``applyInPandas`` per bucket builds the normalized matrix and takes
+    ``Vn @ Vn.T`` with BLAS — the pairwise loop never materializes as a
+    join. Buckets are the unit of parallelism AND the memory bound
+    (a bucket must fit one executor; with p planes buckets are ~N/2^p).
+    Same results as the fold-based pair join (shared oracle)."""
+    import numpy as np
+    import pandas as pd
+
+    e = with_lsh_bucket(df.select(id_col, vec_col), vec_col)
+
+    def per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "sim": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "sim": "float64"}
+            )
+        pdf = pdf.sort_values(id_col)
+        ids = pdf[id_col].to_numpy()
+        V = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+        n = np.linalg.norm(V, axis=1)
+        ok = n > 0
+        Vn = V / np.where(ok, n, 1.0)[:, None]
+        S = (Vn @ Vn.T).round(6)
+        S = np.where(ok[:, None] & ok[None, :], S, 0.0)
+        ia, ib = np.triu_indices(len(ids), k=1)
+        keep = S[ia, ib] >= threshold
+        return pd.DataFrame(
+            {"id_a": ids[ia[keep]], "id_b": ids[ib[keep]], "sim": S[ia[keep], ib[keep]]}
+        )
+
+    return e.groupBy("bucket").applyInPandas(
+        per_bucket, "id_a long, id_b long, sim double"
+    )
+
+
 def with_ivf_cells(
     df: DataFrame,
     centroids: DataFrame,

@@ -272,3 +272,29 @@ def ann_cosine_topk_np_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = table(spark, sf_dir, "embeddings")
     return brute_force_topk_vectorized(emb.filter(F.col("vec_id") < 10), emb, k=5)
+
+
+@register(
+    "embedding_neardup_np",
+    None,  # shares embedding_neardup's oracle — attached below
+    doc="Vectorized near-dup pairs: LSH bucket -> applyInPandas per "
+    "bucket -> numpy/BLAS Vn@Vn.T upper triangle >= threshold. The "
+    "pairwise comparison never materializes as a join; buckets bound "
+    "both parallelism and executor memory. Identical results to the "
+    "fold-based embedding_neardup (same oracle).",
+    tags=("similarity", "dedup", "udf"),
+)
+def embedding_neardup_np_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdatasmallprice_spark.operators.similarity import bucketed_neardup_vectorized
+
+    emb = table(spark, sf_dir, "embeddings")
+    return bucketed_neardup_vectorized(emb, threshold=0.35)
+
+
+def _attach_neardup_np_oracle() -> None:
+    from bigdatasmallprice_spark.registry import _REGISTRY
+
+    _REGISTRY["embedding_neardup_np"].oracle = _REGISTRY["embedding_neardup"].oracle
+
+
+_attach_neardup_np_oracle()

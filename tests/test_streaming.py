@@ -165,3 +165,43 @@ def test_stateful_sessionization_matches_batch(spark, tmp_path):
     expect = _batch_sessions(spark, df)
     assert got == expect
     assert len(got) >= 10  # the gap mix actually produced multiple sessions
+
+
+# ---------------------------------------------------------------------------
+# idempotent streaming ingestion (foreachBatch + keyed dedup-append)
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_ingest_is_idempotent(spark, tmp_path):
+    from bigdatasmallprice_spark.streaming.ingest_stream import ingest_stream
+
+    SRC_SCHEMA = "k long, ts timestamp, v double"
+    src = str(tmp_path / "in")
+    bronze = str(tmp_path / "bronze")
+    ckpt = str(tmp_path / "ickpt")
+
+    def run():
+        stream = spark.readStream.schema(SRC_SCHEMA).parquet(src)
+        q = ingest_stream(stream, bronze, ckpt, keys=["k"], order_by=["ts"]).start()
+        q.awaitTermination(120)
+
+    # batch 1: keys 0..9 (with an in-batch duplicate of key 3)
+    spark.createDataFrame(
+        [(k, BASE + dt.timedelta(minutes=k), float(k)) for k in range(10)]
+        + [(3, BASE + dt.timedelta(minutes=99), 333.0)],
+        SRC_SCHEMA,
+    ).write.parquet(src)
+    run()
+    got = {r["k"]: r["v"] for r in spark.read.parquet(bronze).collect()}
+    assert got == {k: float(k) for k in range(10)}  # first writer won for key 3
+
+    # batch 2: re-delivers keys 5..9 with CHANGED values + new keys 10..12
+    spark.createDataFrame(
+        [(k, BASE + dt.timedelta(minutes=200 + k), 1000.0 + k) for k in range(5, 13)],
+        SRC_SCHEMA,
+    ).write.mode("append").parquet(src)
+    run()
+    got = {r["k"]: r["v"] for r in spark.read.parquet(bronze).collect()}
+    expect = {k: float(k) for k in range(10)} | {k: 1000.0 + k for k in (10, 11, 12)}
+    assert got == expect  # re-delivered keys kept their original rows
+    assert spark.read.parquet(bronze).count() == 13  # no duplicates anywhere
