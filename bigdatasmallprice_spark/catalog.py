@@ -68,6 +68,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def write_bronze(
+    df: DataFrame, path: str, time_col: str = "time", mode: str = "append"
+) -> None:
+    """Persist a fact table partitioned by ``p_date = date(time)`` — the
+    hypertable chunking analog (reference init.sql:14-18: 7/30-day
+    chunks). Time-range predicates then prune partitions at the source:
+    a 3-day refresh or a 7-day serving query reads 3 or 7 directories
+    regardless of total table size (asserted in tests via the scan's
+    PartitionFilters)."""
+    df.withColumn("p_date", F.to_date(F.col(time_col))).write.mode(mode).partitionBy(
+        "p_date"
+    ).parquet(path)
+
+
+def read_bronze(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str | None = None, register_views: bool = True
 ) -> dict[str, DataFrame]:

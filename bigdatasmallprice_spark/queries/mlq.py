@@ -240,3 +240,50 @@ def hash_sample_summary_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 100.0
         ).alias("value_sum_sampled"),
     )
+
+
+@register(
+    "value_trend_regression",
+    f"""
+WITH s AS (
+  SELECT event_type,
+         COUNT(*) AS n,
+         CAST(SUM(EXTRACT(hour FROM ts)) AS BIGINT) AS sx,
+         CAST(SUM(EXTRACT(hour FROM ts) * EXTRACT(hour FROM ts)) AS BIGINT) AS sxx,
+         CAST(SUM({o_cents('value')}) AS BIGINT) AS sy,
+         CAST(SUM(EXTRACT(hour FROM ts) * {o_cents('value')}) AS BIGINT) AS sxy
+  FROM events GROUP BY 1
+)
+SELECT event_type, n,
+       round(CAST(n * sxy - sx * sy AS DOUBLE) / (100.0 * (n * sxx - sx * sx)), 6) AS slope,
+       round((CAST(sy AS DOUBLE) / 100.0 - (CAST(n * sxy - sx * sy AS DOUBLE) / (100.0 * (n * sxx - sx * sx))) * sx) / n, 6) AS intercept
+FROM s
+""",
+    doc="Least-squares trend per key (value vs hour-of-day): slope and "
+    "intercept from EXACT integer moment sums (n, Sx, Sxx, Sy, Sxy in "
+    "hours x cents) — the regression aggregates pattern without "
+    "regr_slope's engine-specific float accumulation. One shuffle, "
+    "map-side partials, order-independent.",
+    tags=("ml", "agg", "stats"),
+)
+def value_trend_regression_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events(spark, sf_dir)
+    x = F.hour(F.col("ts")).cast("long")
+    y = cents(F.col("value"))
+    s = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = F.lit(100.0) * (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    slope = num / den
+    intercept = (F.col("sy").cast("double") / 100.0 - slope * F.col("sx")) / F.col("n")
+    return s.select(
+        "event_type",
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+    )

@@ -311,3 +311,35 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
         spark.sql("DROP TABLE IF EXISTS bk_left")
         spark.sql("DROP TABLE IF EXISTS bk_right")
+
+
+# ---------------------------------------------------------------------------
+# date-partitioned bronze + partition pruning (SURVEY X1)
+# ---------------------------------------------------------------------------
+
+
+def test_bronze_partition_pruning(spark, tmp_path):
+    from bigdatasmallprice_spark.catalog import read_bronze, write_bronze
+
+    rows = [
+        (dt.datetime(2026, 1, 1 + d, h), float(d * 24 + h))
+        for d in range(10)
+        for h in range(24)
+    ]
+    df = spark.createDataFrame(rows, "time timestamp, v double")
+    path = str(tmp_path / "bronze_events")
+    write_bronze(df, path, "time", mode="overwrite")
+
+    br = read_bronze(spark, path)
+    assert br.count() == 240
+    # a 3-day predicate must prune to 3 partition directories
+    q = br.filter(
+        (F.col("p_date") >= dt.date(2026, 1, 3)) & (F.col("p_date") <= dt.date(2026, 1, 5))
+    )
+    assert q.count() == 72
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "p_date" in m.group(1), plan  # predicate reached the scan as a partition filter
