@@ -401,3 +401,82 @@ def brand_nation_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# semi/anti joins (existence predicates without row multiplication)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "customer_activity_split",
+    """
+WITH buyers AS (SELECT DISTINCT o_custkey FROM orders),
+j AS (
+  SELECT c.c_custkey, c.c_nationkey,
+         EXISTS (SELECT 1 FROM buyers b WHERE b.o_custkey = c.c_custkey) AS has_orders
+  FROM customer c
+)
+SELECT c_nationkey,
+       CAST(COALESCE(SUM(CASE WHEN has_orders THEN 1 END), 0) AS BIGINT) AS n_active,
+       CAST(COALESCE(SUM(CASE WHEN NOT has_orders THEN 1 END), 0) AS BIGINT) AS n_inactive
+FROM j GROUP BY 1
+""",
+    doc="Semi/anti join: customers split by order existence per nation. "
+    "Spark plans left_semi/left_anti — existence checked without "
+    "multiplying rows (vs an inner join + distinct, which shuffles the "
+    "full match set). The dedup/enrichment pipelines' 'already seen?' "
+    "primitive.",
+    tags=("join", "agg"),
+)
+def customer_activity_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = table(spark, sf_dir, "orders").select("o_custkey")
+    active = cust.join(
+        orders, cust["c_custkey"] == orders["o_custkey"], "left_semi"
+    ).groupBy("c_nationkey").agg(F.count(F.lit(1)).cast("long").alias("n_active"))
+    inactive = cust.join(
+        orders, cust["c_custkey"] == orders["o_custkey"], "left_anti"
+    ).groupBy("c_nationkey").agg(F.count(F.lit(1)).cast("long").alias("n_inactive"))
+    return (
+        active.join(inactive, "c_nationkey", "full")
+        .select(
+            "c_nationkey",
+            F.coalesce("n_active", F.lit(0)).cast("long").alias("n_active"),
+            F.coalesce("n_inactive", F.lit(0)).cast("long").alias("n_inactive"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# grouping sets (multi-granularity rollup in one scan)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "revenue_grouping_sets",
+    f"""
+SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+       COALESCE(l_linestatus, 'ALL') AS status,
+       CAST(SUM({o_cents('l_extendedprice')}) AS DOUBLE) / 100.0 AS base_sum,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+""",
+    doc="GROUPING SETS: (flag,status), (flag), grand total in ONE scan — "
+    "Spark's Expand operator emits one row per grouping per input row "
+    "and the partial aggregation collapses them map-side, vs three "
+    "separate scans + union. The multi-granularity reporting rollup.",
+    tags=("agg", "rollup"),
+)
+def revenue_grouping_sets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("__li_gs")
+    return spark.sql(f"""
+        SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+               COALESCE(l_linestatus, 'ALL') AS status,
+               CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS base_sum,
+               COUNT(*) AS n
+        FROM __li_gs
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """)

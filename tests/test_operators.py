@@ -343,3 +343,24 @@ def test_bronze_partition_pruning(spark, tmp_path):
 
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "p_date" in m.group(1), plan  # predicate reached the scan as a partition filter
+
+
+# ---------------------------------------------------------------------------
+# approximate aggregates (the 100 TB substitutes for exact DISTINCT/median)
+# ---------------------------------------------------------------------------
+
+
+def test_approx_aggregates_within_bounds(spark):
+    """approx_count_distinct (HLL++) and approx percentile must land
+    within their configured error of the exact answers — these replace
+    exact DISTINCT/median when the exact shuffle would be the bottleneck."""
+    n = 50000
+    df = spark.range(n).selectExpr("id % 9973 AS k", "CAST(id % 1000 AS DOUBLE) AS v")
+    row = df.agg(
+        F.approx_count_distinct("k", rsd=0.02).alias("acd"),
+        F.countDistinct("k").alias("cd"),
+        F.percentile_approx("v", 0.5, 10000).alias("p50"),
+        F.expr("percentile(v, 0.5)").alias("p50_exact"),
+    ).collect()[0]
+    assert abs(row["acd"] - row["cd"]) / row["cd"] < 0.05
+    assert abs(row["p50"] - row["p50_exact"]) <= 1.0
