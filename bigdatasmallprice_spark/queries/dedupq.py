@@ -237,3 +237,55 @@ def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(jac >= 0.02)
         .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
     )
+
+
+@register(
+    "neardup_clusters",
+    f"""
+WITH RECURSIVE {_O_SHINGLE_CTES.strip().rstrip(',')},
+sig AS (SELECT doc_id, {_O_MH_COLS} FROM s),
+bands AS ({_O_BANDS}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
+e AS (SELECT id_a AS a, id_b AS b FROM cand
+      UNION SELECT id_b, id_a FROM cand),
+reach(a, b) AS (
+  SELECT a, b FROM e
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
+),
+labels AS (
+  SELECT a AS node, LEAST(a, MIN(b)) AS label FROM reach GROUP BY a
+)
+SELECT label AS cluster_id,
+       COUNT(*) AS n_docs,
+       CAST(MIN(node) AS BIGINT) AS keep_doc,
+       CAST(SUM(node) AS BIGINT) AS member_sum
+FROM labels GROUP BY 1
+""",
+    doc="Near-dup clustering: MinHash-LSH candidate pairs -> connected "
+    "components (distributed min-label propagation, "
+    "operators/dedup.py::connected_components) -> one row per cluster "
+    "with the kept representative (min doc_id — first-writer-wins, "
+    "matching the upsert semantics). Oracle computes the same "
+    "components via DuckDB's recursive transitive closure, so the "
+    "iterative Spark algorithm is checked against an independent "
+    "engine, not itself. This is the 'collapse each duplicate group "
+    "to one document' stage of corpus curation.",
+    tags=("dedup", "graph", "join"),
+)
+def neardup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdatasmallprice_spark.operators.dedup import connected_components
+
+    docs = table(spark, sf_dir, "documents")
+    s = with_shingles(docs.select("doc_id", "text")).select("doc_id", "shingles").persist()
+    cand = lsh_candidate_pairs(with_minhash(s))
+    labels = connected_components(cand, "id_a", "id_b")
+    s.unpersist()
+    return labels.groupBy(F.col("label").alias("cluster_id")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("node").cast("long").alias("keep_doc"),
+        F.sum("node").cast("long").alias("member_sum"),
+    )

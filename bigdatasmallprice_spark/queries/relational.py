@@ -480,3 +480,101 @@ def revenue_grouping_sets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM __li_gs
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
     """)
+
+
+# ---------------------------------------------------------------------------
+# set operations (INTERSECT / EXCEPT) — cohort retention shape
+# ---------------------------------------------------------------------------
+
+_CUTOFF = "1998-01-01"
+
+
+@register(
+    "customer_retention_sets",
+    f"""
+WITH early AS (SELECT DISTINCT o_custkey FROM orders
+               WHERE o_orderdate < TIMESTAMP '{_CUTOFF}'),
+late AS (SELECT DISTINCT o_custkey FROM orders
+         WHERE o_orderdate >= TIMESTAMP '{_CUTOFF}')
+SELECT 'retained' AS segment, COUNT(*) AS n_customers
+  FROM (SELECT * FROM early INTERSECT SELECT * FROM late)
+UNION ALL
+SELECT 'churned', COUNT(*)
+  FROM (SELECT * FROM early EXCEPT SELECT * FROM late)
+UNION ALL
+SELECT 'acquired', COUNT(*)
+  FROM (SELECT * FROM late EXCEPT SELECT * FROM early)
+""",
+    doc="INTERSECT / EXCEPT cohort split: buyers before vs after a cutoff "
+    "date classified retained / churned / acquired. Spark plans set ops "
+    "as left_semi / left_anti joins over distinct inputs — no row "
+    "multiplication, one shuffle per side on the compared column.",
+    tags=("setop", "agg"),
+)
+def customer_retention_sets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    cutoff = F.lit(_CUTOFF).cast("timestamp")
+    early = orders.filter(F.col("o_orderdate") < cutoff).select("o_custkey").distinct()
+    late = orders.filter(F.col("o_orderdate") >= cutoff).select("o_custkey").distinct()
+
+    def seg(df: DataFrame, label: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_customers")).select(
+            F.lit(label).alias("segment"), "n_customers"
+        )
+
+    return (
+        seg(early.intersect(late), "retained")
+        .unionByName(seg(early.subtract(late), "churned"))
+        .unionByName(seg(late.subtract(early), "acquired"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# scalar-aggregate join-back (TPC-H Q17 shape): avg-threshold filter
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "small_quantity_revenue",
+    f"""
+WITH pa AS (
+  SELECT l_partkey,
+         CAST(SUM({o_cents('l_quantity')}) AS BIGINT) AS q_cents,
+         COUNT(*) AS n
+  FROM lineitem GROUP BY 1
+)
+SELECT p.p_brand,
+       CAST(SUM({o_cents('l.l_extendedprice')}) AS DOUBLE) / 100.0 AS revenue,
+       COUNT(*) AS n_small
+FROM lineitem l
+JOIN pa ON l.l_partkey = pa.l_partkey
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE {o_cents('l.l_quantity')} * 2 * pa.n < pa.q_cents
+GROUP BY 1
+""",
+    doc="TPC-H Q17 shape: per-part average quantity joined back onto the "
+    "fact as a threshold (rows below half the part's average). The "
+    "comparison is integer-exact (2*q_cents*n < sum_cents, no float "
+    "average) so both engines agree bit-for-bit. At scale the per-part "
+    "aggregate is tiny next to the fact — AQE broadcasts the join-back; "
+    "the part dim join is broadcast outright.",
+    tags=("join", "agg"),
+)
+def small_quantity_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity", "l_extendedprice")
+    part = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    pa = li.groupBy("l_partkey").agg(
+        F.sum(cents(F.col("l_quantity"))).cast("long").alias("q_cents"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return (
+        li.join(pa.withColumnRenamed("l_partkey", "pa_partkey"),
+                F.col("l_partkey") == F.col("pa_partkey"))
+        .filter(cents(F.col("l_quantity")) * 2 * F.col("n") < F.col("q_cents"))
+        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            (F.sum(cents(F.col("l_extendedprice"))).cast("double") / 100.0).alias("revenue"),
+            F.count(F.lit(1)).alias("n_small"),
+        )
+    )

@@ -9,7 +9,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bigdatasmallprice_spark.operators.asof import asof_join_backward
-from bigdatasmallprice_spark.queries.core import cents, events, o_cents
+from bigdatasmallprice_spark.queries.core import cents, events, fmt_ts_us, o_cents, o_fmt_ts_us
 from bigdatasmallprice_spark.registry import register
 
 _GAP_US = 30 * 60 * 1_000_000  # 30-min session gap
@@ -118,4 +118,42 @@ def session_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_sessions"),
         F.max("n_events").cast("long").alias("max_session_events"),
         F.round(F.max("dur_us").cast("double") / 1_000_000.0, 6).alias("longest_session_sec"),
+    )
+
+
+@register(
+    "latest_event_per_user",
+    f"""
+WITH r AS (
+  SELECT user_id, ts, event_id, event_type, {o_cents('value')} AS v_cents,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id,
+       {o_fmt_ts_us('ts')} AS last_ts,
+       event_type AS last_type,
+       CAST(v_cents AS DOUBLE) / 100.0 AS last_value
+FROM r WHERE rn = 1
+""",
+    doc="Latest-row-per-key compaction (last-writer-wins): row_number "
+    "over (key ORDER BY ts DESC, id DESC) keeps exactly one row per "
+    "user with a total tie-break. The changelog->snapshot primitive "
+    "of CDC/upsert pipelines; one shuffle on the key, and at scale "
+    "the window beats groupBy+max+self-join (single pass, no second "
+    "shuffle back onto the fact).",
+    tags=("window", "dedup"),
+)
+def latest_event_per_user_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            fmt_ts_us(F.col("ts")).alias("last_ts"),
+            F.col("event_type").alias("last_type"),
+            (cents(F.col("value")).cast("double") / 100.0).alias("last_value"),
+        )
     )

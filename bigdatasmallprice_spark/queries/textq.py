@@ -238,3 +238,56 @@ def bpe_token_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_bpe").cast("long").alias("max_bpe"),
         F.round(F.sum("n_bpe").cast("double") / F.sum("n_ws"), 6).alias("bpe_per_word"),
     )
+
+
+@register(
+    "tfidf_terms",
+    """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+stats AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS df, COUNT(*) AS tf
+  FROM tok WHERE term <> '' GROUP BY 1
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT term,
+       CAST(df AS BIGINT) AS df,
+       CAST(tf AS BIGINT) AS tf,
+       round(ln(CAST(n_docs AS DOUBLE) / df), 6) AS idf,
+       round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf_mass
+FROM stats, n
+WHERE df >= 10
+""",
+    doc="Corpus-level TF-IDF term table: explode tokens, per-term document "
+    "frequency (countDistinct doc) + term frequency, idf = ln(N/df), "
+    "restricted to df >= 10. One explode + one shuffle on the term; the "
+    "vocabulary table this produces is what quality filters and "
+    "keyword-weighting stages broadcast back onto the corpus at scale. "
+    "idf/tfidf are per-row IEEE ops on integer inputs — identical in "
+    "both engines.",
+    tags=("text", "agg"),
+)
+def tfidf_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    tok = (
+        docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    stats = tok.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df"),
+        F.count(F.lit(1)).alias("tf"),
+    )
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    idf = F.log(F.col("n_docs").cast("double") / F.col("df"))
+    return (
+        stats.crossJoin(F.broadcast(n))
+        .filter(F.col("df") >= 10)
+        .select(
+            "term",
+            F.col("df").cast("long").alias("df"),
+            F.col("tf").cast("long").alias("tf"),
+            F.round(idf, 6).alias("idf"),
+            F.round(F.col("tf") * idf, 6).alias("tfidf_mass"),
+        )
+    )

@@ -364,3 +364,28 @@ def test_approx_aggregates_within_bounds(spark):
     ).collect()[0]
     assert abs(row["acd"] - row["cd"]) / row["cd"] < 0.05
     assert abs(row["p50"] - row["p50_exact"]) <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# connected components (near-dup cluster collapse)
+# ---------------------------------------------------------------------------
+
+
+def test_connected_components_known_graph(spark):
+    """Chain 1-2-3-4 (diameter > 1 forces multiple propagation rounds),
+    triangle 10-11-12, isolated pair 20-21 — every node must get the
+    component's minimum id as its label."""
+    from bigdatasmallprice_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "id_a: long, id_b: long",
+    )
+    got = {
+        (r["node"], r["label"])
+        for r in connected_components(pairs, "id_a", "id_b").collect()
+    }
+    want = {(1, 1), (2, 1), (3, 1), (4, 1),
+            (10, 10), (11, 10), (12, 10),
+            (20, 20), (21, 20)}
+    assert got == want
