@@ -248,31 +248,22 @@ def connected_components(
     labels = und.select(F.col("a").alias("node")).distinct().withColumn(
         "label", F.col("node")
     ).localCheckpoint()
+    # labels are monotonically non-increasing and strictly decrease
+    # somewhere until the fixpoint, so a scalar sum detects convergence
+    # without a per-round diff join
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     for _ in range(max_iter):
-        nbr = (
-            und.join(labels, und["b"] == labels["node"])
-            .groupBy("a")
-            .agg(F.min("label").alias("nbr_label"))
+        # one pass: each node's new label = min over {own label} ∪
+        # {neighbour labels} — union + groupBy(min), a single shuffle
+        nbr = und.join(labels, und["b"] == labels["node"]).select(
+            F.col("a").alias("node"), "label"
         )
-        new_labels = (
-            labels.join(nbr, labels["node"] == nbr["a"], "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
-                ).alias("label"),
-            )
-            .localCheckpoint()
-        )
-        changed = (
-            labels.withColumnRenamed("label", "old")
-            .join(new_labels, "node")
-            .filter(F.col("old") != F.col("label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        labels = nbr.union(labels).groupBy("node").agg(
+            F.min("label").alias("label")
+        ).localCheckpoint()
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     und.unpersist()
     return labels
