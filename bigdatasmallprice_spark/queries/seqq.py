@@ -157,3 +157,94 @@ def latest_event_per_user_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             (cents(F.col("value")).cast("double") / 100.0).alias("last_value"),
         )
     )
+
+
+@register(
+    "top_days_per_type",
+    f"""
+WITH d AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(SUM({o_cents('value')}) AS BIGINT) AS day_cents,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+r AS (
+  SELECT event_type, day, day_cents, n,
+         rank() OVER (PARTITION BY event_type
+                      ORDER BY day_cents DESC, day ASC) AS rk
+  FROM d
+)
+SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+       CAST(day_cents AS DOUBLE) / 100.0 AS day_value, n, CAST(rk AS BIGINT) AS rk
+FROM r WHERE rk <= 3
+""",
+    doc="Top-k per group via rank(): best 3 revenue days per event type, "
+    "totally ordered (value desc, day asc tie-break). The window runs "
+    "on the pre-aggregated daily frame — rank after reduction, so the "
+    "shuffle carries days x types, not raw events; at 100 TB the "
+    "groupBy collapses map-side first.",
+    tags=("window", "agg", "topk"),
+)
+def top_days_per_type_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events(spark, sf_dir)
+    d = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.sum(cents(F.col("value"))).cast("long").alias("day_cents"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    w = Window.partitionBy("event_type").orderBy(F.desc("day_cents"), F.asc("day"))
+    return (
+        d.withColumn("rk", F.rank().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            (F.col("day_cents").cast("double") / 100.0).alias("day_value"),
+            "n",
+            F.col("rk").cast("long").alias("rk"),
+        )
+    )
+
+
+_HOUR_US = 3_600_000_000
+
+
+@register(
+    "peak_hour_spend",
+    f"""
+WITH w AS (
+  SELECT user_id,
+         SUM({o_cents('value')}) OVER (
+           PARTITION BY user_id ORDER BY ts
+           RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+         ) AS trail_cents
+  FROM events
+)
+SELECT user_id,
+       CAST(MAX(trail_cents) AS DOUBLE) / 100.0 AS peak_hour_value,
+       COUNT(*) AS n_events
+FROM w GROUP BY 1
+""",
+    doc="Time-RANGE window (burst detection): per event, the trailing "
+    "1-hour value sum for its user; reduced to each user's peak. RANGE "
+    "frames bound by event time — not row counts — so gaps and "
+    "duplicate timestamps are handled by semantics, not data shape "
+    "(Spark: rangeBetween over unix_micros; frame peers at equal ts "
+    "are included by both engines). One shuffle on user_id.",
+    tags=("window", "agg", "timeseries"),
+)
+def peak_hour_spend_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-_HOUR_US, 0)
+    )
+    trail = ev.select(
+        "user_id", F.sum(cents(F.col("value"))).over(w).alias("trail_cents")
+    )
+    return trail.groupBy("user_id").agg(
+        (F.max("trail_cents").cast("double") / 100.0).alias("peak_hour_value"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

@@ -205,3 +205,67 @@ def test_streaming_ingest_is_idempotent(spark, tmp_path):
     expect = {k: float(k) for k in range(10)} | {k: 1000.0 + k for k in (10, 11, 12)}
     assert got == expect  # re-delivered keys kept their original rows
     assert spark.read.parquet(bronze).count() == 13  # no duplicates anywhere
+
+
+# ---------------------------------------------------------------------------
+# stream-stream interval join (watermarked event-time attribution)
+# ---------------------------------------------------------------------------
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Clicks x purchases within a 1-hour look-back, as streams, must
+    produce exactly the batch join's matches once the watermark closes
+    all real event times (sentinel rows on both sides)."""
+    from bigdatasmallprice_spark.streaming.join_stream import (
+        interval_join_batch,
+        interval_join_stream,
+    )
+
+    L_SCHEMA = "user_id long, l_ts timestamp, click_id long"
+    R_SCHEMA = "r_user_id long, r_ts timestamp, purchase_id long"
+    rng = random.Random(7)
+    clicks, purchases = [], []
+    for uid in (1, 2, 3, 4):
+        t = BASE
+        for i in range(30):
+            t += dt.timedelta(minutes=rng.choice([3, 10, 25, 90]))
+            clicks.append((uid, t, uid * 1000 + i))
+            if rng.random() < 0.4:
+                purchases.append(
+                    (uid, t + dt.timedelta(minutes=rng.choice([1, 20, 70])), uid * 5000 + i)
+                )
+    ldf = spark.createDataFrame(clicks, L_SCHEMA)
+    rdf = spark.createDataFrame(purchases, R_SCHEMA)
+    lsrc, rsrc = str(tmp_path / "clicks"), str(tmp_path / "purch")
+    ldf.write.parquet(lsrc)
+    rdf.write.parquet(rsrc)
+    # sentinels push both watermarks past every real event
+    spark.createDataFrame([(99, SENTINEL, -1)], L_SCHEMA).write.mode("append").parquet(lsrc)
+    spark.createDataFrame([(99, SENTINEL, -1)], R_SCHEMA).write.mode("append").parquet(rsrc)
+
+    out, ckpt = str(tmp_path / "joined"), str(tmp_path / "jckpt")
+    ls = spark.readStream.schema(L_SCHEMA).parquet(lsrc)
+    rs = spark.readStream.schema(R_SCHEMA).parquet(rsrc)
+    q = (
+        interval_join_stream(ls, rs, max_delay="1 hour", lateness="2 hours")
+        .select("click_id", "purchase_id")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {
+        (r["click_id"], r["purchase_id"])
+        for r in spark.read.parquet(out).filter(F.col("click_id") >= 0).collect()
+    }
+    expect = {
+        (r["click_id"], r["purchase_id"])
+        for r in interval_join_batch(ldf, rdf, max_delay="1 hour")
+        .select("click_id", "purchase_id")
+        .collect()
+    }
+    assert got == expect
+    assert len(expect) > 20  # the interval actually matched many pairs
