@@ -298,3 +298,40 @@ def _attach_neardup_np_oracle() -> None:
 
 
 _attach_neardup_np_oracle()
+
+
+@register(
+    "label_centroids",
+    """
+SELECT label,
+       CAST(i AS INT) AS dim,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE)
+         / (1000000.0 * COUNT(*)) AS centroid
+FROM embeddings, range(1, 65) AS t(i)
+GROUP BY 1, 2
+""",
+    doc="Per-label centroid (mean pooling) of the 64-dim embeddings: "
+    "posexplode to (label, dim) pairs, sum micro-scaled integer "
+    "components (order-independent across partitions — float sums are "
+    "not), divide back at the end. This is the k-means update step / "
+    "class-prototype computation IVF index training builds on; the "
+    "grouping distributes over labels x dims, so no single reducer "
+    "sees a whole label's vectors.",
+    tags=("similarity", "agg", "array"),
+)
+def label_centroids_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "x")
+    ).select(
+        "label",
+        (F.col("pos") + 1).cast("int").alias("dim"),
+        F.round(F.col("x").cast("double") * 1_000_000).cast("long").alias("xi"),
+    )
+    return comp.groupBy("label", "dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("xi").cast("double") / (F.lit(1_000_000.0) * F.count(F.lit(1)))).alias(
+            "centroid"
+        ),
+    )
