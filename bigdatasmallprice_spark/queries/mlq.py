@@ -287,3 +287,81 @@ def value_trend_regression_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope, 6).alias("slope"),
         F.round(intercept, 6).alias("intercept"),
     )
+
+
+# per-stratum keep rates (percent): downsample the over-represented
+# interaction classes, keep all of the rare ones — class rebalancing
+_STRATA_PCT = {"view": 10, "click": 20, "purchase": 100, "signup": 100, "error": 50}
+
+
+def _o_strata_threshold() -> str:
+    cases = " ".join(
+        f"WHEN event_type = '{k}' THEN {_SAMPLE_P // 100 * v}"
+        for k, v in sorted(_STRATA_PCT.items())
+    )
+    return f"CASE {cases} ELSE 0 END"
+
+
+@register(
+    "stratified_sample_summary",
+    f"""
+SELECT event_type,
+       COUNT(*) AS n_total,
+       CAST(COALESCE(SUM(CASE WHEN (event_id * {_SAMPLE_A} + {_SAMPLE_B}) % {_SAMPLE_P}
+                                   < {_o_strata_threshold()} THEN 1 END), 0) AS BIGINT) AS n_kept,
+       CAST(COALESCE(SUM(CASE WHEN (event_id * {_SAMPLE_A} + {_SAMPLE_B}) % {_SAMPLE_P}
+                                   < {_o_strata_threshold()} THEN {o_cents('value')} END), 0) AS DOUBLE) / 100.0 AS value_kept
+FROM events
+GROUP BY 1
+""",
+    doc="Stratified deterministic sampling: per-class keep rates (view "
+    "10%, click 20%, error 50%, purchase/signup 100%) applied through "
+    "the same keyed LCG hash — class rebalancing for training-data "
+    "curation. A pure per-row predicate: no shuffle, no rand(), "
+    "identical sample membership on any engine or partitioning.",
+    tags=("sample", "agg"),
+)
+def stratified_sample_summary_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events(spark, sf_dir)
+    h = (F.col("event_id") * _SAMPLE_A + _SAMPLE_B) % _SAMPLE_P
+    thr = F.lit(0)
+    for k, v in sorted(_STRATA_PCT.items()):
+        thr = F.when(F.col("event_type") == k, F.lit(_SAMPLE_P // 100 * v)).otherwise(thr)
+    kept = h < thr
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.coalesce(F.sum(F.when(kept, F.lit(1))), F.lit(0)).cast("long").alias("n_kept"),
+        (
+            F.coalesce(F.sum(F.when(kept, cents(F.col("value")))), F.lit(0)).cast("double")
+            / 100.0
+        ).alias("value_kept"),
+    )
+
+
+_QS = (0.25, 0.5, 0.75, 0.95)
+
+
+@register(
+    "value_quantiles_by_type",
+    f"""
+SELECT event_type,
+       {", ".join(f"round(quantile_cont({o_cents('value')}, {q}) / 100.0, 6) AS p{int(q*100)}" for q in _QS)}
+FROM events
+GROUP BY 1
+""",
+    doc="Exact per-group quantiles (p25/p50/p75/p95) of the value "
+    "distribution, computed over integer cents so both engines "
+    "interpolate between identical integers (float inputs would make "
+    "the sort ties engine-dependent). Exact quantiles shuffle the full "
+    "group; the approx_percentile variant (bounds-tested in "
+    "tests/test_operators.py) is the 100 TB substitute.",
+    tags=("agg", "stats"),
+)
+def value_quantiles_by_type_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events(spark, sf_dir)
+    pct = F.percentile(cents(F.col("value")), F.lit(list(_QS)))
+    cols = [
+        F.round(F.element_at(pct, i + 1) / 100.0, 6).alias(f"p{int(q * 100)}")
+        for i, q in enumerate(_QS)
+    ]
+    return ev.groupBy("event_type").agg(*cols)

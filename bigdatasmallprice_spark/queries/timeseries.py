@@ -878,3 +878,37 @@ def holiday_range_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("n_users"),
         (F.sum(cents(F.col("value"))).cast("double") / 100.0).alias("value_sum"),
     )
+
+
+@register(
+    "sliding_hour_windows",
+    f"""
+WITH x AS (
+  SELECT time_bucket(INTERVAL '15 minutes', ts) - to_minutes(15 * k) AS ws,
+         {o_cents('value')} AS c
+  FROM events, range(0, 4) AS t(k)
+)
+SELECT {o_fmt_ts('ws')} AS window_start,
+       COUNT(*) AS n,
+       CAST(SUM(c) AS DOUBLE) / 100.0 AS value_sum
+FROM x GROUP BY 1
+""",
+    doc="Sliding (hopping) windows: 1-hour windows every 15 minutes — "
+    "each event contributes to exactly 4 overlapping windows. Spark's "
+    "window('1 hour','15 minutes') expands events to their windows "
+    "before the aggregation (the oracle reproduces the same expansion "
+    "with a k=0..3 cross join). The smoothing/alerting aggregation "
+    "tumbling windows (T4, hourly_rollup) can't express; expansion "
+    "factor = window/slide = 4x, paid before the map-side combine.",
+    tags=("window", "agg", "timeseries"),
+)
+def sliding_hour_windows_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(cents(F.col("value"))).cast("double") / 100.0).alias("value_sum"),
+        )
+        .select(fmt_ts(F.col("w.start")).alias("window_start"), "n", "value_sum")
+    )
