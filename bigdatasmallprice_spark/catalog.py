@@ -103,3 +103,49 @@ def load_tables(
             df.createOrReplaceTempView(name)
         out[name] = df
     return out
+
+
+def compact_bronze(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    partitions: list[str] | None = None,
+) -> dict[str, int]:
+    """Compact a ``write_bronze`` table's small files: rewrite each
+    ``p_date`` partition into ``ceil(partition_bytes / target)`` files.
+
+    Daily dedup-appends (the ON CONFLICT ingestion pattern) leave one
+    small file per run per partition; a year of runs = hundreds of
+    files per partition, and at 100 TB the scan's task-scheduling and
+    footer-reading overhead dominates. Compaction restores
+    ~target-sized files. Partitions are rewritten one at a time into a
+    temp subdir then swapped, so a crash mid-compaction loses no data;
+    pass ``partitions`` to restrict to recently-touched dates (the
+    incremental path — compacting only what the last ingest fragmented).
+
+    Returns {partition_value: files_after}.
+    """
+    import math
+    import shutil
+
+    base = os.path.abspath(path)
+    parts = partitions or sorted(
+        d.split("=", 1)[1]
+        for d in os.listdir(base)
+        if d.startswith("p_date=") and os.path.isdir(os.path.join(base, d))
+    )
+    out: dict[str, int] = {}
+    for pv in parts:
+        pdir = os.path.join(base, f"p_date={pv}")
+        files = [f for f in os.listdir(pdir) if f.endswith(".parquet")]
+        nbytes = sum(os.path.getsize(os.path.join(pdir, f)) for f in files)
+        n_target = max(1, math.ceil(nbytes / target_file_bytes))
+        if len(files) <= n_target:
+            out[pv] = len(files)
+            continue
+        tmp = pdir + ".compact.tmp"
+        spark.read.parquet(pdir).coalesce(n_target).write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(pdir)
+        os.rename(tmp, pdir)
+        out[pv] = len([f for f in os.listdir(pdir) if f.endswith(".parquet")])
+    return out

@@ -389,3 +389,61 @@ def test_connected_components_known_graph(spark):
             (10, 10), (11, 10), (12, 10),
             (20, 20), (21, 20)}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# bronze compaction (small-files maintenance)
+# ---------------------------------------------------------------------------
+
+
+def test_compact_bronze_reduces_files_preserves_rows(spark, tmp_path):
+    """Ten dedup-append runs leave ~10 files per date partition; after
+    compaction each partition holds one target-sized file and the table
+    content is unchanged."""
+    import datetime as dt
+    import glob
+
+    from bigdatasmallprice_spark.catalog import compact_bronze, read_bronze, write_bronze
+
+    path = str(tmp_path / "bronze")
+    base = dt.datetime(2026, 3, 1)
+    for run in range(10):
+        rows = [
+            (base + dt.timedelta(days=d, minutes=run), float(run * 100 + d))
+            for d in range(3)
+        ]
+        df = spark.createDataFrame(rows, "time timestamp, v double")
+        write_bronze(df, path, "time")
+
+    before = {
+        p: len(glob.glob(f"{path}/p_date={p}/*.parquet"))
+        for p in ("2026-03-01", "2026-03-02", "2026-03-03")
+    }
+    assert all(n >= 10 for n in before.values()), before
+    expect = sorted((str(r["time"]), r["v"]) for r in read_bronze(spark, path).collect())
+
+    after = compact_bronze(spark, path)
+    assert all(n == 1 for n in after.values()), after
+    got = sorted((str(r["time"]), r["v"]) for r in read_bronze(spark, path).collect())
+    assert got == expect and len(got) == 30
+
+
+def test_multiformat_roundtrip_preserves_schema_and_rows(spark, tmp_path):
+    """The engine's sinks are not parquet-only: ORC, JSON-lines, and
+    headered CSV round-trip the same frame (CSV/JSON need an explicit
+    read schema — inference is banned by the fixed-DDL discipline)."""
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [(dt.datetime(2026, 1, 1, 12), "a", 1.5, 7), (dt.datetime(2026, 1, 2), "b", -2.25, 9)],
+        "time timestamp, k string, v double, n long",
+    )
+    expect = sorted(map(tuple, df.collect()))
+    for fmt in ("orc", "json", "csv"):
+        p = str(tmp_path / fmt)
+        w = df.write.mode("overwrite")
+        (w.option("header", True) if fmt == "csv" else w).format(fmt).save(p)
+        r = spark.read.schema(df.schema)
+        back = (r.option("header", True) if fmt == "csv" else r).format(fmt).load(p)
+        assert back.schema == df.schema, (fmt, back.schema)
+        assert sorted(map(tuple, back.collect())) == expect, fmt
