@@ -289,3 +289,71 @@ def neardup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("node").cast("long").alias("keep_doc"),
         F.sum("node").cast("long").alias("member_sum"),
     )
+
+
+@register(
+    "dedup_canonical",
+    f"""
+WITH RECURSIVE {_O_SHINGLE_CTES.strip().rstrip(',')},
+sig AS (SELECT doc_id, {_O_MH_COLS} FROM s),
+bands AS ({_O_BANDS}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
+e AS (SELECT id_a AS a, id_b AS b FROM cand
+      UNION SELECT id_b, id_a FROM cand),
+reach(a, b) AS (
+  SELECT a, b FROM e
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
+),
+labels AS (
+  SELECT a AS node, LEAST(a, MIN(b)) AS label FROM reach GROUP BY a
+),
+j AS (
+  SELECT l.label, d.doc_id, d.n_chars
+  FROM labels l JOIN documents d ON d.doc_id = l.node
+),
+r AS (
+  SELECT label, doc_id, n_chars,
+         row_number() OVER (PARTITION BY label
+                            ORDER BY n_chars DESC, doc_id ASC) AS rn
+  FROM j
+)
+SELECT label AS cluster_id,
+       CAST(MAX(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT) AS keep_doc,
+       CAST(MAX(CASE WHEN rn = 1 THEN n_chars END) AS BIGINT) AS keep_chars,
+       CAST(COUNT(*) - 1 AS BIGINT) AS n_dropped
+FROM r GROUP BY 1
+""",
+    doc="The complete dedup pipeline's final stage — canonical selection: "
+    "LSH pairs -> connected components -> keep the best document per "
+    "cluster (longest text, doc_id tie-break; exact-integer ordering, "
+    "no float ties) and count what gets dropped. Corpus curation ships "
+    "THIS: the survivor list plus an audit of removals. Joining labels "
+    "back to documents is a broadcast at any scale (components ≪ "
+    "corpus); the row_number window shuffles only clustered docs.",
+    tags=("dedup", "graph", "window"),
+)
+def dedup_canonical_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from bigdatasmallprice_spark.operators.dedup import connected_components
+
+    docs = table(spark, sf_dir, "documents")
+    s = with_shingles(docs.select("doc_id", "text")).select("doc_id", "shingles").persist()
+    cand = lsh_candidate_pairs(with_minhash(s))
+    labels = connected_components(cand, "id_a", "id_b")
+    s.unpersist()
+    j = labels.join(
+        F.broadcast(docs.select("doc_id", "n_chars")),
+        labels["node"] == F.col("doc_id"),
+    ).select("label", "doc_id", "n_chars")
+    w = Window.partitionBy("label").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    r = j.withColumn("rn", F.row_number().over(w))
+    return r.groupBy(F.col("label").alias("cluster_id")).agg(
+        F.max(F.when(F.col("rn") == 1, F.col("doc_id"))).cast("long").alias("keep_doc"),
+        F.max(F.when(F.col("rn") == 1, F.col("n_chars"))).cast("long").alias("keep_chars"),
+        (F.count(F.lit(1)) - 1).cast("long").alias("n_dropped"),
+    )
