@@ -365,3 +365,42 @@ def value_quantiles_by_type_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i, q in enumerate(_QS)
     ]
     return ev.groupBy("event_type").agg(*cols)
+
+
+@register(
+    "value_deciles",
+    f"""
+WITH t AS (
+  SELECT event_type, {o_cents('value')} AS vc, event_id,
+         ntile(10) OVER (ORDER BY {o_cents('value')}, event_id) AS decile
+  FROM events
+)
+SELECT decile,
+       COUNT(*) AS n,
+       CAST(MIN(vc) AS DOUBLE) / 100.0 AS lo,
+       CAST(MAX(vc) AS DOUBLE) / 100.0 AS hi,
+       CAST(SUM(vc) AS DOUBLE) / 100.0 AS value_sum
+FROM t GROUP BY 1
+""",
+    doc="Decile assignment via ntile(10) over a total order (cents, "
+    "event_id tie-break — float ordering with duplicate values would "
+    "be engine-dependent): equal-count value buckets with per-bucket "
+    "range and mass. The calibration/binning primitive. ntile needs a "
+    "global sort; at 100 TB the substitute is approx_percentile cut "
+    "points + a per-row bucket join (bounds-tested in "
+    "tests/test_operators.py).",
+    tags=("window", "agg", "stats"),
+)
+def value_deciles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = events(spark, sf_dir)
+    vc = cents(F.col("value"))
+    w = Window.orderBy(vc, F.col("event_id"))
+    t = ev.select(vc.alias("vc"), F.ntile(10).over(w).alias("decile"))
+    return t.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.min("vc").cast("double") / 100.0).alias("lo"),
+        (F.max("vc").cast("double") / 100.0).alias("hi"),
+        (F.sum("vc").cast("double") / 100.0).alias("value_sum"),
+    )
