@@ -447,3 +447,72 @@ def test_multiformat_roundtrip_preserves_schema_and_rows(spark, tmp_path):
         back = (r.option("header", True) if fmt == "csv" else r).format(fmt).load(p)
         assert back.schema == df.schema, (fmt, back.schema)
         assert sorted(map(tuple, back.collect())) == expect, fmt
+
+
+# ---------------------------------------------------------------------------
+# backfill driver (idempotent date-range ingestion) + incremental rollup
+# ---------------------------------------------------------------------------
+
+
+def test_backfill_is_idempotent_and_retries(spark, tmp_path):
+    import datetime as dt
+
+    from bigdatasmallprice_spark.ingest import backfill_dates
+
+    days = [dt.date(2026, 4, 1) + dt.timedelta(days=i) for i in range(3)]
+    calls = {"n": 0}
+
+    def fetch(d):
+        calls["n"] += 1
+        if d == days[1] and calls["n"] < 4:  # flaky day: fails twice, then succeeds
+            raise ConnectionError("boom")
+        base = dt.datetime(d.year, d.month, d.day)
+        rows = [
+            {"time": base + dt.timedelta(hours=h), "k": "a", "v": float(h)} for h in range(4)
+        ]
+        # duplicate key inside the batch: first row must win
+        rows.append({"time": base, "k": "a", "v": 999.0})
+        return rows
+
+    path = str(tmp_path / "bronze")
+    schema = "time timestamp, k string, v double"
+    naps = []
+    first = backfill_dates(
+        spark, fetch, days, path, schema, keys=["time", "k"], sleep=naps.append
+    )
+    assert first == {days[0]: 4, days[1]: 4, days[2]: 4}, first
+    assert naps == [1.0, 2.0], naps  # exponential backoff actually happened
+
+    again = backfill_dates(
+        spark, fetch, days, path, schema, keys=["time", "k"], sleep=naps.append
+    )
+    assert again == {d: 0 for d in days}, again  # DO NOTHING on re-run
+
+    got = spark.read.parquet(path)
+    assert got.count() == 12
+    # first-writer-wins: the dup-key row (v=999) never landed
+    assert got.filter(F.col("v") == 999.0).count() == 0
+
+
+def test_incremental_rollup_splices_refresh_window(spark):
+    import datetime as dt
+
+    from bigdatasmallprice_spark.operators.rollup import hourly_rollup, incremental_rollup
+
+    base = dt.datetime(2026, 5, 1)
+    rows = [
+        (base + dt.timedelta(minutes=15 * i), "t", float(i)) for i in range(96 * 4)
+    ]  # 4 days of 15-min data
+    df = spark.createDataFrame(rows, "time timestamp, k string, v double")
+    full = hourly_rollup(df, "time", "v", ["k"])
+
+    # materialize from the first 3 days, then late rows land in day 3
+    # and day 4 arrives; the refresh window covers [day3, day5)
+    cutoff = base + dt.timedelta(days=3)
+    stale = hourly_rollup(df.filter(F.col("time") < cutoff), "time", "v", ["k"])
+    refreshed = incremental_rollup(
+        df, stale, "time", "v", ["k"], cutoff, base + dt.timedelta(days=5)
+    )
+    got = sorted(map(tuple, refreshed.collect()))
+    expect = sorted(map(tuple, full.collect()))
+    assert got == expect and len(got) == 96
