@@ -241,29 +241,46 @@ def connected_components(
     graph ever materializes (the reference has no graph ops at all;
     this is the cluster-then-keep-one stage the LSH/SimHash pair
     queries feed at 100 TB).
+
+    The shuffle-width override below is session-scoped while the loop
+    runs (restored in ``finally``); concurrent queries on the same
+    session during a CC run would inherit the graph-sized width.
     """
+    spark = pairs.sparkSession
     edges = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     und = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
     und = und.distinct().persist()
-    labels = und.select(F.col("a").alias("node")).distinct().withColumn(
-        "label", F.col("node")
-    ).localCheckpoint()
-    # labels are monotonically non-increasing and strictly decrease
-    # somewhere until the fixpoint, so a scalar sum detects convergence
-    # without a per-round diff join
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
-    for _ in range(max_iter):
-        # one pass: each node's new label = min over {own label} ∪
-        # {neighbour labels} — union + groupBy(min), a single shuffle
-        nbr = und.join(labels, und["b"] == labels["node"]).select(
-            F.col("a").alias("node"), "label"
-        )
-        labels = nbr.union(labels).groupBy("node").agg(
-            F.min("label").alias("label")
+    n_edges = und.count()
+    # the near-dup graph is orders of magnitude smaller than the corpus
+    # that produced it — size the propagation shuffles to the GRAPH
+    # (one partition per ~50k edges), not to the corpus-level
+    # spark.sql.shuffle.partitions, or every round pays corpus-width
+    # task-scheduling overhead for a few thousand rows
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    graph_parts = max(2, min(int(prev_parts), n_edges // 50_000 + 1))
+    spark.conf.set("spark.sql.shuffle.partitions", str(graph_parts))
+    try:
+        labels = und.select(F.col("a").alias("node")).distinct().withColumn(
+            "label", F.col("node")
         ).localCheckpoint()
-        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
+        # labels are monotonically non-increasing and strictly decrease
+        # somewhere until the fixpoint, so a scalar sum detects
+        # convergence without a per-round diff join
+        prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+        for _ in range(max_iter):
+            # one pass: each node's new label = min over {own label} ∪
+            # {neighbour labels} — union + groupBy(min), a single shuffle
+            nbr = und.join(labels, und["b"] == labels["node"]).select(
+                F.col("a").alias("node"), "label"
+            )
+            labels = nbr.union(labels).groupBy("node").agg(
+                F.min("label").alias("label")
+            ).localCheckpoint()
+            cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+            if cur_sum == prev_sum:
+                break
+            prev_sum = cur_sum
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     und.unpersist()
     return labels
