@@ -57,3 +57,31 @@ def stride_downsample(
         .filter(((F.col("__rn") - 1) % step) == 0)
         .drop("__rn")
     )
+
+
+def approx_quantile_buckets(
+    df: DataFrame,
+    value_col: str,
+    n_buckets: int = 10,
+    relative_error: float = 0.001,
+) -> DataFrame:
+    """Scale path for ntile(n): assign quantile buckets WITHOUT a global
+    sort.
+
+    ntile needs a total order — one reducer sees everything. Here the
+    cut points come from ``approxQuantile`` (Greenwald-Khanna sketch:
+    one pass, mergeable per partition, driver gets n-1 doubles) and the
+    assignment is a per-row broadcast comparison — no shuffle at all
+    beyond the sketch's collect. Bucket sizes are equal to within the
+    sketch's relative error instead of exactly equal; that is the
+    trade every 100 TB binning pipeline makes.
+
+    Returns ``df`` plus a ``bucket`` column in [1, n_buckets].
+    """
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts = df.approxQuantile(value_col, probs, relative_error)
+    v = F.col(value_col)
+    bucket = F.lit(1)
+    for c in cuts:
+        bucket = bucket + F.when(v > F.lit(c), 1).otherwise(0)
+    return df.withColumn("bucket", bucket.cast("int"))

@@ -516,3 +516,25 @@ def test_incremental_rollup_splices_refresh_window(spark):
     got = sorted(map(tuple, refreshed.collect()))
     expect = sorted(map(tuple, full.collect()))
     assert got == expect and len(got) == 96
+
+
+def test_approx_quantile_buckets_near_equal_sizes(spark):
+    """The sketch-based decile assignment (no global sort) must produce
+    buckets within ~5% of n/10 and order-consistent assignment (higher
+    value => same or higher bucket)."""
+    from bigdatasmallprice_spark.operators.topk import approx_quantile_buckets
+
+    n = 40000
+    df = spark.range(n).selectExpr("CAST(pmod(id * 48271 + 11, 99991) AS DOUBLE) AS v")
+    out = approx_quantile_buckets(df, "v", n_buckets=10).persist()
+    sizes = {r["bucket"]: r["count"] for r in out.groupBy("bucket").count().collect()}
+    assert set(sizes) == set(range(1, 11)), sizes
+    assert all(abs(c - n / 10) / (n / 10) < 0.05 for c in sizes.values()), sizes
+    # monotone: the max value of bucket b never exceeds the min of b+1
+    stats = {
+        r["bucket"]: (r["lo"], r["hi"])
+        for r in out.groupBy("bucket").agg(F.min("v").alias("lo"), F.max("v").alias("hi")).collect()
+    }
+    for b in range(1, 10):
+        assert stats[b][1] <= stats[b + 1][0], (b, stats)
+    out.unpersist()
