@@ -357,3 +357,98 @@ def dedup_canonical_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("rn") == 1, F.col("n_chars"))).cast("long").alias("keep_chars"),
         (F.count(F.lit(1)) - 1).cast("long").alias("n_dropped"),
     )
+
+
+def _curation_oracle() -> str:
+    from bigdatasmallprice_spark.functions.texts import (
+        STOPWORDS_EN,
+        o_n_tokens,
+        o_n_unique_tokens,
+        o_quality_score,
+        o_stopword_hits,
+    )
+
+    nt = o_n_tokens("text")
+    q = o_quality_score(nt, o_n_unique_tokens("text"), o_stopword_hits("text", STOPWORDS_EN))
+    return f"""
+WITH RECURSIVE {_O_SHINGLE_CTES.strip().rstrip(',')},
+sig AS (SELECT doc_id, {_O_MH_COLS} FROM s),
+bands AS ({_O_BANDS}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
+e AS (SELECT id_a AS a, id_b AS b FROM cand
+      UNION SELECT id_b, id_a FROM cand),
+reach(a, b) AS (
+  SELECT a, b FROM e
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
+),
+labels AS (SELECT a AS node, LEAST(a, MIN(b)) AS label FROM reach GROUP BY a),
+dup_drop AS (SELECT node AS doc_id FROM labels WHERE node <> label),
+g AS (
+  SELECT d.source,
+         d.doc_id IN (SELECT doc_id FROM dup_drop) AS is_dup,
+         ({q}) >= 0.55 AND {nt} >= 20 AS ok_quality,
+         {nt} AS n_tok
+  FROM documents d
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(COALESCE(SUM(CASE WHEN is_dup THEN 1 END), 0) AS BIGINT) AS n_dup_dropped,
+       CAST(COALESCE(SUM(CASE WHEN NOT is_dup AND NOT ok_quality THEN 1 END), 0) AS BIGINT) AS n_quality_dropped,
+       CAST(COALESCE(SUM(CASE WHEN NOT is_dup AND ok_quality THEN 1 END), 0) AS BIGINT) AS n_kept,
+       CAST(COALESCE(SUM(CASE WHEN NOT is_dup AND ok_quality THEN n_tok END), 0) AS BIGINT) AS tokens_kept
+FROM g GROUP BY 1
+"""
+
+
+@register(
+    "corpus_curation_summary",
+    _curation_oracle(),
+    doc="The full curation pass in one result: near-dup removal (LSH "
+    "pairs -> connected components -> drop non-canonical members, "
+    "keep-lowest-id rule) composed with the quality gate (score >= "
+    "0.55, >= 20 tokens), reported per source with surviving token "
+    "mass — the number a training-data budget actually consumes. "
+    "Stage composition mirrors production order: dedup before quality "
+    "so duplicate spam can't vote itself past the gate.",
+    tags=("dedup", "text", "graph", "agg"),
+)
+def corpus_curation_summary_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdatasmallprice_spark.functions.texts import (
+        STOPWORDS_EN,
+        n_tokens,
+        n_unique_tokens,
+        quality_score,
+        stopword_hits,
+    )
+    from bigdatasmallprice_spark.operators.dedup import connected_components
+
+    docs = table(spark, sf_dir, "documents")
+    s = with_shingles(docs.select("doc_id", "text")).select("doc_id", "shingles").persist()
+    labels = connected_components(lsh_candidate_pairs(with_minhash(s)), "id_a", "id_b")
+    s.unpersist()
+    dup_drop = labels.filter(F.col("node") != F.col("label")).select(
+        F.col("node").alias("doc_id")
+    )
+    t = F.col("text")
+    nt = n_tokens(t)
+    q = quality_score(nt, n_unique_tokens(t), stopword_hits(t, STOPWORDS_EN))
+    g = docs.join(F.broadcast(dup_drop.withColumn("is_dup", F.lit(True))), "doc_id", "left").select(
+        "source",
+        F.coalesce("is_dup", F.lit(False)).alias("is_dup"),
+        ((q >= 0.55) & (nt >= 20)).alias("ok_quality"),
+        nt.alias("n_tok"),
+    )
+    keep = ~F.col("is_dup") & F.col("ok_quality")
+    return g.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.coalesce(F.sum(F.when(F.col("is_dup"), 1)), F.lit(0)).cast("long").alias("n_dup_dropped"),
+        F.coalesce(F.sum(F.when(~F.col("is_dup") & ~F.col("ok_quality"), 1)), F.lit(0))
+        .cast("long")
+        .alias("n_quality_dropped"),
+        F.coalesce(F.sum(F.when(keep, 1)), F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce(F.sum(F.when(keep, F.col("n_tok"))), F.lit(0)).cast("long").alias("tokens_kept"),
+    )
