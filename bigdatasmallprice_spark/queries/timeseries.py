@@ -912,3 +912,55 @@ def sliding_hour_windows_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(fmt_ts(F.col("w.start")).alias("window_start"), "n", "value_sum")
     )
+
+
+@register(
+    "twap_hourly",
+    f"""
+WITH p AS (
+  SELECT ts, {o_cents('value')} AS vc,
+         lead(epoch_us(ts)) OVER (ORDER BY ts, event_id) AS next_us,
+         epoch_us(ts) AS us
+  FROM events WHERE event_type = 'purchase'
+),
+seg AS (
+  SELECT date_trunc('hour', ts) AS h, vc, next_us - us AS dur_us
+  FROM p WHERE next_us IS NOT NULL
+)
+SELECT {o_fmt_ts('h')} AS hour,
+       COUNT(*) AS n_segments,
+       CAST(SUM(vc * dur_us) AS BIGINT) AS weighted_sum,
+       CAST(SUM(dur_us) AS BIGINT) AS total_dur_us,
+       CAST(SUM(vc * dur_us) AS DOUBLE) / (100.0 * SUM(dur_us)) AS twap
+FROM seg GROUP BY 1
+""",
+    doc="Time-weighted average price (TWAP) over irregular samples: each "
+    "observation holds until the next one (lead over a total order), "
+    "its weight is that duration in integer microseconds, and the "
+    "hourly TWAP is weighted_sum/total_duration — exact integer "
+    "arithmetic until the final division. This is the correct mean for "
+    "unevenly-sampled series, where the row-mean (A6 resample) "
+    "over-weights bursts; segments are attributed to the hour they "
+    "start in. One global-order window on the filtered slice, then a "
+    "map-side-combinable groupBy.",
+    tags=("window", "agg", "timeseries"),
+)
+def twap_hourly_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    w = Window.orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    p = ev.select(
+        "ts",
+        cents(F.col("value")).alias("vc"),
+        (F.lead(us).over(w) - us).alias("dur_us"),
+    ).filter(F.col("dur_us").isNotNull())
+    seg = p.select(F.date_trunc("hour", F.col("ts")).alias("h"), "vc", "dur_us")
+    return seg.groupBy("h").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum(F.col("vc") * F.col("dur_us")).cast("long").alias("weighted_sum"),
+        F.sum("dur_us").cast("long").alias("total_dur_us"),
+        (
+            F.sum(F.col("vc") * F.col("dur_us")).cast("double")
+            / (F.lit(100.0) * F.sum("dur_us"))
+        ).alias("twap"),
+    ).select(fmt_ts(F.col("h")).alias("hour"), "n_segments", "weighted_sum", "total_dur_us", "twap")
