@@ -404,3 +404,45 @@ def value_deciles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("vc").cast("double") / 100.0).alias("hi"),
         (F.sum("vc").cast("double") / 100.0).alias("value_sum"),
     )
+
+
+# argmax packing: BIGINT composite (vc * 1e10 + event_id) makes the
+# argmax total-ordered and engine-independent — max_by/arg_max leave
+# ties implementation-defined, a composite integer does not.
+# Safe while vc < 9e8 cents and event_id < 1e10 (documented bound).
+_PACK = 10_000_000_000
+
+
+@register(
+    "argmax_event_per_type",
+    f"""
+WITH p AS (
+  SELECT event_type,
+         MAX({o_cents('value')} * {_PACK} + event_id) AS packed
+  FROM events GROUP BY 1
+)
+SELECT event_type,
+       CAST(packed // {_PACK} AS DOUBLE) / 100.0 AS max_value,
+       CAST(packed % {_PACK} AS BIGINT) AS argmax_event_id
+FROM p
+""",
+    doc="Deterministic argmax (which row attains the group max): pack "
+    "(value_cents, event_id) into one BIGINT so MAX resolves ties by "
+    "id instead of engine whim — max_by/arg_max tie-breaking is "
+    "implementation-defined in both engines. One map-side-combinable "
+    "aggregate; unpack at the end. The pattern generalizes to any "
+    "bounded (score, id) argmax at 100 TB.",
+    tags=("agg",),
+)
+def argmax_event_per_type_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events(spark, sf_dir)
+    packed = F.max(cents(F.col("value")) * _PACK + F.col("event_id")).alias("packed")
+    return (
+        ev.groupBy("event_type")
+        .agg(packed)
+        .select(
+            "event_type",
+            (F.floor(F.col("packed") / _PACK).cast("double") / 100.0).alias("max_value"),
+            (F.col("packed") % _PACK).cast("long").alias("argmax_event_id"),
+        )
+    )
