@@ -538,3 +538,50 @@ def test_approx_quantile_buckets_near_equal_sizes(spark):
     for b in range(1, 10):
         assert stats[b][1] <= stats[b + 1][0], (b, stats)
     out.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# data-contract expectations (one-pass declarative checks)
+# ---------------------------------------------------------------------------
+
+
+def test_expectations_single_pass_counts(spark):
+    from bigdatasmallprice_spark.operators.expectations import (
+        accepted_values,
+        check,
+        in_range,
+        matches,
+        not_null,
+        unique,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", 10.0, "x@y.io"),
+            (2, "a", -5.0, "bad"),
+            (2, "a", 250.0, None),
+            (3, None, 50.0, "z@q.io"),
+            (4, "zz", None, "w@q.io"),
+        ],
+        "k long, cat string, v double, email string",
+    )
+    rules = [
+        not_null("cat"),
+        not_null("v"),
+        in_range("v", 0.0, 100.0),
+        accepted_values("cat", ["a", "b"]),
+        matches("email", r"^[^@]+@[^@]+$"),
+        unique("k", "cat"),
+    ]
+    got = {r["rule"]: (r["violations"], r["n_rows"]) for r in check(df, rules).collect()}
+    assert got["not_null(cat)"] == (1, 5)
+    assert got["not_null(v)"] == (1, 5)
+    assert got["in_range(v,0.0,100.0)"] == (2, 5)   # -5 and 250; NULL not counted
+    assert got["accepted_values(cat)"] == (1, 5)    # 'zz'
+    assert got["matches(email)"] == (1, 5)          # 'bad'; NULL not counted
+    assert got["unique(k,cat)"] == (1, 5)           # (2,'a') appears twice
+
+    # all row rules ran in ONE aggregation job: the plan has a single scan
+    row_only = [r for r in rules if r.violation is not None]
+    plan = check(df, row_only)._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("LogicalRDD") == 1, plan
