@@ -143,9 +143,18 @@ def compact_bronze(
         if len(files) <= n_target:
             out[pv] = len(files)
             continue
-        tmp = pdir + ".compact.tmp"
+        # stage under an underscore-prefixed name: Spark's FileIndex skips
+        # paths starting with '_' or '.', so a crash mid-compaction never
+        # leaves a directory that partition discovery would parse as a
+        # bogus p_date value (duplicating the partition's rows)
+        tmp = os.path.join(base, f"_compact_tmp_p_date={pv}")
+        old = os.path.join(base, f"_compact_old_p_date={pv}")
+        for stale in (tmp, old):
+            if os.path.isdir(stale):
+                shutil.rmtree(stale)
         spark.read.parquet(pdir).coalesce(n_target).write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(pdir)
+        os.rename(pdir, old)
         os.rename(tmp, pdir)
+        shutil.rmtree(old)
         out[pv] = len([f for f in os.listdir(pdir) if f.endswith(".parquet")])
     return out

@@ -242,9 +242,11 @@ def connected_components(
     this is the cluster-then-keep-one stage the LSH/SimHash pair
     queries feed at 100 TB).
 
-    The shuffle-width override below is session-scoped while the loop
-    runs (restored in ``finally``); concurrent queries on the same
-    session during a CC run would inherit the graph-sized width.
+    Shuffle width is scoped per-DataFrame via ``repartition`` on the
+    loop frames (never by mutating the session conf, which would leak
+    to concurrent queries), and each round runs exactly ONE job: the
+    new labels are marked for lazy localCheckpoint and the convergence
+    scalar is computed by the same action that materializes them.
     """
     spark = pairs.sparkSession
     edges = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
@@ -256,31 +258,42 @@ def connected_components(
     # (one partition per ~50k edges), not to the corpus-level
     # spark.sql.shuffle.partitions, or every round pays corpus-width
     # task-scheduling overhead for a few thousand rows
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    graph_parts = max(2, min(int(prev_parts), n_edges // 50_000 + 1))
-    spark.conf.set("spark.sql.shuffle.partitions", str(graph_parts))
     try:
-        labels = und.select(F.col("a").alias("node")).distinct().withColumn(
-            "label", F.col("node")
-        ).localCheckpoint()
-        # labels are monotonically non-increasing and strictly decrease
-        # somewhere until the fixpoint, so a scalar sum detects
-        # convergence without a per-round diff join
-        prev_sum = labels.agg(F.sum("label")).collect()[0][0]
-        for _ in range(max_iter):
-            # one pass: each node's new label = min over {own label} ∪
-            # {neighbour labels} — union + groupBy(min), a single shuffle
-            nbr = und.join(labels, und["b"] == labels["node"]).select(
-                F.col("a").alias("node"), "label"
-            )
-            labels = nbr.union(labels).groupBy("node").agg(
-                F.min("label").alias("label")
-            ).localCheckpoint()
-            cur_sum = labels.agg(F.sum("label")).collect()[0][0]
-            if cur_sum == prev_sum:
-                break
-            prev_sum = cur_sum
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        session_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):  # e.g. conf set to 'auto' under some AQE setups
+        session_parts = 200
+    graph_parts = max(2, min(session_parts, n_edges // 50_000 + 1))
+    labels = (
+        und.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .repartition(graph_parts, "node")
+        .localCheckpoint()
+    )
+    # labels are monotonically non-increasing and strictly decrease
+    # somewhere until the fixpoint, so a scalar sum detects
+    # convergence without a per-round diff join
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(max_iter):
+        # one pass: each node's new label = min over {own label} ∪
+        # {neighbour labels} — union + groupBy(min); the explicit
+        # graph-width repartition on the grouping key doubles as the
+        # aggregation's distribution, so no extra exchange is added
+        nbr = und.join(labels, und["b"] == labels["node"]).select(
+            F.col("a").alias("node"), "label"
+        )
+        labels = (
+            nbr.union(labels)
+            .repartition(graph_parts, "node")
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=False)
+        )
+        # single action per round: this collect materializes the lazy
+        # checkpoint AND returns the convergence scalar
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
     und.unpersist()
     return labels

@@ -160,10 +160,14 @@ def brute_force_topk_vectorized(
             S = np.where(c_ok[:, None] & q_ok[None, :], S, 0.0).round(6)
             S[cids[:, None] == b_qids[None, :]] = -np.inf  # self-match
             kk = min(k, S.shape[0])
-            top = np.argpartition(-S, kk - 1, axis=0)[:kk]  # (kk, |Q|)
             out_q, out_c, out_s = [], [], []
             for j in range(S.shape[1]):
-                for i in top[:, j]:
+                # deterministic local top-k matching the final window's
+                # (sim desc, cand_id asc) tie-break — argpartition breaks
+                # score ties arbitrarily and can drop the candidate the
+                # global window would have kept
+                order = np.lexsort((cids, -S[:, j]))[:kk]
+                for i in order:
                     if S[i, j] != -np.inf:
                         out_q.append(b_qids[j])
                         out_c.append(cids[i])

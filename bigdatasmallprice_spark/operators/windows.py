@@ -108,18 +108,42 @@ def partitioned_lag_stitch(
     time_col: str,
     bucket_expr: Column,
     prefix: str | None = None,
+    validate: bool = True,
 ) -> DataFrame:
     """Scale-path lag: window inside coarse time buckets, then repair the
     first max(lags) rows of each bucket from the previous bucket's tail.
 
-    Equivalent to the global window (proven in tests/test_windows.py) but
-    runs one task per bucket instead of one task total. For a 100 TB
+    Equivalent to the global window (proven in tests/test_operators.py)
+    but runs one task per bucket instead of one task total. For a 100 TB
     event table bucketed by month this turns a single-partition sort into
     ~1200 parallel window tasks plus a broadcast-sized tail join.
+
+    The repair reaches exactly one bucket back, so equivalence requires
+    every non-final bucket to hold at least ``max(lags)`` rows; with
+    ``validate=True`` (default) that precondition is checked eagerly
+    (one small count-by-bucket job) and a ``ValueError`` names the
+    offending buckets instead of silently emitting NULL lags.
     """
     prefix = prefix or value_col
     max_lag = max(lags)
     b = df.withColumn("__bucket", bucket_expr)
+
+    if validate:
+        sizes = b.groupBy("__bucket").agg(F.count(F.lit(1)).alias("__n"))
+        w_chk = Window.orderBy(F.col("__bucket").desc())
+        short = (
+            sizes.withColumn("__rk", F.row_number().over(w_chk))
+            .filter((F.col("__rk") > 1) & (F.col("__n") < max_lag))
+            .select("__bucket")
+            .collect()
+        )
+        if short:
+            bad = sorted(str(r["__bucket"]) for r in short)
+            raise ValueError(
+                f"partitioned_lag_stitch: buckets {bad} hold fewer than "
+                f"max(lags)={max_lag} rows; head repair only reaches one "
+                "bucket back — coarsen bucket_expr or use the global window"
+            )
 
     # per-bucket windows (parallel)
     w_in = Window.partitionBy("__bucket").orderBy(time_col)
