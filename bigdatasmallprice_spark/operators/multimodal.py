@@ -12,16 +12,24 @@ Design for a 100 TB multimodal corpus:
   (``maxRecordsPerBatch`` + repartition on a size-bucketed key) so an
   executor never materializes more than a few hundred MB of payloads.
 
-The actual codecs (PIL/ffmpeg/librosa) are NOT in this environment, so
-``decode_stub`` is a clearly-marked deterministic fake: real byte-level
-stats (length, first/last byte, sha-prefix) + a NotImplementedError gate
-for the codec path. The Spark-side plumbing — schema, batching, UDF
-signature — is real and tested (tests/test_multimodal.py).
+Two modalities decode REAL bytes with no external packages:
+- audio: RIFF/WAVE PCM via stdlib ``wave`` (encode AND decode — see
+  ``encode_wav`` / ``decode_wav_bytes``);
+- image: uncompressed 24-bit BMP via a pure-Python parser
+  (``encode_bmp`` / ``decode_bmp_bytes``).
+Video codecs (ffmpeg) are genuinely absent from this environment, so
+the video path keeps the clearly-marked deterministic byte-stats stub +
+NotImplementedError gate. The Spark-side plumbing — schema, batching,
+UDF signature — is real and tested (tests/test_multimodal.py), and the
+WAV path is driver-verified end-to-end (queries/mmq.py).
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
+import struct
+import wave
 from collections.abc import Iterator
 
 import pandas as pd
@@ -58,15 +66,94 @@ FEATURE_SCHEMA = StructType(
     ]
 )
 
-REAL_CODECS_AVAILABLE = False  # PIL / ffmpeg / librosa are not installed here
+# wav (stdlib wave) and bmp (pure-Python) decode real bytes; video needs
+# ffmpeg, which is not installed here — that one path stays gated
+VIDEO_CODECS_AVAILABLE = False
+
+WAV_SAMPLE_RATE = 8000
+
+
+def encode_wav(samples, sample_rate: int = WAV_SAMPLE_RATE) -> bytes:
+    """Real RIFF/WAVE encode: mono 16-bit PCM via stdlib ``wave``."""
+    import numpy as np
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(np.asarray(samples, dtype="<i2").tobytes())
+    return buf.getvalue()
+
+
+def decode_wav_bytes(payload: bytes) -> dict:
+    """Real RIFF/WAVE decode: container parse + exact int sample stats."""
+    import numpy as np
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        n_frames = w.getnframes()
+        rate = w.getframerate()
+        n_ch = w.getnchannels()
+        assert w.getsampwidth() == 2, "only 16-bit PCM supported"
+        raw = w.readframes(n_frames)
+    s = np.frombuffer(raw, dtype="<i2").astype("int64")
+    return {
+        "n_frames": n_frames,
+        "sample_rate": rate,
+        "n_channels": n_ch,
+        "sum_samples": int(s.sum()) if len(s) else 0,
+        "min_sample": int(s.min()) if len(s) else None,
+        "max_sample": int(s.max()) if len(s) else None,
+    }
+
+
+def encode_bmp(pixel_rows: list[list[tuple[int, int, int]]]) -> bytes:
+    """Real uncompressed 24-bit BMP encode (BITMAPINFOHEADER, bottom-up
+    rows, 4-byte row padding) — pure Python, no PIL."""
+    h = len(pixel_rows)
+    w = len(pixel_rows[0]) if h else 0
+    row_pad = (4 - (w * 3) % 4) % 4
+    body = bytearray()
+    for row in reversed(pixel_rows):  # BMP stores rows bottom-up
+        for r, g, b in row:
+            body += bytes((b, g, r))  # BGR on disk
+        body += b"\x00" * row_pad
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(body), 0, 0, 14 + 40)
+    return header + info + bytes(body)
+
+
+def decode_bmp_bytes(payload: bytes) -> dict:
+    """Real BMP decode: header parse + exact integer pixel-channel sum
+    (padding bytes excluded)."""
+    magic, _size, _r1, _r2, offset = struct.unpack_from("<2sIHHI", payload, 0)
+    assert magic == b"BM", "not a BMP payload"
+    hdr_size, w, h, _planes, bpp, compression = struct.unpack_from(
+        "<IiiHHI", payload, 14
+    )
+    assert hdr_size >= 40 and bpp == 24 and compression == 0, (
+        "only uncompressed 24-bit BMP supported"
+    )
+    row_bytes = w * 3
+    stride = row_bytes + (4 - row_bytes % 4) % 4
+    total = 0
+    for y in range(abs(h)):
+        start = offset + y * stride
+        total += sum(payload[start : start + row_bytes])
+    return {
+        "width": w,
+        "height": abs(h),
+        "bpp": bpp,
+        "n_pixels": w * abs(h),
+        "pixel_sum": total,
+    }
 
 
 def decode_stub(payload: bytes | None, kind: str) -> dict:
-    """Deterministic fake 'decode': byte-level stats standing in for
-    pixel/sample features. The real implementation would dispatch to the
-    per-kind codec; that path is explicitly gated."""
-    if REAL_CODECS_AVAILABLE:  # pragma: no cover
-        raise NotImplementedError("real image/audio/video codecs not wired in this env")
+    """Deterministic byte-stats 'decode' for modalities whose codec is
+    genuinely absent (video). Audio/image take the real paths above."""
+    if kind == "video" and VIDEO_CODECS_AVAILABLE:  # pragma: no cover
+        raise NotImplementedError("ffmpeg-backed video decode not wired in this env")
     if payload is None or len(payload) == 0:
         return {"n_bytes": 0, "sha_prefix": None, "first_byte": None, "byte_mean": None}
     return {
@@ -104,3 +191,73 @@ def frame_sample_plan(media: DataFrame, every_s: float = 1.0) -> DataFrame:
             F.ceil(F.col("meta_duration_s") / F.lit(every_s)).cast("long"),
         ).otherwise(F.lit(0)),
     )
+
+
+# deterministic synthetic audio: sample_i(doc) is a pure integer function
+# of (doc_id, i), so the decoded stats have a closed form an independent
+# SQL oracle can compute without ever touching the bytes — the Spark side
+# still round-trips REAL WAV containers through the stdlib codec
+WAV_MUL = 2654435761
+WAV_STEP = 40503
+WAV_BASE_FRAMES = 64
+
+
+def synth_samples(doc_id: int):
+    """int16 samples: ((doc_id*WAV_MUL + i*WAV_STEP) % 65536) - 32768,
+    i in [0, 64 + doc_id % 64)."""
+    import numpy as np
+
+    n = WAV_BASE_FRAMES + doc_id % 64
+    i = np.arange(n, dtype="int64")
+    return ((doc_id * WAV_MUL + i * WAV_STEP) % 65536 - 32768).astype("<i2")
+
+
+WAV_MEDIA_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("payload", BinaryType(), False),
+    ]
+)
+
+WAV_FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("n_frames", LongType(), False),
+        StructField("sample_rate", LongType(), False),
+        StructField("n_channels", LongType(), False),
+        StructField("sum_samples", LongType(), False),
+        StructField("min_sample", LongType(), True),
+        StructField("max_sample", LongType(), True),
+    ]
+)
+
+
+def synthesize_wav(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """mapInPandas stage 1: per-doc deterministic samples → real WAV
+    bytes (stdlib ``wave`` writer) in an opaque binary column."""
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids.values,
+                    "payload": [encode_wav(synth_samples(int(d))) for d in ids],
+                }
+            )
+
+    return docs.select(id_col).mapInPandas(_synth, schema=WAV_MEDIA_SCHEMA)
+
+
+def wav_features(media: DataFrame) -> DataFrame:
+    """mapInPandas stage 2: real WAV decode (container parse + PCM
+    frames) → exact integer sample stats, one Arrow batch at a time."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [decode_wav_bytes(p) for p in pdf["payload"]]
+            out = pd.DataFrame(feats)
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            yield out
+
+    return media.mapInPandas(_decode, schema=WAV_FEATURE_SCHEMA)

@@ -442,7 +442,98 @@ def argmax_event_per_type_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(packed)
         .select(
             "event_type",
-            (F.floor(F.col("packed") / _PACK).cast("double") / 100.0).alias("max_value"),
+            # integer `div` stays exact on longs; `/` promotes to double and
+            # is lossy above 2^53 while packed reaches ~9e18 in-bound
+            (F.expr(f"packed div {_PACK}").cast("double") / 100.0).alias("max_value"),
             (F.col("packed") % _PACK).cast("long").alias("argmax_event_id"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# engine-side training (D5 slice): closed-form linear fit + MAPE gate
+# ---------------------------------------------------------------------------
+
+from bigdatasmallprice_spark.operators.linreg import (  # noqa: E402
+    APE_MICRO,
+    B0C,
+    B1C,
+    B2C,
+    MAPE_GATE_PCT,
+    MAPE_MASK_CENTS,
+    fit_linear_hour_dow,
+    mape_gate,
+)
+
+_O_X1 = "EXTRACT(hour FROM ts)"
+_O_X2 = "(EXTRACT(dow FROM ts) + 1)"  # DuckDB dow is 0=Sun; Spark dayofweek is 1=Sun
+_O_MAPE = "round(CAST(g.sum_micro AS DOUBLE) / (10000.0 * g.n_scored), 6)"
+
+
+@register(
+    "train_linear_model",
+    f"""
+WITH m AS (
+  SELECT event_type,
+         COUNT(*) AS n,
+         CAST(SUM({_O_X1}) AS BIGINT) AS s1,
+         CAST(SUM({_O_X2}) AS BIGINT) AS s2,
+         CAST(SUM({_O_X1} * {_O_X1}) AS BIGINT) AS s11,
+         CAST(SUM({_O_X1} * {_O_X2}) AS BIGINT) AS s12,
+         CAST(SUM({_O_X2} * {_O_X2}) AS BIGINT) AS s22,
+         CAST(SUM({o_cents('value')}) AS BIGINT) AS sy,
+         CAST(SUM({_O_X1} * {o_cents('value')}) AS BIGINT) AS s1y,
+         CAST(SUM({_O_X2} * {o_cents('value')}) AS BIGINT) AS s2y
+  FROM events GROUP BY 1
+), md AS (
+  SELECT event_type, n,
+         CAST(n AS DOUBLE) AS nd, CAST(s1 AS DOUBLE) AS s1d, CAST(s2 AS DOUBLE) AS s2d,
+         CAST(s11 AS DOUBLE) AS s11d, CAST(s12 AS DOUBLE) AS s12d, CAST(s22 AS DOUBLE) AS s22d,
+         CAST(sy AS DOUBLE) AS syd, CAST(s1y AS DOUBLE) AS s1yd, CAST(s2y AS DOUBLE) AS s2yd
+  FROM m
+), c AS (
+  SELECT event_type, n, {B0C} AS b0c, {B1C} AS b1c, {B2C} AS b2c FROM md
+), scored AS (
+  SELECT e.event_type,
+         {o_cents('e.value')} AS yc,
+         c.b0c + c.b1c * EXTRACT(hour FROM e.ts) + c.b2c * (EXTRACT(dow FROM e.ts) + 1) AS pred_c
+  FROM events e JOIN c ON e.event_type = c.event_type
+), g AS (
+  SELECT event_type,
+         SUM(CASE WHEN abs(yc) >= {MAPE_MASK_CENTS} THEN {APE_MICRO} END) AS sum_micro,
+         CAST(COALESCE(SUM(CASE WHEN abs(yc) >= {MAPE_MASK_CENTS} THEN 1 END), 0) AS BIGINT) AS n_scored
+  FROM scored GROUP BY 1
+)
+SELECT c.event_type, c.n,
+       round(c.b0c / 100.0, 6) AS b_intercept,
+       round(c.b1c / 100.0, 6) AS b_hour,
+       round(c.b2c / 100.0, 6) AS b_dow,
+       CASE WHEN g.n_scored > 0 THEN {_O_MAPE} END AS mape_pct,
+       g.n_scored,
+       CASE WHEN g.n_scored > 0 THEN {_O_MAPE} < {MAPE_GATE_PCT} END AS gate_pass
+FROM c JOIN g ON c.event_type = g.event_type
+""",
+    doc="Engine-side model training (reference train.py:124-165) + the "
+    "MAPE<8% quality gate (evaluate.py:126-145): per-key multivariate "
+    "linear fit  value ~ intercept + hour + dow  solved in closed form "
+    "from exact integer moment sums (one shuffle, map-side partials, no "
+    "collect, no iteration — trains unchanged over 100 TB), then the "
+    "masked MAPE computed from per-row integer micro-units so the gate "
+    "is order-independent. Cramer formulas are shared verbatim with the "
+    "oracle (operators/linreg.py) for bit-identical float results.",
+    tags=("ml", "agg", "train"),
+)
+def train_linear_model_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events(spark, sf_dir)
+    coef = fit_linear_hour_dow(ev, "event_type")
+    gate = mape_gate(ev, coef, "event_type")
+    return coef.join(gate, "event_type").select(
+        "event_type",
+        "n",
+        F.round(F.col("b0c") / 100.0, 6).alias("b_intercept"),
+        F.round(F.col("b1c") / 100.0, 6).alias("b_hour"),
+        F.round(F.col("b2c") / 100.0, 6).alias("b_dow"),
+        "mape_pct",
+        "n_scored",
+        "gate_pass",
     )

@@ -51,3 +51,51 @@ def test_frame_sample_plan_is_jvm_side(media):
     # node in this stage's plan)
     plan = planned._jdf.queryExecution().executedPlan().toString()
     assert "mapInPandas" not in plan.lower()
+
+
+def test_wav_codec_roundtrip_bytes():
+    """Real RIFF container: encode then decode recovers exact samples."""
+    import numpy as np
+
+    from bigdatasmallprice_spark.operators.multimodal import (
+        WAV_SAMPLE_RATE,
+        decode_wav_bytes,
+        encode_wav,
+        synth_samples,
+    )
+
+    s = synth_samples(7)
+    payload = encode_wav(s)
+    assert payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+    feat = decode_wav_bytes(payload)
+    assert feat["n_frames"] == len(s) == 64 + 7 % 64
+    assert feat["sample_rate"] == WAV_SAMPLE_RATE and feat["n_channels"] == 1
+    arr = np.asarray(s, dtype="int64")
+    assert feat["sum_samples"] == int(arr.sum())
+    assert feat["min_sample"] == int(arr.min())
+    assert feat["max_sample"] == int(arr.max())
+
+
+def test_bmp_codec_roundtrip_bytes():
+    from bigdatasmallprice_spark.operators.multimodal import (
+        decode_bmp_bytes,
+        encode_bmp,
+    )
+
+    px = [[(x * 3, y * 5, (x + y) % 256) for x in range(5)] for y in range(3)]
+    payload = encode_bmp(px)  # 5*3=15 bytes/row -> 1 pad byte, exercises stride
+    feat = decode_bmp_bytes(payload)
+    assert (feat["width"], feat["height"], feat["bpp"]) == (5, 3, 24)
+    assert feat["n_pixels"] == 15
+    expect = sum(sum(t) for row in px for t in row)
+    assert feat["pixel_sum"] == expect  # padding bytes excluded
+
+
+def test_bmp_roundtrip_distributed(spark):
+    from bigdatasmallprice_spark.queries.mmq import bmp_roundtrip_features
+
+    out = bmp_roundtrip_features(spark, "/root/testdata/sf0.001").collect()
+    assert len(out) > 0
+    for r in out:
+        assert (r.width, r.height, r.bpp, r.n_pixels) == (8, 8, 24, 64)
+        assert 0 <= r.pixel_sum <= 64 * 3 * 255
