@@ -1,0 +1,120 @@
+"""Model/metrics file registry + serving splice (S17 / O8 / D5 glue).
+
+Reference semantics:
+- src/modelling/train.py:101-118 saves the fitted model plus a metrics
+  JSON beside it, stamped with a sortable timestamp version;
+- src/modelling/predict.py:40-57 resolves "the model" as newest-by-name
+  via filename sort (O8) and loads it for scoring;
+- src/modelling/evaluate.py:98-145 persists metrics and applies the
+  MAPE<8% quality gate.
+
+Here an artifact is a JSON document holding the closed-form linear
+coefficients (operators/linreg.py) plus their training metrics, so
+train → save → find-latest → score round-trips entirely inside the
+engine: scoring joins the (tiny, broadcast) coefficient frame back onto
+any fact table — no collect of the scored data, scales to any row
+count. The artifact store is driver-side file glue by design (models
+are KBs; the DATA never leaves the cluster).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_VERSION_RE = re.compile(r"_v(\d{8}T\d{6})\.json$")
+
+
+def _version_stamp(when: dt.datetime | None = None) -> str:
+    when = when or dt.datetime.now(dt.timezone.utc)
+    return when.strftime("%Y%m%dT%H%M%S")
+
+
+def save_model(
+    model_dir: str,
+    name: str,
+    coefficients: DataFrame,
+    metrics: DataFrame | None = None,
+    version: str | None = None,
+) -> str:
+    """Persist a fitted model (per-key coefficient frame from
+    ``linear_coefficients``/``fit_linear_hour_dow``) + optional metrics
+    frame (``mape_gate`` output) as one versioned JSON artifact.
+
+    Collecting here is correct, not a scale smell: coefficients are one
+    row per key (KBs), the reference's joblib dump analog."""
+    os.makedirs(model_dir, exist_ok=True)
+    version = version or _version_stamp()
+    if not re.fullmatch(r"\d{8}T\d{6}", version):
+        raise ValueError(f"version {version!r} must be a YYYYMMDDTHHMMSS stamp")
+    doc = {
+        "name": name,
+        "version": version,
+        "coefficients": [r.asDict() for r in coefficients.collect()],
+        "metrics": [r.asDict() for r in metrics.collect()] if metrics is not None else None,
+    }
+    path = os.path.join(model_dir, f"{name}_v{version}.json")
+    tmp = os.path.join(model_dir, f".{name}_v{version}.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(doc, f, sort_keys=True)
+    os.replace(tmp, path)  # atomic publish: readers never see a partial artifact
+    return path
+
+
+def find_latest(model_dir: str, name: str) -> str | None:
+    """O8 — newest artifact for ``name`` by version-sortable filename
+    (predict.py:40-57's glob + max). Returns None when nothing matches."""
+    prefix = f"{name}_v"
+    try:
+        entries = os.listdir(model_dir)
+    except FileNotFoundError:
+        return None
+    candidates = sorted(
+        e for e in entries if e.startswith(prefix) and _VERSION_RE.search(e)
+    )
+    return os.path.join(model_dir, candidates[-1]) if candidates else None
+
+
+def load_model(path: str) -> dict:
+    with open(path) as f:
+        doc = json.load(f)
+    if "coefficients" not in doc or "name" not in doc:
+        raise ValueError(f"{path} is not a model artifact")
+    return doc
+
+
+def score_latest(
+    spark: SparkSession,
+    model_dir: str,
+    name: str,
+    df: DataFrame,
+    key: str,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Serving splice: resolve newest model by name, broadcast-join its
+    coefficients onto the fact frame, emit per-row predictions (the
+    latest_features → predict path the reference serves)."""
+    path = find_latest(model_dir, name)
+    if path is None:
+        raise FileNotFoundError(f"no artifact for model {name!r} in {model_dir}")
+    doc = load_model(path)
+    coef = spark.createDataFrame(
+        [(c[key], c["b0c"], c["b1c"], c["b2c"]) for c in doc["coefficients"]],
+        f"{key} string, b0c double, b1c double, b2c double",
+    )
+    pred_c = (
+        F.col("b0c")
+        + F.col("b1c") * F.hour(F.col(ts_col))
+        + F.col("b2c") * F.dayofweek(F.col(ts_col))
+    )
+    return (
+        df.join(F.broadcast(coef), key)
+        .withColumn("prediction", F.round(pred_c / 100.0, 6))
+        .drop("b0c", "b1c", "b2c")
+        .withColumn("model_version", F.lit(doc["version"]))
+    )

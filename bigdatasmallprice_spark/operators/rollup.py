@@ -78,3 +78,78 @@ def incremental_rollup(
         )
     )
     return kept.unionByName(fresh)
+
+
+# ---------------------------------------------------------------------------
+# refresh policy: the (start_offset, end_offset, schedule) object of
+# reference infra/db/init.sql:94-100,148-154,170-176
+# ---------------------------------------------------------------------------
+
+import datetime as _dt
+import re as _re
+from dataclasses import dataclass as _dataclass
+
+_INTERVAL_RE = _re.compile(r"^\s*(\d+)\s*(minute|hour|day)s?\s*$", _re.IGNORECASE)
+
+
+def _parse_interval(s: str) -> _dt.timedelta:
+    m = _INTERVAL_RE.match(s)
+    if not m:
+        raise ValueError(f"unsupported interval {s!r} (use 'N minutes|hours|days')")
+    n, unit = int(m.group(1)), m.group(2).lower()
+    return _dt.timedelta(**{unit + "s": n})
+
+
+@_dataclass(frozen=True)
+class RefreshPolicy:
+    """Continuous-aggregate refresh policy, semantics of TimescaleDB's
+    ``add_continuous_aggregate_policy`` as the reference configures it
+    (init.sql:94-100: start_offset '2 days'/'3 days', end_offset
+    '1 hour', schedule_interval '15 minutes'/'30 minutes'):
+
+    - every ``schedule`` interval a refresh recomputes ONLY buckets in
+      [now - start_offset, now - end_offset);
+    - a late-arriving row whose bucket is still inside that window is
+      folded in on the next run; a row older than start_offset lands in
+      a frozen bucket and is never re-aggregated (by design — bounded
+      recompute is what makes the policy viable on a 100 TB hypertable:
+      the refresh scan prunes to ~start_offset worth of partitions
+      regardless of table size).
+    """
+
+    start_offset: str = "2 days"
+    end_offset: str = "1 hour"
+    schedule: str = "15 minutes"
+
+    def window(self, now: _dt.datetime) -> tuple[_dt.datetime, _dt.datetime]:
+        return now - _parse_interval(self.start_offset), now - _parse_interval(
+            self.end_offset
+        )
+
+    def is_due(self, last_run: _dt.datetime | None, now: _dt.datetime) -> bool:
+        return last_run is None or now - last_run >= _parse_interval(self.schedule)
+
+
+def apply_refresh_policy(
+    bronze: DataFrame,
+    existing_rollup: DataFrame | None,
+    time_col: str,
+    value_col: str,
+    keys: Sequence[str],
+    policy: RefreshPolicy,
+    now: _dt.datetime,
+    last_run: _dt.datetime | None = None,
+) -> DataFrame | None:
+    """One policy tick: returns the refreshed rollup, or None when the
+    schedule says the tick is not due yet (caller keeps the old frame)."""
+    if not policy.is_due(last_run, now):
+        return None
+    start, end = policy.window(now)
+    # align to complete hour buckets (TimescaleDB expands the window to
+    # bucket boundaries) — otherwise the boundary bucket would be
+    # recomputed from a partial slice of its bronze rows
+    start = start.replace(minute=0, second=0, microsecond=0)
+    end = end.replace(minute=0, second=0, microsecond=0)
+    return incremental_rollup(
+        bronze, existing_rollup, time_col, value_col, keys, start, end
+    )
