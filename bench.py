@@ -59,6 +59,8 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 4)
         spark.catalog.clearCache()  # each query's persists stay in ITS timing
 
+    bench_skew(spark, sf_dir, timings)
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -72,6 +74,67 @@ def main() -> None:
         )
     )
     spark.stop()
+
+
+def bench_skew(spark, sf_dir: str, timings: dict[str, float]) -> None:
+    """Hot-key evidence for the salted-join operator (operators/skew.py):
+    one user_id is remapped to carry ~30% of all events, the dim side is
+    amplified 128x, broadcast and AQE's skew-join split are disabled so
+    the sort-merge join actually exhibits the hot reducer — the scenario
+    salting exists for (build side too big to broadcast, AQE defeated).
+    Records salted-vs-unsalted wall times; asserts identical results via
+    exact integer measures.
+    """
+    from pyspark.sql import functions as F
+
+    from bigdatasmallprice_spark.catalog import load_table
+    from bigdatasmallprice_spark.operators.skew import salted_join_left_hot
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    # 80% of all rows collapse onto user 0 — one reducer's join output is
+    # ~40M rows while the other 31 share the rest
+    skewed = ev.withColumn(
+        "user_id",
+        F.when(F.pmod(F.hash("event_id"), 10) < 8, F.lit(0)).otherwise(
+            F.col("user_id")
+        ),
+    )
+    dim = (
+        skewed.select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            F.explode(F.sequence(F.lit(0), F.lit(511))).alias("attr"),
+        )
+        .withColumn("w", F.pmod(F.hash("user_id", "attr"), F.lit(100)).cast("long"))
+    )
+
+    def measure(joined):
+        return joined.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("w") * F.round(F.col("value") * 100).cast("long")).alias("s"),
+        ).collect()[0]
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.enabled": "false",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        r_plain = r_salt = None
+        for _ in range(2):  # first run warms codegen; second is recorded
+            t0 = time.perf_counter()
+            r_plain = measure(skewed.join(dim, "user_id"))
+            timings["skew_join_unsalted"] = round(time.perf_counter() - t0, 4)
+            t0 = time.perf_counter()
+            r_salt = measure(salted_join_left_hot(skewed, dim, ["user_id"], n_salts=8))
+            timings["skew_join_salted"] = round(time.perf_counter() - t0, 4)
+        assert (r_plain.n, r_plain.s) == (r_salt.n, r_salt.s), "salted join diverged"
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
 
 
 if __name__ == "__main__":

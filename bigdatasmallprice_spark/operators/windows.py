@@ -194,3 +194,103 @@ def partitioned_lag_stitch(
         ).drop(f"__fill_{n}")
 
     return out.drop("__bucket", "__pos")
+
+
+def partitioned_rolling_stitch(
+    df: DataFrame,
+    value_col: str,
+    k: int,
+    time_col: str,
+    bucket_expr: Column,
+    out_sum: str,
+    out_cnt: str,
+    validate: bool = True,
+) -> DataFrame:
+    """Scale-path trailing-window aggregate: SUM/COUNT of ``value_col``
+    over the last ``k`` rows (current included), computed inside coarse
+    time buckets in parallel, with each bucket's first ``k-1`` rows
+    repaired from the previous bucket's tail — the rolling-mean analog
+    of ``partitioned_lag_stitch``. NULL values are skipped by both the
+    in-bucket partial and the repair (matching SUM/COUNT window
+    semantics). Equivalence requires every non-final bucket to hold at
+    least ``k-1`` rows (checked eagerly when ``validate``).
+    """
+    b = df.withColumn("__bucket", bucket_expr)
+
+    if validate and k > 1:
+        sizes = b.groupBy("__bucket").agg(F.count(F.lit(1)).alias("__n"))
+        w_chk = Window.orderBy(F.col("__bucket").desc())
+        short = (
+            sizes.withColumn("__rk", F.row_number().over(w_chk))
+            .filter((F.col("__rk") > 1) & (F.col("__n") < k - 1))
+            .select("__bucket")
+            .collect()
+        )
+        if short:
+            bad = sorted(str(r["__bucket"]) for r in short)
+            raise ValueError(
+                f"partitioned_rolling_stitch: buckets {bad} hold fewer than "
+                f"k-1={k - 1} rows; head repair only reaches one bucket back"
+            )
+
+    w_in = Window.partitionBy("__bucket").orderBy(time_col).rowsBetween(-(k - 1), 0)
+    w_asc = Window.partitionBy("__bucket").orderBy(time_col)
+    part = (
+        b.withColumn("__psum", F.sum(value_col).over(w_in))
+        .withColumn("__pcnt", F.count(value_col).over(w_in))
+        .withColumn("__pos", F.row_number().over(w_asc))
+    )
+
+    # previous-bucket tail, ranked from the end (rev=1 is the last row);
+    # head row at pos p misses exactly the tail rows with rev <= k - p
+    w_desc = Window.partitionBy("__bucket").orderBy(F.col(time_col).desc())
+    tail = (
+        b.withColumn("__rev", F.row_number().over(w_desc))
+        .filter(F.col("__rev") <= k - 1)
+        .select(
+            F.col("__bucket").alias("__prev_bucket"),
+            "__rev",
+            F.col(value_col).alias("__tail_val"),
+        )
+    )
+    buckets = b.select("__bucket").distinct()
+    succ = buckets.withColumn(
+        "__next_bucket", F.lead("__bucket").over(Window.orderBy("__bucket"))
+    )
+    tail = (
+        tail.join(
+            F.broadcast(succ),
+            tail["__prev_bucket"] == succ["__bucket"],
+            "inner",
+        )
+        .filter(F.col("__next_bucket").isNotNull())
+        .select("__next_bucket", "__rev", "__tail_val")
+    )
+
+    head = part.filter(F.col("__pos") < k).select(
+        F.col(time_col).alias("__ht"), F.col("__bucket").alias("__hb"), "__pos"
+    )
+    repair = (
+        head.join(
+            F.broadcast(tail),
+            (head["__hb"] == tail["__next_bucket"])
+            & (tail["__rev"] <= F.lit(k) - head["__pos"]),
+            "inner",
+        )
+        .groupBy("__ht")
+        .agg(
+            F.sum("__tail_val").alias("__rsum"),
+            F.count("__tail_val").alias("__rcnt"),
+        )
+    )
+    out = part.join(repair, part[time_col] == repair["__ht"], "left").drop("__ht")
+    total_cnt = F.col("__pcnt") + F.coalesce(F.col("__rcnt"), F.lit(0))
+    total_sum = F.when(
+        total_cnt > 0,
+        F.coalesce(F.col("__psum"), F.lit(0)) + F.coalesce(F.col("__rsum"), F.lit(0)),
+    )
+    return (
+        out.withColumn(out_sum, total_sum)
+        .withColumn(out_cnt, total_cnt)
+        .drop("__bucket", "__pos", "__psum", "__pcnt", "__rsum", "__rcnt")
+    )

@@ -225,6 +225,144 @@ def training_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def training_features_stitched(
+    spark: SparkSession, sf_dir: str, bucket_hours: int = 240
+) -> DataFrame:
+    """The 100×-scale path for the flagship: identical output to
+    ``training_features`` with ZERO global windows — every lag and
+    rolling mean runs inside ``bucket_hours``-wide time buckets in
+    parallel, heads repaired from the previous bucket's tail
+    (operators/windows.py::partitioned_lag_stitch /
+    partitioned_rolling_stitch). Hash-identity with the global-window
+    version is asserted at sf0.1 in tests/test_operators.py; at 1000
+    executors this plan runs ~n_buckets window tasks instead of one.
+
+    ``bucket_hours`` must be >= the largest window (168) plus expected
+    per-bucket gaps; the stitch operators validate that eagerly.
+    """
+    from bigdatasmallprice_spark.operators.windows import (
+        partitioned_lag_stitch,
+        partitioned_rolling_stitch,
+    )
+
+    ev = events(spark, sf_dir)
+    c = cents(F.col("value"))
+    et = F.col("event_type")
+    bucket = F.floor(F.unix_timestamp(F.col("h")) / F.lit(bucket_hours * 3600))
+
+    hourly = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("h")).agg(
+        F.sum(F.when(et == "purchase", c)).alias("pc"),
+        F.count(F.when(et == "purchase", F.lit(1))).alias("cnt"),
+        F.count(F.when(et == "click", F.lit(1))).alias("clicks_n"),
+        F.sum(F.when(et == "error", c)).alias("gc"),
+        F.count(F.when(et == "error", F.lit(1))).alias("err_n"),
+        F.count(F.when(et == "signup", F.lit(1))).alias("signup_n"),
+        F.coalesce(F.sum(F.when(et == "purchase", c)), F.lit(0)).alias("buy_all"),
+        F.coalesce(F.sum(F.when(et == "error", c)), F.lit(0)).alias("err_all"),
+    )
+    hourly = hourly.persist()
+
+    price = F.col("pc").cast("double") / (F.lit(100.0) * F.col("cnt"))
+    p = hourly.filter(F.col("cnt") > 0).withColumn("price", price)
+    # validate bucket sizes ONCE per frame, on the strictest requirement
+    # (max lag 168 >= every rolling k-1 here); re-validating on every
+    # stitch call would re-run the growing plan each time
+    p = partitioned_lag_stitch(p, "price", [1, 24, 168], "h", bucket)
+    p = partitioned_rolling_stitch(
+        p, "pc", 24, "h", bucket, "__ps24", "__pn24", validate=False
+    )
+    p = partitioned_rolling_stitch(
+        p, "cnt", 24, "h", bucket, "__cs24", "__cn24", validate=False
+    )
+    p = partitioned_rolling_stitch(
+        p, "pc", 168, "h", bucket, "__ps168", "__pn168", validate=False
+    )
+    p = partitioned_rolling_stitch(
+        p, "cnt", 168, "h", bucket, "__cs168", "__cn168", validate=False
+    )
+    pw = p.select(
+        "h",
+        "price",
+        "price_lag_1",
+        "price_lag_24",
+        "price_lag_168",
+        (F.col("__ps24").cast("double") / (F.lit(100.0) * F.col("__cs24"))).alias(
+            "price_roll_24h"
+        ),
+        (F.col("__ps168").cast("double") / (F.lit(100.0) * F.col("__cs168"))).alias(
+            "price_roll_168h"
+        ),
+    ).withColumnsRenamed(
+        {
+            "price_lag_1": "price_lag_1h",
+            "price_lag_24": "price_lag_24h",
+            "price_lag_168": "price_lag_168h",
+        }
+    )
+
+    cw = (
+        hourly.filter(F.col("clicks_n") > 0)
+        .select("h", F.col("clicks_n").alias("clicks"))
+    )
+    cw = partitioned_lag_stitch(cw, "clicks", [24], "h", bucket).withColumnRenamed(
+        "clicks_lag_24", "clicks_lag_24h"
+    )
+
+    errgen = F.col("gc").cast("double") / 100.0
+    gw = (
+        hourly.filter(F.col("err_n") > 0)
+        .select("h", errgen.alias("errgen"))
+    )
+    gw = partitioned_lag_stitch(gw, "errgen", [24, 168], "h", bucket).withColumnsRenamed(
+        {"errgen_lag_24": "errgen_lag_24h", "errgen_lag_168": "errgen_lag_168h"}
+    )
+
+    net = (F.col("buy_all") - F.col("err_all")).cast("double") / 100.0
+    npw = hourly.select("h", net.alias("net_pos"))
+    npw = partitioned_lag_stitch(npw, "net_pos", [24, 168], "h", bucket).withColumnsRenamed(
+        {"net_pos_lag_24": "net_pos_lag_24h", "net_pos_lag_168": "net_pos_lag_168h"}
+    )
+
+    s = hourly.filter(F.col("signup_n") > 0).select(
+        "h", F.col("signup_n").alias("signups_forecast")
+    )
+
+    joined = (
+        pw.join(cw, "h", "left")
+        .join(gw, "h", "left")
+        .join(npw, "h", "left")
+        .join(s, "h", "left")
+    )
+    joined = partitioned_rolling_stitch(
+        joined, "clicks", 24, "h", bucket, "__crs", "__crn", validate=False
+    )
+    clicks_roll = F.when(
+        F.col("__crn") > 0, F.col("__crs").cast("double") / F.col("__crn")
+    )
+
+    cal = calendar_columns(F.col("h"))
+    return joined.select(
+        fmt_ts(F.col("h")).alias("t"),
+        "price",
+        "price_lag_1h",
+        "price_lag_24h",
+        "price_lag_168h",
+        "price_roll_24h",
+        "price_roll_168h",
+        *[c.alias(n) for n, c in cal.items()],
+        "clicks",
+        "clicks_lag_24h",
+        clicks_roll.alias("clicks_roll_24h"),
+        "errgen",
+        "errgen_lag_24h",
+        "errgen_lag_168h",
+        "net_pos",
+        "net_pos_lag_24h",
+        "net_pos_lag_168h",
+        "signups_forecast",
+    )
+
+
 # ---------------------------------------------------------------------------
 # A1/A6/T4: hourly continuous-aggregate rollup
 # ---------------------------------------------------------------------------

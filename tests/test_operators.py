@@ -585,3 +585,21 @@ def test_expectations_single_pass_counts(spark):
     row_only = [r for r in rules if r.violation is not None]
     plan = check(df, row_only)._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("LogicalRDD") == 1, plan
+
+
+def test_training_features_stitched_identical_sf01(spark):
+    """VERDICT r1 item 8: the zero-global-window scale path produces the
+    exact rows of the flagship (same values bit-for-bit, since every
+    rolling mean divides identical exact integer sums)."""
+    from bigdatasmallprice_spark.queries.timeseries import (
+        training_features,
+        training_features_stitched,
+    )
+
+    sf = "/root/testdata/sf0.1"
+    a = training_features(spark, sf)
+    b = training_features_stitched(spark, sf)
+    assert a.columns == b.columns
+    ra = sorted(map(tuple, a.collect()))
+    rb = sorted(map(tuple, b.collect()))
+    assert ra == rb

@@ -66,3 +66,28 @@ def test_partial_aggregation_before_shuffle(spark):
     simple = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "simple")
     before_exchange = simple.split("Exchange")[-1]  # deepest segment, below the shuffle
     assert "HashAggregate" in before_exchange, simple
+
+
+def test_salted_join_salt_survives_optimization(spark):
+    """VERDICT r1 item 7: the salt column must reach the physical join
+    keys — if Catalyst folded or pruned it, the hot key would collapse
+    back onto one reducer."""
+    from pyspark.sql import functions as F
+
+    from bigdatasmallprice_spark.operators.skew import salted_join_left_hot
+
+    left = spark.range(1000).select(
+        (F.col("id") % 3).alias("k"), F.col("id").alias("v")
+    )
+    right = spark.range(3).select(F.col("id").alias("k"), F.lit(1).alias("w"))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        out = salted_join_left_hot(left, right, ["k"], n_salts=8)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "__salt" in plan, "salt column eliminated by the optimizer"
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        # and the semantics are intact
+        assert out.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
