@@ -92,12 +92,11 @@ def with_minhash(df: DataFrame, shingle_col: str = "shingles") -> DataFrame:
     return df.drop("__mhs")
 
 
-def lsh_candidate_pairs(
-    sigs: DataFrame, id_col: str = "doc_id"
-) -> DataFrame:
-    """Candidate pairs: docs sharing >= 1 of the LSH bands (2 rows per
-    band). Output (id_a, id_b), id_a < id_b, distinct. One explode + one
-    self-equi-join on (band, key) — never all-pairs."""
+def lsh_bands(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Explode an 8-slot MinHash signature into its (id, band, key) LSH
+    band table — 2 signature rows per band, 4 bands. This is the frame a
+    production corpus PERSISTS: incremental dedup of a new batch joins
+    the batch's bands against it without touching corpus text again."""
     bands = F.array(
         *[
             F.struct(
@@ -107,10 +106,38 @@ def lsh_candidate_pairs(
             for b in range(LSH_BANDS)
         ]
     )
-    exploded = (
+    return (
         sigs.select(F.col(id_col), F.explode(bands).alias("bk"))
         .select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     )
+
+
+def lsh_candidates_between(
+    bands_new: DataFrame,
+    bands_corpus: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental LSH candidates: (new_id, corpus_id) pairs sharing at
+    least one band key — the daily-ingest dedup join. One equi-join on
+    (band, key): cost scales with |batch| + collisions, NEVER with
+    |corpus|×|batch|, and the corpus side is a pre-banded table (no
+    re-shingling of 100 TB per ingest)."""
+    a = bands_new.select(
+        F.col(id_col).alias("new_id"), "band", "key"
+    )
+    b = bands_corpus.select(
+        F.col(id_col).alias("corpus_id"), "band", "key"
+    )
+    return a.join(b, ["band", "key"]).select("new_id", "corpus_id").distinct()
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Candidate pairs: docs sharing >= 1 of the LSH bands (2 rows per
+    band). Output (id_a, id_b), id_a < id_b, distinct. One explode + one
+    self-equi-join on (band, key) — never all-pairs."""
+    exploded = lsh_bands(sigs, id_col)
     a = exploded.alias("a")
     b = exploded.alias("b")
     return (

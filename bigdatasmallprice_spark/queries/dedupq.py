@@ -452,3 +452,114 @@ def corpus_curation_summary_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum(F.when(keep, 1)), F.lit(0)).cast("long").alias("n_kept"),
         F.coalesce(F.sum(F.when(keep, F.col("n_tok"))), F.lit(0)).cast("long").alias("tokens_kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup: new batch vs existing corpus (the daily-ingest path)
+# ---------------------------------------------------------------------------
+
+# argmax packing bound: jaccard-micro (<= 1e6) * 1e10 + inverted doc_id
+# (doc_id < 1e10 documented) -> max() picks highest jaccard, then lowest
+# corpus id, engine-independently
+_INC_PACK = 10_000_000_000
+_INC_INV = _INC_PACK - 1
+
+_O_JAC6 = """round(CASE WHEN len(list_distinct(sa.sh)) + len(list_distinct(sb.sh))
+                 - len(list_intersect(list_distinct(sa.sh), list_distinct(sb.sh))) > 0
+            THEN CAST(len(list_intersect(list_distinct(sa.sh), list_distinct(sb.sh))) AS DOUBLE)
+                 / (len(list_distinct(sa.sh)) + len(list_distinct(sb.sh))
+                    - len(list_intersect(list_distinct(sa.sh), list_distinct(sb.sh))))
+            ELSE 0.0 END, 6)"""
+
+
+@register(
+    "dedup_incremental",
+    f"""
+WITH {_O_SHINGLE_CTES},
+sig AS (SELECT doc_id, {_O_MH_COLS} FROM s),
+bands AS ({_O_BANDS}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS corpus_id
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+  WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 != 0
+),
+ver AS (
+  SELECT c.new_id, c.corpus_id,
+         CAST(round({_O_JAC6} * 1000000) AS BIGINT) AS jm
+  FROM cand c
+  JOIN s sa ON c.new_id = sa.doc_id
+  JOIN s sb ON c.corpus_id = sb.doc_id
+),
+best AS (
+  SELECT new_id, COUNT(*) AS n_candidates,
+         MAX(jm * {_INC_PACK} + ({_INC_INV} - corpus_id)) AS packed
+  FROM ver GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(COALESCE(b.n_candidates, 0) AS BIGINT) AS n_candidates,
+       CAST({_INC_INV} - (b.packed % {_INC_PACK}) AS BIGINT) AS best_match_id,
+       CAST(b.packed // {_INC_PACK} AS DOUBLE) / 1000000.0 AS best_jaccard,
+       COALESCE(CAST(b.packed // {_INC_PACK} AS DOUBLE) / 1000000.0 >= 0.5, FALSE) AS is_dup
+FROM documents d LEFT JOIN best b ON d.doc_id = b.new_id
+WHERE d.doc_id % 5 = 0
+""",
+    doc="Incremental corpus dedup — the daily-ingest pattern at 100 TB: "
+    "the corpus keeps a persisted LSH band table (operators/dedup.py::"
+    "lsh_bands); each new batch shingles ONLY its own docs, band-joins "
+    "against the corpus bands (lsh_candidates_between — cost scales "
+    "with the batch, never corpus x batch), exact-verifies candidates "
+    "by shingle Jaccard, and reports per new doc: candidate count, "
+    "best corpus match (deterministic argmax via composite-integer "
+    "packing), and the >=0.5 near-dup verdict. Batch = doc_id%5==0, "
+    "corpus = the rest.",
+    tags=("dedup", "join", "incremental"),
+)
+def dedup_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdatasmallprice_spark.operators.dedup import (
+        lsh_bands,
+        lsh_candidates_between,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    batch = docs.filter(F.pmod(F.col("doc_id"), F.lit(5)) == 0)
+    corpus = docs.filter(F.pmod(F.col("doc_id"), F.lit(5)) != 0)
+
+    # batch shingles feed the signature branch AND the verify join
+    s_b = with_shingles(batch).select("doc_id", "shingles").persist()
+    s_c = with_shingles(corpus).select("doc_id", "shingles").persist()
+    cand = lsh_candidates_between(
+        lsh_bands(with_minhash(s_b)), lsh_bands(with_minhash(s_c))
+    )
+
+    sa = s_b.select(F.col("doc_id").alias("new_id"), F.col("shingles").alias("sh_a"))
+    sb = s_c.select(
+        F.col("doc_id").alias("corpus_id"), F.col("shingles").alias("sh_b")
+    )
+    jm = F.round(F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6) * 1_000_000).cast(
+        "long"
+    )
+    ver = cand.join(sa, "new_id").join(sb, "corpus_id").select(
+        "new_id", "corpus_id", jm.alias("jm")
+    )
+    best = ver.groupBy("new_id").agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.max(
+            F.col("jm") * F.lit(_INC_PACK) + (F.lit(_INC_INV) - F.col("corpus_id"))
+        ).alias("packed"),
+    )
+    best_jac = F.expr(f"packed div {_INC_PACK}").cast("double") / 1_000_000.0
+    return (
+        batch.select("doc_id")
+        .join(best, batch["doc_id"] == best["new_id"], "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_candidates"), F.lit(0)).cast("long").alias(
+                "n_candidates"
+            ),
+            (F.lit(_INC_INV) - F.col("packed") % F.lit(_INC_PACK))
+            .cast("long")
+            .alias("best_match_id"),
+            best_jac.alias("best_jaccard"),
+            F.coalesce(best_jac >= 0.5, F.lit(False)).alias("is_dup"),
+        )
+    )

@@ -291,3 +291,71 @@ def tfidf_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("tf") * idf, 6).alias("tfidf_mass"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# sequence packing: documents -> fixed-token-budget training bins
+# ---------------------------------------------------------------------------
+
+_PACK_BUDGET = 4096  # tokens per packed training sequence
+
+
+@register(
+    "pack_sequences",
+    f"""
+WITH t AS (
+  SELECT doc_id, {o_n_tokens('text')} AS nt FROM documents
+),
+n AS (
+  SELECT CAST(CEIL(CAST(SUM(nt) AS DOUBLE) / {_PACK_BUDGET}) AS BIGINT) AS n_bins FROM t
+),
+r AS (
+  SELECT doc_id, nt,
+         ROW_NUMBER() OVER (ORDER BY nt DESC, doc_id) AS rn
+  FROM t
+),
+b AS (
+  SELECT (r.rn - 1) % n.n_bins AS bin, r.nt FROM r, n
+)
+SELECT bin,
+       COUNT(*) AS n_docs,
+       CAST(SUM(nt) AS BIGINT) AS token_sum,
+       CAST(MIN(nt) AS BIGINT) AS min_tokens,
+       CAST(MAX(nt) AS BIGINT) AS max_tokens,
+       round(CAST(SUM(nt) AS DOUBLE) / {_PACK_BUDGET}, 6) AS utilization
+FROM b GROUP BY 1
+""",
+    doc="Sequence packing for LLM training: documents striped into "
+    "ceil(total_tokens/budget) bins by size-rank round-robin (the "
+    "parallel, deterministic approximation of longest-processing-time "
+    "bin packing — sequential first-fit does not distribute). Per-bin "
+    "doc count, exact token mass, and utilization against the 4096-"
+    "token budget. The global size-rank window is over doc COUNT rows "
+    "(not tokens); at 100 TB rank via approx-quantile cut points "
+    "(operators/topk.py::approx_quantile_buckets) instead.",
+    tags=("text", "pack", "window"),
+)
+def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", n_tokens(F.col("text")).alias("nt"))
+    n_bins = t.agg(
+        F.ceil(F.sum("nt").cast("double") / F.lit(_PACK_BUDGET)).cast("long").alias(
+            "n_bins"
+        )
+    )
+    w = Window.orderBy(F.col("nt").desc(), F.col("doc_id"))
+    r = t.withColumn("rn", F.row_number().over(w))
+    b = r.crossJoin(F.broadcast(n_bins)).select(
+        ((F.col("rn") - 1) % F.col("n_bins")).alias("bin"), "nt"
+    )
+    return b.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("nt").cast("long").alias("token_sum"),
+        F.min("nt").cast("long").alias("min_tokens"),
+        F.max("nt").cast("long").alias("max_tokens"),
+        F.round(F.sum("nt").cast("double") / F.lit(_PACK_BUDGET), 6).alias(
+            "utilization"
+        ),
+    )

@@ -124,14 +124,17 @@ DRIVER_ORDER: list[str] = [
     "model_score",
     "grain_align_join",
     "pricing_summary",
-    # -- LLM-data-pipeline dedup + sampling stack (green in r01)
+    # -- LLM-data-pipeline dedup + sampling stack
     "dedup_exact",
     "minhash_lsh_pairs",
     "simhash_pairs",
-    "ngram_jaccard_pairs",
+    "dedup_incremental",  # new in r2: daily-ingest batch-vs-corpus dedup
     "neardup_clusters",
     "corpus_curation_summary",
     "stratified_sample_summary",
+    # ngram_jaccard_pairs rotated out (green in r01; its shingle-Jaccard
+    # verify machinery also runs inside minhash_lsh_pairs and
+    # dedup_incremental) — still benched + locally parity-gated
 ]
 
 

@@ -269,3 +269,55 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     }
     assert got == expect
     assert len(expect) > 20  # the interval actually matched many pairs
+
+
+def test_streaming_exact_dedup_matches_batch(spark, tmp_path):
+    """Watermarked dropDuplicates on content hash: re-delivered and
+    cross-file duplicate texts collapse to the first arrival; distinct
+    texts all survive — same survivors as the batch groupBy pass."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from bigdatasmallprice_spark.streaming.dedup_stream import dedup_stream
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    rows1 = [
+        (1, "2024-01-01 00:00:00", "alpha beta gamma"),
+        (2, "2024-01-01 00:05:00", "delta epsilon"),
+        (3, "2024-01-01 00:10:00", "alpha beta gamma"),  # dup of 1, same file
+    ]
+    rows2 = [
+        (4, "2024-01-01 00:20:00", "delta epsilon"),  # dup of 2, later file
+        (5, "2024-01-01 00:25:00", "zeta eta theta"),
+    ]
+    schema = "doc_id long, ts_s string, text string"
+    for i, rows in enumerate([rows1, rows2]):
+        spark.createDataFrame(rows, schema).select(
+            "doc_id", F.to_timestamp("ts_s").alias("ts"), "text"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema("doc_id long, ts timestamp, text string").parquet(
+        src
+    )
+    q = (
+        dedup_stream(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out)
+    texts = [r.text for r in got.collect()]
+    assert sorted(set(texts)) == ["alpha beta gamma", "delta epsilon", "zeta eta theta"]
+    assert len(texts) == 3, "duplicates must collapse to one survivor each"
+    # batch pass agrees on the survivor count
+    batch = spark.read.parquet(src)
+    assert batch.select(F.md5("text")).distinct().count() == 3
