@@ -335,3 +335,50 @@ def label_centroids_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "centroid"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# int8-quantized ANN (memory-footprint scale path)
+# ---------------------------------------------------------------------------
+
+_O_QNORM = _O_NORM.format(a="embedding")
+_O_QCODES = (
+    f"CASE WHEN {_O_QNORM} > 0 THEN "
+    f"list_transform(embedding, x -> CAST(round(127 * CAST(x AS DOUBLE) / {_O_QNORM}) AS BIGINT)) "
+    f"ELSE list_transform(embedding, x -> CAST(0 AS BIGINT)) END"
+)
+_O_IDOT = "CAST(list_sum(list_transform(range(1, 65), i -> qa[i] * ca[i])) AS BIGINT)"
+
+
+@register(
+    "ann_quantized_topk",
+    f"""
+WITH q AS (SELECT vec_id AS query_id, {_O_QCODES} AS qa
+           FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS cand_id, {_O_QCODES} AS ca FROM embeddings),
+scored AS (
+  SELECT query_id, cand_id,
+         round(CAST({_O_IDOT} AS DOUBLE) / 16129.0, 6) AS sim_q
+  FROM q, c WHERE query_id != cand_id
+),
+ranked AS (
+  SELECT query_id, cand_id, sim_q,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim_q DESC, cand_id) AS rank
+  FROM scored
+)
+SELECT query_id, cand_id, sim_q, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 5
+""",
+    doc="int8-quantized cosine top-k: vectors L2-normalized then "
+    "quantized to 127-level integer codes (4x smaller scan payload — "
+    "at 100 TB the difference between RAM-resident and spilling ANN), "
+    "pair similarity an EXACT integer dot / 127^2. Recall vs the exact "
+    "float path is bounds-tested in tests/test_operators.py.",
+    tags=("similarity", "topk", "quantize"),
+)
+def ann_quantized_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdatasmallprice_spark.operators.similarity import quantized_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 10)
+    return quantized_topk(probes, emb, k=5)

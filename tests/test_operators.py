@@ -603,3 +603,28 @@ def test_training_features_stitched_identical_sf01(spark):
     ra = sorted(map(tuple, a.collect()))
     rb = sorted(map(tuple, b.collect()))
     assert ra == rb
+
+
+def test_quantized_ann_recall_vs_exact(spark):
+    """int8 quantization of normalized vectors keeps top-5 recall high
+    (error per cosine <= ~2/127); exact integer dots, no float order."""
+    from bigdatasmallprice_spark.operators.similarity import (
+        brute_force_topk,
+        quantized_topk,
+    )
+    from bigdatasmallprice_spark.queries.core import table
+
+    emb = table(spark, "/root/testdata/sf0.001", "embeddings")
+    probes = emb.filter(emb.vec_id < 10)
+    exact = brute_force_topk(probes, emb, k=5).collect()
+    quant = quantized_topk(probes, emb, k=5).collect()
+    by_q_exact, by_q_quant = {}, {}
+    for r in exact:
+        by_q_exact.setdefault(r.query_id, set()).add(r.cand_id)
+    for r in quant:
+        by_q_quant.setdefault(r.query_id, set()).add(r.cand_id)
+    assert set(by_q_exact) == set(by_q_quant)
+    recalls = [
+        len(by_q_exact[q] & by_q_quant[q]) / len(by_q_exact[q]) for q in by_q_exact
+    ]
+    assert sum(recalls) / len(recalls) >= 0.8, f"mean recall@5 too low: {recalls}"
