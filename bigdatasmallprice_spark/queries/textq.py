@@ -359,3 +359,163 @@ def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "utilization"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination: n-gram overlap against a held-out eval set
+# ---------------------------------------------------------------------------
+
+_NGRAM_N = 8
+_EVAL_MOD = 97  # doc_id % 97 == 0 is the deterministic "benchmark" slice
+
+
+def _ngram_expr(toks: str, n: int) -> str:
+    """Spark-side distinct token n-grams (empty array for short docs)."""
+    return (
+        f"CASE WHEN size({toks}) >= {n} THEN "
+        f"array_distinct(transform(sequence(1, size({toks}) - {n - 1}), "
+        f"i -> concat_ws(' ', slice({toks}, i, {n})))) ELSE array() END"
+    )
+
+
+def _o_ngram_expr(toks: str, n: int) -> str:
+    """DuckDB-side distinct token n-grams — same values as ``_ngram_expr``."""
+    return (
+        f"list_distinct(list_transform(range(0, greatest(len({toks}) - {n - 1}, 0)), "
+        f"i -> array_to_string({toks}[i+1:i+{n}], ' ')))"
+    )
+
+
+@register(
+    "benchmark_decontamination",
+    f"""
+WITH toks AS (
+  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+),
+grams AS (
+  SELECT doc_id, source, unnest({_o_ngram_expr('t', _NGRAM_N)}) AS ng FROM toks
+),
+eval_grams AS (
+  SELECT DISTINCT ng FROM grams WHERE doc_id % {_EVAL_MOD} = 0
+),
+hits AS (
+  SELECT g.doc_id, COUNT(*) AS n_hits
+  FROM grams g JOIN eval_grams e USING (ng)
+  WHERE g.doc_id % {_EVAL_MOD} != 0
+  GROUP BY 1
+),
+train AS (
+  SELECT doc_id, source FROM toks WHERE doc_id % {_EVAL_MOD} != 0
+)
+SELECT t.source,
+       COUNT(*) AS n_train,
+       CAST(COALESCE(SUM(CASE WHEN h.n_hits > 0 THEN 1 END), 0) AS BIGINT) AS n_contaminated,
+       CAST(COALESCE(SUM(h.n_hits), 0) AS BIGINT) AS n_overlap_ngrams
+FROM train t LEFT JOIN hits h USING (doc_id)
+GROUP BY 1
+""",
+    doc="Benchmark decontamination: flag training docs sharing any "
+    f"{_NGRAM_N}-token n-gram with the held-out eval slice (doc_id % "
+    f"{_EVAL_MOD} == 0) — the GPT-3/Pile decontamination pass. Spark "
+    "plan: distinct per-doc n-grams exploded once, eval n-gram set "
+    "broadcast (eval corpora are MBs, training corpora are TBs), "
+    "inner-join counts joined back to the train spine. At 100 TB the "
+    "join key becomes xxhash64(ngram) (8 B vs ~50 B strings); raw "
+    "strings keep the oracle engine-portable here.",
+    tags=("text", "dedup", "join"),
+)
+def benchmark_decontamination_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").withColumn(
+        "t", F.split(F.col("text"), " ")
+    )
+    grams = docs.select(
+        "doc_id", "source", F.explode(F.expr(_ngram_expr("t", _NGRAM_N))).alias("ng")
+    )
+    is_eval = F.col("doc_id") % _EVAL_MOD == 0
+    eval_grams = grams.filter(is_eval).select("ng").distinct()
+    hits = (
+        grams.filter(~is_eval)
+        .join(F.broadcast(eval_grams), "ng")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    train = docs.filter(~is_eval).select("doc_id", "source")
+    return (
+        train.join(hits, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_train"),
+            F.coalesce(F.sum(F.when(F.col("n_hits") > 0, F.lit(1))), F.lit(0))
+            .cast("long")
+            .alias("n_contaminated"),
+            F.coalesce(F.sum("n_hits"), F.lit(0)).cast("long").alias("n_overlap_ngrams"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# repetition quality signals (Gopher-style): dup-token + top-bigram share
+# ---------------------------------------------------------------------------
+
+_MICRO = 1_000_000  # per-row ratios land in exact integer micro-units
+
+
+@register(
+    "repetition_stats",
+    f"""
+WITH per_doc AS (
+  SELECT source,
+         CAST(round({_MICRO} * (1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / len(t))) AS BIGINT) AS dup_u,
+         CAST(round({_MICRO} * CAST(list_max(list_transform(list_distinct(bg), b -> len(list_filter(bg, x -> x = b)))) AS DOUBLE) / len(bg)) AS BIGINT) AS top2_u
+  FROM (
+    SELECT source, t,
+           list_transform(range(0, greatest(len(t) - 1, 0)), i -> array_to_string(t[i+1:i+2], ' ')) AS bg
+    FROM (SELECT source, string_split(text, ' ') AS t FROM documents)
+  ) WHERE len(t) >= 2
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       round(CAST(SUM(dup_u) AS DOUBLE) / (COUNT(*) * {_MICRO}), 6) AS avg_dup_token_frac,
+       round(CAST(SUM(top2_u) AS DOUBLE) / (COUNT(*) * {_MICRO}), 6) AS avg_top_bigram_share,
+       round(CAST(MAX(top2_u) AS DOUBLE) / {_MICRO}, 6) AS max_top_bigram_share
+FROM per_doc GROUP BY 1
+""",
+    doc="Gopher-style repetition signals per source: duplicate-token "
+    "fraction and most-frequent-bigram share (boilerplate / looping-"
+    "generation detectors). Per-row ratios are rounded to integer "
+    "micro-units BEFORE aggregation, so the cross-engine sums are exact "
+    "(multi-row float accumulation is order-dependent; integer sums are "
+    "not). All JVM-side array ops — the per-doc O(distinct x n) bigram "
+    "count is embarrassingly parallel; the scale alternative (explode + "
+    "groupBy doc,bigram) trades it for a shuffle.",
+    tags=("text", "agg"),
+)
+def repetition_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").withColumn(
+        "t", F.split(F.col("text"), " ")
+    )
+    d = docs.filter(F.size("t") >= 2).withColumn(
+        "bg",
+        F.expr("transform(sequence(1, size(t) - 1), i -> concat_ws(' ', slice(t, i, 2)))"),
+    )
+    dup_u = F.expr(
+        f"CAST(round({_MICRO} * (1.0 - CAST(size(array_distinct(t)) AS DOUBLE) / size(t))) AS BIGINT)"
+    )
+    top2_u = F.expr(
+        f"CAST(round({_MICRO} * CAST(array_max(transform(array_distinct(bg), "
+        f"b -> size(filter(bg, x -> x = b)))) AS DOUBLE) / size(bg)) AS BIGINT)"
+    )
+    per_doc = d.select("source", dup_u.alias("dup_u"), top2_u.alias("top2_u"))
+    n = F.count(F.lit(1))
+    return per_doc.groupBy("source").agg(
+        n.alias("n_docs"),
+        F.round(F.sum("dup_u").cast("double") / (n * _MICRO), 6).alias(
+            "avg_dup_token_frac"
+        ),
+        F.round(F.sum("top2_u").cast("double") / (n * _MICRO), 6).alias(
+            "avg_top_bigram_share"
+        ),
+        F.round(F.max("top2_u").cast("double") / _MICRO, 6).alias(
+            "max_top_bigram_share"
+        ),
+    )

@@ -115,12 +115,10 @@ DRIVER_ORDER: list[str] = [
     "backfill_estimate",
     "price_history",
     "row_explorer_page",
-    "chart_downsample",
     "union_by_name",
     "tariff_breakdown",
     "forecast_metrics",
     "median_impute",
-    "traffic_light",
     "model_score",
     "grain_align_join",
     "pricing_summary",
@@ -132,9 +130,17 @@ DRIVER_ORDER: list[str] = [
     "neardup_clusters",
     "corpus_curation_summary",
     "stratified_sample_summary",
-    # ngram_jaccard_pairs rotated out (green in r01; its shingle-Jaccard
-    # verify machinery also runs inside minhash_lsh_pairs and
-    # dedup_incremental) — still benched + locally parity-gated
+    "benchmark_decontamination",  # new in r2: eval-set n-gram overlap
+    "repetition_stats",  # new in r2: Gopher-style repetition signals
+    # Rotated out (each carries a round-1 green CORRECTNESS row and its
+    # machinery is exercised inside a still-listed query):
+    #   ngram_jaccard_pairs — shingle-Jaccard verify also runs inside
+    #     minhash_lsh_pairs and dedup_incremental
+    #   chart_downsample — stride predicate; pagination/top-k serving
+    #     surface still covered by price_history + row_explorer_page
+    #   traffic_light — tariff bucketing on top of tariff_breakdown's
+    #     driver-verified formula stack
+    # All remain registered: benched + locally parity-gated every round.
 ]
 
 
