@@ -406,3 +406,101 @@ def quantized_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "cand_id", "sim_q", F.col("rank").cast("long").alias("rank"))
     )
+
+
+# ---------------------------------------------------------------------------
+# k-means fit: the IVF coarse-quantizer TRAINING step (Lloyd's iterations)
+# ---------------------------------------------------------------------------
+
+KMEANS_SCALE = 1_000_000  # embedding values land in exact integer micro-units
+
+
+def with_scaled_units(
+    df: DataFrame, vec_col: str = "embedding", out: str = "xu", id_col: str = "vec_id"
+) -> DataFrame:
+    """Embedding scaled to integer micro-units (round(1e6 * x) as BIGINT).
+    Every arithmetic step downstream is exact int64 — squared distances,
+    vote sums, centroid updates — so the fit replays bit-identically in
+    any engine and under any partitioning / reduction order."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.expr(
+            f"transform({vec_col}, e -> CAST(round({KMEANS_SCALE} * CAST(e AS DOUBLE)) AS BIGINT))"
+        ).alias(out),
+    )
+
+
+def _sq_dist(a: str, b: str) -> Column:
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
+        f"CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+
+
+def assign_cells(scaled: DataFrame, cent: DataFrame) -> DataFrame:
+    """Nearest centroid by EXACT integer squared L2, cid tie-break.
+    Centroids broadcast (k rows); assignment is a narrow map over the
+    corpus — the only shuffle in a Lloyd round is the update groupBy."""
+    scored = scaled.crossJoin(F.broadcast(cent)).withColumn(
+        "__d", _sq_dist("xu", "cu")
+    )
+    w = Window.partitionBy("id").orderBy(F.col("__d"), F.col("cid"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("id", "cid", "xu")
+    )
+
+
+def update_centroids(assigned: DataFrame) -> DataFrame:
+    """Per-cluster per-dim mean in integer units: exact BIGINT sums, then
+    floor(sum/count) — the double division is exact (|sum| < 2^53) and
+    floor() is engine-portable where integer `div` is not (trunc-vs-floor
+    on negatives). Shuffle carries (cid, dim) rows: k*64 groups."""
+    per_dim = assigned.select(
+        "cid", F.posexplode("xu").alias("dim", "v")
+    ).groupBy("cid", "dim").agg(
+        F.expr("CAST(floor(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT)").alias("cu_e"),
+        F.count(F.lit(1)).cast("long").alias("n_assigned"),
+    )
+    return per_dim
+
+
+def centroid_arrays(per_dim: DataFrame) -> DataFrame:
+    """(cid, dim, cu_e) long form -> (cid, cu array) for the next round's
+    broadcast. sort_array over (dim, value) structs keeps dim order."""
+    return per_dim.groupBy("cid").agg(
+        F.expr("transform(sort_array(collect_list(struct(dim, cu_e))), s -> s.cu_e)").alias("cu")
+    )
+
+
+def kmeans_fit_scaled(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means over integer-scaled embeddings: init = the k
+    smallest ids (deterministic, mirrors the fixed IVF seed centroids),
+    then ``iters`` rounds of broadcast-assign + groupBy-update. Returns
+    the final (cid, dim, cu_e, n_assigned) long-form centroid table —
+    the trained coarse quantizer ann_ivf_topk consumes. At 100 TB the
+    fit runs on a hash-sampled slice (operators/splits.py) and only the
+    final assignment pass touches the full corpus."""
+    scaled = df.select(id_col, vec_col)
+    scaled = with_scaled_units(scaled, vec_col=vec_col, id_col=id_col)
+    cent = scaled.filter(F.col("id") < k).select(
+        F.col("id").alias("cid"), F.col("xu").alias("cu")
+    )
+    per_dim = None
+    for _ in range(iters):
+        assigned = assign_cells(scaled, cent)
+        per_dim = update_centroids(assigned)
+        cent = centroid_arrays(per_dim)
+    return per_dim.select(
+        "cid",
+        F.col("dim").cast("long").alias("dim"),
+        "cu_e",
+        "n_assigned",
+    )

@@ -382,3 +382,65 @@ def ann_quantized_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") < 10)
     return quantized_topk(probes, emb, k=5)
+
+
+# ---------------------------------------------------------------------------
+# k-means fit: trains the IVF coarse quantizer (integer-exact Lloyd's)
+# ---------------------------------------------------------------------------
+
+_KM_K = 8
+_KM_ITERS = 2
+_KM_SCALE = 1_000_000
+
+
+def _o_kmeans_sql(k: int, iters: int) -> str:
+    """Unrolled Lloyd iterations as a DuckDB CTE chain — same integer
+    arithmetic as operators/similarity.py::kmeans_fit_scaled."""
+    dist = "list_sum(list_transform(range(1, 65), i -> (x.xu[i] - c.cu[i]) * (x.xu[i] - c.cu[i])))"
+    parts = [
+        f"WITH x AS (SELECT vec_id AS id, "
+        f"list_transform(embedding, e -> CAST(round({_KM_SCALE} * CAST(e AS DOUBLE)) AS BIGINT)) AS xu "
+        f"FROM embeddings),",
+        f"c0 AS (SELECT id AS cid, xu AS cu FROM x WHERE id < {k})",
+    ]
+    for it in range(1, iters + 1):
+        parts.append(
+            f", a{it} AS (SELECT id, cid, xu FROM ("
+            f"SELECT x.id, c.cid, x.xu, "
+            f"row_number() OVER (PARTITION BY x.id ORDER BY {dist}, c.cid) AS rn "
+            f"FROM x, c{it - 1} c) WHERE rn = 1)"
+        )
+        parts.append(
+            f", u{it} AS (SELECT cid, dim, "
+            f"CAST(floor(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cu_e, "
+            f"CAST(COUNT(*) AS BIGINT) AS n_assigned "
+            f"FROM (SELECT cid, unnest(xu) AS v, unnest(range(0, 64)) AS dim FROM a{it}) "
+            f"GROUP BY 1, 2)"
+        )
+        parts.append(
+            f", c{it} AS (SELECT cid, list(cu_e ORDER BY dim) AS cu FROM u{it} GROUP BY cid)"
+        )
+    parts.append(
+        f" SELECT cid, CAST(dim AS BIGINT) AS dim, cu_e, n_assigned FROM u{iters}"
+    )
+    return "".join(parts)
+
+
+@register(
+    "kmeans_centroids",
+    _o_kmeans_sql(_KM_K, _KM_ITERS),
+    doc=f"IVF coarse-quantizer TRAINING: {_KM_ITERS} Lloyd rounds, k={_KM_K}, "
+    "over integer micro-unit embeddings — every distance, vote and "
+    "centroid update is exact int64 (floor(sum/count) for the mean), so "
+    "the fit is reproducible across engines, partitionings and reduction "
+    "orders. Spark plan per round: broadcast-assign (narrow map over the "
+    "corpus, no shuffle) + one (cid,dim) groupBy of k*64 groups. At "
+    "100 TB: fit on a hash sample, final assignment full-corpus. Oracle "
+    "= the same iterations unrolled as a DuckDB CTE chain.",
+    tags=("similarity", "iterative", "train"),
+)
+def kmeans_centroids_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdatasmallprice_spark.operators.similarity import kmeans_fit_scaled
+
+    emb = table(spark, sf_dir, "embeddings")
+    return kmeans_fit_scaled(emb, k=_KM_K, iters=_KM_ITERS)

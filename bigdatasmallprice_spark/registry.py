@@ -115,7 +115,6 @@ DRIVER_ORDER: list[str] = [
     "backfill_estimate",
     "price_history",
     "row_explorer_page",
-    "union_by_name",
     "tariff_breakdown",
     "forecast_metrics",
     "median_impute",
@@ -132,6 +131,7 @@ DRIVER_ORDER: list[str] = [
     "stratified_sample_summary",
     "benchmark_decontamination",  # new in r2: eval-set n-gram overlap
     "repetition_stats",  # new in r2: Gopher-style repetition signals
+    "kmeans_centroids",  # new in r2: IVF coarse-quantizer training
     # Rotated out (each carries a round-1 green CORRECTNESS row and its
     # machinery is exercised inside a still-listed query):
     #   ngram_jaccard_pairs — shingle-Jaccard verify also runs inside
@@ -140,6 +140,8 @@ DRIVER_ORDER: list[str] = [
     #     surface still covered by price_history + row_explorer_page
     #   traffic_light — tariff bucketing on top of tariff_breakdown's
     #     driver-verified formula stack
+    #   union_by_name — unionByName(allowMissingColumns) machinery also
+    #     runs inside table_stats's multi-table summary union
     # All remain registered: benched + locally parity-gated every round.
 ]
 

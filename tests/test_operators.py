@@ -628,3 +628,45 @@ def test_quantized_ann_recall_vs_exact(spark):
         len(by_q_exact[q] & by_q_quant[q]) / len(by_q_exact[q]) for q in by_q_exact
     ]
     assert sum(recalls) / len(recalls) >= 0.8, f"mean recall@5 too low: {recalls}"
+
+
+def test_kmeans_fit_reduces_sse(spark):
+    """Each Lloyd round must not increase the within-cluster SSE; the
+    trained centroids should beat the fixed id<k seed assignment."""
+    from pyspark.sql import functions as F
+
+    from bigdatasmallprice_spark.operators.similarity import (
+        assign_cells,
+        centroid_arrays,
+        kmeans_fit_scaled,
+        update_centroids,
+        with_scaled_units,
+        _sq_dist,
+    )
+    from bigdatasmallprice_spark.queries.core import table
+
+    emb = table(spark, "/root/testdata/sf0.001", "embeddings")
+    scaled = with_scaled_units(emb.select("vec_id", "embedding"))
+
+    def sse(cent):
+        a = scaled.crossJoin(F.broadcast(cent)).withColumn("d", _sq_dist("xu", "cu"))
+        return (
+            a.groupBy("id").agg(F.min("d").alias("dmin")).agg(F.sum("dmin")).first()[0]
+        )
+
+    seed = scaled.filter(F.col("id") < 8).select(
+        F.col("id").alias("cid"), F.col("xu").alias("cu")
+    )
+    sse0 = sse(seed)
+    c1 = centroid_arrays(update_centroids(assign_cells(scaled, seed)))
+    sse1 = sse(c1)
+    c2 = centroid_arrays(update_centroids(assign_cells(scaled, c1)))
+    sse2 = sse(c2)
+    assert sse1 <= sse0 and sse2 <= sse1, (sse0, sse1, sse2)
+    assert sse2 < sse0  # training actually moved the quantizer
+
+    out = kmeans_fit_scaled(emb, k=8, iters=2)
+    rows = out.collect()
+    assert {r.dim for r in rows} == set(range(64))
+    n_by_cid = {r.cid: r.n_assigned for r in rows}
+    assert sum(n_by_cid.values()) == emb.count()  # every vector assigned once
