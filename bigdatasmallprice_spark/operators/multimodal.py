@@ -261,3 +261,115 @@ def wav_features(media: DataFrame) -> DataFrame:
             yield out
 
     return media.mapInPandas(_decode, schema=WAV_FEATURE_SCHEMA)
+
+
+def decode_bmp_pixels(payload: bytes) -> list[list[tuple[int, int, int]]]:
+    """Full BMP pixel decode to (r, g, b) rows, top-down — the input to
+    transform stages (resize below)."""
+    magic, _size, _r1, _r2, offset = struct.unpack_from("<2sIHHI", payload, 0)
+    assert magic == b"BM", "not a BMP payload"
+    hdr_size, w, h, _planes, bpp, compression = struct.unpack_from(
+        "<IiiHHI", payload, 14
+    )
+    assert hdr_size >= 40 and bpp == 24 and compression == 0
+    row_bytes = w * 3
+    stride = row_bytes + (4 - row_bytes % 4) % 4
+    rows = []
+    for y in range(abs(h)):
+        start = offset + y * stride
+        raw = payload[start : start + row_bytes]
+        rows.append([(raw[i + 2], raw[i + 1], raw[i]) for i in range(0, row_bytes, 3)])
+    rows.reverse()  # disk order is bottom-up
+    return rows
+
+
+def resize_bmp_bytes(payload: bytes, factor: int = 2) -> bytes:
+    """Real image resize: box-downsample a 24-bit BMP by an integer
+    factor (each output channel = floor(mean of the factor x factor
+    block)) and RE-ENCODE to a genuine smaller BMP. Exact integer
+    arithmetic throughout — the resized payload is byte-deterministic,
+    so an independent oracle can predict its decoded stats in closed
+    form. Runs inside mapInPandas batches (bytes -> bytes per row);
+    dimensions must be divisible by ``factor``."""
+    px = decode_bmp_pixels(payload)
+    h, w = len(px), len(px[0]) if px else 0
+    assert h % factor == 0 and w % factor == 0, "dims must divide by factor"
+    f2 = factor * factor
+    out = []
+    for by in range(h // factor):
+        row = []
+        for bx in range(w // factor):
+            sr = sg = sb = 0
+            for dy in range(factor):
+                for dx in range(factor):
+                    r, g, b = px[by * factor + dy][bx * factor + dx]
+                    sr += r; sg += g; sb += b
+            row.append((sr // f2, sg // f2, sb // f2))
+        out.append(row)
+    return encode_bmp(out)
+
+
+# deterministic synthetic image: channel values are pure integer
+# functions of (doc_id, x, y) — same rationale as the WAV synth
+BMP_SIDE = 8
+
+
+def synth_pixels(doc_id: int) -> list[list[tuple[int, int, int]]]:
+    d = int(doc_id)
+    return [
+        [
+            ((d * 31 + x * 7 + y) % 256, (d * 17 + x) % 256, (y * 13 + d) % 256)
+            for x in range(BMP_SIDE)
+        ]
+        for y in range(BMP_SIDE)
+    ]
+
+
+def synthesize_bmp(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic 8x8 24-bit BMP per document, shipped as an opaque
+    ``binary`` column (Arrow-batched; one encode per row)."""
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids.values,
+                    "payload": [encode_bmp(synth_pixels(d)) for d in ids],
+                }
+            )
+
+    return docs.select(id_col).mapInPandas(_synth, "doc_id long, payload binary")
+
+
+def bmp_resize_features(media: DataFrame, factor: int = 2) -> DataFrame:
+    """Decode the original BMP, box-downsample by ``factor`` into a real
+    re-encoded BMP, decode THAT, and emit exact integer stats for both —
+    the decode -> transform -> feature-extract stage of an image
+    pipeline, all inside one Arrow batch loop."""
+
+    def _feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for d, p in zip(pdf["doc_id"].astype("int64"), pdf["payload"]):
+                p = bytes(p)
+                full = decode_bmp_bytes(p)
+                small = decode_bmp_bytes(resize_bmp_bytes(p, factor))
+                rows.append(
+                    {
+                        "doc_id": int(d),
+                        "width": full["width"],
+                        "height": full["height"],
+                        "pixel_sum": full["pixel_sum"],
+                        "r_width": small["width"],
+                        "r_height": small["height"],
+                        "r_pixel_sum": small["pixel_sum"],
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(
+        _feat,
+        "doc_id long, width long, height long, pixel_sum long, "
+        "r_width long, r_height long, r_pixel_sum long",
+    )

@@ -108,3 +108,54 @@ def bmp_roundtrip_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         _rt,
         "width long, height long, bpp long, n_pixels long, pixel_sum long, doc_id long",
     ).select("doc_id", "width", "height", "bpp", "n_pixels", "pixel_sum")
+
+
+@register(
+    "multimodal_bmp_resize",
+    """
+WITH g AS (
+  SELECT doc_id, x, y FROM documents, range(0, 8) tx(x), range(0, 8) ty(y)
+),
+full_sum AS (
+  SELECT doc_id,
+         CAST(SUM((doc_id*31 + x*7 + y) % 256 + (doc_id*17 + x) % 256 + (y*13 + doc_id) % 256) AS BIGINT) AS pixel_sum
+  FROM g GROUP BY 1
+),
+cells AS (
+  SELECT doc_id, bx, by,
+         CAST(SUM((doc_id*31 + (2*bx+dx)*7 + (2*by+dy)) % 256) AS BIGINT) AS rs,
+         CAST(SUM((doc_id*17 + (2*bx+dx)) % 256) AS BIGINT) AS gs,
+         CAST(SUM(((2*by+dy)*13 + doc_id) % 256) AS BIGINT) AS bs
+  FROM documents, range(0, 4) tb(bx), range(0, 4) tc(by), range(0, 2) td(dx), range(0, 2) te(dy)
+  GROUP BY 1, 2, 3
+),
+small_sum AS (
+  SELECT doc_id,
+         CAST(SUM(CAST(floor(rs / 4.0) AS BIGINT) + CAST(floor(gs / 4.0) AS BIGINT) + CAST(floor(bs / 4.0) AS BIGINT)) AS BIGINT) AS r_pixel_sum
+  FROM cells GROUP BY 1
+)
+SELECT f.doc_id,
+       CAST(8 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height, f.pixel_sum,
+       CAST(4 AS BIGINT) AS r_width, CAST(4 AS BIGINT) AS r_height, s.r_pixel_sum
+FROM full_sum f JOIN small_sum s USING (doc_id)
+""",
+    doc="Multimodal image round-trip + RESIZE: deterministic 8x8 24-bit "
+    "BMP per doc (real pure-Python encode), shipped as a binary column, "
+    "box-downsampled 2x into a RE-ENCODED real BMP, both decoded back "
+    "to exact integer pixel stats — two Arrow-batched mapInPandas "
+    "stages (operators/multimodal.py::synthesize_bmp, "
+    "bmp_resize_features). The oracle computes both sums in closed form "
+    "from the synthetic pattern (floor-mean per 2x2 block), so a hash "
+    "match proves byte-level encode/resize/decode correctness, not just "
+    "that the plumbing runs. Same plan at 100 TB: payloads stay "
+    "columnar binary, transforms are batch-vectorized per executor.",
+    tags=("multimodal", "udf", "resize"),
+)
+def multimodal_bmp_resize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdatasmallprice_spark.operators.multimodal import (
+        bmp_resize_features,
+        synthesize_bmp,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return bmp_resize_features(synthesize_bmp(docs), factor=2)

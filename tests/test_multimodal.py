@@ -99,3 +99,21 @@ def test_bmp_roundtrip_distributed(spark):
     for r in out:
         assert (r.width, r.height, r.bpp, r.n_pixels) == (8, 8, 24, 64)
         assert 0 <= r.pixel_sum <= 64 * 3 * 255
+
+
+def test_bmp_resize_exact_box_mean():
+    """4x4 -> 2x2 box downsample: each output channel is the exact floor
+    mean of its 2x2 block, re-encoded as a genuine BMP."""
+    from bigdatasmallprice_spark.operators.multimodal import (
+        decode_bmp_pixels,
+        encode_bmp,
+        resize_bmp_bytes,
+    )
+
+    px = [[((x + 4 * y) * 16, 255 - (x + 4 * y) * 10, (x * y) % 256) for x in range(4)] for y in range(4)]
+    small = decode_bmp_pixels(resize_bmp_bytes(encode_bmp(px), 2))
+    for by in range(2):
+        for bx in range(2):
+            block = [px[2 * by + dy][2 * bx + dx] for dy in (0, 1) for dx in (0, 1)]
+            want = tuple(sum(c[i] for c in block) // 4 for i in range(3))
+            assert small[by][bx] == want, (bx, by, small[by][bx], want)
