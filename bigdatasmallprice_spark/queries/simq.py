@@ -444,3 +444,101 @@ def kmeans_centroids_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = table(spark, sf_dir, "embeddings")
     return kmeans_fit_scaled(emb, k=_KM_K, iters=_KM_ITERS)
+
+
+# ---------------------------------------------------------------------------
+# ANN recall evaluation: the index-quality gate of a similarity pipeline
+# ---------------------------------------------------------------------------
+
+
+def _o_brute_pairs(probe_lim: int, k: int) -> str:
+    """Brute-force (query_id, cand_id) top-k ground truth as a nestable
+    sub-WITH — parameterized over probe set and k."""
+    return f"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv,
+                  {_O_NORM.format(a='embedding')} AS nq
+           FROM embeddings WHERE vec_id < {probe_lim}),
+c AS (SELECT vec_id AS cand_id, embedding AS cv,
+             {_O_NORM.format(a='embedding')} AS nc
+      FROM embeddings),
+scored AS (
+  SELECT query_id, cand_id, round({_o_cosine_prenormed('qv', 'cv', 'nq', 'nc')}, 6) AS sim
+  FROM q, c WHERE query_id != cand_id
+),
+ranked AS (
+  SELECT query_id, cand_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rank
+  FROM scored
+)
+SELECT query_id, cand_id FROM ranked WHERE rank <= {k}"""
+
+
+def _recall_oracle() -> str:
+    from bigdatasmallprice_spark.registry import _REGISTRY
+
+    ivf = _REGISTRY["ann_ivf_topk"].oracle
+    lsh = _REGISTRY["ann_lsh_topk"].oracle
+    return f"""
+WITH gt_ivf AS ({_o_brute_pairs(10, 5)}),
+ap_ivf AS ({ivf}),
+gt_lsh AS ({_o_brute_pairs(20, 3)}),
+ap_lsh AS ({lsh}),
+m AS (
+  SELECT 'ivf' AS method,
+         (SELECT COUNT(*) FROM gt_ivf) AS possible,
+         (SELECT COUNT(*) FROM gt_ivf g JOIN ap_ivf a USING (query_id, cand_id)) AS hits
+  UNION ALL
+  SELECT 'lsh',
+         (SELECT COUNT(*) FROM gt_lsh),
+         (SELECT COUNT(*) FROM gt_lsh g JOIN ap_lsh a USING (query_id, cand_id))
+)
+SELECT method, CAST(possible AS BIGINT) AS possible, CAST(hits AS BIGINT) AS hits,
+       round(CAST(hits AS DOUBLE) / possible, 6) AS recall
+FROM m
+"""
+
+
+@register(
+    "ann_recall_eval",
+    _recall_oracle(),
+    doc="ANN index-quality evaluation: recall@k of the IVF (nprobe=2, "
+    "k=5) and hyperplane-LSH (k=3) paths against their exact brute-"
+    "force ground truths, as one query — the acceptance gate you run "
+    "after (re)building an index. Oracle composes the SAME registered "
+    "IVF/LSH oracle SQL with parameterized brute-force CTEs, so the "
+    "recall numbers are externally reproduced end-to-end. At 100 TB "
+    "ground truth comes from a sampled probe set (as here: fixed small "
+    "probe ids), never a full cross join.",
+    tags=("similarity", "eval"),
+)
+def ann_recall_eval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdatasmallprice_spark.operators.similarity import brute_force_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+
+    def method_row(method: str, gt: DataFrame, ap: DataFrame) -> DataFrame:
+        j = gt.join(
+            ap.withColumn("__hit", F.lit(1)), ["query_id", "cand_id"], "left"
+        )
+        return j.agg(
+            F.count(F.lit(1)).cast("long").alias("possible"),
+            F.count("__hit").cast("long").alias("hits"),
+        ).select(
+            F.lit(method).alias("method"),
+            "possible",
+            "hits",
+            F.round(F.col("hits").cast("double") / F.col("possible"), 6).alias(
+                "recall"
+            ),
+        )
+
+    gt_ivf = brute_force_topk(emb.filter(F.col("vec_id") < 10), emb, k=5).select(
+        "query_id", "cand_id"
+    )
+    ap_ivf = ann_ivf_topk_q(spark, sf_dir).select("query_id", "cand_id")
+    gt_lsh = brute_force_topk(emb.filter(F.col("vec_id") < 20), emb, k=3).select(
+        "query_id", "cand_id"
+    )
+    ap_lsh = ann_lsh_topk_q(spark, sf_dir).select("query_id", "cand_id")
+    return method_row("ivf", gt_ivf, ap_ivf).unionByName(
+        method_row("lsh", gt_lsh, ap_lsh)
+    )
