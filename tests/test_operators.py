@@ -670,3 +670,32 @@ def test_kmeans_fit_reduces_sse(spark):
     assert {r.dim for r in rows} == set(range(64))
     n_by_cid = {r.cid: r.n_assigned for r in rows}
     assert sum(n_by_cid.values()) == emb.count()  # every vector assigned once
+
+
+def test_decontamination_flags_planted_overlap(spark):
+    """A train doc sharing an 8-gram with an eval doc is contaminated;
+    a disjoint doc is not."""
+    from bigdatasmallprice_spark.queries import textq
+
+    eval_text = "alpha beta gamma delta epsilon zeta eta theta iota"
+    rows = [
+        (0, eval_text, "en", "srcA", len(eval_text)),  # doc_id 0 -> eval slice
+        (1, "x1 alpha beta gamma delta epsilon zeta eta theta x2", "en", "srcA", 10),
+        (2, "totally disjoint words only here nothing shared at all", "en", "srcB", 10),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
+    import bigdatasmallprice_spark.queries.core as core
+
+    orig = core.table
+    try:
+        core.table = lambda s, d, name: df
+        textq.table = core.table
+        out = {r.source: r for r in textq.benchmark_decontamination_q(spark, "ignored").collect()}
+    finally:
+        core.table = orig
+        textq.table = orig
+    # doc 1 (10 tokens) has 3 distinct 8-grams; exactly one — "alpha beta
+    # gamma delta epsilon zeta eta theta" — also occurs in the eval doc
+    assert out["srcA"].n_contaminated == 1
+    assert out["srcA"].n_overlap_ngrams == 1
+    assert out["srcB"].n_contaminated == 0

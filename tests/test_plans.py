@@ -134,3 +134,15 @@ def test_runtime_bloom_filter_injected_for_selective_join(spark):
         spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_decontamination_broadcasts_eval_grams(spark):
+    """The eval n-gram set must broadcast (eval corpora are MBs; train
+    corpora are TBs) — a SortMergeJoin here would shuffle the full
+    exploded train-gram table on a string key."""
+    from bigdatasmallprice_spark.queries.textq import benchmark_decontamination_q
+
+    df = benchmark_decontamination_q(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, plan
