@@ -253,33 +253,70 @@ def connected_components(
     pairs: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
-    max_iter: int = 15,
+    max_iter: int = 60,
+    driver_threshold: int = 200_000,
 ) -> DataFrame:
     """Connected components over an undirected pair list → (node, label),
     label = smallest node id in the component.
 
-    Min-label propagation: each round every node takes the minimum label
-    among itself and its neighbours; converges in O(graph diameter)
-    rounds. Near-dup graphs are cliquey (diameter 2-3), so this beats
-    the large-star/small-star dance in practice while staying fully
-    distributed — each round is one equi-join + one groupBy, both
-    shuffling on node id, and ``localCheckpoint`` truncates the plan so
-    lineage doesn't grow exponentially with rounds. No driver-side
-    graph ever materializes (the reference has no graph ops at all;
-    this is the cluster-then-keep-one stage the LSH/SimHash pair
-    queries feed at 100 TB).
+    Two regimes, picked by measured edge count:
+
+    - **Small graph** (≤ ``driver_threshold`` undirected edges, ~a few
+      MB): classic union-find on the driver. The distributed loop's cost
+      here is pure scheduling — each propagation round costs ~1s of job
+      overhead for milliseconds of data (measured 3.3s for an 835-edge
+      graph at sf0.1 vs ~0.1s for union-find). Same small-side logic as
+      a broadcast join: below the threshold, shipping beats shuffling.
+      The threshold is edges, not corpus rows — a 100 TB corpus whose
+      near-dup graph is small still takes this path, correctly.
+
+    - **Large graph**: min-label propagation — each round every node
+      takes the minimum label among itself and its neighbours;
+      converges in O(graph diameter) rounds. Near-dup graphs are
+      cliquey (diameter 2-3), so this beats the large-star/small-star
+      dance in practice while staying fully distributed — each round is
+      one equi-join + one groupBy, both shuffling on node id, and
+      ``localCheckpoint`` truncates the plan so lineage doesn't grow
+      exponentially with rounds.
 
     Shuffle width is scoped per-DataFrame via ``repartition`` on the
     loop frames (never by mutating the session conf, which would leak
     to concurrent queries), and each round runs exactly ONE job: the
     new labels are marked for lazy localCheckpoint and the convergence
-    scalar is computed by the same action that materializes them.
+    scalar is computed by the same action that materializes them. The
+    two paths are equivalence-tested on random graphs
+    (tests/test_operators.py).
     """
     spark = pairs.sparkSession
     edges = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     und = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
     und = und.distinct().persist()
     n_edges = und.count()
+    if n_edges <= driver_threshold:
+        rows = und.collect()
+        und.unpersist()
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]  # path halving
+                x = parent[x]
+            return x
+
+        for r in rows:
+            a, b = r[0], r[1]
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by MIN root: the component root is always its
+                # smallest id, which IS the label contract
+                if ra < rb:
+                    parent[rb] = ra
+                else:
+                    parent[ra] = rb
+        out = [(n, find(n)) for n in parent]
+        return spark.createDataFrame(out, "node long, label long")
     # the near-dup graph is orders of magnitude smaller than the corpus
     # that produced it — size the propagation shuffles to the GRAPH
     # (one partition per ~50k edges), not to the corpus-level
@@ -301,6 +338,7 @@ def connected_components(
     # somewhere until the fixpoint, so a scalar sum detects
     # convergence without a per-round diff join
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    converged = False
     for _ in range(max_iter):
         # one pass: each node's new label = min over {own label} ∪
         # {neighbour labels} — union + groupBy(min); the explicit
@@ -309,18 +347,43 @@ def connected_components(
         nbr = und.join(labels, und["b"] == labels["node"]).select(
             F.col("a").alias("node"), "label"
         )
-        labels = (
+        merged = (
             nbr.union(labels)
             .repartition(graph_parts, "node")
             .groupBy("node")
             .agg(F.min("label").alias("label"))
+        )
+        # pointer jumping: also take the label OF the label (labels are
+        # node ids, so it's a self-join). Plain neighbour propagation
+        # needs O(diameter) rounds — a path graph of 1e6 nodes would
+        # need 1e6 rounds; following label->label halves the remaining
+        # distance every round, so convergence is O(log diameter).
+        hop = merged.select(
+            F.col("node").alias("__ln"), F.col("label").alias("__ll")
+        )
+        labels = (
+            merged.join(hop, merged["label"] == hop["__ln"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("__ll"), F.col("label"))
+                ).alias("label"),
+            )
             .localCheckpoint(eager=False)
         )
         # single action per round: this collect materializes the lazy
-        # checkpoint AND returns the convergence scalar
+        # checkpoint AND returns the convergence scalar (labels are
+        # monotone non-increasing; an unchanged sum means a fixpoint,
+        # and at the fixpoint every component carries its min id)
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
     und.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "— raise max_iter (rounds scale with log of component diameter)"
+        )
     return labels

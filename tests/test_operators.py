@@ -699,3 +699,31 @@ def test_decontamination_flags_planted_overlap(spark):
     assert out["srcA"].n_contaminated == 1
     assert out["srcA"].n_overlap_ngrams == 1
     assert out["srcB"].n_contaminated == 0
+
+
+def test_connected_components_driver_path_equals_distributed(spark):
+    """The small-graph union-find fast path and the distributed
+    min-label propagation must produce identical (node, label) sets."""
+    import random
+
+    from bigdatasmallprice_spark.operators.dedup import connected_components
+
+    rng = random.Random(42)
+    nodes = list(range(400))
+    edges = [
+        (min(a, b), max(a, b))
+        for a, b in (
+            (rng.choice(nodes), rng.choice(nodes)) for _ in range(300)
+        )
+        if a != b
+    ]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    fast = {
+        (r.node, r.label)
+        for r in connected_components(pairs).collect()
+    }
+    dist = {
+        (r.node, r.label)
+        for r in connected_components(pairs, driver_threshold=0).collect()
+    }
+    assert fast == dist and len(fast) > 0
