@@ -138,3 +138,40 @@ def test_stadtwerk_pv_filter():
     )
     recs = parse_pv_csv(csv_text)
     assert len(recs) == 1 and recs[0]["pv_kwh"] == 12.5
+
+
+# ---------------------------------------------------------------------------
+# tolerant ingestion / dead-letter routing (sources/tolerant.py)
+# ---------------------------------------------------------------------------
+
+
+def test_dead_letter_routing(spark):
+    """One parse pass: valid rows come out typed; corrupt JSON and
+    rows missing a required field land in the dead frame with reasons;
+    nothing is lost or duplicated."""
+    from bigdatasmallprice_spark.sources.tolerant import (
+        dead_letter_summary,
+        parse_json_with_dead_letters,
+    )
+
+    rows = [
+        (1, '{"ts": "2026-01-01T00:00:00", "v": 1.5}'),
+        (2, "{not json at all"),
+        (3, '{"ts": null, "v": 3.0}'),           # required ts missing
+        (4, '{"ts": "2026-01-02T00:00:00"}'),    # v absent -> null, but v not required
+        (5, '"just a string"'),                  # valid JSON, wrong shape -> null struct fields
+    ]
+    raw = spark.createDataFrame(rows, "rec_id long, payload string")
+    good, dead = parse_json_with_dead_letters(
+        raw, "payload", "ts string, v double", required=["ts"]
+    )
+    g = {r.rec_id: (r.ts, r.v) for r in good.collect()}
+    d = {r.rec_id: r.reason for r in dead.collect()}
+    assert set(g) | set(d) == {1, 2, 3, 4, 5} and not (set(g) & set(d))
+    assert g[1] == ("2026-01-01T00:00:00", 1.5)
+    assert g[4] == ("2026-01-02T00:00:00", None)
+    assert d[2] == "malformed_json"
+    assert d[3] == "missing_required_field"
+    assert d[5] in ("malformed_json", "missing_required_field")
+    summ = {r.reason: r.n_records for r in dead_letter_summary(dead).collect()}
+    assert sum(summ.values()) == 3
