@@ -542,3 +542,72 @@ def ann_recall_eval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return method_row("ivf", gt_ivf, ap_ivf).unionByName(
         method_row("lsh", gt_lsh, ap_lsh)
     )
+
+
+# ---------------------------------------------------------------------------
+# trained IVF: the full train -> index -> search loop in one verified query
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ann_ivf_trained",
+    f"""
+WITH km AS ({_o_kmeans_sql(_KM_K, _KM_ITERS)}),
+cent_raw AS (
+  SELECT cid, list(CAST(cu_e AS DOUBLE) / 1000000.0 ORDER BY dim) AS cvec
+  FROM km GROUP BY cid
+),
+cent AS (SELECT cid, cvec, {_O_NORM.format(a='cvec')} AS ncv FROM cent_raw),
+q AS ({_o_ivf_cells(
+    f"SELECT vec_id AS query_id, embedding AS qv, {_O_NORM.format(a='embedding')} AS nq FROM embeddings WHERE vec_id < 10",
+    'query_id', 'qv', 'nq', 2)}),
+c AS ({_o_ivf_cells(
+    f"SELECT vec_id AS cand_id, embedding AS cv, {_O_NORM.format(a='embedding')} AS nc FROM embeddings",
+    'cand_id', 'cv', 'nc', 1)}),
+scored AS (
+  SELECT q.query_id, c.cand_id,
+         round({_o_cosine_prenormed('q.qv', 'c.cv', 'q.nq', 'c.nc')}, 6) AS sim
+  FROM q JOIN c ON q.cell = c.cell AND q.query_id != c.cand_id
+),
+ranked AS (
+  SELECT query_id, cand_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rank
+  FROM scored
+)
+SELECT query_id, cand_id, sim, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 5
+""",
+    doc="The COMPLETE similarity loop, verified end-to-end: k-means "
+    "trains the coarse quantizer (integer-exact Lloyd's), the trained "
+    "centroids (exact ints / 1e6 -> doubles) partition the corpus into "
+    "IVF cells, and queries probe their nprobe=2 cells. The oracle "
+    "chains the unrolled k-means CTEs into the IVF SQL, so training "
+    "AND search reproduce externally as one statement. Same 100 TB "
+    "shape as ann_ivf_topk; training adds one broadcast-assign + "
+    "k*64-group update per round.",
+    tags=("similarity", "topk", "train"),
+)
+def ann_ivf_trained_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdatasmallprice_spark.operators.similarity import (
+        ann_ivf_topk,
+        kmeans_fit_scaled,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    km = kmeans_fit_scaled(emb, k=_KM_K, iters=_KM_ITERS)
+    cent = (
+        km.groupBy("cid")
+        .agg(
+            F.expr(
+                f"transform(sort_array(collect_list(struct(dim, cu_e))), "
+                f"s -> CAST(s.cu_e AS DOUBLE) / {float(_KM_SCALE)})"
+            ).alias("cvec")
+        )
+        .withColumn(
+            "ncv",
+            F.expr(
+                "sqrt(aggregate(cvec, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x))"
+            ),
+        )
+    )
+    return ann_ivf_topk(emb.filter(F.col("vec_id") < 10), emb, cent, k=5, nprobe=2)
