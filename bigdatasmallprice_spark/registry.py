@@ -110,7 +110,6 @@ DRIVER_ORDER: list[str] = [
     "value_distribution",
     "chrono_split_summary",
     "table_stats",
-    "filtered_counts",
     "daily_mean_deviation",
     "backfill_estimate",
     "price_history",
@@ -132,6 +131,7 @@ DRIVER_ORDER: list[str] = [
     "benchmark_decontamination",  # new in r2: eval-set n-gram overlap
     "repetition_stats",  # new in r2: Gopher-style repetition signals
     "kmeans_centroids",  # new in r2: IVF coarse-quantizer training
+    "multimodal_bmp_resize",  # new in r2: 2nd REAL codec modality + resize
     # Rotated out (each carries a round-1 green CORRECTNESS row and its
     # machinery is exercised inside a still-listed query):
     #   ngram_jaccard_pairs — shingle-Jaccard verify also runs inside
@@ -142,6 +142,8 @@ DRIVER_ORDER: list[str] = [
     #     driver-verified formula stack
     #   union_by_name — unionByName(allowMissingColumns) machinery also
     #     runs inside table_stats's multi-table summary union
+    #   filtered_counts — SUM/MAX-over-CASE conditional aggregates (A4)
+    #     also run inside net_position's conditional net-flow sums
     # All remain registered: benched + locally parity-gated every round.
 ]
 
