@@ -321,3 +321,95 @@ def test_streaming_exact_dedup_matches_batch(spark, tmp_path):
     # batch pass agrees on the survivor count
     batch = spark.read.parquet(src)
     assert batch.select(F.md5("text")).distinct().count() == 3
+
+
+# ---------------------------------------------------------------------------
+# streaming incremental near-dup (streaming/neardup_stream.py)
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_neardup_matches_sequential_batch(spark, tmp_path):
+    """Two micro-batches through the foreachBatch near-dup sink must
+    produce the same verdicts as running the batch operators
+    sequentially (batch1 vs corpus; batch2 vs corpus+batch1 survivors),
+    and the state stores must grow by exactly the survivors."""
+    from pyspark.sql import functions as F
+
+    from bigdatasmallprice_spark.operators.dedup import (
+        jaccard,
+        lsh_bands,
+        lsh_candidates_between,
+        with_minhash,
+        with_shingles,
+    )
+    from bigdatasmallprice_spark.queries.core import table
+    from bigdatasmallprice_spark.streaming.neardup_stream import neardup_stream
+
+    docs = table(spark, "/root/testdata/sf0.001", "documents").select("doc_id", "text")
+    corpus = docs.filter(F.pmod("doc_id", F.lit(5)) != 0)
+    b1 = docs.filter(F.pmod("doc_id", F.lit(10)) == 0)
+    b2 = docs.filter((F.pmod("doc_id", F.lit(5)) == 0) & (F.pmod("doc_id", F.lit(10)) != 0))
+
+    shingle_store = str(tmp_path / "shingles")
+    band_store = str(tmp_path / "bands")
+    verdicts = str(tmp_path / "verdicts")
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+
+    s_c = with_shingles(corpus).select("doc_id", "shingles")
+    s_c.write.parquet(shingle_store)
+    lsh_bands(with_minhash(s_c)).write.parquet(band_store)
+
+    # sequential-batch reference with the raw operators
+    def ref_verdict(batch_df, corpus_s):
+        s_b = with_shingles(batch_df).select("doc_id", "shingles")
+        cand = lsh_candidates_between(
+            lsh_bands(with_minhash(s_b)), lsh_bands(with_minhash(corpus_s))
+        )
+        sa = s_b.select(F.col("doc_id").alias("new_id"), F.col("shingles").alias("sh_a"))
+        sb = corpus_s.select(F.col("doc_id").alias("corpus_id"), F.col("shingles").alias("sh_b"))
+        ver = cand.join(sa, "new_id").join(sb, "corpus_id").select(
+            "new_id", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jac")
+        )
+        best = ver.groupBy("new_id").agg(
+            F.max("jac").alias("bj"), F.count(F.lit(1)).alias("nc")
+        )
+        return {
+            r.doc_id: (r.nc, r.bj, r.dup)
+            for r in s_b.select("doc_id")
+            .join(best, s_b["doc_id"] == best["new_id"], "left")
+            .select(
+                "doc_id",
+                F.coalesce("nc", F.lit(0)).cast("long").alias("nc"),
+                F.coalesce("bj", F.lit(0.0)).alias("bj"),
+                (F.coalesce("bj", F.lit(0.0)) >= 0.5).alias("dup"),
+            )
+            .collect()
+        }
+
+    want = ref_verdict(b1, s_c)
+    surv1 = b1.join(
+        spark.createDataFrame(
+            [(k,) for k, v in want.items() if not v[2]], "doc_id long"
+        ),
+        "doc_id",
+    )
+    s_c2 = s_c.unionByName(with_shingles(surv1).select("doc_id", "shingles"))
+    want.update(ref_verdict(b2, s_c2))
+
+    # stream the two batches through the sink in order
+    b1.select("doc_id", "text").coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = neardup_stream(stream, shingle_store, band_store, verdicts, ckpt)
+    q.processAllAvailable()
+    b2.select("doc_id", "text").coalesce(1).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        r.doc_id: (r.n_candidates, r.best_jaccard, r.is_dup)
+        for r in spark.read.parquet(verdicts).collect()
+    }
+    assert got == want
+    n_surv = sum(1 for v in want.values() if not v[2])
+    assert spark.read.parquet(shingle_store).count() == corpus.count() + n_surv
