@@ -536,3 +536,74 @@ def repetition_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_top_bigram_share"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# n-gram LM scoring: train on the corpus, score every document (CCNet-ish)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ngram_lm_score",
+    f"""
+WITH bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(0, greatest(len(t) - 1, 0)),
+                               i -> array_to_string(t[i+1:i+2], ' '))) AS b
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+),
+lm AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS c FROM bg GROUP BY 1),
+scored AS (
+  SELECT bg.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         CAST(SUM(lm.c) AS BIGINT) AS freq_sum
+  FROM bg JOIN lm USING (b)
+  GROUP BY 1
+)
+SELECT doc_id, n_bigrams, freq_sum,
+       round(CAST(freq_sum AS DOUBLE) / n_bigrams, 6) AS avg_bigram_freq
+FROM scored
+""",
+    doc="Statistical-LM data filter, CCNet-shaped: a bigram frequency "
+    "table is TRAINED from the corpus itself (explode + groupBy — the "
+    "model is a table, not a broadcast: at 100 TB the vocabulary of "
+    "bigrams outgrows executor memory, so scoring is a shuffle "
+    "equi-join on the bigram, never a map-side lookup), then every "
+    "document is scored by its mean bigram corpus-frequency — "
+    "low-scoring docs are gibberish/OCR noise, suspiciously high ones "
+    "are boilerplate. Counts are exact ints; the single ratio per doc "
+    "is engine-deterministic. (Log-prob scoring is deliberately "
+    "avoided: libm ln() differs across engines; frequency order "
+    "statistics rank documents identically.)",
+    tags=("text", "join", "train"),
+)
+def ngram_lm_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").withColumn(
+        "t", F.split(F.col("text"), " ")
+    )
+    bg = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(t) >= 2 THEN transform(sequence(1, size(t) - 1), "
+                "i -> concat_ws(' ', slice(t, i, 2))) ELSE array() END"
+            )
+        ).alias("b"),
+    ).persist()
+    lm = bg.groupBy("b").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    scored = (
+        bg.join(lm, "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("c").cast("long").alias("freq_sum"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        "freq_sum",
+        F.round(F.col("freq_sum").cast("double") / F.col("n_bigrams"), 6).alias(
+            "avg_bigram_freq"
+        ),
+    )
