@@ -135,3 +135,105 @@ def test_model_registry_roundtrip(spark, tmp_path):
     )
     via_store = scored.agg(F.sum("prediction")).collect()[0][0]
     assert via_store == pytest.approx(direct, rel=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# lifecycle integration: ingest -> late data -> policy refresh -> compact
+# ---------------------------------------------------------------------------
+
+
+def test_day_in_the_life_lifecycle(spark, tmp_path):
+    """End-to-end maintenance loop on one bronze table: idempotent daily
+    ingest, a refresh-policy tick folding in-window late rows and
+    freezing out-of-window ones, re-ingest inserting zero, and
+    compaction preserving content byte-for-byte."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from bigdatasmallprice_spark.catalog import compact_bronze, read_bronze
+    from bigdatasmallprice_spark.ingest import backfill_dates
+    from bigdatasmallprice_spark.operators.rollup import (
+        RefreshPolicy,
+        apply_refresh_policy,
+    )
+
+    day1, day2 = dt.date(2026, 1, 1), dt.date(2026, 1, 2)
+    schema = "time timestamp, sensor string, value double"
+    bronze = str(tmp_path / "bronze")
+
+    def mk_fetch(late_rows):
+        def fetch(d):
+            rows = [
+                {
+                    "time": dt.datetime(d.year, d.month, d.day, h),
+                    "sensor": s,
+                    "value": float(h + (0 if s == "a" else 100)),
+                }
+                for h in range(24)
+                for s in ("a", "b")
+            ]
+            return rows + list(late_rows)
+
+        return fetch
+
+    # day-1 ingest, initial materialization
+    ins1 = backfill_dates(
+        spark, mk_fetch([]), [day1], bronze, schema, keys=["time", "sensor"]
+    )
+    assert ins1[day1] == 48
+    policy = RefreshPolicy(start_offset="1 day", end_offset="1 hour", schedule="15 minutes")
+    now1 = dt.datetime(2026, 1, 2, 0, 30)
+    gold = str(tmp_path / "gold_rollup")
+    # materialize the rollup to storage, as production would: a cached
+    # plan over bronze would silently recompute against LATER appends
+    # (Spark invalidates path-dependent caches on write)
+    apply_refresh_policy(
+        read_bronze(spark, bronze), None, "time", "value", ["sensor"], policy, now1
+    ).write.parquet(gold)
+    roll1 = spark.read.parquet(gold)
+
+    # day-2 ingest carries two stragglers: one inside the next refresh
+    # window (day2 10:00) and one older than start_offset (day1 12:00)
+    late_in = {"time": dt.datetime(2026, 1, 2, 10, 30), "sensor": "a", "value": 999.0}
+    late_frozen = {"time": dt.datetime(2026, 1, 1, 12, 30), "sensor": "a", "value": 555.0}
+    ins2 = backfill_dates(
+        spark, mk_fetch([late_in, late_frozen]), [day2], bronze, schema,
+        keys=["time", "sensor"],
+    )
+    assert ins2[day2] == 48 + 2  # both stragglers are genuinely new rows
+
+    now2 = dt.datetime(2026, 1, 3, 0, 30)
+    gold2 = str(tmp_path / "gold_rollup_2")
+    apply_refresh_policy(
+        read_bronze(spark, bronze), roll1, "time", "value", ["sensor"], policy, now2
+    ).write.parquet(gold2)
+    roll2 = spark.read.parquet(gold2)
+
+    got = {
+        (r.bucket, r.sensor): (r.count_value, r.avg_value, r.max_value)
+        for r in roll2.collect()
+    }
+    # in-window late row folded into its bucket on this tick
+    assert got[(dt.datetime(2026, 1, 2, 10), "a")] == (2, (10.0 + 999.0) / 2, 999.0)
+    # out-of-window late row: bucket frozen at its original aggregate
+    assert got[(dt.datetime(2026, 1, 1, 12), "a")] == (1, 12.0, 12.0)
+    # the frozen row IS in bronze (nothing lost) — only the rollup froze
+    n_at_frozen = read_bronze(spark, bronze).filter(
+        (F.col("time") == F.lit(dt.datetime(2026, 1, 1, 12, 30))) & (F.col("sensor") == "a")
+    ).count()
+    assert n_at_frozen == 1
+
+    # re-ingest of day 2 is a no-op (idempotent ON CONFLICT DO NOTHING)
+    ins3 = backfill_dates(
+        spark, mk_fetch([late_in, late_frozen]), [day2], bronze, schema,
+        keys=["time", "sensor"],
+    )
+    assert ins3[day2] == 0
+
+    # compaction: content identical, files per partition reduced to 1
+    before = sorted(map(tuple, read_bronze(spark, bronze).collect()))
+    files_after = compact_bronze(spark, bronze, target_file_bytes=1 << 30)
+    assert set(files_after.values()) == {1}
+    after = sorted(map(tuple, read_bronze(spark, bronze).collect()))
+    assert before == after
