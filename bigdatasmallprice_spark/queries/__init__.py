@@ -1,6 +1,7 @@
 """Import side-effects populate the query registry (registry.py)."""
 
 from bigdatasmallprice_spark.queries import (  # noqa: F401
+    curationq,
     dedupq,
     mlq,
     mmq,

@@ -1,0 +1,388 @@
+"""Corpus-curation queries: PII scrubbing, line-level dedup, shard
+manifests, and domain-mixture sampling over ``documents``.
+
+These are the remaining stages of a production LLM-training-data
+pipeline that the dedup/similarity/text modules do not cover:
+
+- PII redaction (regex detect + replace, the C4/CCNet scrub pass)
+- line-level exact dedup (C4's "discard duplicate lines across the
+  corpus" boilerplate remover)
+- deterministic global shuffle + shard manifest (reproducible training
+  order without a rand() anywhere)
+- domain-mixture planning (per-source sampling rates hitting target
+  mixture weights, DoReMi/Pile-style)
+
+Every query is oracle-paired. PII regexes are restricted to syntax
+with identical semantics in Java regex (Spark) and RE2 (DuckDB):
+character classes, bounded repetition, ``\\b`` word boundaries — no
+backrefs, no lookaround (RE2 has neither). Parity of every pattern is
+asserted byte-for-byte by the md5-of-redacted-text oracle columns.
+
+The synthetic ``documents.text`` is clean word-soup, so the PII pass
+first builds a deterministic "dirty" column by appending synthetic
+PII derived from ``doc_id`` — both engines compute the identical
+string, and detection counts vary per document (0..2 emails, 0..1
+phones/IPs), so the scrub is exercised on non-trivial input rather
+than vacuously matching nothing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdatasmallprice_spark.functions.texts import n_tokens, o_n_tokens
+from bigdatasmallprice_spark.queries.core import table
+from bigdatasmallprice_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# PII scrub
+# ---------------------------------------------------------------------------
+
+# Java-regex / RE2 common-subset patterns (no lookaround, no backrefs)
+_RE_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_RE_PHONE = r"\+[0-9]{2} [0-9]{2} [0-9]{7}"
+_RE_IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+def _dirty_spark() -> F.Column:
+    """text + deterministic synthetic PII (varies by doc_id mod classes)."""
+    d = F.col("doc_id")
+    email1 = F.concat(
+        F.lit(" contact u"), d.cast("string"), F.lit("@example.com")
+    )
+    email2 = F.concat(
+        F.lit(" cc admin."), (d % 17).cast("string"), F.lit("@mail.example.org")
+    )
+    phone = F.concat(
+        F.lit(" tel +41 79 "),
+        F.lpad(((d * 7919) % 10000000).cast("string"), 7, "0"),
+    )
+    ip = F.concat(
+        F.lit(" ip 10."),
+        (d % 256).cast("string"),
+        F.lit("."),
+        ((d * 31) % 256).cast("string"),
+        F.lit("."),
+        ((d * 17) % 256).cast("string"),
+    )
+    return F.concat(
+        F.col("text"),
+        F.when(d % 3 != 2, email1).otherwise(F.lit("")),
+        F.when(d % 5 == 0, email2).otherwise(F.lit("")),
+        F.when(d % 2 == 0, phone).otherwise(F.lit("")),
+        F.when(d % 4 == 1, ip).otherwise(F.lit("")),
+        F.lit(" end"),
+    )
+
+
+_O_DIRTY = """
+text
+|| CASE WHEN doc_id % 3 != 2 THEN ' contact u' || doc_id || '@example.com' ELSE '' END
+|| CASE WHEN doc_id % 5 = 0 THEN ' cc admin.' || (doc_id % 17) || '@mail.example.org' ELSE '' END
+|| CASE WHEN doc_id % 2 = 0 THEN ' tel +41 79 ' || lpad(CAST((doc_id*7919) % 10000000 AS VARCHAR), 7, '0') ELSE '' END
+|| CASE WHEN doc_id % 4 = 1 THEN ' ip 10.' || (doc_id % 256) || '.' || ((doc_id*31) % 256) || '.' || ((doc_id*17) % 256) ELSE '' END
+|| ' end'
+""".strip()
+
+
+@register(
+    "pii_scrub",
+    f"""
+WITH d AS (
+  SELECT doc_id, source, {_O_DIRTY} AS dirty FROM documents
+)
+SELECT doc_id, source,
+       CAST(len(regexp_extract_all(dirty, '{_RE_EMAIL}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(dirty, '{_RE_PHONE}')) AS BIGINT) AS n_phone,
+       CAST(len(regexp_extract_all(dirty, '{_RE_IPV4}')) AS BIGINT) AS n_ip,
+       CAST(length(dirty) AS BIGINT) AS len_dirty,
+       md5(regexp_replace(regexp_replace(regexp_replace(dirty,
+           '{_RE_EMAIL}', '<EMAIL>', 'g'),
+           '{_RE_PHONE}', '<PHONE>', 'g'),
+           '{_RE_IPV4}', '<IP>', 'g')) AS redacted_md5
+FROM d
+""",
+    doc="PII detect + redact (C4/CCNet scrub pass): email, E.164-ish "
+    "phone, dotted-quad IP found and replaced with typed placeholder "
+    "tokens, entirely JVM-side (regexp_count / regexp_replace — no "
+    "Python in the path). Patterns live in the Java-regex/RE2 common "
+    "subset; the md5-of-redacted-text column proves byte-identical "
+    "redaction across engines. Pure per-row map: no shuffle, scales "
+    "linearly, pushes down the projection to the scan.",
+    tags=("text", "curation", "pii"),
+)
+def pii_scrub_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", "source", _dirty_spark().alias("dirty"))
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("dirty"), _RE_EMAIL, "<EMAIL>"),
+            _RE_PHONE,
+            "<PHONE>",
+        ),
+        _RE_IPV4,
+        "<IP>",
+    )
+    return d.select(
+        "doc_id",
+        "source",
+        F.regexp_count("dirty", F.lit(_RE_EMAIL)).cast("long").alias("n_email"),
+        F.regexp_count("dirty", F.lit(_RE_PHONE)).cast("long").alias("n_phone"),
+        F.regexp_count("dirty", F.lit(_RE_IPV4)).cast("long").alias("n_ip"),
+        F.length("dirty").cast("long").alias("len_dirty"),
+        F.md5(red).alias("redacted_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# line-level exact dedup (C4-style boilerplate removal)
+# ---------------------------------------------------------------------------
+
+# documents.text has no newlines; fixed 3-token chunks stand in for
+# "lines" (vocab is tiny, so 3-token lines genuinely repeat across
+# docs — ~15% of distinct lines are cross-document at sf0.01, the
+# regime the operator exists for).
+_LINE_TOKENS = 3
+
+
+def _o_lines() -> str:
+    n = _LINE_TOKENS
+    return (
+        "SELECT doc_id, source, "
+        f"unnest(list_transform(range(0, CAST(ceil(len(t) / {n}.0) AS BIGINT)), "
+        f"i -> array_to_string(t[i*{n}+1:i*{n}+{n}], ' '))) AS line "
+        "FROM (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents)"
+    )
+
+
+@register(
+    "line_dedup",
+    f"""
+WITH lines AS ({_o_lines()}),
+freq AS (
+  SELECT line, COUNT(DISTINCT doc_id) AS n_docs_with
+  FROM lines GROUP BY 1
+),
+marked AS (
+  SELECT l.doc_id, l.source, l.line, f.n_docs_with,
+         MIN(l.doc_id) OVER (PARTITION BY l.line) AS first_doc
+  FROM lines l JOIN freq f USING (line)
+)
+SELECT source,
+       COUNT(*) AS n_lines,
+       CAST(COALESCE(SUM(CASE WHEN n_docs_with >= 2 THEN 1 END), 0) AS BIGINT) AS n_boiler_occurrences,
+       CAST(COALESCE(SUM(CASE WHEN n_docs_with >= 2 AND doc_id != first_doc THEN 1 END), 0) AS BIGINT) AS n_removed,
+       CAST(COUNT(DISTINCT CASE WHEN n_docs_with >= 2 THEN line END) AS BIGINT) AS n_boiler_lines
+FROM marked
+GROUP BY 1
+""",
+    doc="C4-style line-level exact dedup: the corpus is exploded into "
+    f"lines ({_LINE_TOKENS}-token chunks — the synthetic text has no "
+    "newlines), each line's document frequency is computed corpus-wide, "
+    "and every occurrence of a cross-document line except the one in "
+    "the lowest doc_id is removed. Plan: one explode + one groupBy on "
+    "the line + join back (at 100 TB the join key becomes "
+    "xxhash64(line), 8 B, and the line-frequency table stays a shuffle "
+    "join — boilerplate vocab outgrows broadcast). The keep-first rule "
+    "is a window over the line key, NOT a global order — partitions by "
+    "line, so it scales with the widest duplicate class, not the corpus.",
+    tags=("text", "curation", "dedup"),
+)
+def line_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    n = _LINE_TOKENS
+    docs = table(spark, sf_dir, "documents").withColumn(
+        "t", F.split(F.col("text"), " ")
+    )
+    lines = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, CAST(ceil(size(t) / {n}.0) AS INT) - 1), "
+                f"i -> concat_ws(' ', slice(t, i * {n} + 1, {n})))"
+            )
+        ).alias("line"),
+    )
+    freq = lines.groupBy("line").agg(
+        F.countDistinct("doc_id").alias("n_docs_with")
+    )
+    w = Window.partitionBy("line")
+    marked = (
+        lines.join(freq, "line")
+        .withColumn("first_doc", F.min("doc_id").over(w))
+    )
+    boiler = F.col("n_docs_with") >= 2
+    return marked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.coalesce(F.sum(F.when(boiler, F.lit(1))), F.lit(0))
+        .cast("long")
+        .alias("n_boiler_occurrences"),
+        F.coalesce(
+            F.sum(F.when(boiler & (F.col("doc_id") != F.col("first_doc")), F.lit(1))),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("n_removed"),
+        F.countDistinct(F.when(boiler, F.col("line"))).alias("n_boiler_lines"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# deterministic global shuffle -> shard manifest
+# ---------------------------------------------------------------------------
+
+_SHUF_A = 48271
+_SHUF_B = 11
+_SHUF_P = 1_000_000_007
+_N_SHARDS = 16
+
+
+@register(
+    "shard_manifest",
+    f"""
+WITH h AS (
+  SELECT doc_id, {o_n_tokens('text')} AS nt,
+         (doc_id * {_SHUF_A} + {_SHUF_B}) % {_SHUF_P} AS hv
+  FROM documents
+),
+s AS (
+  SELECT doc_id, nt, hv, hv % {_N_SHARDS} AS shard,
+         ROW_NUMBER() OVER (PARTITION BY hv % {_N_SHARDS} ORDER BY hv, doc_id) AS seq
+  FROM h
+)
+SELECT shard,
+       COUNT(*) AS n_docs,
+       CAST(SUM(nt) AS BIGINT) AS token_sum,
+       CAST(MIN(hv) AS BIGINT) AS min_hash,
+       CAST(MAX(hv) AS BIGINT) AS max_hash,
+       CAST(MIN(CASE WHEN seq = 1 THEN doc_id END) AS BIGINT) AS first_doc,
+       CAST(MAX(seq) AS BIGINT) AS shard_len
+FROM s GROUP BY 1
+""",
+    doc="Deterministic global shuffle for training order: every doc "
+    "hashed with a keyed LCG, shard = hash mod "
+    f"{_N_SHARDS}, within-shard order = (hash, doc_id). No rand() "
+    "anywhere — the permutation is a pure function of doc_id, so the "
+    "training order is reproducible across engines, partitionings, "
+    "cluster sizes, and reruns (and resumable mid-epoch by seq). The "
+    "row_number window partitions BY SHARD — parallel across shards, "
+    "never a single global sort. Emits the shard manifest a trainer "
+    "consumes: sizes, token mass, hash range, head doc.",
+    tags=("curation", "sample", "window"),
+)
+def shard_manifest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    h = docs.select(
+        "doc_id",
+        n_tokens(F.col("text")).alias("nt"),
+        ((F.col("doc_id") * _SHUF_A + _SHUF_B) % _SHUF_P).alias("hv"),
+    ).withColumn("shard", F.col("hv") % _N_SHARDS)
+    w = Window.partitionBy("shard").orderBy("hv", "doc_id")
+    s = h.withColumn("seq", F.row_number().over(w))
+    return s.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("nt").cast("long").alias("token_sum"),
+        F.min("hv").cast("long").alias("min_hash"),
+        F.max("hv").cast("long").alias("max_hash"),
+        F.min(F.when(F.col("seq") == 1, F.col("doc_id"))).cast("long").alias("first_doc"),
+        F.max("seq").cast("long").alias("shard_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# domain-mixture sampling plan (DoReMi/Pile-style reweighting)
+# ---------------------------------------------------------------------------
+
+# target mixture weight per source group, in ppm of the final corpus;
+# sources are grouped by their numeric suffix mod 3 (a stand-in for
+# "web / books / code" domain classes on the synthetic source labels)
+_MIX_PPM = {0: 500_000, 1: 300_000, 2: 200_000}
+_PPM = 1_000_000
+
+
+def _o_group() -> str:
+    return "CAST(regexp_extract(source, '[0-9]+') AS BIGINT) % 3"
+
+
+@register(
+    "mixture_sampling_plan",
+    f"""
+WITH d AS (
+  SELECT doc_id, source, {_o_group()} AS grp, {o_n_tokens('text')} AS nt
+  FROM documents
+),
+g AS (
+  SELECT grp, CAST(SUM(nt) AS BIGINT) AS grp_tokens FROM d GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(nt) AS BIGINT) AS total_tokens FROM d),
+plan AS (
+  SELECT g.grp, g.grp_tokens, tot.total_tokens,
+         CASE g.grp WHEN 0 THEN {_MIX_PPM[0]} WHEN 1 THEN {_MIX_PPM[1]} ELSE {_MIX_PPM[2]} END AS target_ppm,
+         LEAST({_PPM},
+               (CASE g.grp WHEN 0 THEN {_MIX_PPM[0]} WHEN 1 THEN {_MIX_PPM[1]} ELSE {_MIX_PPM[2]} END
+                * tot.total_tokens) // g.grp_tokens) AS rate_ppm
+  FROM g, tot
+)
+SELECT d.grp, p.target_ppm, p.rate_ppm, p.grp_tokens,
+       COUNT(*) AS n_docs,
+       CAST(COALESCE(SUM(CASE WHEN (d.doc_id * {_SHUF_A} + {_SHUF_B}) % {_SHUF_P} % {_PPM}
+                                   < p.rate_ppm THEN 1 END), 0) AS BIGINT) AS n_sampled,
+       CAST(COALESCE(SUM(CASE WHEN (d.doc_id * {_SHUF_A} + {_SHUF_B}) % {_SHUF_P} % {_PPM}
+                                   < p.rate_ppm THEN d.nt END), 0) AS BIGINT) AS tokens_sampled
+FROM d JOIN plan p USING (grp)
+GROUP BY 1, 2, 3, 4
+""",
+    doc="Domain-mixture sampling (Pile/DoReMi reweighting): target "
+    "mixture weights per domain group, per-group sampling rate = "
+    "min(1, weight * total_tokens / group_tokens) computed in EXACT "
+    "integer ppm (integer //, no float rounding ambiguity), membership "
+    "decided by the same keyed LCG hash as every sampler here. The "
+    "plan table is rows-per-domain (tiny, broadcast back onto the "
+    "corpus); sampling itself is a pure per-row predicate — no shuffle "
+    "beyond the two token-mass aggregations.",
+    tags=("curation", "sample", "agg"),
+)
+def mixture_sampling_plan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    grp = (F.regexp_extract("source", "[0-9]+", 0).cast("long") % 3).alias("grp")
+    d = docs.select(
+        "doc_id", grp, n_tokens(F.col("text")).alias("nt")
+    )
+    g = d.groupBy("grp").agg(F.sum("nt").cast("long").alias("grp_tokens"))
+    tot = d.agg(F.sum("nt").cast("long").alias("total_tokens"))
+    target = (
+        F.when(F.col("grp") == 0, F.lit(_MIX_PPM[0]))
+        .when(F.col("grp") == 1, F.lit(_MIX_PPM[1]))
+        .otherwise(F.lit(_MIX_PPM[2]))
+    )
+    plan = (
+        g.crossJoin(F.broadcast(tot))
+        .withColumn("target_ppm", target.cast("long"))
+        .withColumn(
+            "rate_ppm",
+            F.least(
+                F.lit(_PPM).cast("long"),
+                F.expr("(target_ppm * total_tokens) div grp_tokens"),
+            ),
+        )
+    )
+    hv = (F.col("doc_id") * _SHUF_A + _SHUF_B) % _SHUF_P % _PPM
+    sampled = hv < F.col("rate_ppm")
+    return (
+        d.join(F.broadcast(plan), "grp")
+        .groupBy("grp", "target_ppm", "rate_ppm", "grp_tokens")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.coalesce(F.sum(F.when(sampled, F.lit(1))), F.lit(0))
+            .cast("long")
+            .alias("n_sampled"),
+            F.coalesce(F.sum(F.when(sampled, F.col("nt"))), F.lit(0))
+            .cast("long")
+            .alias("tokens_sampled"),
+        )
+    )

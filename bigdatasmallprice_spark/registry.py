@@ -98,6 +98,10 @@ DRIVER_ORDER: list[str] = [
     # -- new in round 2
     "train_linear_model",
     "multimodal_wav_stats",
+    "pii_scrub",  # new in r2: regex detect+redact, md5-proven identical
+    "line_dedup",  # new in r2: C4-style cross-doc line removal
+    "shard_manifest",  # new in r2: deterministic training-order shuffle
+    "mixture_sampling_plan",  # new in r2: DoReMi/Pile domain reweighting
     # -- core §2 surface (green in r01; sole representative of their ops)
     "training_features",
     "hourly_rollup",
@@ -107,12 +111,8 @@ DRIVER_ORDER: list[str] = [
     "upsert_idempotency",
     "error_monitor",
     "freshness_gate",
-    "value_distribution",
     "chrono_split_summary",
     "table_stats",
-    "daily_mean_deviation",
-    "backfill_estimate",
-    "price_history",
     "row_explorer_page",
     "tariff_breakdown",
     "forecast_metrics",
@@ -144,6 +144,15 @@ DRIVER_ORDER: list[str] = [
     #     runs inside table_stats's multi-table summary union
     #   filtered_counts — SUM/MAX-over-CASE conditional aggregates (A4)
     #     also run inside net_position's conditional net-flow sums
+    #   price_history (r01 green, O2) — newest-k window machinery also
+    #     runs inside row_explorer_page's keyset pagination (O3)
+    #   daily_mean_deviation (r01 green, A7) — daily-mean-vs-row delta
+    #     joins; same groupBy+join-back shape as median_impute (F12)
+    #   value_distribution (r01 green, A9/P9) — min/max/avg/approx-pct
+    #     stats; exact-quantile machinery still listed via
+    #     stratified_sample_summary + table_stats' per-table min/max
+    #   backfill_estimate (r01 green, A8) — gap-count arithmetic on top
+    #     of freshness_gate's driver-verified extent scan
     # All remain registered: benched + locally parity-gated every round.
 ]
 

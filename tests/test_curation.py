@@ -1,0 +1,86 @@
+"""Semantic invariants for the corpus-curation queries (curationq.py) —
+checks that hold regardless of the oracle comparison."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bigdatasmallprice_spark.queries.curationq import (
+    _RE_EMAIL,
+    _RE_IPV4,
+    _RE_PHONE,
+    _dirty_spark,
+    line_dedup_q,
+    mixture_sampling_plan_q,
+    pii_scrub_q,
+    shard_manifest_q,
+)
+from bigdatasmallprice_spark.queries.core import table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_pii_counts_follow_injection_classes(spark):
+    rows = {r.doc_id: r for r in pii_scrub_q(spark, SF).collect()}
+    assert rows
+    for doc_id, r in rows.items():
+        want_email = (1 if doc_id % 3 != 2 else 0) + (1 if doc_id % 5 == 0 else 0)
+        assert r.n_email == want_email, (doc_id, r)
+        assert r.n_phone == (1 if doc_id % 2 == 0 else 0)
+        assert r.n_ip == (1 if doc_id % 4 == 1 else 0)
+
+
+def test_pii_redaction_leaves_no_matches(spark):
+    docs = table(spark, SF, "documents")
+    dirty = docs.select("doc_id", _dirty_spark().alias("dirty"))
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("dirty"), _RE_EMAIL, "<EMAIL>"),
+            _RE_PHONE,
+            "<PHONE>",
+        ),
+        _RE_IPV4,
+        "<IP>",
+    )
+    residue = dirty.select(
+        (
+            F.regexp_count(red, F.lit(_RE_EMAIL))
+            + F.regexp_count(red, F.lit(_RE_PHONE))
+            + F.regexp_count(red, F.lit(_RE_IPV4))
+        ).alias("n")
+    ).agg(F.sum("n").alias("total")).collect()[0].total
+    assert residue == 0
+
+
+def test_line_dedup_invariants(spark):
+    rows = line_dedup_q(spark, SF).collect()
+    docs = table(spark, SF, "documents")
+    n_lines_expected = docs.select(
+        F.ceil(F.size(F.split("text", " ")) / 3.0).cast("long").alias("nl")
+    ).agg(F.sum("nl")).collect()[0][0]
+    assert sum(r.n_lines for r in rows) == n_lines_expected
+    for r in rows:
+        assert 0 <= r.n_removed <= r.n_boiler_occurrences <= r.n_lines
+        assert r.n_boiler_lines <= r.n_boiler_occurrences
+
+
+def test_shard_manifest_partitions_the_corpus(spark):
+    rows = shard_manifest_q(spark, SF).collect()
+    docs_total = table(spark, SF, "documents").count()
+    assert sum(r.n_docs for r in rows) == docs_total
+    for r in rows:
+        assert r.shard_len == r.n_docs  # seq is dense within each shard
+        assert r.min_hash <= r.max_hash
+        assert 0 <= r.shard < 16
+
+
+def test_mixture_plan_rates_bounded_and_exhaustive(spark):
+    rows = mixture_sampling_plan_q(spark, SF).collect()
+    assert {r.grp for r in rows} == {0, 1, 2}
+    for r in rows:
+        assert 0 < r.rate_ppm <= 1_000_000
+        assert r.n_sampled <= r.n_docs
+        assert r.tokens_sampled <= r.grp_tokens
+        # a 100%-rate group must sample everything
+        if r.rate_ppm == 1_000_000:
+            assert r.n_sampled == r.n_docs
