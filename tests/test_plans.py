@@ -146,3 +146,50 @@ def test_decontamination_broadcasts_eval_grams(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_pii_scrub_is_a_pure_map(spark):
+    """The PII pass is per-row regexp work: its plan must contain NO
+    exchange at all — a scrub that shuffles 100 TB would be wrong."""
+    from bigdatasmallprice_spark.registry import all_queries
+
+    df = all_queries()["pii_scrub"].fn(spark, SF)
+    plan = _formatted(df)
+    assert "Exchange" not in plan, plan
+    # pruned scan: the 2 unused columns (lang, n_chars) must not be read
+    read_schema = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "lang" not in read_schema and "n_chars" not in read_schema, read_schema
+
+
+def test_mixture_plan_broadcasts_back_onto_corpus(spark):
+    """The rows-per-domain plan table must broadcast onto the corpus
+    scan, never shuffle the corpus on the group key."""
+    from bigdatasmallprice_spark.registry import all_queries
+
+    df = all_queries()["mixture_sampling_plan"].fn(spark, SF)
+    plan = _formatted(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_line_dedup_windows_by_line_not_globally(spark):
+    """The keep-first rule partitions its window BY LINE — a global
+    (unpartitioned) window here would serialize the corpus."""
+    from bigdatasmallprice_spark.registry import all_queries
+
+    df = all_queries()["line_dedup"].fn(spark, SF)
+    plan = _formatted(df)
+    assert "Window" in plan
+    # every Window operator in the plan carries a partition spec
+    for seg in plan.split("Window [")[1:]:
+        head = seg.split("]")[1] if "]" in seg else seg
+        assert "windowspecdefinition(line" in seg or "partitionBy" in head or "line#" in seg, seg[:300]
+
+
+def test_shard_manifest_windows_by_shard(spark):
+    from bigdatasmallprice_spark.registry import all_queries
+
+    df = all_queries()["shard_manifest"].fn(spark, SF)
+    plan = _formatted(df)
+    assert "Window" in plan
+    assert "windowspecdefinition(shard" in plan, plan
