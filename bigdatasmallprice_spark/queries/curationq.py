@@ -386,3 +386,200 @@ def mixture_sampling_plan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("tokens_sampled"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# the full curation funnel, end-to-end in one DAG
+# ---------------------------------------------------------------------------
+
+_Q_MIN = 0.55  # quality gate threshold (matches quality_filter)
+_TOK_MIN = 20
+_KEEP_PPM = 500_000  # final deterministic 50% subsample
+
+
+def _funnel_fragments() -> dict[str, str]:
+    from bigdatasmallprice_spark.functions.texts import (
+        STOPWORDS_EN,
+        o_bag_fingerprint,
+        o_n_tokens,
+        o_n_unique_tokens,
+        o_quality_score,
+        o_stopword_hits,
+    )
+
+    nt = o_n_tokens("text")
+    return {
+        "o_nt": nt,
+        "o_quality": o_quality_score(
+            nt, o_n_unique_tokens("text"), o_stopword_hits("text", STOPWORDS_EN)
+        ),
+        "o_bag_fp": o_bag_fingerprint("text"),
+        "o_lines": _o_lines(),
+    }
+
+
+_FF = _funnel_fragments()
+
+
+@register(
+    "curation_funnel",
+    f"""
+WITH d AS (
+  SELECT doc_id, source, {_FF['o_nt']} AS nt,
+         {_FF['o_quality']} AS quality,
+         {_FF['o_bag_fp']} AS bag_fp
+  FROM documents
+),
+lines AS ({_FF['o_lines']}),
+marked AS (
+  SELECT doc_id, line,
+         MIN(doc_id) OVER (PARTITION BY line) AS first_doc
+  FROM lines
+),
+per_doc_lines AS (
+  SELECT doc_id,
+         COUNT(*) AS n_lines,
+         CAST(COALESCE(SUM(CASE WHEN doc_id != first_doc THEN 1 END), 0) AS BIGINT) AS n_removed
+  FROM marked GROUP BY 1
+),
+base AS (
+  SELECT d.*, l.n_lines, l.n_removed,
+         (d.quality >= {_Q_MIN} AND d.nt >= {_TOK_MIN}) AS q_pass
+  FROM d JOIN per_doc_lines l USING (doc_id)
+),
+flagged AS (
+  SELECT *, (q_pass AND 2 * n_removed <= n_lines) AS l_pass FROM base
+),
+surv AS (
+  SELECT *, MIN(doc_id) OVER (PARTITION BY bag_fp) AS keeper
+  FROM flagged WHERE l_pass
+),
+agg_a AS (
+  SELECT source,
+         COUNT(*) AS n_docs,
+         CAST(COALESCE(SUM(CASE WHEN q_pass THEN 1 END), 0) AS BIGINT) AS n_quality,
+         CAST(COALESCE(SUM(CASE WHEN l_pass THEN 1 END), 0) AS BIGINT) AS n_line_ok
+  FROM flagged GROUP BY 1
+),
+agg_b AS (
+  SELECT source,
+         CAST(COALESCE(SUM(CASE WHEN doc_id = keeper THEN 1 END), 0) AS BIGINT) AS n_canonical,
+         CAST(COALESCE(SUM(CASE WHEN doc_id = keeper
+               AND (doc_id * {_SHUF_A} + {_SHUF_B}) % {_SHUF_P} % {_PPM} < {_KEEP_PPM}
+               THEN 1 END), 0) AS BIGINT) AS n_sampled,
+         CAST(COALESCE(SUM(CASE WHEN doc_id = keeper
+               AND (doc_id * {_SHUF_A} + {_SHUF_B}) % {_SHUF_P} % {_PPM} < {_KEEP_PPM}
+               THEN nt END), 0) AS BIGINT) AS tokens_sampled
+  FROM surv GROUP BY 1
+)
+SELECT a.source, a.n_docs, a.n_quality, a.n_line_ok,
+       COALESCE(b.n_canonical, 0) AS n_canonical,
+       COALESCE(b.n_sampled, 0) AS n_sampled,
+       COALESCE(b.tokens_sampled, 0) AS tokens_sampled
+FROM agg_a a LEFT JOIN agg_b b USING (source)
+""",
+    doc="The whole curation pipeline as ONE declarative DAG — quality "
+    "gate, corpus-wide line-dedup retention (drop docs losing >50% of "
+    "their lines as cross-document boilerplate), exact-dedup canonical "
+    "selection (keep lowest doc_id per bag fingerprint among "
+    "survivors), and the final deterministic 50% subsample — reported "
+    "as a per-source funnel (docs surviving each stage + final token "
+    "mass). Catalyst sees all five stages at once: one documents scan "
+    "feeds both the doc-level path and the line explode; every window "
+    "is keyed (line, bag_fp), never global; the two funnel aggregates "
+    "rejoin on source (tiny). The drop-per-stage accounting a 100 TB "
+    "curation run reports to its operators.",
+    tags=("curation", "dedup", "text", "agg"),
+)
+def curation_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from bigdatasmallprice_spark.functions.texts import (
+        STOPWORDS_EN,
+        bag_fingerprint,
+        n_unique_tokens,
+        quality_score,
+        stopword_hits,
+    )
+
+    n = _LINE_TOKENS
+    docs = table(spark, sf_dir, "documents")
+    t = F.col("text")
+    d = docs.select(
+        "doc_id",
+        "source",
+        n_tokens(t).alias("nt"),
+        quality_score(
+            n_tokens(t), n_unique_tokens(t), stopword_hits(t, STOPWORDS_EN)
+        ).alias("quality"),
+        bag_fingerprint(t).alias("bag_fp"),
+    )
+    lines = docs.withColumn("t", F.split(t, " ")).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, CAST(ceil(size(t) / {n}.0) AS INT) - 1), "
+                f"i -> concat_ws(' ', slice(t, i * {n} + 1, {n})))"
+            )
+        ).alias("line"),
+    )
+    wl = Window.partitionBy("line")
+    marked = lines.select(
+        "doc_id",
+        "line",
+        F.min("doc_id").over(wl).alias("first_doc"),
+    )
+    per_doc_lines = marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.coalesce(
+            F.sum(F.when(F.col("doc_id") != F.col("first_doc"), F.lit(1))),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("n_removed"),
+    )
+    base = d.join(per_doc_lines, "doc_id").withColumn(
+        "q_pass", (F.col("quality") >= _Q_MIN) & (F.col("nt") >= _TOK_MIN)
+    )
+    flagged = base.withColumn(
+        "l_pass", F.col("q_pass") & (2 * F.col("n_removed") <= F.col("n_lines"))
+    )
+    surv = flagged.filter("l_pass").withColumn(
+        "keeper", F.min("doc_id").over(Window.partitionBy("bag_fp"))
+    )
+    agg_a = flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.coalesce(F.sum(F.when(F.col("q_pass"), F.lit(1))), F.lit(0))
+        .cast("long")
+        .alias("n_quality"),
+        F.coalesce(F.sum(F.when(F.col("l_pass"), F.lit(1))), F.lit(0))
+        .cast("long")
+        .alias("n_line_ok"),
+    )
+    is_keeper = F.col("doc_id") == F.col("keeper")
+    kept = is_keeper & (
+        (F.col("doc_id") * _SHUF_A + _SHUF_B) % _SHUF_P % _PPM < _KEEP_PPM
+    )
+    agg_b = surv.groupBy("source").agg(
+        F.coalesce(F.sum(F.when(is_keeper, F.lit(1))), F.lit(0))
+        .cast("long")
+        .alias("n_canonical"),
+        F.coalesce(F.sum(F.when(kept, F.lit(1))), F.lit(0))
+        .cast("long")
+        .alias("n_sampled"),
+        F.coalesce(F.sum(F.when(kept, F.col("nt"))), F.lit(0))
+        .cast("long")
+        .alias("tokens_sampled"),
+    )
+    return (
+        agg_a.join(agg_b, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "n_quality",
+            "n_line_ok",
+            F.coalesce("n_canonical", F.lit(0)).alias("n_canonical"),
+            F.coalesce("n_sampled", F.lit(0)).alias("n_sampled"),
+            F.coalesce("tokens_sampled", F.lit(0)).alias("tokens_sampled"),
+        )
+    )

@@ -102,6 +102,7 @@ DRIVER_ORDER: list[str] = [
     "line_dedup",  # new in r2: C4-style cross-doc line removal
     "shard_manifest",  # new in r2: deterministic training-order shuffle
     "mixture_sampling_plan",  # new in r2: DoReMi/Pile domain reweighting
+    "curation_funnel",  # new in r2: the 5-stage pipeline as one DAG
     # -- core §2 surface (green in r01; sole representative of their ops)
     "training_features",
     "hourly_rollup",
@@ -116,7 +117,6 @@ DRIVER_ORDER: list[str] = [
     "row_explorer_page",
     "tariff_breakdown",
     "forecast_metrics",
-    "median_impute",
     "model_score",
     "grain_align_join",
     "pricing_summary",
@@ -153,6 +153,9 @@ DRIVER_ORDER: list[str] = [
     #     stratified_sample_summary + table_stats' per-table min/max
     #   backfill_estimate (r01 green, A8) — gap-count arithmetic on top
     #     of freshness_gate's driver-verified extent scan
+    #   median_impute (r01 green, F12) — group-median + join-back; same
+    #     shape as model_score's feature prep, percentile machinery
+    #     still covered by value_quantiles_by_type's local parity
     # All remain registered: benched + locally parity-gated every round.
 ]
 

@@ -84,3 +84,20 @@ def test_mixture_plan_rates_bounded_and_exhaustive(spark):
         # a 100%-rate group must sample everything
         if r.rate_ppm == 1_000_000:
             assert r.n_sampled == r.n_docs
+
+
+def test_curation_funnel_is_monotone(spark):
+    from bigdatasmallprice_spark.queries.curationq import curation_funnel_q
+
+    rows = curation_funnel_q(spark, SF).collect()
+    assert rows
+    total_docs = table(spark, SF, "documents").count()
+    assert sum(r.n_docs for r in rows) == total_docs
+    dropped_any = False
+    for r in rows:
+        assert r.n_docs >= r.n_quality >= r.n_line_ok >= r.n_canonical >= r.n_sampled >= 0
+        if r.n_sampled < r.n_docs:
+            dropped_any = True
+        if r.n_sampled == 0:
+            assert r.tokens_sampled == 0
+    assert dropped_any  # the funnel must actually filter something
