@@ -504,3 +504,52 @@ def kmeans_fit_scaled(
         "cu_e",
         "n_assigned",
     )
+
+
+def covariance_moments_vectorized(
+    df: DataFrame, vec_col: str = "embedding", scale: int = 1_000_000
+) -> DataFrame:
+    """Exact integer covariance moments via Arrow-batched BLAS.
+
+    Each Arrow batch scales its vectors to integer micro-units
+    (round-half-away-from-zero, matching SQL ``round``), computes the
+    int64 Gram matrix ``V.T @ V`` and per-dimension linear sums, and
+    emits (i, j, val) partial rows: upper-triangle products as
+    (i, j>=0), linear sums as (i, -1), the row count as (-1, -1).
+    A groupBy sum over (i, j) — dim^2-bounded keys, map-side combined —
+    yields corpus-exact moments: every value is an int64 sum, so the
+    result is bit-identical under any batching, partitioning, or
+    reduction order, and equals a per-element SQL unnest/self-join
+    (the oracle form) exactly. This is how a 100 TB PCA/whitening prep
+    runs: one scan, BLAS per batch, a 2080-key shuffle.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def moments(pdfs):
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype("float64") * scale
+            # round half away from zero == SQL round() in both engines
+            V = np.where(X >= 0, np.floor(X + 0.5), -np.floor(-X + 0.5)).astype(
+                "int64"
+            )
+            P = V.T @ V  # int64 matmul: exact
+            s = V.sum(axis=0)
+            iu, ju = np.triu_indices(V.shape[1])
+            d = V.shape[1]
+            yield pd.DataFrame(
+                {
+                    "i": np.concatenate([iu, np.arange(d), [-1]]),
+                    "j": np.concatenate([ju, np.full(d, -1), [-1]]),
+                    "val": np.concatenate([P[iu, ju], s, [len(pdf)]]),
+                }
+            )
+
+    return (
+        df.select(vec_col)
+        .mapInPandas(moments, "i int, j int, val long")
+        .groupBy("i", "j")
+        .agg(F.sum("val").alias("val"))
+    )

@@ -611,3 +611,76 @@ def ann_ivf_trained_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return ann_ivf_topk(emb.filter(F.col("vec_id") < 10), emb, cent, k=5, nprobe=2)
+
+
+# ---------------------------------------------------------------------------
+# embedding covariance: PCA/whitening prep from exact integer moments
+# ---------------------------------------------------------------------------
+
+_COV_DIM = 64
+
+
+@register(
+    "embedding_covariance",
+    f"""
+WITH v AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+  FROM embeddings
+),
+x AS (
+  SELECT vec_id, i, v[i + 1] AS xi
+  FROM v, (SELECT unnest(range(0, {_COV_DIM})) AS i)
+),
+lin AS (
+  SELECT i, CAST(SUM(xi) AS BIGINT) AS sx, COUNT(*) AS n FROM x GROUP BY 1
+),
+p AS (
+  SELECT a.i AS i, b.i AS j, CAST(SUM(a.xi * b.xi) AS BIGINT) AS sxy
+  FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+  GROUP BY 1, 2
+)
+SELECT p.i, p.j, CAST(la.n AS BIGINT) AS n, p.sxy,
+       ((CAST(p.sxy AS DOUBLE) / la.n) / 1000000000000.0)
+       - ((CAST(la.sx AS DOUBLE) / la.n) / 1000000.0)
+         * ((CAST(lb.sx AS DOUBLE) / lb.n) / 1000000.0) AS cov
+FROM p JOIN lin la ON p.i = la.i JOIN lin lb ON p.j = lb.i
+""",
+    doc="Embedding covariance matrix (PCA / whitening prep): upper "
+    "triangle of cov(X) from EXACT int64 moments — micro-unit Gram "
+    "matrix + linear sums — computed by Arrow-batched BLAS "
+    "(operators/similarity.py::covariance_moments_vectorized: V.T @ V "
+    "per batch, a dim^2-key shuffle of partials). The oracle replays "
+    "the same moments as a per-element unnest + self-join; integer "
+    "sums make the two bit-identical, and the final cov division is "
+    "one identical IEEE expression per row. Eigendecomposition of the "
+    "64x64 result is driver-side (it is a 32 KB matrix).",
+    tags=("similarity", "train", "agg"),
+)
+def embedding_covariance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdatasmallprice_spark.operators.similarity import (
+        covariance_moments_vectorized,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    m = covariance_moments_vectorized(emb).persist()
+    lin = m.filter((F.col("j") == -1) & (F.col("i") >= 0)).select(
+        F.col("i").alias("li"), F.col("val").alias("sx")
+    )
+    cnt = m.filter((F.col("i") == -1) & (F.col("j") == -1)).select(
+        F.col("val").alias("n")
+    )
+    pairs = m.filter(F.col("j") >= 0).select("i", "j", F.col("val").alias("sxy"))
+    la = lin.withColumnRenamed("li", "i").withColumnRenamed("sx", "sx_i")
+    lb = lin.withColumnRenamed("li", "j").withColumnRenamed("sx", "sx_j")
+    cov = (
+        (F.col("sxy").cast("double") / F.col("n")) / 1e12
+        - ((F.col("sx_i").cast("double") / F.col("n")) / 1e6)
+        * ((F.col("sx_j").cast("double") / F.col("n")) / 1e6)
+    )
+    return (
+        pairs.join(F.broadcast(la), "i")
+        .join(F.broadcast(lb), "j")
+        .crossJoin(F.broadcast(cnt))
+        .select("i", "j", "n", "sxy", cov.alias("cov"))
+    )

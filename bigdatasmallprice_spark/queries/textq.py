@@ -607,3 +607,69 @@ def ngram_lm_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_bigram_freq"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training: the pair-frequency merge step as aggregation
+# ---------------------------------------------------------------------------
+
+_BPE_TOP_MERGES = 20
+
+
+@register(
+    "bpe_train_merges",
+    f"""
+WITH w AS (
+  SELECT unnest(string_split(text, ' ')) AS word FROM documents
+),
+wc AS (
+  SELECT word, COUNT(*) AS c FROM w WHERE word <> '' GROUP BY 1
+),
+pairs AS (
+  SELECT c, unnest(list_transform(range(1, length(word)),
+                                  i -> substr(word, i, 2))) AS pair
+  FROM wc WHERE length(word) >= 2
+),
+pc AS (
+  SELECT pair, CAST(SUM(c) AS BIGINT) AS cnt FROM pairs GROUP BY 1
+),
+ranked AS (
+  SELECT pair, cnt,
+         ROW_NUMBER() OVER (ORDER BY cnt DESC, pair) AS merge_rank
+  FROM pc
+)
+SELECT merge_rank, pair, cnt FROM ranked WHERE merge_rank <= {_BPE_TOP_MERGES}
+""",
+    doc="BPE tokenizer training, the core step: corpus word counts -> "
+    "adjacent character-pair frequencies weighted by word count -> the "
+    f"top-{_BPE_TOP_MERGES} merge candidates with a total (count DESC, "
+    "pair ASC) order — the argmax a BPE trainer takes per iteration. "
+    "Two shuffles, both map-side combined: word counts (vocab-sized, "
+    "not corpus-sized, after the first combine), then pair counts "
+    "(alphabet^2-bounded). The final rank window runs over the PAIR "
+    "table (bounded by vocabulary, not data); iterating merges is "
+    "driver-side like kmeans_fit's Lloyd rounds, each re-expressible "
+    "as this same aggregation over the re-segmented corpus.",
+    tags=("text", "train", "agg"),
+)
+def bpe_train_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    w = docs.select(F.explode(F.split(F.col("text"), " ")).alias("word")).filter(
+        F.col("word") != ""
+    )
+    wc = w.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    pairs = wc.filter(F.length("word") >= 2).select(
+        "c",
+        F.explode(
+            F.expr("transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))")
+        ).alias("pair"),
+    )
+    pc = pairs.groupBy("pair").agg(F.sum("c").cast("long").alias("cnt"))
+    rank = F.row_number().over(Window.orderBy(F.col("cnt").desc(), F.col("pair")))
+    return (
+        pc.withColumn("merge_rank", rank)
+        .filter(F.col("merge_rank") <= _BPE_TOP_MERGES)
+        .select("merge_rank", "pair", "cnt")
+    )

@@ -103,6 +103,8 @@ DRIVER_ORDER: list[str] = [
     "shard_manifest",  # new in r2: deterministic training-order shuffle
     "mixture_sampling_plan",  # new in r2: DoReMi/Pile domain reweighting
     "curation_funnel",  # new in r2: the 5-stage pipeline as one DAG
+    "bpe_train_merges",  # new in r2: BPE tokenizer pair-merge training
+    "embedding_covariance",  # new in r2: PCA prep, exact-int BLAS moments
     # -- core §2 surface (green in r01; sole representative of their ops)
     "training_features",
     "hourly_rollup",
@@ -116,9 +118,7 @@ DRIVER_ORDER: list[str] = [
     "table_stats",
     "row_explorer_page",
     "tariff_breakdown",
-    "forecast_metrics",
     "model_score",
-    "grain_align_join",
     "pricing_summary",
     # -- LLM-data-pipeline dedup + sampling stack
     "dedup_exact",
@@ -156,6 +156,10 @@ DRIVER_ORDER: list[str] = [
     #   median_impute (r01 green, F12) — group-median + join-back; same
     #     shape as model_score's feature prep, percentile machinery
     #     still covered by value_quantiles_by_type's local parity
+    #   forecast_metrics (r01 green, F11) — masked-MAPE machinery now
+    #     driver-verified inside train_linear_model's gate columns
+    #   grain_align_join (r01 green, J4) — grain-aligning time join;
+    #     same date_trunc-join shape as net_load_features (J5, listed)
     # All remain registered: benched + locally parity-gated every round.
 ]
 
