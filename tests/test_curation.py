@@ -101,3 +101,48 @@ def test_curation_funnel_is_monotone(spark):
         if r.n_sampled == 0:
             assert r.tokens_sampled == 0
     assert dropped_any  # the funnel must actually filter something
+
+
+def test_curated_corpus_sink_round_trip(spark, tmp_path):
+    from bigdatasmallprice_spark.curation_sink import (
+        read_manifest,
+        read_shard,
+        write_curated_corpus,
+    )
+    from bigdatasmallprice_spark.functions.texts import n_tokens
+    from pyspark.sql import functions as F2
+
+    docs = table(spark, SF, "documents").select(
+        "doc_id", "text", "source", n_tokens(F2.col("text")).alias("nt")
+    )
+    path = str(tmp_path / "curated")
+    manifest = write_curated_corpus(docs, path, n_shards=8).collect()
+
+    total = docs.count()
+    assert sum(r.n_docs for r in manifest) == total
+    assert len(manifest) <= 8
+
+    # manifest must equal an independent aggregation of the written files
+    back = spark.read.parquet(path)
+    assert back.count() == total
+    recount = {
+        r.shard: (r.n, r.ts)
+        for r in back.groupBy("shard")
+        .agg(F2.count(F2.lit(1)).alias("n"), F2.sum("nt").alias("ts"))
+        .collect()
+    }
+    for r in manifest:
+        assert recount[r.shard] == (r.n_docs, r.token_sum)
+
+    # per-shard read partition-prunes: only one shard dir in the scan
+    sh = manifest[0].shard
+    df1 = read_shard(spark, path, sh)
+    plan = df1._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "shard" in plan.split("PartitionFilters")[1][:200]
+    assert df1.count() == manifest[0].n_docs
+
+    # re-export is idempotent and the manifest swap is atomic (no .tmp left)
+    import os
+    write_curated_corpus(docs, path, n_shards=8)
+    assert not os.path.exists(os.path.join(path, "_manifest.tmp"))
+    assert sum(r.n_docs for r in read_manifest(spark, path).collect()) == total

@@ -413,3 +413,78 @@ def test_streaming_neardup_matches_sequential_batch(spark, tmp_path):
     assert got == want
     n_surv = sum(1 for v in want.values() if not v[2])
     assert spark.read.parquet(shingle_store).count() == corpus.count() + n_surv
+
+
+# ---------------------------------------------------------------------------
+# streaming curation head: scrub + quality gate on ingest ≡ batch
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_curation_matches_batch(spark, tmp_path):
+    from bigdatasmallprice_spark.streaming.curation_stream import (
+        curate_columns,
+        curation_stream,
+    )
+
+    SRC_SCHEMA = "doc_id long, text string, source string"
+    src = str(tmp_path / "docs_in")
+    kept = str(tmp_path / "kept")
+    rejected = str(tmp_path / "rejected")
+    ckpt = str(tmp_path / "cckpt")
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .selectExpr(
+            "doc_id",
+            # splice synthetic PII into some docs so the scrub has work
+            "CASE WHEN doc_id % 4 = 0 THEN text || ' mail u' || doc_id || '@example.com' ELSE text END AS text",
+            "source",
+        )
+    )
+    # two arrival waves
+    docs.filter("doc_id % 2 = 0").write.parquet(src)
+    q = curation_stream(
+        spark.readStream.schema(SRC_SCHEMA).parquet(src), kept, rejected, ckpt
+    ).start()
+    q.awaitTermination(120)
+    docs.filter("doc_id % 2 = 1").write.mode("append").parquet(src)
+    q = curation_stream(
+        spark.readStream.schema(SRC_SCHEMA).parquet(src), kept, rejected, ckpt
+    ).start()
+    q.awaitTermination(120)
+
+    batch = curate_columns(docs).persist()
+    try:
+        want_kept = {
+            (r.doc_id, r.scrubbed, r.n_pii, r.quality)
+            for r in batch.filter("reject_reason IS NULL").collect()
+        }
+        got_kept = {
+            (r.doc_id, r.scrubbed, r.n_pii, r.quality)
+            for r in spark.read.parquet(kept).collect()
+        }
+        assert got_kept == want_kept and len(got_kept) > 0
+
+        want_rej = {
+            (r.doc_id, r.reject_reason)
+            for r in batch.filter("reject_reason IS NOT NULL").collect()
+        }
+        got_rej = {
+            (r.doc_id, r.reject_reason)
+            for r in spark.read.parquet(rejected).collect()
+        }
+        assert got_rej == want_rej
+        # every doc landed exactly once, in exactly one sink
+        assert len(got_kept) + len(got_rej) == docs.count()
+        # scrubbed survivors carry no residual PII matches
+        n_res = (
+            spark.read.parquet(kept)
+            .selectExpr(
+                "regexp_count(scrubbed, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\\\.[A-Za-z]{2,}') AS n"
+            )
+            .agg({"n": "sum"})
+            .collect()[0][0]
+        )
+        assert n_res == 0
+    finally:
+        batch.unpersist()
