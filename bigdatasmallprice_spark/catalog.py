@@ -64,6 +64,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for col in _NANO_TS_COLS.get(name, ()):
         if dict(df.dtypes).get(col) == "bigint":
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    # tz-less parquet timestamps (timestamp[us] without isAdjustedToUTC)
+    # arrive as TIMESTAMP_NTZ under Spark 4's inference; the engine's
+    # contract is "timestamps are UTC instants" (session tz is UTC), so
+    # the cast below is wall-clock-preserving and makes unix_micros /
+    # window range frames / tz functions uniformly applicable. DuckDB
+    # oracles read the same naive values, so formatted output agrees.
+    ntz = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    for col in ntz:
+        df = df.withColumn(col, F.col(col).cast("timestamp"))
     _TABLE_CACHE[key] = df
     return df
 
