@@ -537,3 +537,37 @@ def train_linear_model_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_scored",
         "gate_pass",
     )
+
+
+@register(
+    "password_hash_audit",
+    """
+SELECT c_custkey,
+       sha256('pw-' || CAST(c_custkey AS VARCHAR)) AS pw_hash,
+       CAST(length(sha256('pw-' || CAST(c_custkey AS VARCHAR))) AS BIGINT) AS hash_len
+FROM customer
+WHERE c_custkey % 20 = 0
+""",
+    doc="F14 auth surface engine-side (reference main.py:169-204 "
+    "_hash_pw): bulk SHA-256 credential hashing as a pure-codegen "
+    "column op (F.sha2 — no Python in the plan), audited row-by-row "
+    "against DuckDB's independent sha256(). JWT mint/verify (HS256, "
+    "keyed HMAC that neither engine has as a builtin) lives in "
+    "functions/auth.py as Arrow-batched pandas UDFs with round-trip + "
+    "tamper + expiry tests (tests/test_export_serving.py).",
+    tags=("auth", "functions"),
+)
+def password_hash_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdatasmallprice_spark.functions.auth import hash_password
+    from bigdatasmallprice_spark.queries.core import table
+
+    cust = table(spark, sf_dir, "customer")
+    return cust.where(F.col("c_custkey") % 20 == 0).select(
+        "c_custkey",
+        hash_password(F.concat(F.lit("pw-"), F.col("c_custkey").cast("string"))).alias(
+            "pw_hash"
+        ),
+        F.length(
+            hash_password(F.concat(F.lit("pw-"), F.col("c_custkey").cast("string")))
+        ).cast("long").alias("hash_len"),
+    )

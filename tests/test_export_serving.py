@@ -160,3 +160,56 @@ def test_forecast_tariff_roundtrip(domain):
     assert out["energiepreis_rp_kwh"] == 3.2
     assert out["gesamttarif_rp_kwh"] == 8.2
     assert out["level"] == "low"
+
+
+# ── auth (F14): password hash + HS256 JWT ─────────────────────────────────
+
+
+def test_password_hash_matches_hashlib(spark):
+    import hashlib
+
+    from bigdatasmallprice_spark.functions.auth import hash_password, verify_password
+
+    df = spark.createDataFrame([("hunter2",), ("pa55w0rd",)], ["pw"])
+    got = {r.pw: r.h for r in df.select("pw", hash_password(F.col("pw")).alias("h")).collect()}
+    for pw, h in got.items():
+        assert h == hashlib.sha256(pw.encode()).hexdigest()
+    ok = df.withColumn("stored", hash_password(F.col("pw"))).select(
+        verify_password(F.col("pw"), F.col("stored")).alias("v")
+    )
+    assert all(r.v for r in ok.collect())
+
+
+def test_jwt_roundtrip_tamper_expiry(spark):
+    from bigdatasmallprice_spark.functions.auth import (
+        jwt_decode_py,
+        jwt_encode,
+        jwt_encode_py,
+        jwt_validate,
+    )
+
+    secret, now = "s3cret", 1_700_000_000
+    # pure-python reference semantics
+    tok = jwt_encode_py("alice", now + 3600, secret)
+    assert jwt_decode_py(tok, secret, now) == {
+        "sub": "alice", "exp": now + 3600, "valid": True, "error": None,
+    }
+    assert jwt_decode_py(tok, secret, now + 7200)["error"] == "expired"
+    assert jwt_decode_py(tok + "x", secret, now)["error"] == "invalid"
+    assert jwt_decode_py(tok, "wrong", now)["error"] == "invalid"
+
+    # distributed mint + validate round-trip; includes a tampered token
+    users = spark.createDataFrame(
+        [("alice", now + 3600), ("bob", now - 10)], ["sub", "exp"]
+    )
+    minted = users.withColumn("tok", jwt_encode(F.col("sub"), F.col("exp"), secret))
+    checked = minted.select(
+        "sub", jwt_validate(F.col("tok"), secret, now).alias("c")
+    ).select("sub", "c.*")
+    rows = {r.sub: r for r in checked.collect()}
+    assert rows["alice"].valid and rows["alice"].error is None
+    assert not rows["bob"].valid and rows["bob"].error == "expired"
+    tampered = minted.select(
+        jwt_validate(F.concat(F.col("tok"), F.lit("x")), secret, now).alias("c")
+    ).select("c.*")
+    assert all(r.error == "invalid" for r in tampered.collect())

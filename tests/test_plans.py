@@ -193,3 +193,29 @@ def test_shard_manifest_windows_by_shard(spark):
     plan = _formatted(df)
     assert "Window" in plan
     assert "windowspecdefinition(shard" in plan, plan
+
+
+def test_video_frame_sample_is_shuffle_free(spark):
+    """The y4m synthesize -> frame-sample pipeline is two chained
+    Arrow-batched map stages: its plan must contain NO exchange — a
+    decode stage that shuffles 100 TB of payload bytes would be wrong."""
+    from bigdatasmallprice_spark.registry import all_queries
+
+    df = all_queries()["video_frame_sample"].fn(spark, SF)
+    plan = _formatted(df)
+    assert "Exchange" not in plan, plan
+    tree = df._jdf.queryExecution().executedPlan().toString()
+    assert tree.count("MapInPandas") == 2, tree
+
+
+def test_password_hash_is_pure_codegen(spark):
+    """Credential hashing (F.sha2) stays JVM-side: no exchange, no
+    Python stage; the modulo predicate is applied at the scan stage."""
+    from bigdatasmallprice_spark.registry import all_queries
+
+    df = all_queries()["password_hash_audit"].fn(spark, SF)
+    plan = _formatted(df)
+    assert "Exchange" not in plan, plan
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan, plan
+    tree = df._jdf.queryExecution().executedPlan().toString()
+    assert tree.startswith("*(1)"), tree  # whole-stage-codegen'd top stage
