@@ -673,3 +673,85 @@ def bpe_train_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("merge_rank") <= _BPE_TOP_MERGES)
         .select("merge_rank", "pair", "cnt")
     )
+
+
+# ---------------------------------------------------------------------------
+# sparse text similarity: bag-of-words cosine pairs via an inverted index
+# ---------------------------------------------------------------------------
+
+_BOW_MAX_DF = 60  # posting-list cap: terms in more docs than this are pruned
+_BOW_MIN_COS = 0.35
+
+
+@register(
+    "bow_cosine_pairs",
+    f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf
+  FROM tok WHERE term <> '' GROUP BY 1, 2
+),
+keep AS (
+  SELECT term FROM tf GROUP BY 1 HAVING COUNT(*) <= {_BOW_MAX_DF}
+),
+tfk AS (SELECT tf.* FROM tf JOIN keep USING (term)),
+norms AS (
+  SELECT doc_id, CAST(SUM(tf * tf) AS BIGINT) AS n2 FROM tfk GROUP BY 1
+),
+dots AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(SUM(a.tf * b.tf) AS BIGINT) AS dot
+  FROM tfk a JOIN tfk b ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, dot,
+       round(CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE) * nb.n2), 6) AS cosine
+FROM dots JOIN norms na ON doc_a = na.doc_id JOIN norms nb ON doc_b = nb.doc_id
+WHERE CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE) * nb.n2) >= {_BOW_MIN_COS}
+""",
+    doc="Sparse TEXT similarity search: bag-of-words cosine over an "
+    "inverted index — the term-join dual of the embedding ANN stack. "
+    "Tokenize (whitespace, the corpus convention), per-(doc, term) "
+    "integer tf, PRUNE terms whose posting list exceeds "
+    f"{_BOW_MAX_DF} docs (the classic df-cap that bounds the self-join "
+    "to sum(df^2) over kept terms — near-linear in corpus size, never "
+    "all-pairs), equi-join posting lists on the term, integer dot "
+    "products with map-side partial aggregation, then cosine = "
+    "dot / sqrt(n2a * n2b) as a final per-row IEEE op. Everything "
+    "before the last division is exact integer arithmetic, so the "
+    "DuckDB oracle matches bit-for-bit. The posting-list frame is "
+    "persisted: it feeds the norm branch and both join sides.",
+    tags=("text", "similarity", "join"),
+)
+def bow_cosine_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    keep = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") <= _BOW_MAX_DF
+    )
+    # persist: tfk feeds the norms branch AND both sides of the term join
+    tfk = tf.join(keep.select("term"), "term").persist()
+    norms = tfk.groupBy("doc_id").agg(F.sum(F.col("tf") * F.col("tf")).cast("long").alias("n2"))
+    a, b = tfk.alias("a"), tfk.alias("b")
+    dots = (
+        a.join(b, "term")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.sum(F.col("a.tf") * F.col("b.tf")).cast("long").alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("n2").alias("n2a"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("n2").alias("n2b"))
+    cosine = F.col("dot").cast("double") / F.sqrt(
+        F.col("n2a").cast("double") * F.col("n2b")
+    )
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .filter(cosine >= _BOW_MIN_COS)
+        .select("doc_a", "doc_b", "dot", F.round(cosine, 6).alias("cosine"))
+    )

@@ -727,3 +727,97 @@ def test_connected_components_driver_path_equals_distributed(spark):
         for r in connected_components(pairs, driver_threshold=0).collect()
     }
     assert fast == dist and len(fast) > 0
+
+
+# ── BPE apply (operators/bpe.py) ──────────────────────────────────────────
+
+
+def _bpe_reference(word, merges):
+    """Obviously-correct reference: replay merges in rank order, each
+    rewriting all left-to-right occurrences, re-checking from rank 0
+    after every successful merge (equivalent to lowest-rank-first)."""
+    symbols = list(word)
+    changed = True
+    while changed:
+        changed = False
+        for a, b in merges:  # rank order
+            i, out, hit = 0, [], False
+            while i < len(symbols):
+                if i < len(symbols) - 1 and symbols[i] == a and symbols[i + 1] == b:
+                    out.append(a + b); i += 2; hit = True
+                else:
+                    out.append(symbols[i]); i += 1
+            if hit:
+                symbols = out
+                changed = True
+                break  # restart at lowest rank, like the real algorithm
+    return symbols
+
+
+def test_bpe_segment_multilevel_merges():
+    """Merged symbols must themselves merge (th + e -> the): the
+    iterative property a single-pass implementation would miss."""
+    from bigdatasmallprice_spark.operators.bpe import bpe_segment, make_ranks
+
+    merges = [("t", "h"), ("th", "e"), ("e", "r")]
+    ranks = make_ranks(merges)
+    assert bpe_segment("the", ranks) == ["the"]
+    assert bpe_segment("there", ranks) == ["the", "r", "e"]
+    # (th,e) rank 1 beats (e,r) rank 2 after the initial t+h merge
+    assert bpe_segment("ether", ranks) == ["e", "the", "r"]
+    assert bpe_segment("a", ranks) == ["a"]
+    assert bpe_segment("", ranks) == []
+
+
+def test_bpe_segment_rank_priority_and_overlap():
+    from bigdatasmallprice_spark.operators.bpe import bpe_segment, make_ranks
+
+    # "ab" outranks "ba": abab -> [ab, ab], not a [ba] in the middle
+    assert bpe_segment("abab", make_ranks([("a", "b"), ("b", "a")])) == ["ab", "ab"]
+    # left-to-right non-overlapping: aaa -> [aa, a]
+    assert bpe_segment("aaa", make_ranks([("a", "a")])) == ["aa", "a"]
+    assert bpe_segment("aaaa", make_ranks([("a", "a"), ("aa", "aa")])) == ["aaaa"]
+
+
+def test_bpe_segment_matches_reference_on_random_words():
+    import random
+
+    from bigdatasmallprice_spark.operators.bpe import bpe_segment, make_ranks
+
+    rng = random.Random(7)
+    alpha = "abcd"
+    merges = [("a", "b"), ("c", "d"), ("ab", "cd"), ("b", "c"), ("abcd", "abcd")]
+    ranks = make_ranks(merges)
+    for _ in range(300):
+        word = "".join(rng.choice(alpha) for _ in range(rng.randrange(0, 12)))
+        got = bpe_segment(word, ranks)
+        want = _bpe_reference(word, merges)
+        assert got == want, (word, got, want)
+        assert "".join(got) == word  # segmentation is lossless
+
+
+def test_bpe_encode_distributed_matches_local(spark):
+    """Distributed encode over the corpus-trained merge table equals a
+    local per-doc computation; merging strictly shrinks token counts."""
+    from bigdatasmallprice_spark.operators.bpe import (
+        bpe_encode_tokens,
+        bpe_segment,
+        make_ranks,
+        trained_merges,
+    )
+    from bigdatasmallprice_spark.queries.core import table
+
+    sf = "/root/testdata/sf0.001"
+    merges = trained_merges(spark, sf)
+    assert len(merges) == 20 and all(len(a) == 1 and len(b) == 1 for a, b in merges)
+    docs = table(spark, sf, "documents")
+    out = {r.doc_id: r for r in bpe_encode_tokens(docs, merges).collect()}
+    ranks = make_ranks(merges)
+    local = docs.select("doc_id", "text").collect()
+    assert len(out) == len(local) > 0
+    for r in local:
+        words = [w for w in (r.text or "").split(" ") if w]
+        want = sum(len(bpe_segment(w, ranks)) for w in words)
+        got = out[r.doc_id]
+        assert got.n_bpe_tokens == want
+        assert got.n_words <= got.n_bpe_tokens <= got.n_chars

@@ -219,3 +219,14 @@ def test_password_hash_is_pure_codegen(spark):
     assert "MapInPandas" not in plan and "BatchEvalPython" not in plan, plan
     tree = df._jdf.queryExecution().executedPlan().toString()
     assert tree.startswith("*(1)"), tree  # whole-stage-codegen'd top stage
+
+
+def test_bow_cosine_is_equi_join_shaped(spark):
+    """The posting-list self-join must plan as an equi-join on the term
+    (sum(df^2) candidates) — never a nested-loop/cartesian all-pairs."""
+    from bigdatasmallprice_spark.registry import all_queries
+
+    df = all_queries()["bow_cosine_pairs"].fn(spark, SF)
+    plan = _formatted(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan

@@ -118,3 +118,92 @@ def test_split_rejects_degenerate_fractions(spark):
         split_label_by_ratio(df, ["ts"], 0.8, 0.25)
     with _pytest.raises(ValueError):
         split_label_by_ratio(df, ["ts"], 0.0, 0.5)
+
+
+# ── codec round-trips under randomized payloads ───────────────────────────
+
+
+@given(
+    samples=st.lists(st.integers(min_value=-32768, max_value=32767), min_size=0, max_size=400),
+    rate=st.sampled_from([8000, 16000, 44100]),
+)
+@settings(max_examples=40, deadline=None)
+def test_wav_roundtrip_property(samples, rate):
+    """Any int16 signal at any rate survives encode->decode exactly."""
+    import numpy as np
+
+    from bigdatasmallprice_spark.operators.multimodal import (
+        decode_wav_bytes,
+        encode_wav,
+    )
+
+    feat = decode_wav_bytes(encode_wav(samples, rate))
+    arr = np.asarray(samples, dtype="int64")
+    assert feat["n_frames"] == len(samples)
+    assert feat["sample_rate"] == rate
+    assert feat["sum_samples"] == (int(arr.sum()) if len(samples) else 0)
+
+
+@given(
+    w=st.integers(min_value=1, max_value=9),
+    h=st.integers(min_value=1, max_value=9),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+@settings(max_examples=40, deadline=None)
+def test_bmp_roundtrip_property(w, h, seed):
+    """Any dims (odd widths exercise row padding) round-trip pixel-exact."""
+    from bigdatasmallprice_spark.operators.multimodal import (
+        decode_bmp_pixels,
+        encode_bmp,
+    )
+
+    px = [
+        [((seed + 3 * x + 7 * y) % 256, (seed ^ x) % 256, (seed + x * y) % 256) for x in range(w)]
+        for y in range(h)
+    ]
+    assert decode_bmp_pixels(encode_bmp(px)) == px
+
+
+@given(
+    n_frames=st.integers(min_value=0, max_value=6),
+    side=st.sampled_from([2, 4, 8]),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+@settings(max_examples=40, deadline=None)
+def test_y4m_roundtrip_property(n_frames, side, seed):
+    """Any frame count/size round-trips plane-byte-exact."""
+    from bigdatasmallprice_spark.operators.multimodal import (
+        decode_y4m_frames,
+        encode_y4m,
+    )
+
+    plane = side * side
+    frames = [
+        (
+            bytes((seed + f + i) % 256 for i in range(plane)),
+            bytes((seed ^ (f + i)) % 256 for i in range(plane)),
+            bytes((seed + 7 * f + 3 * i) % 256 for i in range(plane)),
+        )
+        for f in range(n_frames)
+    ]
+    got = list(decode_y4m_frames(encode_y4m(frames, side, side)))
+    assert [g[1:] for g in got] == frames
+
+
+@given(
+    sub=st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FF), max_size=40),
+    exp=st.integers(min_value=0, max_value=2**40),
+    now=st.integers(min_value=0, max_value=2**40),
+    secret=st.text(alphabet=st.characters(min_codepoint=33, max_codepoint=126), min_size=1, max_size=32),
+)
+@settings(max_examples=60, deadline=None)
+def test_jwt_roundtrip_property(sub, exp, now, secret):
+    """Decode(encode(sub, exp)) recovers the claims; validity is exactly
+    exp > now; any other secret rejects."""
+    from bigdatasmallprice_spark.functions.auth import jwt_decode_py, jwt_encode_py
+
+    tok = jwt_encode_py(sub, exp, secret)
+    out = jwt_decode_py(tok, secret, now)
+    assert out["sub"] == sub and out["exp"] == exp
+    assert out["valid"] == (exp > now)
+    assert jwt_decode_py(tok, secret + "x", now)["error"] == "invalid"
