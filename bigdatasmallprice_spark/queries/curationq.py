@@ -583,3 +583,59 @@ def curation_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("tokens_sampled", F.lit(0)).alias("tokens_sampled"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity suppression: the release guard for aggregate exports
+# ---------------------------------------------------------------------------
+
+_KANON_K = 25
+
+
+@register(
+    "kanon_release",
+    f"""
+WITH g AS (
+  SELECT event_type,
+         CAST(strftime(ts, '%H') AS BIGINT) AS hour,
+         COUNT(*) AS n,
+         COUNT(DISTINCT user_id) AS n_users,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, hour,
+       CAST(n AS BIGINT) AS n,
+       CAST(n_users AS BIGINT) AS n_users,
+       CASE WHEN n_users >= {_KANON_K} THEN round(cents / 100.0 / n, 6) END AS avg_value,
+       n_users >= {_KANON_K} AS released
+FROM g
+""",
+    doc="k-anonymity release guard: per-(event_type, hour) aggregates "
+    f"publish their value statistic only when >= {_KANON_K} distinct "
+    "users back the cell — smaller cells keep counts but SUPPRESS the "
+    "statistic (NULL), the standard small-cell rule for releasing "
+    "aggregates derived from user data. One shuffle with map-side "
+    "partials; distinct-user counts use Spark's partial-distinct "
+    "aggregation (two-phase, no per-cell row materialization beyond "
+    "the distinct pairs). The suppression predicate is a per-row "
+    "CASE on exact integers, so both engines agree exactly.",
+    tags=("curation", "privacy", "agg"),
+)
+def kanon_release_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    g = ev.groupBy(
+        "event_type", F.date_format("ts", "HH").cast("long").alias("hour")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).cast("long").alias("cents"),
+    )
+    ok = F.col("n_users") >= _KANON_K
+    return g.select(
+        "event_type",
+        "hour",
+        "n",
+        "n_users",
+        F.when(ok, F.round(F.col("cents") / 100.0 / F.col("n"), 6)).alias("avg_value"),
+        ok.alias("released"),
+    )
