@@ -821,3 +821,63 @@ def test_bpe_encode_distributed_matches_local(spark):
         got = out[r.doc_id]
         assert got.n_bpe_tokens == want
         assert got.n_words <= got.n_bpe_tokens <= got.n_chars
+
+
+# ── heavy hitters sketch (operators/sketches.py) ──────────────────────────
+
+
+def test_mg_update_guarantee_local():
+    from bigdatasmallprice_spark.operators.sketches import mg_summarize
+
+    stream = [f"t{k}" for k in range(1, 41) for _ in range(400 // k)]
+    import random
+
+    random.Random(3).shuffle(stream)
+    counters, err = mg_summarize(iter(stream), m=16)
+    assert len(counters) <= 16
+    from collections import Counter
+
+    true = Counter(stream)
+    for t, c in counters.items():
+        assert true[t] - err <= c <= true[t], t
+    for t, n in true.items():
+        if n > err:
+            assert t in counters, (t, n, err)
+
+
+def test_heavy_hitters_distributed_bounds_and_containment(spark):
+    """Zipf-shaped corpus: the sketch keeps every guaranteed-heavy term
+    with sound bounds, while shuffling <= P*(m+1) rows, and the top
+    terms by estimate match the exact twin."""
+    from bigdatasmallprice_spark.operators.sketches import (
+        exact_term_counts,
+        heavy_hitters,
+    )
+
+    rows = [(f"t{k}",) for k in range(1, 121) for _ in range(1200 // k)]
+    df = spark.createDataFrame(rows, ["term"]).repartition(8)
+    sk = {r.term: r for r in heavy_hitters(df, "term", m=48).collect()}
+    true = {r.term: r.n for r in exact_term_counts(df, "term").collect()}
+    assert sk, "empty sketch"
+    err = next(iter(sk.values())).err_bound
+    assert err >= 0
+    for t, r in sk.items():
+        assert true[t] - err <= r.est <= true[t], (t, r.est, true[t], err)
+    for t, n in true.items():
+        if n > err:
+            assert t in sk, (t, n, err)
+    # the unambiguous top terms (margin > err) must rank first by est
+    top_true = sorted(true, key=lambda t: -true[t])[:5]
+    top_est = sorted(sk, key=lambda t: -sk[t].est)[:5]
+    assert set(top_true) == set(top_est), (top_true, top_est, err)
+
+
+def test_heavy_hitters_shuffle_is_sketch_sized(spark):
+    """The plan's shuffle input is the summary frame, not the corpus:
+    the pre-shuffle stage is the MapInPandas summarizer."""
+    from bigdatasmallprice_spark.operators.sketches import heavy_hitters
+
+    df = spark.range(0, 10000).selectExpr("CAST(id % 97 AS STRING) AS term")
+    plan = heavy_hitters(df, "term", m=32)._jdf.queryExecution().executedPlan().toString()
+    before_shuffle = plan.split("Exchange hashpartitioning")[-1]
+    assert "MapInPandas" in before_shuffle, plan

@@ -175,3 +175,64 @@ def test_dead_letter_routing(spark):
     assert d[5] in ("malformed_json", "missing_required_field")
     summ = {r.reason: r.n_records for r in dead_letter_summary(dead).collect()}
     assert sum(summ.values()) == 3
+
+
+# ── WARC/WET ingest (sources/warc.py) ─────────────────────────────────────
+
+
+def test_warc_roundtrip_binary_safe():
+    """Payloads containing the record separator itself survive framing
+    (Content-Length slicing, not delimiter splitting)."""
+    from bigdatasmallprice_spark.sources.warc import encode_warc_gz, parse_warc_gz
+
+    tricky = b"\r\n\r\nWARC/1.0\r\n\r\n" + bytes(range(256))
+    recs = [
+        ({"WARC-Type": "conversion", "WARC-Target-URI": "https://x/1"}, tricky),
+        ({"WARC-Type": "response"}, b""),
+        ({"WARC-Type": "conversion"}, b"plain text body"),
+    ]
+    got = parse_warc_gz(encode_warc_gz(recs))
+    assert len(got) == 3
+    assert got[0]["payload"] == tricky
+    assert got[0]["headers"]["WARC-Target-URI"] == "https://x/1"
+    assert got[1]["payload"] == b""
+    assert got[2]["payload"] == b"plain text body"
+
+
+def test_warc_members_are_individually_gzipped():
+    """Each record is its own gzip member (splittable archives): the
+    blob decompresses member-by-member, and a prefix cut at a member
+    boundary still parses."""
+    from bigdatasmallprice_spark.sources.warc import encode_warc_gz, parse_warc_gz
+
+    recs = [({"WARC-Type": "conversion"}, bytes([i] * 10)) for i in range(4)]
+    blob = encode_warc_gz(recs)
+    # encoding is deterministic (mtime=0), so the first member is exactly
+    # the single-record encoding — cut there and the prefix still parses
+    member1 = encode_warc_gz(recs[:1])
+    assert blob.startswith(member1) and len(member1) < len(blob)
+    assert len(parse_warc_gz(member1)) == 1
+    assert len(parse_warc_gz(blob)) == 4
+
+
+def test_warc_distributed_matches_closed_form(spark):
+    from bigdatasmallprice_spark.sources.warc import (
+        synth_payload,
+        synthesize_warc,
+        warc_records,
+    )
+
+    docs = spark.range(0, 9).withColumnRenamed("id", "doc_id")
+    out = {
+        (r.archive_id, r.record_idx): r
+        for r in warc_records(synthesize_warc(docs)).collect()
+    }
+    for a in range(9):
+        for rec in range(1 + a % 3):
+            p = synth_payload(a, rec)
+            row = out[(a, rec)]
+            assert row.content_length == len(p)
+            assert row.payload_sum == sum(p)
+            assert row.warc_type == "conversion"
+            assert row.uri == f"https://example.org/{a}/{rec}"
+    assert len(out) == sum(1 + a % 3 for a in range(9))
