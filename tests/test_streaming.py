@@ -488,3 +488,60 @@ def test_streaming_curation_matches_batch(spark, tmp_path):
         assert n_res == 0
     finally:
         batch.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# incremental heavy-hitters sketch (streaming/hh_stream.py)
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_heavy_hitters_guarantee_across_batches(spark, tmp_path):
+    """Two availableNow runs (second delivers a new file) fold into the
+    persisted sketch; the final summary satisfies the mergeable-MG
+    guarantee against exact counts over ALL data, per shard."""
+    from collections import Counter
+
+    from bigdatasmallprice_spark.streaming.hh_stream import (
+        heavy_hitters_stream,
+        read_heavy_hitters,
+    )
+
+    rng = random.Random(11)
+    chunk1 = [f"t{k}" for k in range(1, 81) for _ in range(800 // k)]
+    chunk2 = [f"t{k}" for k in range(1, 81) for _ in range(400 // k)] + [
+        f"new{k}" for k in range(1, 11) for _ in range(60)
+    ]
+    rng.shuffle(chunk1)
+    rng.shuffle(chunk2)
+
+    src = str(tmp_path / "terms")
+    summary, ckpt = str(tmp_path / "hh"), str(tmp_path / "hhckpt")
+    spark.createDataFrame([(t,) for t in chunk1], "term string").write.parquet(src)
+
+    def run():
+        stream = spark.readStream.schema("term string").parquet(src)
+        q = heavy_hitters_stream(spark, stream, summary, ckpt, m=32, n_shards=4).start()
+        q.awaitTermination(120)
+
+    run()
+    spark.createDataFrame([(t,) for t in chunk2], "term string").write.mode(
+        "append"
+    ).parquet(src)
+    run()
+
+    got = {r.term: r for r in read_heavy_hitters(spark, summary).collect()}
+    true = Counter(chunk1 + chunk2)
+    assert got, "empty sketch"
+    for t, r in got.items():
+        assert true[t] - r.err_bound <= r.est <= true[t], (t, r.est, true[t], r.err_bound)
+    # containment per shard: anything bigger than its shard's bound is kept
+    err_by_term = {t: r.err_bound for t, r in got.items()}
+    max_err = max(r.err_bound for r in got.values())
+    for t, n in true.items():
+        if n > max_err:
+            assert t in got, (t, n, max_err)
+    # the new-in-chunk2 heavy terms made it in
+    assert sum(1 for t in got if t.startswith("new")) >= 1
+    # state stayed sketch-sized: <= n_shards * (m terms + err row)
+    raw = spark.read.parquet(summary)
+    assert raw.count() <= 4 * 33
