@@ -79,8 +79,12 @@ def heavy_hitters(
         rows.append({"term": None, "cnt": 0, "err": err})
         yield pd.DataFrame(rows, columns=["term", "cnt", "err"])
 
-    summaries = df.select(term_col).mapInPandas(
-        _summarize, "term string, cnt long, err long"
+    # NULL terms are excluded: the merge uses term=NULL as the
+    # error-sentinel row, and "no value" is not a countable term
+    summaries = (
+        df.select(term_col)
+        .where(F.col(term_col).isNotNull())
+        .mapInPandas(_summarize, "term string, cnt long, err long")
     )
     merged = summaries.groupBy("term").agg(
         F.sum("cnt").alias("est"), F.sum("err").alias("err_part")

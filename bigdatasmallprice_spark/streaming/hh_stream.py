@@ -74,7 +74,12 @@ def update_summary(
     sketch. Reads the (tiny) summary, merges per shard, rewrites via a
     staged directory so a crash never leaves a torn summary."""
     shard = F.pmod(F.xxhash64(F.col(term_col)), F.lit(n_shards)).cast("long")
-    b = batch.select(F.col(term_col).alias("term")).withColumn("shard", shard)
+    # NULL terms excluded — term=NULL is the summary's error sentinel
+    b = (
+        batch.select(F.col(term_col).alias("term"))
+        .where(F.col("term").isNotNull())
+        .withColumn("shard", shard)
+    )
     if os.path.isdir(summary_path):
         state = spark.read.schema(SUMMARY_SCHEMA).parquet(summary_path)
     else:

@@ -881,3 +881,14 @@ def test_heavy_hitters_shuffle_is_sketch_sized(spark):
     plan = heavy_hitters(df, "term", m=32)._jdf.queryExecution().executedPlan().toString()
     before_shuffle = plan.split("Exchange hashpartitioning")[-1]
     assert "MapInPandas" in before_shuffle, plan
+
+
+def test_heavy_hitters_null_terms_excluded(spark):
+    """NULL terms must not conflate with the error-sentinel row."""
+    from bigdatasmallprice_spark.operators.sketches import heavy_hitters
+
+    df = spark.createDataFrame(
+        [("a",)] * 5 + [(None,)] * 50 + [("b",)] * 3, "term string"
+    )
+    got = {r.term: r.est for r in heavy_hitters(df, "term", m=8).collect()}
+    assert got == {"a": 5, "b": 3}
