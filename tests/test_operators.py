@@ -892,3 +892,65 @@ def test_heavy_hitters_null_terms_excluded(spark):
     )
     got = {r.term: r.est for r in heavy_hitters(df, "term", m=8).collect()}
     assert got == {"a": 5, "b": 3}
+
+
+# ── PCA fit/project (operators/pca.py) ────────────────────────────────────
+
+
+def test_pca_matches_numpy(spark):
+    """Fit from the distributed covariance pass == numpy PCA on the
+    collected vectors: orthonormal components, sorted explained
+    variance, equal projections, shrinking reconstruction error."""
+    import numpy as np
+
+    from bigdatasmallprice_spark.operators.pca import pca_fit, pca_project
+    from bigdatasmallprice_spark.queries.core import table
+
+    sf = "/root/testdata/sf0.001"
+    emb = table(spark, sf, "embeddings")
+    X = np.array([r.embedding for r in emb.select("embedding").collect()], dtype="float64")
+    # the integer-moment pass quantizes to 1e-6 — mirror it locally
+    Xq = np.round(X * 1e6) / 1e6
+    dim = X.shape[1]
+
+    comps, mean, ev = pca_fit(emb, dim=dim, rank=8)
+    C = np.array(comps)
+    assert C.shape == (8, dim)
+    assert np.allclose(C @ C.T, np.eye(8), atol=1e-8)  # orthonormal
+    assert all(ev[i] >= ev[i + 1] - 1e-12 for i in range(7))  # sorted
+
+    # numpy reference on the quantized data
+    mu = Xq.mean(axis=0)
+    assert np.allclose(mean, mu, atol=1e-9)
+    cov = (Xq - mu).T @ (Xq - mu) / len(Xq)
+    w_np = np.sort(np.linalg.eigvalsh(cov))[::-1][:8]
+    assert np.allclose(ev, w_np, rtol=1e-6, atol=1e-10)
+
+    got = {r.vec_id: np.array(r.scores) for r in pca_project(emb, comps, mean).collect()}
+    ids = [r.vec_id for r in emb.select("vec_id").collect()]
+    want = (Xq - mu) @ C.T
+    for vid, row in zip(ids, want):
+        assert np.allclose(got[vid], row, atol=1e-6), vid
+
+    # reconstruction error shrinks with rank
+    def recon_err(r):
+        Cr = C[:r]
+        Z = (Xq - mu) @ Cr.T
+        return float(np.square((Xq - mu) - Z @ Cr).sum())
+
+    assert recon_err(8) < recon_err(4) < recon_err(1)
+
+
+def test_pca_project_is_jvm_side(spark):
+    """Projection is plan-literal column math: no Python stage, no
+    shuffle — the per-row path stays in codegen at any scale."""
+    from bigdatasmallprice_spark.operators.pca import pca_fit, pca_project
+    from bigdatasmallprice_spark.queries.core import table
+
+    sf = "/root/testdata/sf0.001"
+    emb = table(spark, sf, "embeddings")
+    comps, mean, _ = pca_fit(emb, dim=64, rank=4)
+    out = pca_project(emb, comps, mean)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "MapInPandas" not in plan and "EvalPython" not in plan, plan
