@@ -545,3 +545,56 @@ def test_streaming_heavy_hitters_guarantee_across_batches(spark, tmp_path):
     # state stayed sketch-sized: <= n_shards * (m terms + err row)
     raw = spark.read.parquet(summary)
     assert raw.count() <= 4 * 33
+
+
+# ---------------------------------------------------------------------------
+# streaming crawl ingest: binaryFile source -> WARC parse (sources/warc.py)
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_warc_ingest_matches_batch(spark, tmp_path):
+    """Archives dropped into a directory stream through the same
+    warc_records parse as batch: binaryFile source, availableNow, append
+    sink — the continuous ingest head for crawl corpora."""
+    from bigdatasmallprice_spark.sources.warc import (
+        encode_warc_gz,
+        synth_payload,
+        warc_records,
+    )
+
+    src = tmp_path / "archives"
+    src.mkdir()
+    for a in range(6):
+        recs = [
+            ({"WARC-Type": "conversion", "WARC-Target-URI": f"u{a}/{r}"}, synth_payload(a, r))
+            for r in range(1 + a % 3)
+        ]
+        (src / f"crawl-{a:04d}.warc.gz").write_bytes(encode_warc_gz(recs))
+
+    def parsed(df):
+        frame = df.select(
+            F.regexp_extract(F.col("path"), r"crawl-(\d+)\.warc\.gz", 1)
+            .cast("long")
+            .alias("archive_id"),
+            F.col("content").alias("payload"),
+        )
+        return warc_records(frame)
+
+    out, ckpt = str(tmp_path / "records"), str(tmp_path / "wckpt")
+    stream = spark.readStream.format("binaryFile").schema(
+        "path string, modificationTime timestamp, length long, content binary"
+    ).load(str(src))
+    q = (
+        parsed(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    batch = parsed(spark.read.format("binaryFile").load(str(src)))
+    got = sorted(map(tuple, spark.read.parquet(out).collect()))
+    want = sorted(map(tuple, batch.collect()))
+    assert got == want and len(got) == sum(1 + a % 3 for a in range(6))
