@@ -230,3 +230,46 @@ def test_bow_cosine_is_equi_join_shaped(spark):
     plan = _formatted(df)
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """The session enables AQE skew-join handling; this pins that it
+    actually ENGAGES: a hot-key shuffle join with the skew thresholds
+    scaled to test data must show a skew-split AQEShuffleRead in the
+    final adaptive plan, with results identical to the broadcast plan."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "1KB",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        # 200k rows on one hot key vs a spread tail. The downstream agg
+        # is GLOBAL: an agg keyed on the join key would forbid the skew
+        # split (it must preserve hash distribution on k) — AQE
+        # correctly declines there, which is itself the documented
+        # engine behavior.
+        left = spark.range(0, 220_000).selectExpr(
+            "CASE WHEN id < 200000 THEN 7 ELSE id % 1000 END AS k",
+            "id AS v",
+        )
+        right = spark.range(0, 1000).selectExpr("id AS k", "id * 10 AS w")
+        j = left.join(right, "k").agg(
+            F.sum("v").alias("s"), F.count(F.lit(1)).alias("n")
+        )
+        row = j.collect()[0]
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan
+        assert "AQEShuffleRead skewed" in plan, plan
+        # every left row matches exactly one right row
+        assert row.n == 220_000 and row.s == 219_999 * 220_000 // 2
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
