@@ -496,7 +496,11 @@ def kmeans_fit_scaled(
     per_dim = None
     for _ in range(iters):
         assigned = assign_cells(scaled, cent)
-        per_dim = update_centroids(assigned)
+        # localCheckpoint severs the per-round lineage (the pattern
+        # connected_components uses): round r's plan would otherwise
+        # re-embed rounds 1..r-1 and recompute them per action. The
+        # checkpointed frame is k*dim rows — the model, not the data.
+        per_dim = update_centroids(assigned).localCheckpoint(eager=True)
         cent = centroid_arrays(per_dim)
     return per_dim.select(
         "cid",
