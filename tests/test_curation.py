@@ -146,3 +146,36 @@ def test_curated_corpus_sink_round_trip(spark, tmp_path):
     write_curated_corpus(docs, path, n_shards=8)
     assert not os.path.exists(os.path.join(path, "_manifest.tmp"))
     assert sum(r.n_docs for r in read_manifest(spark, path).collect()) == total
+
+
+def test_jsonl_corpus_roundtrip(spark, tmp_path):
+    """JSONL export: gzip shard files on disk, every doc one JSON line,
+    read-back equals the input exactly."""
+    import gzip
+    import json
+    import os
+
+    from bigdatasmallprice_spark.curation_sink import (
+        read_jsonl_corpus,
+        write_jsonl_corpus,
+    )
+
+    rows = [(i, f"text {i} with \"quotes\" and ümlauts", i * 3) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, nt long")
+    path = str(tmp_path / "jsonl")
+    write_jsonl_corpus(df, path, n_shards=4)
+
+    shard_dirs = [d for d in os.listdir(path) if d.startswith("shard=")]
+    assert len(shard_dirs) == 4
+    # files are real gzip JSONL
+    some = next(
+        os.path.join(path, shard_dirs[0], f)
+        for f in os.listdir(os.path.join(path, shard_dirs[0]))
+        if f.endswith(".gz")
+    )
+    with gzip.open(some, "rt") as fh:
+        line = fh.readline().strip()
+    assert set(json.loads(line)) == {"doc_id", "text", "nt"}
+
+    back = read_jsonl_corpus(spark, path, "doc_id long, text string, nt long")
+    assert sorted(map(tuple, back.collect())) == sorted(rows)
