@@ -60,6 +60,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if cached is not None:
         return cached
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # timestamp semantics are defined in UTC (registry docstring): the
+    # NTZ cast below round-trips wall clocks in any session tz, but the
+    # int64-nanos path formats epoch instants, which would shift under
+    # a non-UTC driver session — pin it here, not just in session.py,
+    # because the driver runs these queries in ITS OWN session
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for col in _NANO_TS_COLS.get(name, ()):
         if dict(df.dtypes).get(col) == "bigint":
