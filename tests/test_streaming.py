@@ -598,3 +598,74 @@ def test_streaming_warc_ingest_matches_batch(spark, tmp_path):
     got = sorted(map(tuple, spark.read.parquet(out).collect()))
     want = sorted(map(tuple, batch.collect()))
     assert got == want and len(got) == sum(1 + a % 3 for a in range(6))
+
+
+# ---------------------------------------------------------------------------
+# incremental covariance moments (streaming/cov_stream.py)
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_covariance_equals_batch_exactly(spark, tmp_path):
+    """Integer moments merge associatively: the streamed state over two
+    availableNow runs is BIT-IDENTICAL to the batch pass on all data."""
+    from bigdatasmallprice_spark.operators.similarity import (
+        covariance_moments_vectorized,
+    )
+    from bigdatasmallprice_spark.streaming.cov_stream import (
+        covariance_stream,
+        read_moments,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    half1 = emb.filter(F.col("vec_id") % 2 == 0)
+    half2 = emb.filter(F.col("vec_id") % 2 == 1)
+
+    src = str(tmp_path / "embsrc")
+    half1.write.parquet(src)
+    summary, ckpt = str(tmp_path / "cov"), str(tmp_path / "covckpt")
+
+    schema = emb.schema
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = covariance_stream(spark, stream, summary, ckpt).start()
+        q.awaitTermination(120)
+
+    run()
+    half2.write.mode("append").parquet(src)
+    run()
+
+    got = sorted(map(tuple, read_moments(spark, summary).collect()))
+    want = sorted(
+        map(
+            tuple,
+            covariance_moments_vectorized(emb)
+            .groupBy("i", "j")
+            .agg(F.sum("val").cast("long").alias("val"))
+            .collect(),
+        )
+    )
+    assert got == want
+    # and the fitted PCA from streamed state matches the batch fit
+    import numpy as np
+
+    from bigdatasmallprice_spark.operators.pca import pca_fit
+
+    comps_b, mean_b, ev_b = pca_fit(emb, dim=64, rank=4)
+    # rebuild fit inputs from the streamed state via the same reducer
+    n = sx = None
+    dim = 64
+    sums = np.zeros(dim)
+    gram = np.zeros((dim, dim))
+    for i, j, val in got:
+        if i == -1 and j == -1:
+            n = float(val)
+        elif j == -1:
+            sums[i] = float(val)
+        else:
+            gram[i][j] = gram[j][i] = float(val)
+    mean_s = sums / n / 1e6
+    cov_s = gram / n / 1e12 - np.outer(mean_s, mean_s)
+    w = np.sort(np.linalg.eigvalsh(cov_s))[::-1][:4]
+    assert np.allclose(mean_s, mean_b, atol=1e-12)
+    assert np.allclose(w, ev_b, rtol=1e-9, atol=1e-12)
