@@ -86,6 +86,20 @@ text
 """.strip()
 
 
+def redact(c: F.Column) -> F.Column:
+    """Typed-placeholder PII redaction (email -> phone -> IP, in that
+    order; placeholders contain no pattern-triggering characters)."""
+    return F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(c, _RE_EMAIL, "<EMAIL>"),
+            _RE_PHONE,
+            "<PHONE>",
+        ),
+        _RE_IPV4,
+        "<IP>",
+    )
+
+
 @register(
     "pii_scrub",
     f"""
@@ -115,15 +129,7 @@ FROM d
 def pii_scrub_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     d = docs.select("doc_id", "source", _dirty_spark().alias("dirty"))
-    red = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(F.col("dirty"), _RE_EMAIL, "<EMAIL>"),
-            _RE_PHONE,
-            "<PHONE>",
-        ),
-        _RE_IPV4,
-        "<IP>",
-    )
+    red = redact(F.col("dirty"))
     return d.select(
         "doc_id",
         "source",

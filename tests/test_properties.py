@@ -9,6 +9,7 @@ import datetime as dt
 
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
+from pyspark.sql import functions as F
 
 from bigdatasmallprice_spark.operators.asof import asof_join_backward
 from bigdatasmallprice_spark.operators.splits import split_label_by_ratio
@@ -207,3 +208,65 @@ def test_jwt_roundtrip_property(sub, exp, now, secret):
     assert out["sub"] == sub and out["exp"] == exp
     assert out["valid"] == (exp > now)
     assert jwt_decode_py(tok, secret + "x", now)["error"] == "invalid"
+
+
+# ── PII scrub: nothing survives redaction, clean text untouched ───────────
+
+_pii_email = st.builds(
+    lambda u, d, t: f"{u}@{d}.{t}",
+    st.text(alphabet="abcXYZ09._%+-", min_size=1, max_size=12).filter(
+        lambda s: not s.startswith(".")
+    ),
+    st.text(alphabet="abcxyz09-", min_size=1, max_size=10).filter(
+        lambda s: s.strip("-")
+    ),
+    st.sampled_from(["com", "org", "ch", "info"]),
+)
+_pii_phone = st.builds(
+    lambda a, b, c: f"+{a:02d} {b:02d} {c:07d}",
+    st.integers(1, 99),
+    st.integers(0, 99),
+    st.integers(0, 9_999_999),
+)
+_pii_ip = st.builds(
+    lambda a, b, c, d: f"{a}.{b}.{c}.{d}",
+    *(st.integers(0, 255) for _ in range(4)),
+)
+_pii_filler = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=0x17F, exclude_characters="@+"),
+    max_size=30,
+)
+
+
+@given(
+    pieces=st.lists(
+        st.one_of(_pii_email, _pii_phone, _pii_ip, _pii_filler), min_size=1, max_size=8
+    )
+)
+@settings(max_examples=50, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_pii_redaction_is_exhaustive(spark, pieces):
+    """Adversarial scrub check: however emails/phones/IPs are mixed into
+    text, the redacted output contains NO residual match of any PII
+    pattern (placeholders don't re-trigger), and redaction is
+    idempotent."""
+    import re
+
+    from bigdatasmallprice_spark.queries.curationq import (
+        _RE_EMAIL,
+        _RE_IPV4,
+        _RE_PHONE,
+        redact,
+    )
+
+    text = " ".join(pieces)
+    df = spark.createDataFrame([(text,)], "dirty string")
+    out = df.select(redact(F.col("dirty")).alias("clean")).collect()[0].clean
+    for pat in (_RE_EMAIL, _RE_PHONE, _RE_IPV4):
+        assert not re.search(pat, out), (pat, text, out)
+    again = (
+        spark.createDataFrame([(out,)], "dirty string")
+        .select(redact(F.col("dirty")).alias("clean"))
+        .collect()[0]
+        .clean
+    )
+    assert again == out  # idempotent
