@@ -31,13 +31,20 @@ def update_moments(
     summary_path: str,
     batch: DataFrame,
     vec_col: str = "embedding",
+    batch_id: int | None = None,
 ) -> None:
     """foreachBatch body: add this batch's exact moments into the
     persisted summary (keyed integer addition — associative, so any
-    batching of the input yields identical state)."""
+    batching of the input yields identical state; NOT idempotent, so a
+    foreachBatch retry with the same batch_id is skipped via the
+    applied marker, streaming/state.py)."""
     from bigdatasmallprice_spark.operators.similarity import (
         covariance_moments_vectorized,
     )
+    from bigdatasmallprice_spark.streaming.state import already_applied, mark_applied
+
+    if batch_id is not None and already_applied(summary_path, batch_id):
+        return
 
     m = covariance_moments_vectorized(batch, vec_col=vec_col)
     if os.path.isdir(summary_path):
@@ -48,6 +55,8 @@ def update_moments(
     new.coalesce(1).write.mode("overwrite").parquet(tmp)
     spark.read.parquet(tmp).write.mode("overwrite").parquet(summary_path)
     shutil.rmtree(tmp, ignore_errors=True)
+    if batch_id is not None:
+        mark_applied(summary_path, batch_id)
 
 
 def covariance_stream(
@@ -59,8 +68,8 @@ def covariance_stream(
 ):
     """Wire an embedding stream into the incremental moment state."""
 
-    def _batch_fn(batch: DataFrame, _bid: int) -> None:
-        update_moments(spark, summary_path, batch, vec_col)
+    def _batch_fn(batch: DataFrame, bid: int) -> None:
+        update_moments(spark, summary_path, batch, vec_col, batch_id=bid)
 
     return (
         source.writeStream.foreachBatch(_batch_fn)

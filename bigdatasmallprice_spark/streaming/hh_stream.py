@@ -69,10 +69,20 @@ def update_summary(
     term_col: str,
     m: int = 64,
     n_shards: int = 8,
+    batch_id: int | None = None,
 ) -> None:
     """foreachBatch body: fold one micro-batch into the persisted
     sketch. Reads the (tiny) summary, merges per shard, rewrites via a
-    staged directory so a crash never leaves a torn summary."""
+    staged directory so a crash never leaves a torn summary.
+
+    MG folds are NOT idempotent, so replay protection matters: Spark
+    retries a foreachBatch that failed AFTER the state write but
+    BEFORE the checkpoint commit with the SAME batch_id — the applied
+    marker (streaming/state.py) detects that and skips the re-fold."""
+    from bigdatasmallprice_spark.streaming.state import already_applied, mark_applied
+
+    if batch_id is not None and already_applied(summary_path, batch_id):
+        return
     shard = F.pmod(F.xxhash64(F.col(term_col)), F.lit(n_shards)).cast("long")
     # NULL terms excluded — term=NULL is the summary's error sentinel
     b = (
@@ -106,6 +116,8 @@ def update_summary(
     import shutil
 
     shutil.rmtree(tmp, ignore_errors=True)
+    if batch_id is not None:
+        mark_applied(summary_path, batch_id)
 
 
 def read_heavy_hitters(spark: SparkSession, summary_path: str) -> DataFrame:
@@ -135,8 +147,8 @@ def heavy_hitters_stream(
 ):
     """Wire a term stream into the incremental sketch (availableNow)."""
 
-    def _batch_fn(batch: DataFrame, _bid: int) -> None:
-        update_summary(spark, summary_path, batch, term_col, m, n_shards)
+    def _batch_fn(batch: DataFrame, bid: int) -> None:
+        update_summary(spark, summary_path, batch, term_col, m, n_shards, batch_id=bid)
 
     return (
         source.writeStream.foreachBatch(_batch_fn)

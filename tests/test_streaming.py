@@ -669,3 +669,35 @@ def test_streaming_covariance_equals_batch_exactly(spark, tmp_path):
     w = np.sort(np.linalg.eigvalsh(cov_s))[::-1][:4]
     assert np.allclose(mean_s, mean_b, atol=1e-12)
     assert np.allclose(w, ev_b, rtol=1e-9, atol=1e-12)
+
+
+def test_incremental_folds_skip_replayed_batches(spark, tmp_path):
+    """foreachBatch is at-least-once: re-delivering the same batch_id
+    (crash between state write and checkpoint commit) must not
+    double-count in either non-idempotent fold."""
+    from bigdatasmallprice_spark.streaming.cov_stream import (
+        read_moments,
+        update_moments,
+    )
+    from bigdatasmallprice_spark.streaming.hh_stream import (
+        read_heavy_hitters,
+        update_summary,
+    )
+
+    terms = spark.createDataFrame([("a",)] * 10 + [("b",)] * 3, "term string")
+    hh = str(tmp_path / "hh")
+    update_summary(spark, hh, terms, "term", m=8, n_shards=2, batch_id=0)
+    update_summary(spark, hh, terms, "term", m=8, n_shards=2, batch_id=0)  # replay
+    got = {r.term: r.est for r in read_heavy_hitters(spark, hh).collect()}
+    assert got == {"a": 10, "b": 3}
+    # a NEW batch id still applies
+    update_summary(spark, hh, terms, "term", m=8, n_shards=2, batch_id=1)
+    got = {r.term: r.est for r in read_heavy_hitters(spark, hh).collect()}
+    assert got == {"a": 20, "b": 6}
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(10)
+    cov = str(tmp_path / "cov")
+    update_moments(spark, cov, emb, batch_id=0)
+    once = sorted(map(tuple, read_moments(spark, cov).collect()))
+    update_moments(spark, cov, emb, batch_id=0)  # replay
+    assert sorted(map(tuple, read_moments(spark, cov).collect())) == once
