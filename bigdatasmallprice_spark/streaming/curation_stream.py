@@ -93,6 +93,15 @@ def curation_stream(
     the source."""
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # append sinks are not idempotent: skip a foreachBatch retry of
+        # an already-written batch (streaming/state.py marker)
+        from bigdatasmallprice_spark.streaming.state import (
+            already_applied,
+            mark_applied,
+        )
+
+        if already_applied(kept_path, batch_id):
+            return
         cur = curate_columns(batch_df, text_col).persist()
         try:
             kept = cur.filter(F.col("reject_reason").isNull()).drop(
@@ -101,6 +110,7 @@ def curation_stream(
             rejected = cur.filter(F.col("reject_reason").isNotNull()).drop("scrubbed")
             kept.write.mode("append").parquet(kept_path)
             rejected.write.mode("append").parquet(rejected_path)
+            mark_applied(kept_path, batch_id)
         finally:
             cur.unpersist()
 
