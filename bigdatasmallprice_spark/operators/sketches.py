@@ -104,3 +104,47 @@ def exact_term_counts(df: DataFrame, term_col: str) -> DataFrame:
     return df.groupBy(F.col(term_col).alias("term")).agg(
         F.count(F.lit(1)).cast("long").alias("n")
     )
+
+
+def heavy_hitters_by_group(
+    df: DataFrame, group_col: str, term_col: str, m: int = 64
+) -> DataFrame:
+    """Per-group heavy hitters (e.g. top terms per language/source):
+    one Misra–Gries summary per (partition, group), merged per group.
+    Same bounds as ``heavy_hitters`` but err is per GROUP (summed over
+    that group's partition summaries only). Shuffle carries at most
+    P·G·(m+1) rows — still sketch-sized, never vocabulary-sized."""
+
+    def _summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict[str, dict[str, int]] = {}
+        errs: dict[str, int] = {}
+        for pdf in batches:
+            for g, t in zip(pdf[group_col], pdf[term_col]):
+                errs[g] = errs.get(g, 0) + mg_update(counters.setdefault(g, {}), t, m)
+        rows = [
+            {"grp": g, "term": t, "cnt": c, "err": 0}
+            for g, cs in counters.items()
+            for t, c in cs.items()
+        ]
+        rows += [{"grp": g, "term": None, "cnt": 0, "err": e} for g, e in errs.items()]
+        yield pd.DataFrame(rows, columns=["grp", "term", "cnt", "err"])
+
+    summaries = (
+        df.select(group_col, term_col)
+        .where(F.col(term_col).isNotNull() & F.col(group_col).isNotNull())
+        .mapInPandas(_summarize, "grp string, term string, cnt long, err long")
+    )
+    merged = summaries.groupBy("grp", "term").agg(
+        F.sum("cnt").alias("est"), F.sum("err").alias("err_part")
+    )
+    errs = merged.groupBy("grp").agg(F.sum("err_part").alias("err_bound"))
+    return (
+        merged.filter(F.col("term").isNotNull())
+        .join(F.broadcast(errs), "grp")
+        .select(
+            F.col("grp").alias(group_col),
+            "term",
+            F.col("est").cast("long").alias("est"),
+            F.col("err_bound").cast("long").alias("err_bound"),
+        )
+    )

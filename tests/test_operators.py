@@ -954,3 +954,35 @@ def test_pca_project_is_jvm_side(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
     assert "MapInPandas" not in plan and "EvalPython" not in plan, plan
+
+
+def test_heavy_hitters_by_group_bounds(spark):
+    """Per-group sketch: bounds and containment hold within each group
+    independently (one group's skew doesn't poison another's bound)."""
+    from collections import Counter
+
+    from bigdatasmallprice_spark.operators.sketches import heavy_hitters_by_group
+
+    rows = (
+        [("en", f"t{k}") for k in range(1, 61) for _ in range(600 // k)]
+        + [("de", f"w{k}") for k in range(1, 31) for _ in range(300 // k)]
+        + [("de", "hot")] * 500
+    )
+    df = spark.createDataFrame(rows, ["lang", "term"]).repartition(8)
+    out = heavy_hitters_by_group(df, "lang", "term", m=32).collect()
+    true = {g: Counter() for g in ("en", "de")}
+    for g, t in rows:
+        true[g][t] += 1
+    by_group: dict = {}
+    for r in out:
+        by_group.setdefault(r.lang, {})[r.term] = r
+    for g, terms in by_group.items():
+        err = next(iter(terms.values())).err_bound
+        for t, r in terms.items():
+            assert true[g][t] - err <= r.est <= true[g][t], (g, t)
+        for t, n in true[g].items():
+            if n > err:
+                assert t in terms, (g, t, n, err)
+    # the de-group hot term is found with a tight estimate
+    hot = by_group["de"]["hot"]
+    assert hot.est > 400
