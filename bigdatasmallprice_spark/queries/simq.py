@@ -684,3 +684,168 @@ def embedding_covariance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(cnt))
         .select("i", "j", "n", "sxy", cov.alias("cov"))
     )
+
+
+# ---------------------------------------------------------------------------
+# hybrid retrieval: reciprocal-rank fusion of text and embedding rankers
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60
+_RRF_NP = 10  # probe docs
+_RRF_PRE = 20  # per-ranker candidate depth
+_RRF_OUT = 10  # fused top-k
+_RRF_MAXDF = 60
+
+
+@register(
+    "hybrid_search_rrf",
+    f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tok WHERE term <> '' GROUP BY 1, 2
+),
+keep AS (SELECT term FROM tf GROUP BY 1 HAVING COUNT(*) <= {_RRF_MAXDF}),
+tfk AS (SELECT tf.* FROM tf JOIN keep USING (term)),
+norms AS (SELECT doc_id, CAST(SUM(tf * tf) AS BIGINT) AS n2 FROM tfk GROUP BY 1),
+tdots AS (
+  SELECT a.doc_id AS query_id, b.doc_id AS cand_id,
+         CAST(SUM(a.tf * b.tf) AS BIGINT) AS dot
+  FROM tfk a JOIN tfk b ON a.term = b.term
+  WHERE a.doc_id < {_RRF_NP} AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+),
+trank AS (
+  SELECT query_id, cand_id,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY round(CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE) * nb.n2), 6) DESC,
+                    cand_id
+         ) AS r_text
+  FROM tdots JOIN norms na ON query_id = na.doc_id JOIN norms nb ON cand_id = nb.doc_id
+),
+ttop AS (SELECT * FROM trank WHERE r_text <= {_RRF_PRE}),
+q AS (SELECT vec_id AS query_id, embedding AS qv,
+             {_O_NORM.format(a='embedding')} AS nq
+      FROM embeddings WHERE vec_id < {_RRF_NP}),
+c AS (SELECT vec_id AS cand_id, embedding AS cv,
+             {_O_NORM.format(a='embedding')} AS nc
+      FROM embeddings),
+escored AS (
+  SELECT query_id, cand_id,
+         round({_o_cosine_prenormed('qv', 'cv', 'nq', 'nc')}, 6) AS sim
+  FROM q, c WHERE query_id != cand_id
+),
+erank AS (
+  SELECT query_id, cand_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS r_emb
+  FROM escored
+),
+etop AS (SELECT * FROM erank WHERE r_emb <= {_RRF_PRE}),
+fused AS (
+  SELECT COALESCE(t.query_id, e.query_id) AS query_id,
+         COALESCE(t.cand_id, e.cand_id) AS cand_id,
+         t.r_text, e.r_emb,
+         COALESCE(1.0 / ({_RRF_K} + t.r_text), 0.0)
+           + COALESCE(1.0 / ({_RRF_K} + e.r_emb), 0.0) AS rrf
+  FROM ttop t FULL OUTER JOIN etop e
+    ON t.query_id = e.query_id AND t.cand_id = e.cand_id
+),
+final AS (
+  SELECT query_id, cand_id,
+         CAST(r_text AS BIGINT) AS r_text, CAST(r_emb AS BIGINT) AS r_emb,
+         round(rrf, 6) AS rrf,
+         row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, cand_id) AS rank
+  FROM fused
+)
+SELECT query_id, cand_id, r_text, r_emb, rrf, CAST(rank AS BIGINT) AS rank
+FROM final WHERE rank <= {_RRF_OUT}
+""",
+    doc="Hybrid retrieval: reciprocal-rank fusion (RRF, k=60) of the "
+    "sparse ranker (bag-of-words cosine over the df-capped inverted "
+    "index) and the dense ranker (embedding cosine) for 10 probe docs "
+    "— the standard two-tower search composition, entirely as "
+    "DataFrame ops. Each ranker contributes its top-20 with a total "
+    "(rounded-score DESC, cand) order; fusion is a full outer join on "
+    "(query, cand) with 1/(60+rank) contributions (per-row IEEE, "
+    "identical in both engines) and a deterministic final tie-break. "
+    "At 100 TB each ranker already has its scale path (inverted-index "
+    "equi-join; LSH/IVF ANN) and the fusion input is only "
+    "queries x 2 x 20 rows — fusion cost never grows with the corpus.",
+    tags=("similarity", "text", "fusion", "topk"),
+)
+def hybrid_search_rrf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from bigdatasmallprice_spark.operators.similarity import brute_force_topk
+
+    docs = table(spark, sf_dir, "documents")
+    emb = table(spark, sf_dir, "embeddings")
+
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    keep = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= _RRF_MAXDF)
+        .select("term")
+    )
+    tfk = tf.join(keep, "term").persist()
+    norms = tfk.groupBy("doc_id").agg(
+        F.sum(F.col("tf") * F.col("tf")).cast("long").alias("n2")
+    )
+    a = tfk.filter(F.col("doc_id") < _RRF_NP).alias("a")
+    b = tfk.alias("b")
+    tdots = (
+        a.join(b, "term")
+        .filter(F.col("a.doc_id") != F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("query_id"), F.col("b.doc_id").alias("cand_id"))
+        .agg(F.sum(F.col("a.tf") * F.col("b.tf")).cast("long").alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("query_id"), F.col("n2").alias("n2a"))
+    nb = norms.select(F.col("doc_id").alias("cand_id"), F.col("n2").alias("n2b"))
+    tcos = F.round(
+        F.col("dot").cast("double")
+        / F.sqrt(F.col("n2a").cast("double") * F.col("n2b")),
+        6,
+    )
+    wt = Window.partitionBy("query_id").orderBy(tcos.desc(), F.col("cand_id"))
+    ttop = (
+        tdots.join(na, "query_id")
+        .join(nb, "cand_id")
+        .withColumn("r_text", F.row_number().over(wt))
+        .filter(F.col("r_text") <= _RRF_PRE)
+        .select("query_id", "cand_id", "r_text")
+    )
+
+    etop = (
+        brute_force_topk(emb.filter(F.col("vec_id") < _RRF_NP), emb, k=_RRF_PRE)
+        .select("query_id", "cand_id", F.col("rank").alias("r_emb"))
+    )
+
+    fused = ttop.join(etop, ["query_id", "cand_id"], "full_outer").select(
+        "query_id",
+        "cand_id",
+        "r_text",
+        "r_emb",
+        (
+            F.coalesce(1.0 / (F.lit(_RRF_K) + F.col("r_text")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(_RRF_K) + F.col("r_emb")), F.lit(0.0))
+        ).alias("rrf_raw"),
+    )
+    wf = Window.partitionBy("query_id").orderBy(F.col("rrf_raw").desc(), F.col("cand_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(wf))
+        .filter(F.col("rank") <= _RRF_OUT)
+        .select(
+            "query_id",
+            "cand_id",
+            F.col("r_text").cast("long").alias("r_text"),
+            F.col("r_emb").cast("long").alias("r_emb"),
+            F.round("rrf_raw", 6).alias("rrf"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
