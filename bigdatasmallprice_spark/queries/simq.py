@@ -747,8 +747,8 @@ fused AS (
   SELECT COALESCE(t.query_id, e.query_id) AS query_id,
          COALESCE(t.cand_id, e.cand_id) AS cand_id,
          t.r_text, e.r_emb,
-         COALESCE(1.0 / ({_RRF_K} + t.r_text), 0.0)
-           + COALESCE(1.0 / ({_RRF_K} + e.r_emb), 0.0) AS rrf
+         COALESCE(CAST(1.0 AS DOUBLE) / ({_RRF_K} + t.r_text), 0.0)
+           + COALESCE(CAST(1.0 AS DOUBLE) / ({_RRF_K} + e.r_emb), 0.0) AS rrf
   FROM ttop t FULL OUTER JOIN etop e
     ON t.query_id = e.query_id AND t.cand_id = e.cand_id
 ),
