@@ -849,3 +849,68 @@ def hybrid_search_rrf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+_LP_NP = 20
+_LP_K = 10
+
+
+@register(
+    "ann_label_precision",
+    f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS qlabel,
+                  {_O_NORM.format(a='embedding')} AS nq
+           FROM embeddings WHERE vec_id < {_LP_NP}),
+c AS (SELECT vec_id AS cand_id, embedding AS cv, label AS clabel,
+             {_O_NORM.format(a='embedding')} AS nc
+      FROM embeddings),
+scored AS (
+  SELECT query_id, qlabel, cand_id, clabel,
+         round({_o_cosine_prenormed('qv', 'cv', 'nq', 'nc')}, 6) AS sim
+  FROM q, c WHERE query_id != cand_id
+),
+ranked AS (
+  SELECT query_id, qlabel, clabel,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rank
+  FROM scored
+)
+SELECT query_id,
+       CAST(qlabel AS BIGINT) AS label,
+       CAST(SUM(CASE WHEN clabel = qlabel THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+       round(CAST(SUM(CASE WHEN clabel = qlabel THEN 1 ELSE 0 END) AS DOUBLE) / {_LP_K}, 6) AS precision_at_k
+FROM ranked WHERE rank <= {_LP_K}
+GROUP BY 1, 2
+""",
+    doc=f"Search-quality evaluation: label-based precision@{_LP_K} of "
+    "the dense ranker — for each probe, the fraction of its top-k "
+    "nearest embeddings sharing the probe's class label (the standard "
+    "proxy-relevance metric when no click/judgment data exists). "
+    "Exact-ranked with the deterministic tie-break, integer hit "
+    "counts, one final per-row division. The same harness evaluates "
+    "any ranker that emits (query, cand, rank) — plug in the IVF/LSH/ "
+    "hybrid paths for a quality-vs-cost frontier at scale.",
+    tags=("similarity", "eval"),
+)
+def ann_label_precision_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdatasmallprice_spark.operators.similarity import brute_force_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    labels = emb.select("vec_id", F.col("label").cast("long").alias("label"))
+    top = brute_force_topk(emb.filter(F.col("vec_id") < _LP_NP), emb, k=_LP_K)
+    ql = labels.select(F.col("vec_id").alias("query_id"), F.col("label"))
+    cl = labels.select(
+        F.col("vec_id").alias("cand_id"), F.col("label").alias("clabel")
+    )
+    hit = F.when(F.col("clabel") == F.col("label"), 1).otherwise(0)
+    return (
+        top.join(ql, "query_id")
+        .join(cl, "cand_id")
+        .groupBy("query_id", "label")
+        .agg(F.sum(hit).cast("long").alias("hits"))
+        .select(
+            "query_id",
+            "label",
+            "hits",
+            F.round(F.col("hits").cast("double") / _LP_K, 6).alias("precision_at_k"),
+        )
+    )
