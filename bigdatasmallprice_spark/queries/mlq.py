@@ -571,3 +571,74 @@ def password_hash_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             hash_password(F.concat(F.lit("pw-"), F.col("c_custkey").cast("string")))
         ).cast("long").alias("hash_len"),
     )
+
+
+_MAD_SIGMA = 1.4826  # normal-consistency constant
+_MAD_CUT = 3.0
+
+
+@register(
+    "robust_outliers_mad",
+    f"""
+WITH v AS (
+  SELECT event_type, {o_cents('value')} AS vc FROM events
+),
+med AS (
+  SELECT event_type, quantile_cont(vc, 0.5) AS med_c FROM v GROUP BY 1
+),
+dev AS (
+  SELECT v.event_type, v.vc, med.med_c, abs(v.vc - med.med_c) AS ad
+  FROM v JOIN med USING (event_type)
+),
+mad AS (
+  SELECT event_type, quantile_cont(ad, 0.5) AS mad_c FROM dev GROUP BY 1
+)
+SELECT d.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       round(MAX(d.med_c) / 100.0, 6) AS median_value,
+       round(MAX(m.mad_c) / 100.0, 6) AS mad_value,
+       CAST(COALESCE(SUM(CASE WHEN m.mad_c > 0
+                 AND d.ad > {_MAD_CUT} * {_MAD_SIGMA} * m.mad_c
+                 THEN 1 END), 0) AS BIGINT) AS n_outliers,
+       round(MAX(d.ad) / 100.0, 6) AS max_abs_dev
+FROM dev d JOIN mad m USING (event_type)
+GROUP BY 1
+""",
+    doc="Robust outlier detection per event type: median / MAD robust "
+    "z-score (|x - med| > 3 * 1.4826 * MAD) — the data-cleaning "
+    "primitive that, unlike mean/stddev, is not dragged by the "
+    "outliers it hunts. Both quantiles interpolate over integer cents "
+    "(then deviations are identical doubles), so the flag is exact "
+    "cross-engine. Two grouped exact quantiles + broadcast join-backs; "
+    "at 100 TB the substitute is approx_percentile cut points, same "
+    "shape as the decile path.",
+    tags=("stats", "agg", "quality"),
+)
+def robust_outliers_mad_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events(spark, sf_dir)
+    v = ev.select("event_type", cents(F.col("value")).alias("vc"))
+    med = v.groupBy("event_type").agg(
+        F.percentile(F.col("vc"), F.lit(0.5)).alias("med_c")
+    )
+    dev = v.join(F.broadcast(med), "event_type").withColumn(
+        "ad", F.abs(F.col("vc") - F.col("med_c"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile(F.col("ad"), F.lit(0.5)).alias("mad_c")
+    )
+    out = F.when(
+        (F.col("mad_c") > 0)
+        & (F.col("ad") > _MAD_CUT * _MAD_SIGMA * F.col("mad_c")),
+        1,
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.max("med_c") / 100.0, 6).alias("median_value"),
+            F.round(F.max("mad_c") / 100.0, 6).alias("mad_value"),
+            F.coalesce(F.sum(out), F.lit(0)).cast("long").alias("n_outliers"),
+            F.round(F.max("ad") / 100.0, 6).alias("max_abs_dev"),
+        )
+    )
