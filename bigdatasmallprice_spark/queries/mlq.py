@@ -642,3 +642,74 @@ def robust_outliers_mad_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("ad") / 100.0, 6).alias("max_abs_dev"),
         )
     )
+
+
+@register(
+    "spend_concentration_gini",
+    f"""
+WITH v AS (
+  SELECT event_type, {o_cents('value')} AS vc, event_id
+  FROM events WHERE value >= 0
+),
+r AS (
+  SELECT event_type, vc,
+         row_number() OVER (
+           PARTITION BY event_type ORDER BY vc, event_id
+         ) AS rnk
+  FROM v
+),
+g AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(vc) AS BIGINT) AS total_c,
+         CAST(SUM(rnk * vc) AS BIGINT) AS rank_mass
+  FROM r GROUP BY 1
+)
+SELECT event_type, n,
+       round(total_c / 100.0, 6) AS total_value,
+       CASE WHEN total_c > 0 THEN
+         round((2.0 * rank_mass) / (CAST(n AS DOUBLE) * total_c)
+               - (CAST(n AS DOUBLE) + 1) / n, 6)
+       END AS gini
+FROM g
+""",
+    doc="Spend-concentration Gini per event type — the imbalance audit "
+    "for mixture/domain weighting (a Gini near 1 means a handful of "
+    "rows carry the mass). Exact-integer formulation of the "
+    "rank-weighted identity G = 2*sum(i*x_(i))/(n*sum(x)) - (n+1)/n "
+    "over a TOTAL order (cents, event_id tie-break): every aggregate "
+    "is an int64 sum (rank_mass bounded by n_type^2 * max_cents — "
+    "safe through sf1; beyond that, promote to decimal), the two "
+    "divisions at the end are identical IEEE ops. Per-group ranking "
+    "shuffles once; at 100 TB the same identity runs on "
+    "approx-percentile bucket midpoints.",
+    tags=("stats", "agg", "quality"),
+)
+def spend_concentration_gini_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = events(spark, sf_dir)
+    v = ev.filter(F.col("value") >= 0).select(
+        "event_type", cents(F.col("value")).alias("vc"), "event_id"
+    )
+    w = Window.partitionBy("event_type").orderBy("vc", "event_id")
+    r = v.withColumn("rnk", F.row_number().over(w))
+    g = r.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("vc").cast("long").alias("total_c"),
+        F.sum(F.col("rnk") * F.col("vc")).cast("long").alias("rank_mass"),
+    )
+    gini = F.when(
+        F.col("total_c") > 0,
+        F.round(
+            (2.0 * F.col("rank_mass")) / (F.col("n").cast("double") * F.col("total_c"))
+            - (F.col("n").cast("double") + 1) / F.col("n"),
+            6,
+        ),
+    )
+    return g.select(
+        "event_type",
+        "n",
+        F.round(F.col("total_c") / 100.0, 6).alias("total_value"),
+        gini.alias("gini"),
+    )
