@@ -755,3 +755,41 @@ def bow_cosine_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cosine >= _BOW_MIN_COS)
         .select("doc_a", "doc_b", "dot", F.round(cosine, 6).alias("cosine"))
     )
+
+
+@register(
+    "doc_length_histogram",
+    """
+SELECT source,
+       CAST(length(bin(n_chars)) - 1 AS BIGINT) AS log2_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+       CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+       CAST(SUM(length(text) - length(replace(text, ' ', '')) + 1) AS BIGINT) AS token_mass
+FROM documents
+WHERE n_chars >= 1
+GROUP BY 1, 2
+""",
+    doc="Per-source document-length histogram in power-of-two buckets — "
+    "the length-distribution audit behind truncation/packing budgets "
+    "and Gopher-style length filters. The bucket is floor(log2(n)) "
+    "computed EXACTLY as binary-digit count (length of the base-2 "
+    "string minus one) — float log2 at bucket boundaries is a "
+    "ULP-dependent engine coin flip, integer digit count is not. One "
+    "shuffle on (source, bucket), all-integer aggregates.",
+    tags=("text", "agg", "stats"),
+)
+def doc_length_histogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    bucket = (F.length(F.conv(F.col("n_chars"), 10, 2)) - 1).cast("long")
+    ntok = n_tokens(F.col("text"))
+    return (
+        docs.filter(F.col("n_chars") >= 1)
+        .groupBy("source", bucket.alias("log2_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("n_chars").cast("long").alias("min_chars"),
+            F.max("n_chars").cast("long").alias("max_chars"),
+            F.sum(ntok).cast("long").alias("token_mass"),
+        )
+    )
