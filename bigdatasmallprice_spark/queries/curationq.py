@@ -693,3 +693,83 @@ def warc_ingest_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     return warc_records(synthesize_warc(docs))
+
+
+# ---------------------------------------------------------------------------
+# cross-source contamination: shared boilerplate lines between domains
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cross_source_contamination",
+    f"""
+WITH lines AS ({_o_lines()}),
+sl AS (SELECT DISTINCT source, line FROM lines WHERE line <> ''),
+pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(COUNT(*) AS BIGINT) AS shared_lines
+  FROM sl a JOIN sl b ON a.line = b.line AND a.source < b.source
+  GROUP BY 1, 2
+),
+per_source AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_lines FROM sl GROUP BY 1)
+SELECT p.source_a, p.source_b, p.shared_lines,
+       sa.n_lines AS lines_a, sb.n_lines AS lines_b,
+       round(CAST(p.shared_lines AS DOUBLE)
+             / (sa.n_lines + sb.n_lines - p.shared_lines), 6) AS jaccard
+FROM pairs p
+JOIN per_source sa ON p.source_a = sa.source
+JOIN per_source sb ON p.source_b = sb.source
+WHERE p.shared_lines >= 5
+""",
+    doc="Cross-source contamination audit: for every source (domain) "
+    "pair, the number of distinct shared lines (the line_dedup "
+    "fragment convention) and their Jaccard overlap — the signal that "
+    "a train/eval split keyed on source silently leaks boilerplate "
+    "across the boundary. Distinct (source, line) first (one shuffle, "
+    "map-side combined), then an equi-join on the line whose candidate "
+    "count is bounded by per-line source lists (sources are few) — "
+    "never a doc-level cross join. Integer counts, one final division." ,
+    tags=("curation", "dedup", "audit"),
+)
+def cross_source_contamination_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _LINE_TOKENS
+    docs = table(spark, sf_dir, "documents").withColumn(
+        "t", F.split(F.col("text"), " ")
+    )
+    lines = docs.select(
+        "source",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, CAST(ceil(size(t) / {n}.0) AS INT) - 1), "
+                f"i -> concat_ws(' ', slice(t, i * {n} + 1, {n})))"
+            )
+        ).alias("line"),
+    )
+    sl = lines.filter(F.col("line") != "").distinct().persist()
+    a = sl.select(F.col("source").alias("source_a"), "line")
+    b = sl.select(F.col("source").alias("source_b"), "line")
+    pairs = (
+        a.join(b, "line")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_lines"))
+    )
+    per = sl.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_lines"))
+    pa = per.select(F.col("source").alias("source_a"), F.col("n_lines").alias("lines_a"))
+    pb = per.select(F.col("source").alias("source_b"), F.col("n_lines").alias("lines_b"))
+    jac = F.col("shared_lines").cast("double") / (
+        F.col("lines_a") + F.col("lines_b") - F.col("shared_lines")
+    )
+    return (
+        pairs.join(F.broadcast(pa), "source_a")
+        .join(F.broadcast(pb), "source_b")
+        .filter(F.col("shared_lines") >= 5)
+        .select(
+            "source_a",
+            "source_b",
+            "shared_lines",
+            "lines_a",
+            "lines_b",
+            F.round(jac, 6).alias("jaccard"),
+        )
+    )
