@@ -76,64 +76,70 @@ def all_queries() -> dict[str, QuerySpec]:
 DRIVER_CAP = 50
 
 DRIVER_ORDER: list[str] = [
-    # -- sequence / event analytics (no driver row in r01 — first priority)
+    # -- never driver-verified before r3 (first priority: close the gap so
+    #    every registered query has a green row in r1∪r2∪r3)
+    "hybrid_search_rrf",
+    "warc_ingest_stats",
+    "kanon_release",
+    "ngram_lm_score",
+    "pack_sequences",
+    "robust_outliers_mad",
+    "spend_concentration_gini",
+    "doc_length_histogram",
+    "cross_source_contamination",
+    "bow_cosine_pairs",
+    "ann_quantized_topk",
+    "ann_recall_eval",
+    "ann_label_precision",
+    "ann_ivf_trained",
+    "password_hash_audit",
+    "embedding_norms",
+    "token_stats_by_source",
+    "ann_cosine_topk_np",
+    "embedding_neardup_np",
+    # -- green in r2 only (kept: second external row confirms stability)
     "asof_last_purchase",
     "session_stats",
     "latest_event_per_user",
     "top_days_per_type",
     "peak_hour_spend",
-    # -- similarity / ANN surface (no driver row in r01)
     "ann_cosine_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",
     "embedding_neardup",
     "label_centroids",
-    # -- text-analysis surface (no driver row in r01)
     "text_stats",
     "lang_id",
     "quality_filter",
     "tfidf_terms",
     "bpe_token_stats",
     "json_props_stats",
-    # -- new in round 2
     "train_linear_model",
     "multimodal_wav_stats",
-    "pii_scrub",  # new in r2: regex detect+redact, md5-proven identical
-    "line_dedup",  # new in r2: C4-style cross-doc line removal
-    "shard_manifest",  # new in r2: deterministic training-order shuffle
-    "mixture_sampling_plan",  # new in r2: DoReMi/Pile domain reweighting
-    "curation_funnel",  # new in r2: the 5-stage pipeline as one DAG
-    "bpe_train_merges",  # new in r2: BPE tokenizer pair-merge training
-    "embedding_covariance",  # new in r2: PCA prep, exact-int BLAS moments
-    # -- core §2 surface (green in r01; sole representative of their ops)
-    "training_features",
-    "hourly_rollup",
-    "hourly_pivot",
-    "net_load_features",
-    "net_position",
-    "upsert_idempotency",
-    "error_monitor",
-    "freshness_gate",
-    "chrono_split_summary",
-    "table_stats",
-    "row_explorer_page",
-    "tariff_breakdown",
-    "model_score",
-    "pricing_summary",
-    # -- LLM-data-pipeline dedup + sampling stack
-    "dedup_exact",
-    "minhash_lsh_pairs",
-    "simhash_pairs",
-    "dedup_incremental",  # new in r2: daily-ingest batch-vs-corpus dedup
-    "neardup_clusters",
-    "corpus_curation_summary",
-    "benchmark_decontamination",  # new in r2: eval-set n-gram overlap
-    "repetition_stats",  # new in r2: Gopher-style repetition signals
-    "kmeans_centroids",  # new in r2: IVF coarse-quantizer training
-    "multimodal_bmp_resize",  # new in r2: 2nd REAL codec modality + resize
-    "video_frame_sample",  # new in r2: 3rd REAL codec (y4m) + frame sampling
-    # Rotated out (each carries a round-1 green CORRECTNESS row and its
-    # machinery is exercised inside a still-listed query):
+    "pii_scrub",
+    "line_dedup",
+    "shard_manifest",
+    "mixture_sampling_plan",
+    "curation_funnel",
+    "bpe_train_merges",
+    "embedding_covariance",
+    "dedup_incremental",
+    "benchmark_decontamination",
+    "repetition_stats",
+    "kmeans_centroids",
+    "multimodal_bmp_resize",
+    # r3 rotation: the 19 queries green in BOTH r1 and r2
+    # (chrono_split_summary, corpus_curation_summary, dedup_exact,
+    # error_monitor, freshness_gate, hourly_pivot, hourly_rollup,
+    # minhash_lsh_pairs, model_score, neardup_clusters, net_load_features,
+    # net_position, pricing_summary, row_explorer_page, simhash_pairs,
+    # table_stats, tariff_breakdown, training_features, upsert_idempotency)
+    # rotated out to make room for the 19 never-driver-verified queries
+    # above; video_frame_sample (r2-green) also rotated out for
+    # train_gbt_model's slot. All stay registered, benched, parity-gated.
+    #
+    # Rotated out in r2 (each carries a round-1 green CORRECTNESS row and
+    # its machinery is exercised inside a still-listed query):
     #   stratified_sample_summary — keyed-LCG hash sampling + per-group
     #     aggregation also drive shard_manifest and mixture_sampling_plan
     #   ngram_jaccard_pairs — shingle-Jaccard verify also runs inside
