@@ -713,3 +713,157 @@ def spend_concentration_gini_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("total_c") / 100.0, 6).alias("total_value"),
         gini.alias("gini"),
     )
+
+
+# ---------------------------------------------------------------------------
+# engine-side training (D5 completion): histogram gradient-boosted trees
+# ---------------------------------------------------------------------------
+
+_GBT_ROUNDS = 3
+_GBT_VAL_DAYS = 9
+
+
+def _o_gbt_gain(n_l: str, s_l: str, n_t: str, s_t: str) -> str:
+    """Variance-reduction gain over exact-int candidate sums — the SAME
+    IEEE expression tree as operators/gbt.py::_best_split (cast each
+    exact int to double, then multiply/divide left-to-right)."""
+    return (
+        f"((CAST({s_l} AS DOUBLE) * CAST({s_l} AS DOUBLE)) / CAST({n_l} AS DOUBLE)"
+        f" + (CAST({s_t} - {s_l} AS DOUBLE) * CAST({s_t} - {s_l} AS DOUBLE))"
+        f" / CAST({n_t} - {n_l} AS DOUBLE))"
+    )
+
+
+def _o_gbt_sql(rounds: int, val_days: int) -> str:
+    """Unrolled boosting rounds as a DuckDB CTE chain mirroring
+    operators/gbt.py exactly: per-round greedy depth-2 tree over the
+    (hour, dow) train histogram, floor'd integer leaf values with
+    lr=0.5, integer-exact per-round train/val MAE."""
+    gain = _o_gbt_gain("n_l", "s_l", "n_t", "s_t")
+    fv = "(CASE WHEN cd.f = 0 THEN c.h ELSE c.d END)"
+    parts = [
+        f"""
+WITH rows0 AS MATERIALIZED (
+  SELECT CAST(EXTRACT(hour FROM ts) AS BIGINT) AS h,
+         CAST(EXTRACT(dow FROM ts) + 1 AS BIGINT) AS d,
+         {o_cents('value')} AS y,
+         CAST(ts AS DATE) <= (SELECT MAX(CAST(ts AS DATE)) - {val_days} FROM events) AS is_train
+  FROM events
+), cells AS MATERIALIZED (
+  SELECT h, d, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS s
+  FROM rows0 WHERE is_train GROUP BY 1, 2
+), cands AS MATERIALIZED (
+  SELECT 0 AS f, CAST(range AS BIGINT) AS t FROM range(1, 24)
+  UNION ALL
+  SELECT 1 AS f, CAST(range AS BIGINT) AS t FROM range(2, 8)
+), pm0 AS MATERIALIZED (
+  SELECT CAST(hh.range AS BIGINT) AS h, CAST(dd.range AS BIGINT) AS d,
+         (SELECT CAST(floor(CAST(SUM(s) AS DOUBLE) / CAST(SUM(n) AS DOUBLE)) AS BIGINT) FROM cells) AS pred
+  FROM range(0, 24) hh, range(1, 8) dd
+)"""
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(
+            f""", c{r} AS MATERIALIZED (
+  SELECT c.h, c.d, c.n, c.s - c.n * p.pred AS rs
+  FROM cells c JOIN pm{p} p ON c.h = p.h AND c.d = p.d
+), rstat{r} AS MATERIALIZED (
+  SELECT cd.f, cd.t,
+         CAST(COALESCE(SUM(CASE WHEN {fv} < cd.t THEN c.n END), 0) AS BIGINT) AS n_l,
+         CAST(COALESCE(SUM(CASE WHEN {fv} < cd.t THEN c.rs END), 0) AS BIGINT) AS s_l,
+         CAST(SUM(c.n) AS BIGINT) AS n_t,
+         CAST(SUM(c.rs) AS BIGINT) AS s_t
+  FROM c{r} c CROSS JOIN cands cd GROUP BY 1, 2
+), br{r} AS MATERIALIZED (
+  SELECT f, t FROM rstat{r}
+  WHERE n_l > 0 AND n_t - n_l > 0
+  ORDER BY {gain} DESC, f, t LIMIT 1
+), sc{r} AS MATERIALIZED (
+  SELECT c.h, c.d, c.n, c.rs,
+         CASE WHEN (CASE WHEN b.f = 0 THEN c.h ELSE c.d END) < b.t THEN 0 ELSE 1 END AS side
+  FROM c{r} c CROSS JOIN br{r} b
+), cstat{r} AS MATERIALIZED (
+  SELECT c.side, cd.f, cd.t,
+         CAST(COALESCE(SUM(CASE WHEN {fv} < cd.t THEN c.n END), 0) AS BIGINT) AS n_l,
+         CAST(COALESCE(SUM(CASE WHEN {fv} < cd.t THEN c.rs END), 0) AS BIGINT) AS s_l,
+         CAST(SUM(c.n) AS BIGINT) AS n_t,
+         CAST(SUM(c.rs) AS BIGINT) AS s_t
+  FROM sc{r} c CROSS JOIN cands cd GROUP BY 1, 2, 3
+), bc{r} AS MATERIALIZED (
+  SELECT side, f, t FROM (
+    SELECT side, f, t,
+           row_number() OVER (PARTITION BY side ORDER BY {gain} DESC, f, t) AS rn
+    FROM cstat{r} WHERE n_l > 0 AND n_t - n_l > 0
+  ) WHERE rn = 1
+), lf{r} AS MATERIALIZED (
+  SELECT s.h, s.d, s.n, s.rs,
+         CAST(s.side * 2 + (CASE WHEN b.f IS NULL THEN 0
+                       WHEN (CASE WHEN b.f = 0 THEN s.h ELSE s.d END) < b.t THEN 0
+                       ELSE 1 END) AS BIGINT) AS leaf
+  FROM sc{r} s LEFT JOIN bc{r} b ON s.side = b.side
+), lv{r} AS MATERIALIZED (
+  SELECT leaf, CAST(SUM(n) AS BIGINT) AS n_leaf,
+         CAST(floor((0.5 * CAST(SUM(rs) AS DOUBLE)) / CAST(SUM(n) AS DOUBLE)) AS BIGINT) AS v
+  FROM lf{r} GROUP BY 1
+), pm{r} AS MATERIALIZED (
+  SELECT q.h, q.d, q.pred + COALESCE(lv.v, 0) AS pred
+  FROM (
+    SELECT p.h, p.d, p.pred,
+           CAST((CASE WHEN (CASE WHEN b.f = 0 THEN p.h ELSE p.d END) < b.t THEN 0 ELSE 1 END) * 2
+           + (CASE WHEN bb.f IS NULL THEN 0
+                   WHEN (CASE WHEN bb.f = 0 THEN p.h ELSE p.d END) < bb.t THEN 0
+                   ELSE 1 END) AS BIGINT) AS leaf
+    FROM pm{p} p CROSS JOIN br{r} b
+    LEFT JOIN bc{r} bb
+      ON bb.side = CASE WHEN (CASE WHEN b.f = 0 THEN p.h ELSE p.d END) < b.t THEN 0 ELSE 1 END
+  ) q LEFT JOIN lv{r} lv ON lv.leaf = q.leaf
+), err{r} AS MATERIALIZED (
+  SELECT r0.is_train,
+         CAST(SUM(ABS(r0.y - p.pred)) AS BIGINT) AS sa,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM rows0 r0 JOIN pm{r} p ON r0.h = p.h AND r0.d = p.d
+  GROUP BY 1
+), out{r} AS MATERIALIZED (
+  SELECT CAST({r} AS BIGINT) AS round, lv.leaf,
+         CAST(b.f AS BIGINT) AS root_f, CAST(b.t AS BIGINT) AS root_t,
+         CAST(COALESCE(bc.f, -1) AS BIGINT) AS child_f,
+         CAST(COALESCE(bc.t, -1) AS BIGINT) AS child_t,
+         lv.n_leaf, lv.v AS leaf_value_c,
+         (SELECT CAST(floor(CAST(sa AS DOUBLE) / CAST(cnt AS DOUBLE)) AS BIGINT)
+          FROM err{r} WHERE is_train) AS train_mae_c,
+         (SELECT CAST(floor(CAST(sa AS DOUBLE) / CAST(cnt AS DOUBLE)) AS BIGINT)
+          FROM err{r} WHERE NOT is_train) AS val_mae_c
+  FROM lv{r} lv CROSS JOIN br{r} b
+  LEFT JOIN bc{r} bc ON bc.side = lv.leaf // 2
+)"""
+        )
+    parts.append(
+        "\n"
+        + "\nUNION ALL\n".join(f"SELECT * FROM out{r}" for r in range(1, rounds + 1))
+    )
+    return "".join(parts)
+
+
+@register(
+    "train_gbt_model",
+    _o_gbt_sql(_GBT_ROUNDS, _GBT_VAL_DAYS),
+    doc="Engine-side gradient-boosted trees (the reference's headline "
+    "model, train.py:124-165): squared-error histogram boosting — "
+    f"{_GBT_ROUNDS} rounds of depth-2 trees over (hour, dow), lr=0.5, "
+    "rolling train/val split anchored at max(date), per-round loss "
+    "history like train.py:312-318 (best round = val-MAE argmin, the "
+    "early-stopping choice). The whole fit reads the corpus twice "
+    "regardless of size: one 168-cell exact-int histogram groupBy, one "
+    "broadcast-join MAE pass; split search runs on the model-sized "
+    "histogram with deterministic gain/tie-break arithmetic shared "
+    "op-for-op with the oracle (operators/gbt.py).",
+    tags=("ml", "agg", "train", "iterative"),
+)
+def train_gbt_model_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdatasmallprice_spark.operators.gbt import train_gbt
+
+    ev = events(spark, sf_dir)
+    return train_gbt(
+        ev, n_rounds=_GBT_ROUNDS, val_days=_GBT_VAL_DAYS
+    )

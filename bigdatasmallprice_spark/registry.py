@@ -128,6 +128,7 @@ DRIVER_ORDER: list[str] = [
     "repetition_stats",
     "kmeans_centroids",
     "multimodal_bmp_resize",
+    "train_gbt_model",  # new in r3: histogram boosted trees (D5 complete)
     # r3 rotation: the 19 queries green in BOTH r1 and r2
     # (chrono_split_summary, corpus_curation_summary, dedup_exact,
     # error_monitor, freshness_gate, hourly_pivot, hourly_rollup,

@@ -1,0 +1,131 @@
+"""Histogram gradient-boosted trees (operators/gbt.py, D5 completion).
+
+Oracle parity for the registered ``train_gbt_model`` query is swept by
+tests/test_oracle_parity.py like every registry entry; these tests pin
+the semantics the oracle can't see: the boosted model actually BEATS
+the linear baseline on nonlinear data (the reference's reason for
+XGBoost over LinearRegression, BASELINE.md accuracy table), plus
+determinism and degenerate-input behavior.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdatasmallprice_spark.operators.gbt import (
+    GbtModel,
+    fit_gbt_cells,
+    train_gbt,
+)
+from bigdatasmallprice_spark.operators.linreg import fit_linear_hour_dow
+
+
+def _synthetic_nonlinear(spark, days=30):
+    """One row per hour over `days` days; value is a STEP function of
+    hour with a weekend interaction — linear in (hour, dow) cannot fit
+    it, a depth-2 tree can. Deterministic small residual from a cheap
+    integer mix so no two engines/fits can disagree."""
+    rows = []
+    t0 = dt.datetime(2024, 1, 1)
+    for i in range(days * 24):
+        ts = t0 + dt.timedelta(hours=i)
+        hour = ts.hour
+        # Spark dayofweek: 1=Sunday..7=Saturday
+        dow = (ts.weekday() + 1) % 7 + 1
+        base = 100.0 if 8 <= hour < 18 else 20.0
+        if dow in (1, 7):
+            base *= 0.5
+        noise = ((i * 7919) % 13 - 6) * 0.25
+        rows.append((i, ts, base + noise))
+    return spark.createDataFrame(rows, "event_id long, ts timestamp, value double")
+
+
+def _val_mask(df, val_days=9):
+    mx = df.agg(F.max(F.to_date("ts"))).collect()[0][0]
+    train_end = mx - dt.timedelta(days=val_days)
+    return F.to_date("ts") <= F.lit(train_end), train_end
+
+
+def test_gbt_beats_linear_on_nonlinear(spark):
+    df = _synthetic_nonlinear(spark)
+    is_train, _ = _val_mask(df)
+
+    out = train_gbt(df).collect()
+    # best round by val MAE = the early-stopping pick
+    gbt_val_mae = min(r["val_mae_c"] for r in out)
+
+    # linear baseline trained on the same train split, scored on val
+    train_df = df.filter(is_train).withColumn("k", F.lit("all"))
+    coef = fit_linear_hour_dow(train_df, "k").collect()[0]
+    val = df.filter(~is_train).select(
+        F.hour("ts").alias("h"),
+        F.dayofweek("ts").alias("d"),
+        F.round(F.col("value") * 100).cast("long").alias("yc"),
+    )
+    lin_val_mae = (
+        val.select(
+            F.abs(
+                F.col("yc")
+                - (
+                    F.lit(coef["b0c"])
+                    + F.lit(coef["b1c"]) * F.col("h")
+                    + F.lit(coef["b2c"]) * F.col("d")
+                )
+            ).alias("ae")
+        )
+        .agg(F.avg("ae"))
+        .collect()[0][0]
+    )
+    # the step function defeats the linear model; boosting halves its error
+    assert gbt_val_mae < 0.5 * lin_val_mae, (gbt_val_mae, lin_val_mae)
+
+
+def test_gbt_loss_history_improves(spark):
+    df = _synthetic_nonlinear(spark)
+    out = train_gbt(df).collect()
+    by_round = {r["round"]: r for r in out}
+    maes = [by_round[r]["train_mae_c"] for r in sorted(by_round)]
+    # squared-error boosting on train data: monotone non-increasing
+    assert all(a >= b for a, b in zip(maes, maes[1:])), maes
+    # each round emits its tree: a root split and <=4 leaves
+    for r in sorted(by_round):
+        leaves = [row for row in out if row["round"] == r]
+        assert 1 <= len(leaves) <= 4
+        assert all(row["root_f"] in (0, 1) for row in leaves)
+
+
+def test_gbt_deterministic(spark):
+    df = _synthetic_nonlinear(spark, days=10)
+    a = sorted(tuple(r) for r in train_gbt(df, val_days=3).collect())
+    b = sorted(tuple(r) for r in train_gbt(df, val_days=3).collect())
+    assert a == b
+
+
+def test_gbt_degenerate_constant_features():
+    # all rows in one (hour, dow) cell: no candidate splits anything
+    with pytest.raises(ValueError, match="no valid candidate"):
+        fit_gbt_cells({(3, 2): (100, 5000)})
+
+
+def test_gbt_unsplit_child_collapses_to_left_leaf():
+    # right side has a single distinct (hour, dow) cell -> child split
+    # impossible there; its rows land on leaf side*2 (bit 0), and the
+    # emitted child_f/child_t for that side must be absent (-1 in the
+    # query output, None in the model)
+    cells = {(h, 1): (10, 1000 * h) for h in range(4)}
+    cells[(23, 1)] = (10, 90000)
+    model: GbtModel = fit_gbt_cells(cells, n_rounds=1)
+    rm = model.rounds[0]
+    sides_with_child = set(rm.children)
+    all_sides = {leaf // 2 for leaf in rm.leaf_values}
+    for side in all_sides - sides_with_child:
+        leaves = {l for l in rm.leaf_values if l // 2 == side}
+        assert leaves == {side * 2}
+
+
+def test_gbt_base_is_floor_of_train_mean():
+    model = fit_gbt_cells({(0, 1): (3, 10), (1, 1): (3, 11)})
+    assert model.base == 3  # floor(21/6)
