@@ -74,6 +74,14 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "skew_evidence": skew_evidence,
+                # metric-composition flags: the headline total covers every
+                # registered query and EXCLUDES the synthetic skew A/B pair
+                # (moved to skew_evidence after round 1 — round-1 totals
+                # included it, so cross-round comparisons should diff the
+                # shared per-query timings, not raw totals)
+                "metric_version": 2,
+                "total_includes_skew": False,
+                "n_queries": len(timings),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -115,7 +115,10 @@ def write_jsonl_corpus(
 
 def read_jsonl_corpus(spark: SparkSession, path: str, schema: str) -> DataFrame:
     """Read a JSONL export back (schema-checked): one JSON doc per
-    line; shard recovered from the partition directory."""
-    raw = spark.read.text(os.path.join(path, "shard=*"))
-    parsed = raw.select(F.from_json(F.col("value"), schema).alias("d")).select("d.*")
-    return parsed
+    line; shard recovered from the partition directory via partition
+    discovery (``basePath``), so the returned frame carries the shard
+    column alongside the parsed document fields."""
+    raw = spark.read.option("basePath", path).text(os.path.join(path, "shard=*"))
+    return raw.select(
+        F.from_json(F.col("value"), schema).alias("d"), F.col("shard")
+    ).select("d.*", "shard")

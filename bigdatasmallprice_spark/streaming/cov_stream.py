@@ -11,14 +11,12 @@ on the persisted state at any point — continuous PCA without ever
 re-scanning the corpus.
 
 State is dim² + dim + 1 rows regardless of data volume (the same
-model-not-data argument as the sketch and k-means states); the rewrite
-is staged like the other incremental-state streams.
+model-not-data argument as the sketch and k-means states); each fold
+writes a fresh version directory and flips an atomic manifest, so the
+rewrite is crash-atomic (streaming/state.py).
 """
 
 from __future__ import annotations
-
-import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -37,26 +35,35 @@ def update_moments(
     persisted summary (keyed integer addition — associative, so any
     batching of the input yields identical state; NOT idempotent, so a
     foreachBatch retry with the same batch_id is skipped via the
-    applied marker, streaming/state.py)."""
+    manifest watermark). The fold writes a fresh version directory and
+    atomically flips the state manifest (streaming/state.py) — a crash
+    at any point leaves either the old or the new complete state,
+    never a torn one."""
     from bigdatasmallprice_spark.operators.similarity import (
         covariance_moments_vectorized,
     )
-    from bigdatasmallprice_spark.streaming.state import already_applied, mark_applied
+    from bigdatasmallprice_spark.streaming.state import (
+        next_state_version,
+        publish_state,
+        resolve_state_dir,
+        state_version_dir,
+        versioned_already_applied,
+    )
 
-    if batch_id is not None and already_applied(summary_path, batch_id):
+    if versioned_already_applied(summary_path, batch_id):
         return
 
     m = covariance_moments_vectorized(batch, vec_col=vec_col)
-    if os.path.isdir(summary_path):
-        state = spark.read.schema(MOMENT_SCHEMA).parquet(summary_path)
+    state_dir = resolve_state_dir(summary_path)
+    if state_dir is not None:
+        state = spark.read.schema(MOMENT_SCHEMA).parquet(state_dir)
         m = m.unionByName(state)
     new = m.groupBy("i", "j").agg(F.sum("val").cast("long").alias("val"))
-    tmp = summary_path.rstrip("/") + ".__stage__"
-    new.coalesce(1).write.mode("overwrite").parquet(tmp)
-    spark.read.parquet(tmp).write.mode("overwrite").parquet(summary_path)
-    shutil.rmtree(tmp, ignore_errors=True)
-    if batch_id is not None:
-        mark_applied(summary_path, batch_id)
+    version = next_state_version(summary_path)
+    new.coalesce(1).write.mode("overwrite").parquet(
+        state_version_dir(summary_path, version)
+    )
+    publish_state(summary_path, version, batch_id)
 
 
 def covariance_stream(
@@ -79,4 +86,9 @@ def covariance_stream(
 
 
 def read_moments(spark: SparkSession, summary_path: str) -> DataFrame:
-    return spark.read.schema(MOMENT_SCHEMA).parquet(summary_path)
+    from bigdatasmallprice_spark.streaming.state import resolve_state_dir
+
+    state_dir = resolve_state_dir(summary_path)
+    if state_dir is None:
+        raise FileNotFoundError(f"no moment state at {summary_path}")
+    return spark.read.schema(MOMENT_SCHEMA).parquet(state_dir)

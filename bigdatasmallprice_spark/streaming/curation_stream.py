@@ -93,24 +93,26 @@ def curation_stream(
     the source."""
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        # append sinks are not idempotent: skip a foreachBatch retry of
-        # an already-written batch (streaming/state.py marker)
-        from bigdatasmallprice_spark.streaming.state import (
-            already_applied,
-            mark_applied,
-        )
-
-        if already_applied(kept_path, batch_id):
-            return
+        # Idempotent-by-construction appends: each batch owns the
+        # deterministic partition directory batch_id=<id> in both sinks
+        # and OVERWRITES it. A foreachBatch retry (at-least-once
+        # contract) rewrites the same two directories instead of
+        # appending duplicates — there is no marker and therefore no
+        # failure window between "first sink written" and "marked
+        # applied". Readers see batch_id as an ordinary partition
+        # column via standard discovery.
         cur = curate_columns(batch_df, text_col).persist()
         try:
             kept = cur.filter(F.col("reject_reason").isNull()).drop(
                 text_col, "reject_reason"
             )
             rejected = cur.filter(F.col("reject_reason").isNotNull()).drop("scrubbed")
-            kept.write.mode("append").parquet(kept_path)
-            rejected.write.mode("append").parquet(rejected_path)
-            mark_applied(kept_path, batch_id)
+            kept.write.mode("overwrite").parquet(
+                f"{kept_path.rstrip('/')}/batch_id={batch_id}"
+            )
+            rejected.write.mode("overwrite").parquet(
+                f"{rejected_path.rstrip('/')}/batch_id={batch_id}"
+            )
         finally:
             cur.unpersist()
 

@@ -28,8 +28,6 @@ incremental-state streams.
 
 from __future__ import annotations
 
-import os
-
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -72,17 +70,31 @@ def update_summary(
     batch_id: int | None = None,
 ) -> None:
     """foreachBatch body: fold one micro-batch into the persisted
-    sketch. Reads the (tiny) summary, merges per shard, rewrites via a
-    staged directory so a crash never leaves a torn summary.
+    sketch. Reads the (tiny) current state version, merges per shard,
+    writes a FRESH version directory and atomically flips the state
+    manifest to it (streaming/state.py) — a crash at any point leaves
+    either the old complete state or the new complete state, never a
+    torn one.
 
     MG folds are NOT idempotent, so replay protection matters: Spark
     retries a foreachBatch that failed AFTER the state write but
-    BEFORE the checkpoint commit with the SAME batch_id — the applied
-    marker (streaming/state.py) detects that and skips the re-fold."""
-    from bigdatasmallprice_spark.streaming.state import already_applied, mark_applied
+    BEFORE the checkpoint commit with the SAME batch_id — the manifest
+    watermark detects that and skips the re-fold. The manifest also
+    pins (m, n_shards): resuming with a different n_shards would
+    reshard terms (xxhash64 % n_shards) and silently split counts
+    across shards, so a mismatch raises instead."""
+    from bigdatasmallprice_spark.streaming.state import (
+        next_state_version,
+        publish_state,
+        resolve_state_dir,
+        state_version_dir,
+        validate_state_config,
+        versioned_already_applied,
+    )
 
-    if batch_id is not None and already_applied(summary_path, batch_id):
+    if versioned_already_applied(summary_path, batch_id):
         return
+    validate_state_config(summary_path, {"m": m, "n_shards": n_shards})
     shard = F.pmod(F.xxhash64(F.col(term_col)), F.lit(n_shards)).cast("long")
     # NULL terms excluded — term=NULL is the summary's error sentinel
     b = (
@@ -90,8 +102,9 @@ def update_summary(
         .where(F.col("term").isNotNull())
         .withColumn("shard", shard)
     )
-    if os.path.isdir(summary_path):
-        state = spark.read.schema(SUMMARY_SCHEMA).parquet(summary_path)
+    state_dir = resolve_state_dir(summary_path)
+    if state_dir is not None:
+        state = spark.read.schema(SUMMARY_SCHEMA).parquet(state_dir)
     else:
         state = spark.createDataFrame([], SUMMARY_SCHEMA)
     both = state.select("shard", "term", "cnt").unionByName(
@@ -110,20 +123,24 @@ def update_summary(
         return out
 
     new = both.groupBy("shard").applyInPandas(_fold, SUMMARY_SCHEMA)
-    tmp = summary_path.rstrip("/") + ".__stage__"
-    new.coalesce(1).write.mode("overwrite").parquet(tmp)
-    spark.read.parquet(tmp).write.mode("overwrite").parquet(summary_path)
-    import shutil
-
-    shutil.rmtree(tmp, ignore_errors=True)
-    if batch_id is not None:
-        mark_applied(summary_path, batch_id)
+    version = next_state_version(summary_path)
+    new.coalesce(1).write.mode("overwrite").parquet(
+        state_version_dir(summary_path, version)
+    )
+    publish_state(
+        summary_path, version, batch_id, config={"m": m, "n_shards": n_shards}
+    )
 
 
 def read_heavy_hitters(spark: SparkSession, summary_path: str) -> DataFrame:
     """Current sketch: (term, est, err_bound) with the PER-SHARD error
     (sharper than the batch operator's global bound)."""
-    s = spark.read.schema(SUMMARY_SCHEMA).parquet(summary_path)
+    from bigdatasmallprice_spark.streaming.state import resolve_state_dir
+
+    state_dir = resolve_state_dir(summary_path)
+    if state_dir is None:
+        raise FileNotFoundError(f"no heavy-hitter state at {summary_path}")
+    s = spark.read.schema(SUMMARY_SCHEMA).parquet(state_dir)
     errs = (
         s.filter(F.col("term").isNull())
         .groupBy("shard")

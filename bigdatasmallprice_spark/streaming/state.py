@@ -39,3 +39,119 @@ def mark_applied(state_path: str, batch_id: int) -> None:
     with open(tmp, "w") as fh:
         json.dump({"max_batch_id": batch_id}, fh)
     os.replace(tmp, p)
+
+
+# ---------------------------------------------------------------------------
+# Versioned state: crash-atomic rewrite-style state (sketches, moments)
+# ---------------------------------------------------------------------------
+#
+# Rewrite-style folds (Misra–Gries, covariance moments) replace the whole
+# state each batch. Overwriting the live directory is NOT crash-atomic:
+# Spark deletes the old files before the new ones are committed, so a
+# crash mid-write leaves a torn state under a marker that still claims
+# the previous batch applied — and the retry folds on top of garbage.
+#
+# Instead each fold writes a FRESH version directory
+# (``<state>.__v<version>__``) and then flips one atomically-replaced
+# JSON manifest (pointer + replay watermark + sketch config, one
+# ``os.replace``) to it. Crash before the flip: the manifest still
+# points at the previous complete version, the half-written directory is
+# orphaned and simply overwritten by the retry. Crash after the flip:
+# the batch is recorded applied and the retry is skipped. Old version
+# directories are best-effort garbage-collected after every successful
+# flip. The manifest also pins fold parameters (e.g. m / n_shards):
+# resuming a sketch with different parameters would silently reshard
+# counts, so mismatches must raise instead (validate_state_config).
+
+_MANIFEST = "_state_manifest.json"
+
+
+def _manifest_path(state_path: str) -> str:
+    return state_path.rstrip("/") + "." + _MANIFEST
+
+
+def read_state_manifest(state_path: str) -> dict | None:
+    p = _manifest_path(state_path)
+    if not os.path.exists(p):
+        return None
+    with open(p) as fh:
+        return json.load(fh)
+
+
+def state_version_dir(state_path: str, version: int) -> str:
+    return state_path.rstrip("/") + f".__v{version}__"
+
+
+def resolve_state_dir(state_path: str) -> str | None:
+    """Directory holding the current complete state, or None if empty."""
+    manifest = read_state_manifest(state_path)
+    if manifest is not None:
+        return manifest["state_dir"]
+    # legacy layout: state written directly at state_path
+    return state_path if os.path.isdir(state_path) else None
+
+
+def validate_state_config(state_path: str, config: dict) -> None:
+    """Raise if ``config`` differs from the manifest's pinned config."""
+    manifest = read_state_manifest(state_path)
+    if manifest is None:
+        return
+    pinned = manifest.get("config", {})
+    diffs = {k: (pinned[k], v) for k, v in config.items() if pinned.get(k) != v}
+    if diffs:
+        raise ValueError(
+            f"state at {state_path} was built with different parameters: "
+            + ", ".join(
+                f"{k}={old!r} (stored) vs {new!r} (requested)"
+                for k, (old, new) in diffs.items()
+            )
+        )
+
+
+def publish_state(
+    state_path: str,
+    version: int,
+    batch_id: int | None,
+    config: dict | None = None,
+) -> None:
+    """Atomically flip the manifest to ``version`` and GC older dirs."""
+    prev = read_state_manifest(state_path)
+    manifest = {
+        "version": version,
+        "state_dir": state_version_dir(state_path, version),
+        "max_batch_id": (
+            batch_id
+            if batch_id is not None
+            else (prev or {}).get("max_batch_id", -1)
+        ),
+        "config": config or (prev or {}).get("config", {}),
+    }
+    p = _manifest_path(state_path)
+    tmp = p + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    os.replace(tmp, p)
+    _gc_stale_versions(state_path, keep=manifest["state_dir"])
+
+
+def _gc_stale_versions(state_path: str, keep: str) -> None:
+    import glob
+    import shutil
+
+    for d in glob.glob(state_path.rstrip("/") + ".__v*__"):
+        if d != keep:
+            shutil.rmtree(d, ignore_errors=True)
+
+
+def versioned_already_applied(state_path: str, batch_id: int | None) -> bool:
+    if batch_id is None:
+        return False
+    manifest = read_state_manifest(state_path)
+    if manifest is None:
+        return False
+    return batch_id <= manifest["max_batch_id"]
+
+
+def next_state_version(state_path: str) -> int:
+    manifest = read_state_manifest(state_path)
+    return 0 if manifest is None else manifest["version"] + 1

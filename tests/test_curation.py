@@ -178,4 +178,13 @@ def test_jsonl_corpus_roundtrip(spark, tmp_path):
     assert set(json.loads(line)) == {"doc_id", "text", "nt"}
 
     back = read_jsonl_corpus(spark, path, "doc_id long, text string, nt long")
-    assert sorted(map(tuple, back.collect())) == sorted(rows)
+    got = sorted(map(tuple, back.collect()))
+    assert [r[:3] for r in got] == sorted(rows)
+    # shard recovered from the partition directory, matching the writer's
+    # deterministic doc_id-hash sharding
+    from bigdatasmallprice_spark.curation_sink import with_shard
+
+    want_shard = {
+        r["doc_id"]: r["shard"] for r in with_shard(df, 4, "doc_id").collect()
+    }
+    assert all(r[3] == want_shard[r[0]] for r in got)

@@ -10,6 +10,7 @@ rule by replaying data older than the watermark.
 from __future__ import annotations
 
 import datetime as dt
+import os
 import random
 
 import pytest
@@ -543,8 +544,16 @@ def test_streaming_heavy_hitters_guarantee_across_batches(spark, tmp_path):
     # the new-in-chunk2 heavy terms made it in
     assert sum(1 for t in got if t.startswith("new")) >= 1
     # state stayed sketch-sized: <= n_shards * (m terms + err row)
-    raw = spark.read.parquet(summary)
+    from bigdatasmallprice_spark.streaming.state import resolve_state_dir
+
+    raw = spark.read.parquet(resolve_state_dir(summary))
     assert raw.count() <= 4 * 33
+    # resuming with a different shard count must refuse, not reshard
+    from bigdatasmallprice_spark.streaming.hh_stream import update_summary
+
+    more = spark.createDataFrame([("t1",)], "term string")
+    with pytest.raises(ValueError, match="different parameters"):
+        update_summary(spark, summary, more, "term", m=32, n_shards=8, batch_id=99)
 
 
 # ---------------------------------------------------------------------------
@@ -701,3 +710,44 @@ def test_incremental_folds_skip_replayed_batches(spark, tmp_path):
     once = sorted(map(tuple, read_moments(spark, cov).collect()))
     update_moments(spark, cov, emb, batch_id=0)  # replay
     assert sorted(map(tuple, read_moments(spark, cov).collect())) == once
+
+
+def test_versioned_state_crash_atomicity(spark, tmp_path):
+    """A crash BETWEEN the new-version write and the manifest flip must
+    leave the previous state fully readable (the ADVICE torn-summary
+    scenario: overwrite-in-place deleted the old state first). Here the
+    torn write is simulated by dumping garbage into the next version
+    directory without flipping the manifest — readers and a retried
+    fold must both still see the committed state only."""
+    from bigdatasmallprice_spark.streaming.hh_stream import (
+        read_heavy_hitters,
+        update_summary,
+    )
+    from bigdatasmallprice_spark.streaming.state import (
+        next_state_version,
+        read_state_manifest,
+        state_version_dir,
+    )
+
+    terms = spark.createDataFrame([("a",)] * 5 + [("b",)] * 2, "term string")
+    hh = str(tmp_path / "hh")
+    update_summary(spark, hh, terms, "term", m=8, n_shards=2, batch_id=0)
+    committed = read_state_manifest(hh)
+
+    # simulate the torn write of the NEXT version (crash before flip)
+    torn = state_version_dir(hh, next_state_version(hh))
+    os.makedirs(torn, exist_ok=True)
+    with open(os.path.join(torn, "part-00000.parquet"), "wb") as fh:
+        fh.write(b"\x00not a parquet file")
+
+    # committed state is untouched and fully readable
+    assert read_state_manifest(hh) == committed
+    got = {r.term: r.est for r in read_heavy_hitters(spark, hh).collect()}
+    assert got == {"a": 5, "b": 2}
+
+    # the retried batch overwrites the torn directory and commits
+    update_summary(spark, hh, terms, "term", m=8, n_shards=2, batch_id=1)
+    got = {r.term: r.est for r in read_heavy_hitters(spark, hh).collect()}
+    assert got == {"a": 10, "b": 4}
+    # old version directories are garbage-collected after the flip
+    assert not os.path.isdir(committed["state_dir"])
