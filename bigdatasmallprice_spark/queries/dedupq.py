@@ -191,6 +191,26 @@ def simhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_pairs(sh, max_hamming=3)
 
 
+_AUDIT_SLICE_MAX = 64
+
+
+def _bounded_audit_slice(df: DataFrame, what: str) -> DataFrame:
+    """Guard an all-pairs AUDIT query against silent quadratic growth:
+    its crossJoin is only acceptable because the input is a tiny fixed
+    slice — if someone raises the literal bound past
+    ``_AUDIT_SLICE_MAX`` docs this refuses to run rather than become an
+    O(n²) corpus job (at scale the verify stage must be fed by LSH
+    candidates instead, as minhash_lsh_pairs does)."""
+    n = df.count()
+    if n > _AUDIT_SLICE_MAX:
+        raise ValueError(
+            f"{what}: audit slice has {n} rows (> {_AUDIT_SLICE_MAX}); "
+            "all-pairs verification is only for bounded audit sets — "
+            "use LSH candidate pairs for corpus-scale inputs"
+        )
+    return df
+
+
 @register(
     "ngram_jaccard_pairs",
     f"""
@@ -214,7 +234,10 @@ WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
     tags=("dedup", "join"),
 )
 def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    docs = _bounded_audit_slice(
+        table(spark, sf_dir, "documents").filter(F.col("doc_id") < 40),
+        "ngram_jaccard_pairs",
+    )
     wh = (
         "transform(split(text, ' '), x -> "
         "CAST(length(x) * 97 + ascii(substr(x, 1, 1)) * 31 + ascii(substr(x, length(x), 1)) AS BIGINT))"

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bigdatasmallprice_spark.functions.tariffs import (
+    DEFAULT_NETZ_STANDARD,
     energiepreis,
     gesamttarif,
     netzpreis,
@@ -133,6 +134,84 @@ def backfill_estimate(
         "days_missing": missing,
         "estimated_calls": calls,
         "estimated_seconds": calls * seconds_per_call,
+    }
+
+
+def forecast(
+    spark: SparkSession,
+    model_dir: str,
+    price_model: str = "model_epex",
+    load_model: str = "model_load",
+    price_view: str = "training_features",
+    load_view: str = "winterthur_net_load_features",
+    key_col: str = "k",
+    key_value: str = "all",
+) -> dict:
+    """The full /api/forecast composition (reference main.py:260-352)
+    as ONE engine call: latest feature row → Model B (EPEX price) →
+    Model A (net load, optional) → tariff formulas → traffic light.
+
+    Mirrors the reference's degradation exactly: a missing load view,
+    an empty load-feature frame, or an absent load artifact falls back
+    to the energy-only estimate with the standard Netz tariff; a
+    missing price model or empty price features raises (the 503 path).
+    Models resolve newest-by-name through the registry (modelstore) and
+    score via broadcast splice; only single feature rows and the
+    KB-sized tariff eval ever reach the driver."""
+    from bigdatasmallprice_spark import modelstore
+
+    feat = latest_features(spark, price_view)
+    if not feat.take(1):
+        raise LookupError("no feature data available")  # main.py:292 (503)
+    keyed = feat.withColumn(key_col, F.lit(key_value))
+    price_row = modelstore.score_latest(
+        spark, model_dir, price_model, keyed, key_col, ts_col="time"
+    ).collect()
+    if not price_row:
+        raise LookupError(f"price model {price_model!r} matched no feature row")
+    epex_pred = float(price_row[0]["prediction"])
+    when = price_row[0]["time"]
+
+    net_load: float | None = None
+    try:
+        lfeat = latest_features(spark, load_view).withColumn(
+            key_col, F.lit(key_value)
+        )
+        load_rows = modelstore.score_latest(
+            spark, model_dir, load_model, lfeat, key_col, ts_col="time"
+        ).collect()
+        if load_rows:
+            net_load = float(load_rows[0]["prediction"])
+    except Exception:
+        # main.py:316-317: any load-side failure degrades gracefully
+        net_load = None
+
+    # single-row tariff eval so the formulas stay the one implementation
+    one = spark.createDataFrame(
+        [(net_load if net_load is not None else 0.0, epex_pred)],
+        "load double, epex double",
+    )
+    energie = energiepreis(F.col("epex"))
+    netz = (
+        netzpreis(F.col("load"))
+        if net_load is not None
+        else F.lit(DEFAULT_NETZ_STANDARD)
+    )
+    tariff = one.select(
+        F.round(netz, 2).alias("netzpreis_rp_kwh"),
+        F.round(energie, 2).alias("energiepreis_rp_kwh"),
+        F.round(gesamttarif(netz, energie), 2).alias("gesamttarif_rp_kwh"),
+        traffic_light(F.round(gesamttarif(netz, energie), 2)).alias("price_level"),
+    ).collect()[0]
+    return {
+        "time": when.isoformat() if when is not None else None,
+        "predicted_price_eur_mwh": round(epex_pred, 2),
+        "netzpreis_rp_kwh": tariff["netzpreis_rp_kwh"],
+        "energiepreis_rp_kwh": tariff["energiepreis_rp_kwh"],
+        "gesamttarif_rp_kwh": tariff["gesamttarif_rp_kwh"],
+        "price_rp_kwh": tariff["gesamttarif_rp_kwh"],  # backward-compat alias
+        "price_level": tariff["price_level"],
+        "net_load_available": net_load is not None,
     }
 
 

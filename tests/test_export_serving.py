@@ -213,3 +213,88 @@ def test_jwt_roundtrip_tamper_expiry(spark):
         jwt_validate(F.concat(F.col("tok"), F.lit("x")), secret, now).alias("c")
     ).select("c.*")
     assert all(r.error == "invalid" for r in tampered.collect())
+
+
+def test_forecast_composition_full(domain, tmp_path):
+    """The one-call /api/forecast path (main.py:260-352): latest
+    features -> both models -> tariff breakdown -> traffic light."""
+    from bigdatasmallprice_spark import modelstore
+    from bigdatasmallprice_spark.operators.linreg import fit_linear_hour_dow
+    from bigdatasmallprice_spark.serving import forecast
+
+    spark = domain
+    d = str(tmp_path / "models")
+    prices = spark.table("entsoe_day_ahead_prices").withColumn("k", F.lit("all"))
+    loads = spark.table("winterthur_net_load_features").withColumn(
+        "k", F.lit("all")
+    )
+    modelstore.save_model(
+        d,
+        "model_epex",
+        fit_linear_hour_dow(prices, "k", ts_col="time", value_col="price_eur_mwh"),
+        version="20260214T000000",
+    )
+    modelstore.save_model(
+        d,
+        "model_load",
+        fit_linear_hour_dow(loads, "k", ts_col="time", value_col="net_load_kwh"),
+        version="20260214T000000",
+    )
+
+    out = forecast(spark, d)
+    assert set(out) == {
+        "time",
+        "predicted_price_eur_mwh",
+        "netzpreis_rp_kwh",
+        "energiepreis_rp_kwh",
+        "gesamttarif_rp_kwh",
+        "price_rp_kwh",
+        "price_level",
+        "net_load_available",
+    }
+    assert out["net_load_available"] is True
+    assert out["price_rp_kwh"] == out["gesamttarif_rp_kwh"]
+    assert out["gesamttarif_rp_kwh"] == pytest.approx(
+        out["netzpreis_rp_kwh"] + out["energiepreis_rp_kwh"], abs=0.011
+    )
+    assert out["price_level"] in {"low", "medium", "high"}
+    # level consistent with the reference thresholds on gesamt
+    g = out["gesamttarif_rp_kwh"]
+    want = "low" if g < 15 else ("high" if g > 22 else "medium")
+    assert out["price_level"] == want
+    # time is the newest feature row's time
+    newest = latest_features(spark).collect()[0]["time"]
+    assert out["time"] == newest.isoformat()
+
+
+def test_forecast_degrades_without_load_model(domain, tmp_path):
+    """main.py:316-331: no Model A -> energy-only estimate with the
+    standard Netz tariff, flagged via net_load_available."""
+    from bigdatasmallprice_spark import modelstore
+    from bigdatasmallprice_spark.functions.tariffs import DEFAULT_NETZ_STANDARD
+    from bigdatasmallprice_spark.operators.linreg import fit_linear_hour_dow
+    from bigdatasmallprice_spark.serving import forecast
+
+    spark = domain
+    d = str(tmp_path / "models")
+    prices = spark.table("entsoe_day_ahead_prices").withColumn("k", F.lit("all"))
+    modelstore.save_model(
+        d,
+        "model_epex",
+        fit_linear_hour_dow(prices, "k", ts_col="time", value_col="price_eur_mwh"),
+        version="20260214T000000",
+    )
+    out = forecast(spark, d)
+    assert out["net_load_available"] is False
+    assert out["netzpreis_rp_kwh"] == pytest.approx(DEFAULT_NETZ_STANDARD)
+    assert out["gesamttarif_rp_kwh"] == pytest.approx(
+        DEFAULT_NETZ_STANDARD + out["energiepreis_rp_kwh"], abs=0.011
+    )
+
+
+def test_forecast_without_price_model_raises(domain, tmp_path):
+    """main.py:349-350: no trained price model -> the 503 path."""
+    from bigdatasmallprice_spark.serving import forecast
+
+    with pytest.raises(FileNotFoundError):
+        forecast(domain, str(tmp_path / "empty_models"))

@@ -986,3 +986,20 @@ def test_heavy_hitters_by_group_bounds(spark):
     # the de-group hot term is found with a tight estimate
     hot = by_group["de"]["hot"]
     assert hot.est > 400
+
+
+def test_audit_slice_guard_refuses_large_inputs(spark):
+    """ngram_jaccard's all-pairs verify stage is bounded by construction;
+    feeding it more than the audit cap must raise, not run O(n^2)."""
+    import pytest as _pytest
+
+    from bigdatasmallprice_spark.queries.dedupq import (
+        _AUDIT_SLICE_MAX,
+        _bounded_audit_slice,
+    )
+
+    small = spark.range(_AUDIT_SLICE_MAX)
+    assert _bounded_audit_slice(small, "ok") is small
+    big = spark.range(_AUDIT_SLICE_MAX + 1)
+    with _pytest.raises(ValueError, match="audit slice"):
+        _bounded_audit_slice(big, "too_big")

@@ -237,3 +237,104 @@ def test_day_in_the_life_lifecycle(spark, tmp_path):
     assert set(files_after.values()) == {1}
     after = sorted(map(tuple, read_bronze(spark, bronze).collect()))
     assert before == after
+
+
+# ---------------------------------------------------------------------------
+# policy scheduler: the Airflow-cadence loop (scheduler.py)
+# ---------------------------------------------------------------------------
+
+
+def test_run_due_policies_fires_only_due_jobs():
+    from bigdatasmallprice_spark.scheduler import ScheduledJob, run_due_policies
+
+    calls = []
+
+    def mk(name):
+        return lambda s, e, now: calls.append((name, s, e, now)) or name
+
+    fast = ScheduledJob(
+        "fast", RefreshPolicy(schedule="15 minutes"), mk("fast")
+    )
+    slow = ScheduledJob("slow", RefreshPolicy(schedule="60 minutes"), mk("slow"))
+    last: dict = {}
+
+    t0 = dt.datetime(2026, 2, 14, 12, 0)
+    fired = run_due_policies([fast, slow], t0, last)
+    # first heartbeat: nothing has ever run -> everything fires
+    assert set(fired) == {"fast", "slow"} and last == {"fast": t0, "slow": t0}
+
+    t1 = t0 + dt.timedelta(minutes=20)
+    fired = run_due_policies([fast, slow], t1, last)
+    # second heartbeat 20 min later: only the 15-minute job is due
+    assert set(fired) == {"fast"}
+    assert last == {"fast": t1, "slow": t0}
+    # each fired run received its OWN policy window anchored at the tick
+    (_, s, e, now) = calls[-1]
+    assert (s, e) == fast.policy.window(t1) and now == t1
+
+    # catchup=False: after a long outage the job runs ONCE, not per miss
+    t2 = t1 + dt.timedelta(hours=6)
+    fired = run_due_policies([fast, slow], t2, last)
+    assert set(fired) == {"fast", "slow"}
+    assert sum(1 for c in calls if c[0] == "fast") == 3
+
+    with pytest.raises(ValueError, match="duplicate job names"):
+        run_due_policies([fast, fast], t2, last)
+
+
+def test_scheduler_drives_partition_scoped_refresh(spark):
+    """Two ticks over a rollup job: only due ticks recompute, and each
+    recompute touches only the policy window's buckets (T1 + T5 glue)."""
+    from bigdatasmallprice_spark.operators.rollup import apply_refresh_policy
+    from bigdatasmallprice_spark.scheduler import ScheduledJob, run_due_policies
+
+    rows = [
+        (dt.datetime(2026, 2, 13, 8, 10), "a", 1.0),
+        (dt.datetime(2026, 2, 13, 8, 40), "a", 3.0),
+        (dt.datetime(2026, 2, 14, 9, 20), "a", 5.0),
+    ]
+    bronze = spark.createDataFrame(rows, "time timestamp, key string, value double")
+    state = {"rollup": None}
+    policy = RefreshPolicy(
+        start_offset="2 days", end_offset="1 hour", schedule="30 minutes"
+    )
+
+    def refresh(start, end, now):
+        out = apply_refresh_policy(
+            bronze, state["rollup"], "time", "value", ["key"], policy, now
+        )
+        if out is not None:
+            state["rollup"] = out.persist()
+        return out
+
+    job = ScheduledJob("hourly_rollup", policy, refresh)
+    last: dict = {}
+    t0 = dt.datetime(2026, 2, 14, 12, 0)
+    assert set(run_due_policies([job], t0, last)) == {"hourly_rollup"}
+    got = {
+        (r["bucket"], r["count_value"]): r["avg_value"]
+        for r in state["rollup"].collect()
+    }
+    # both in-window buckets aggregated; nothing outside the window
+    assert got == {
+        (dt.datetime(2026, 2, 13, 8, 0), 2): 2.0,
+        (dt.datetime(2026, 2, 14, 9, 0), 1): 5.0,
+    }
+    # 10 minutes later the schedule is not due: no recompute happens
+    assert run_due_policies([job], t0 + dt.timedelta(minutes=10), last) == {}
+
+
+def test_backfill_job_covers_window_dates():
+    from bigdatasmallprice_spark.scheduler import backfill_job, run_due_policies
+
+    seen: list = []
+    job = backfill_job(
+        "daily_backfill",
+        RefreshPolicy(start_offset="3 days", end_offset="1 hours", schedule="1 days"),
+        lambda dates: seen.extend(dates) or len(dates),
+    )
+    last: dict = {}
+    now = dt.datetime(2026, 2, 14, 6, 0)
+    fired = run_due_policies([job], now, last)
+    assert fired["daily_backfill"] == len(seen)
+    assert seen[0] == dt.date(2026, 2, 11) and seen[-1] == dt.date(2026, 2, 14)
