@@ -118,9 +118,17 @@ JOIN s sb ON c.id_b = sb.doc_id
 )
 def minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    # persist: shingles feed the signature branch AND both sides of the
-    # verify join — four recomputes of the tokenize+shingle pipeline without it
-    s = with_shingles(docs.select("doc_id", "text")).select("doc_id", "shingles").persist()
+    # persist the DISTINCT shingle sets: they feed the signature branch
+    # AND both sides of the verify join (four recomputes of the
+    # tokenize+shingle pipeline without the persist), and deduplicating
+    # before the cache shrinks the stored arrays while changing nothing
+    # downstream — minhash mins and Jaccard are set operations (r2's
+    # multiset persist measured 2.0s, this 1.4s at sf0.1)
+    s = (
+        with_shingles(docs.select("doc_id", "text"))
+        .select("doc_id", F.array_distinct("shingles").alias("shingles"))
+        .persist()
+    )
     sigs = with_minhash(s)
     cand = lsh_candidate_pairs(sigs)
     sa = s.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
