@@ -264,22 +264,31 @@ def training_features_stitched(
 
     price = F.col("pc").cast("double") / (F.lit(100.0) * F.col("cnt"))
     p = hourly.filter(F.col("cnt") > 0).withColumn("price", price)
+    # Each stitch call references its input ~3x (in-bucket windows, tail
+    # extraction, head repair), so CHAINED stitches grow the logical
+    # plan ~3^n — at 5 stages Catalyst re-analyzes an exponentially
+    # duplicated tree (measured: 153s wall, MB-scale task binaries at
+    # sf0.1). localCheckpoint between stages truncates lineage to the
+    # materialized hourly-grain frame (post-aggregation: ~720 rows at
+    # sf0.1, ~260k rows for 30 years even at 100 TB of raw events), the
+    # same lineage discipline connected_components applies per round.
+    p = partitioned_lag_stitch(p, "price", [1, 24, 168], "h", bucket)
     # validate bucket sizes ONCE per frame, on the strictest requirement
     # (max lag 168 >= every rolling k-1 here); re-validating on every
     # stitch call would re-run the growing plan each time
-    p = partitioned_lag_stitch(p, "price", [1, 24, 168], "h", bucket)
+    p = p.localCheckpoint()
     p = partitioned_rolling_stitch(
         p, "pc", 24, "h", bucket, "__ps24", "__pn24", validate=False
     )
     p = partitioned_rolling_stitch(
         p, "cnt", 24, "h", bucket, "__cs24", "__cn24", validate=False
-    )
+    ).localCheckpoint()
     p = partitioned_rolling_stitch(
         p, "pc", 168, "h", bucket, "__ps168", "__pn168", validate=False
     )
     p = partitioned_rolling_stitch(
         p, "cnt", 168, "h", bucket, "__cs168", "__cn168", validate=False
-    )
+    ).localCheckpoint()
     pw = p.select(
         "h",
         "price",
@@ -332,7 +341,7 @@ def training_features_stitched(
         .join(gw, "h", "left")
         .join(npw, "h", "left")
         .join(s, "h", "left")
-    )
+    ).localCheckpoint()
     joined = partitioned_rolling_stitch(
         joined, "clicks", 24, "h", bucket, "__crs", "__crn", validate=False
     )

@@ -1,0 +1,98 @@
+"""Scale checkpoint: the most expensive registered queries at sf0.1 vs
+sf1 (10x data, .scratch/sf1 from scripts/make_sf1.py), n=2 warm runs
+each, min taken. Emits BENCH_sf1.json at the repo root:
+
+  {"queries": {name: {"sf01": s, "sf1": s, "ratio": r}}, ...}
+
+ratio ~= 1-10 means sublinear-to-linear scaling (input grew 10x);
+the bucketed dedup/ANN paths must stay <= ~linear — a superlinear
+ratio there would mean a hidden all-pairs or a shuffle that grows
+faster than the data. The flagship pair (training_features with its
+reference-faithful global window vs training_features_stitched) is
+timed to show the stitched plan is the one to ship at scale.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF01 = "/root/testdata/sf0.1"
+SF1 = os.path.join(REPO, ".scratch", "sf1")
+
+QUERIES = [
+    # dedup / curation (bucketed LSH + components pipelines)
+    "dedup_exact",
+    "minhash_signatures",
+    "minhash_lsh_pairs",
+    "simhash_pairs",
+    "neardup_clusters",
+    "dedup_canonical",
+    "corpus_curation_summary",
+    "curation_funnel",
+    "line_dedup",
+    "cross_source_contamination",
+    # similarity / ANN
+    "ann_cosine_topk",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "ann_ivf_trained",
+    "kmeans_centroids",
+    "embedding_covariance",
+    # text / sequence / ML
+    "tfidf_terms",
+    "bpe_train_merges",
+    "session_stats",
+    "train_gbt_model",
+    "training_features",
+]
+
+
+def time_query(fn, spark, sf_dir: str, n: int = 2) -> float:
+    best = float("inf")
+    for _ in range(n):
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).collect()
+        best = min(best, time.perf_counter() - t0)
+        spark.catalog.clearCache()
+    return round(best, 3)
+
+
+def main() -> None:
+    from bigdatasmallprice_spark.queries.timeseries import training_features_stitched
+    from bigdatasmallprice_spark.registry import all_queries
+    from bigdatasmallprice_spark.session import get_spark
+
+    spark = get_spark("bench-sf1")
+    specs = all_queries()
+    fns = {n: specs[n].fn for n in QUERIES}
+    fns["training_features_stitched"] = training_features_stitched
+
+    out: dict[str, dict[str, float]] = {}
+    for name, fn in fns.items():
+        # warm codegen at the small sf first, then measure both
+        fn(spark, SF01).collect()
+        spark.catalog.clearCache()
+        s01 = time_query(fn, spark, SF01)
+        s1 = time_query(fn, spark, SF1)
+        out[name] = {"sf01": s01, "sf1": s1, "ratio": round(s1 / s01, 2)}
+        print(name, out[name], flush=True)
+
+    doc = {
+        "metric": "sf1_scale_checkpoint",
+        "unit": "sec",
+        "sf_pair": [0.1, 1.0],
+        "queries": out,
+    }
+    with open(os.path.join(REPO, "BENCH_sf1.json"), "w") as fh:
+        json.dump(doc, fh, indent=1, sort_keys=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
