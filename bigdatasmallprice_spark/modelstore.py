@@ -66,6 +66,40 @@ def save_model(
     return path
 
 
+def save_gbt_model(
+    model_dir: str,
+    name: str,
+    model,
+    metrics: DataFrame | None = None,
+    version: str | None = None,
+) -> str:
+    """Persist a fitted boosted-tree model (operators/gbt.py::GbtModel)
+    as a versioned artifact with ``kind: "gbt"`` — the registry analog
+    of the reference's XGBoost joblib dump (train.py:101-118). The
+    document holds base + per-round trees (a few hundred bytes);
+    scoring reconstitutes them as one literal column expression."""
+    from bigdatasmallprice_spark.operators.gbt import model_to_artifact
+
+    os.makedirs(model_dir, exist_ok=True)
+    version = version or _version_stamp()
+    if not re.fullmatch(r"\d{8}T\d{6}", version):
+        raise ValueError(f"version {version!r} must be a YYYYMMDDTHHMMSS stamp")
+    doc = {
+        "name": name,
+        "version": version,
+        "kind": "gbt",
+        "model": model_to_artifact(model),
+        "coefficients": [],  # keeps load_model's artifact check satisfied
+        "metrics": [r.asDict() for r in metrics.collect()] if metrics is not None else None,
+    }
+    path = os.path.join(model_dir, f"{name}_v{version}.json")
+    tmp = os.path.join(model_dir, f".{name}_v{version}.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(doc, f, sort_keys=True)
+    os.replace(tmp, path)
+    return path
+
+
 def find_latest(model_dir: str, name: str) -> str | None:
     """O8 — newest artifact for ``name`` by version-sortable filename
     (predict.py:40-57's glob + max). Returns None when nothing matches."""
@@ -96,13 +130,23 @@ def score_latest(
     key: str,
     ts_col: str = "ts",
 ) -> DataFrame:
-    """Serving splice: resolve newest model by name, broadcast-join its
-    coefficients onto the fact frame, emit per-row predictions (the
-    latest_features → predict path the reference serves)."""
+    """Serving splice: resolve newest model by name, emit per-row
+    predictions (the latest_features → predict path the reference
+    serves). Linear artifacts broadcast-join their per-key coefficient
+    frame; gbt artifacts score through a literal tree expression (no
+    join at all — ``key`` is ignored, the boosted model is global like
+    the reference's)."""
     path = find_latest(model_dir, name)
     if path is None:
         raise FileNotFoundError(f"no artifact for model {name!r} in {model_dir}")
     doc = load_model(path)
+    if doc.get("kind") == "gbt":
+        from bigdatasmallprice_spark.operators.gbt import predict_cents_column
+
+        pred = predict_cents_column(doc["model"], ts_col)
+        return df.withColumn(
+            "prediction", F.round(pred.cast("double") / 100.0, 6)
+        ).withColumn("model_version", F.lit(doc["version"]))
     coef = spark.createDataFrame(
         [(c[key], c["b0c"], c["b1c"], c["b2c"]) for c in doc["coefficients"]],
         f"{key} string, b0c double, b1c double, b2c double",

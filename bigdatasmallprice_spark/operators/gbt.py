@@ -203,6 +203,90 @@ def _featurized(df: DataFrame, ts_col: str, value_col: str) -> DataFrame:
     )
 
 
+def fit_gbt(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    n_rounds: int = 3,
+    lr: float = 0.5,
+    val_days: int = 9,
+) -> tuple[GbtModel, DataFrame]:
+    """Histogram pass + driver-side fit; returns (model, featurized
+    frame with is_train) so callers can score/evaluate without
+    re-deriving the split."""
+    mx = df.agg(F.max(F.to_date(F.col(ts_col)))).collect()[0][0]
+    train_end = mx - dt.timedelta(days=val_days)
+    feat = _featurized(
+        df.withColumn(
+            "is_train", F.to_date(F.col(ts_col)) <= F.lit(train_end)
+        ),
+        ts_col,
+        value_col,
+    )
+    hist = (
+        feat.groupBy("h", "d", "is_train")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("y").alias("s"))
+        .collect()
+    )
+    train_cells: dict[tuple[int, int], tuple[int, int]] = {}
+    for r in hist:
+        if r["is_train"]:
+            train_cells[(r["h"], r["d"])] = (r["n"], r["s"])
+    return fit_gbt_cells(train_cells, n_rounds=n_rounds, lr=lr), feat
+
+
+def model_to_artifact(model: GbtModel) -> dict:
+    """JSON-serializable tree document for the model registry
+    (modelstore.save_gbt_model). Cell predictions are derivable from
+    the trees, so only base + rounds persist."""
+    return {
+        "base": model.base,
+        "rounds": [
+            {
+                "root": [rm.root.feature, rm.root.threshold],
+                "children": {
+                    str(side): [sp.feature, sp.threshold]
+                    for side, sp in rm.children.items()
+                },
+                "leaves": {str(leaf): v for leaf, v in rm.leaf_values.items()},
+            }
+            for rm in model.rounds
+        ],
+    }
+
+
+def predict_cents_column(artifact: dict, ts_col: str) -> "F.Column":
+    """Scoring as ONE literal column expression (pure codegen: the tree
+    is constants, no join, no UDF, nothing shuffled — the cheapest
+    possible serving path at any scale). Mirrors _leaf_of exactly."""
+    h = F.hour(F.col(ts_col)).cast("long")
+    d = F.dayofweek(F.col(ts_col)).cast("long")
+
+    def fv(f: int):
+        return h if f == 0 else d
+
+    pred = F.lit(int(artifact["base"]))
+    for rm in artifact["rounds"]:
+        rf, rt = rm["root"]
+        side_left = fv(rf) < F.lit(rt)
+        val = F.lit(0)
+        for side in (0, 1):
+            child = rm["children"].get(str(side))
+            if child is None:
+                bit_left = F.lit(True)
+            else:
+                bit_left = fv(child[0]) < F.lit(child[1])
+            on_side = side_left if side == 0 else ~side_left
+            for bit in (0, 1):
+                leaf = rm["leaves"].get(str(side * 2 + bit))
+                if leaf is None:
+                    continue
+                on_bit = bit_left if bit == 0 else ~bit_left
+                val = F.when(on_side & on_bit, F.lit(int(leaf))).otherwise(val)
+        pred = pred + val
+    return pred
+
+
 def train_gbt(
     df: DataFrame,
     ts_col: str = "ts",
@@ -225,25 +309,10 @@ def train_gbt(
     itself runs on the collected histogram (model-sized, 168 cells).
     """
     spark = df.sparkSession
-    mx = df.agg(F.max(F.to_date(F.col(ts_col)))).collect()[0][0]
-    train_end = mx - dt.timedelta(days=val_days)
-    feat = _featurized(
-        df.withColumn(
-            "is_train", F.to_date(F.col(ts_col)) <= F.lit(train_end)
-        ),
-        ts_col,
-        value_col,
+    model, feat = fit_gbt(
+        df, ts_col=ts_col, value_col=value_col, n_rounds=n_rounds, lr=lr,
+        val_days=val_days,
     )
-    hist = (
-        feat.groupBy("h", "d", "is_train")
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("y").alias("s"))
-        .collect()
-    )
-    train_cells: dict[tuple[int, int], tuple[int, int]] = {}
-    for r in hist:
-        if r["is_train"]:
-            train_cells[(r["h"], r["d"])] = (r["n"], r["s"])
-    model = fit_gbt_cells(train_cells, n_rounds=n_rounds, lr=lr)
 
     pred_schema = T.StructType(
         [T.StructField("h", T.LongType(), False), T.StructField("d", T.LongType(), False)]

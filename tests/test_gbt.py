@@ -129,3 +129,52 @@ def test_gbt_unsplit_child_collapses_to_left_leaf():
 def test_gbt_base_is_floor_of_train_mean():
     model = fit_gbt_cells({(0, 1): (3, 10), (1, 1): (3, 11)})
     assert model.base == 3  # floor(21/6)
+
+
+def test_gbt_registry_roundtrip_and_scoring(spark, tmp_path):
+    """save_gbt_model -> find-latest -> score_latest: predictions equal
+    the fit's own per-cell cumulative predictions (the scoring column
+    expression mirrors _leaf_of exactly) and need no key column."""
+    from bigdatasmallprice_spark import modelstore
+    from bigdatasmallprice_spark.operators.gbt import fit_gbt
+
+    df = _synthetic_nonlinear(spark, days=12)
+    model, _ = fit_gbt(df, val_days=3)
+    d = str(tmp_path / "models")
+    modelstore.save_gbt_model(d, "model_epex", model, version="20260214T000000")
+    modelstore.save_gbt_model(d, "model_epex", model, version="20260215T000000")
+    assert modelstore.find_latest(d, "model_epex").endswith("_v20260215T000000.json")
+
+    scored = modelstore.score_latest(spark, d, "model_epex", df, key="unused")
+    rows = scored.select(
+        F.hour("ts").alias("h"), F.dayofweek("ts").alias("d"), "prediction", "model_version"
+    ).collect()
+    assert all(r["model_version"] == "20260215T000000" for r in rows)
+    for r in rows:
+        want = model.cell_preds[(r["h"], r["d"])][-1] / 100.0
+        assert r["prediction"] == round(want, 6), (r, want)
+
+
+def test_forecast_serves_gbt_price_model(spark, tmp_path):
+    """forecast() end-to-end with the boosted model as Model B — the
+    reference's actual serving configuration (XGB for EPEX price)."""
+    from bigdatasmallprice_spark import modelstore
+    from bigdatasmallprice_spark.operators.gbt import fit_gbt
+    from bigdatasmallprice_spark.serving import forecast
+
+    feats = _synthetic_nonlinear(spark, days=12).withColumnRenamed("ts", "time")
+    feats.createOrReplaceTempView("training_features")
+    model, _ = fit_gbt(
+        feats.withColumnRenamed("time", "ts"), val_days=3
+    )
+    d = str(tmp_path / "models")
+    modelstore.save_gbt_model(d, "model_epex", model, version="20260214T000000")
+    out = forecast(spark, d, load_view="does_not_exist")
+    assert out["net_load_available"] is False
+    assert out["price_level"] in {"low", "medium", "high"}
+    # predicted price equals the tree's prediction for the newest row's cell
+    newest = feats.orderBy(F.col("time").desc()).limit(1).collect()[0]["time"]
+    cell = ((newest.hour), (newest.weekday() + 1) % 7 + 1)
+    assert out["predicted_price_eur_mwh"] == round(
+        round(model.cell_preds[cell][-1] / 100.0, 6), 2
+    )
