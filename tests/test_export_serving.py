@@ -298,3 +298,34 @@ def test_forecast_without_price_model_raises(domain, tmp_path):
 
     with pytest.raises(FileNotFoundError):
         forecast(domain, str(tmp_path / "empty_models"))
+
+
+def test_api_serialization_matches_reference_semantics(spark):
+    """F13 (main.py:127-134): Decimal -> float, anything with isoformat
+    -> ISO string, None passthrough — plus the bulk JVM-side JSON twin."""
+    import json
+    from decimal import Decimal
+
+    from bigdatasmallprice_spark.functions.serialization import (
+        serialize_rows,
+        serialize_value,
+        with_api_json,
+    )
+
+    assert serialize_value(None) is None
+    assert serialize_value(Decimal("12.50")) == 12.5
+    assert isinstance(serialize_value(Decimal("12.50")), float)
+    assert serialize_value(dt.datetime(2026, 2, 14, 12, 30)) == "2026-02-14T12:30:00"
+    assert serialize_value(dt.date(2026, 2, 14)) == "2026-02-14"
+    assert serialize_value("x") == "x" and serialize_value(3) == 3
+
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2026, 2, 14, 12, 30), Decimal("12.50"), None)],
+        "id long, t timestamp, price decimal(10,2), note string",
+    )
+    rows = serialize_rows(df)
+    assert rows == [{"id": 1, "t": "2026-02-14T12:30:00", "price": 12.5, "note": None}]
+
+    # bulk twin: pure-JVM to_json with the same conventions
+    j = json.loads(with_api_json(df).collect()[0]["json"])
+    assert j == {"id": 1, "t": "2026-02-14T12:30:00", "price": 12.5}
