@@ -17,15 +17,19 @@ from pyspark.sql import SparkSession
 spark = (SparkSession.builder.master("local[8]")
          .config("spark.sql.shuffle.partitions", "8")
          .appName("driver-sim-tz").getOrCreate())
-import __spark_entry__ as e
-qs, osql = e.queries(), e.oracle_sql()
+from bigdatasmallprice_spark.registry import all_queries
+specs = all_queries()
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '/root/testdata/sf0.01/{t}.parquet'")
-for name in ["asof_last_purchase", "session_stats", "hourly_rollup", "training_features"]:
-    s = sorted(tuple(map(str, r)) for r in qs[name](spark, "/root/testdata/sf0.01").collect())
-    o = sorted(tuple(map(str, r)) for r in con.execute(osql[name]).fetchall())
+# tz-sensitive surfaces regardless of the current DRIVER_ORDER rotation:
+# windows/sessionization, hourly bucketing, calendar features, and the
+# to_date-split + hour/dow histogram GBT fit
+for name in ["asof_last_purchase", "session_stats", "hourly_rollup",
+             "training_features", "train_gbt_model"]:
+    s = sorted(tuple(map(str, r)) for r in specs[name].fn(spark, "/root/testdata/sf0.01").collect())
+    o = sorted(tuple(map(str, r)) for r in con.execute(specs[name].oracle).fetchall())
     assert s == o, name + ": MISMATCH under non-UTC driver session"
 spark.stop()
 print("NON-UTC-DRIVER-SIM-PASS")
