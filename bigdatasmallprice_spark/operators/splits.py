@@ -36,11 +36,15 @@ def split_label_by_ratio(
             f"invalid split fractions train={train_frac} val={val_frac}: "
             "need train > 0, val >= 0, train + val < 1 (test is the remainder)"
         )
-    n = df.count()
-    n_train = int(n * train_frac)
-    n_val = int(n * val_frac)
+    # single pass: the count rides a window beside the row_number (both
+    # globally partitioned, one Window stage) instead of a separate
+    # df.count() action — floor(n*frac) over doubles matches the
+    # reference's int(n*frac) exactly for non-negative n
     w = Window.orderBy(*order_by)
     rn = F.row_number().over(w)
+    n = F.count(F.lit(1)).over(Window.partitionBy(F.lit(1)))
+    n_train = F.floor(n * F.lit(train_frac))
+    n_val = F.floor(n * F.lit(val_frac))
     return df.withColumn(
         label_col,
         F.when(rn <= n_train, F.lit("train"))

@@ -48,14 +48,21 @@ def stride_downsample(
     df: DataFrame, order_by: Sequence[str], max_points: int = 500
 ) -> DataFrame:
     """Keep every ceil(n/max_points)-th row in sort order
-    (main.py:1038-1045). One count + one window pass."""
-    n = df.count()
-    step = max(1, -(-n // max_points))
+    (main.py:1038-1045).
+
+    Single pass: the row count rides a count window beside the
+    row_number (both globally partitioned, one Window stage) instead of
+    a separate ``df.count()`` action — the input is scanned once, not
+    twice (a round-2 review nit for cases where the serving frame is
+    itself a view over a large scan)."""
     w = Window.orderBy(*order_by)
+    n = F.count(F.lit(1)).over(Window.partitionBy(F.lit(1)))
+    step = F.greatest(F.lit(1).cast("long"), F.ceil(n / F.lit(max_points)))
     return (
         df.withColumn("__rn", F.row_number().over(w))
-        .filter(((F.col("__rn") - 1) % step) == 0)
-        .drop("__rn")
+        .withColumn("__step", step)
+        .filter(((F.col("__rn") - 1) % F.col("__step")) == 0)
+        .drop("__rn", "__step")
     )
 
 
