@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 ISO_FMT = "yyyy-MM-dd'T'HH:mm:ss"
+ISO_FMT_MICROS = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
 
 
 def serialize_value(v):
@@ -47,7 +48,16 @@ def serialize_rows(df: DataFrame) -> list[dict]:
 def _api_column(field: T.StructField):
     c = F.col(field.name)
     if isinstance(field.dataType, T.TimestampType | T.TimestampNTZType):
-        return F.date_format(c, ISO_FMT).alias(field.name)
+        # Python isoformat() appends ".ffffff" only when the timestamp
+        # has sub-second precision — mirror that exactly so the two
+        # tiers emit byte-identical strings for the same value
+        return (
+            F.when(
+                F.date_format(c, "SSSSSS") == "000000", F.date_format(c, ISO_FMT)
+            )
+            .otherwise(F.date_format(c, ISO_FMT_MICROS))
+            .alias(field.name)
+        )
     if isinstance(field.dataType, T.DateType):
         return F.date_format(c, "yyyy-MM-dd").alias(field.name)
     if isinstance(field.dataType, T.DecimalType):
@@ -57,7 +67,11 @@ def _api_column(field: T.StructField):
 
 def with_api_json(df: DataFrame, out: str = "json") -> DataFrame:
     """Append one JSON-string column serializing the whole row with the
-    API's conventions (ISO timestamps, float decimals, null-stripped by
-    ``to_json`` like the reference's response encoder). JVM-only plan."""
+    API's conventions (ISO timestamps incl. the isoformat sub-second
+    rule, float decimals, null-stripped by ``to_json`` like the
+    reference's response encoder). JVM-only plan. Normalization applies
+    to TOP-LEVEL columns — the API surface is flat rows, like the
+    reference's; nested struct/array timestamps pass through with
+    to_json's default formatting."""
     normalized = [_api_column(f) for f in df.schema.fields]
     return df.withColumn(out, F.to_json(F.struct(*normalized)))

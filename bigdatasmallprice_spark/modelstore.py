@@ -48,6 +48,26 @@ def save_model(
 
     Collecting here is correct, not a scale smell: coefficients are one
     row per key (KBs), the reference's joblib dump analog."""
+    return _write_artifact(
+        model_dir,
+        name,
+        version,
+        metrics,
+        {"coefficients": [r.asDict() for r in coefficients.collect()]},
+    )
+
+
+def _write_artifact(
+    model_dir: str,
+    name: str,
+    version: str | None,
+    metrics: DataFrame | None,
+    extra: dict,
+) -> str:
+    """Shared artifact-write tail: version stamping/validation, doc
+    assembly, tmp-write + atomic os.replace (readers never see a
+    partial artifact). Both model kinds publish through here so the
+    write protocol cannot fork."""
     os.makedirs(model_dir, exist_ok=True)
     version = version or _version_stamp()
     if not re.fullmatch(r"\d{8}T\d{6}", version):
@@ -55,14 +75,14 @@ def save_model(
     doc = {
         "name": name,
         "version": version,
-        "coefficients": [r.asDict() for r in coefficients.collect()],
         "metrics": [r.asDict() for r in metrics.collect()] if metrics is not None else None,
+        **extra,
     }
     path = os.path.join(model_dir, f"{name}_v{version}.json")
     tmp = os.path.join(model_dir, f".{name}_v{version}.json.tmp")
     with open(tmp, "w") as f:
         json.dump(doc, f, sort_keys=True)
-    os.replace(tmp, path)  # atomic publish: readers never see a partial artifact
+    os.replace(tmp, path)
     return path
 
 
@@ -80,24 +100,18 @@ def save_gbt_model(
     scoring reconstitutes them as one literal column expression."""
     from bigdatasmallprice_spark.operators.gbt import model_to_artifact
 
-    os.makedirs(model_dir, exist_ok=True)
-    version = version or _version_stamp()
-    if not re.fullmatch(r"\d{8}T\d{6}", version):
-        raise ValueError(f"version {version!r} must be a YYYYMMDDTHHMMSS stamp")
-    doc = {
-        "name": name,
-        "version": version,
-        "kind": "gbt",
-        "model": model_to_artifact(model),
-        "coefficients": [],  # keeps load_model's artifact check satisfied
-        "metrics": [r.asDict() for r in metrics.collect()] if metrics is not None else None,
-    }
-    path = os.path.join(model_dir, f"{name}_v{version}.json")
-    tmp = os.path.join(model_dir, f".{name}_v{version}.json.tmp")
-    with open(tmp, "w") as f:
-        json.dump(doc, f, sort_keys=True)
-    os.replace(tmp, path)
-    return path
+    return _write_artifact(
+        model_dir,
+        name,
+        version,
+        metrics,
+        {
+            "kind": "gbt",
+            "model": model_to_artifact(model),
+            # keeps load_model's artifact shape check satisfied
+            "coefficients": [],
+        },
+    )
 
 
 def find_latest(model_dir: str, name: str) -> str | None:

@@ -44,7 +44,7 @@ import datetime as dt
 import math
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -215,6 +215,8 @@ def fit_gbt(
     frame with is_train) so callers can score/evaluate without
     re-deriving the split."""
     mx = df.agg(F.max(F.to_date(F.col(ts_col)))).collect()[0][0]
+    if mx is None:
+        raise ValueError("gbt fit needs a non-empty training split")
     train_end = mx - dt.timedelta(days=val_days)
     feat = _featurized(
         df.withColumn(
@@ -255,7 +257,7 @@ def model_to_artifact(model: GbtModel) -> dict:
     }
 
 
-def predict_cents_column(artifact: dict, ts_col: str) -> "F.Column":
+def predict_cents_column(artifact: dict, ts_col: str) -> Column:
     """Scoring as ONE literal column expression (pure codegen: the tree
     is constants, no join, no UDF, nothing shuffled — the cheapest
     possible serving path at any scale). Mirrors _leaf_of exactly."""
@@ -284,7 +286,10 @@ def predict_cents_column(artifact: dict, ts_col: str) -> "F.Column":
                 on_bit = bit_left if bit == 0 else ~bit_left
                 val = F.when(on_side & on_bit, F.lit(int(leaf))).otherwise(val)
         pred = pred + val
-    return pred
+    # NULL timestamp -> NULL prediction (matching the linear path, where
+    # hour(NULL) propagates); without this every F.when condition is
+    # NULL-false and a corrupt row silently scores as the base value
+    return F.when(F.col(ts_col).isNotNull(), pred)
 
 
 def train_gbt(

@@ -209,10 +209,12 @@ def _bounded_audit_slice(df: DataFrame, what: str) -> DataFrame:
     ``_AUDIT_SLICE_MAX`` docs this refuses to run rather than become an
     O(n²) corpus job (at scale the verify stage must be fed by LSH
     candidates instead, as minhash_lsh_pairs does)."""
-    n = df.count()
+    # limit(max+1) lets the guard scan short-circuit after 65 rows
+    # instead of counting the whole slice
+    n = df.limit(_AUDIT_SLICE_MAX + 1).count()
     if n > _AUDIT_SLICE_MAX:
         raise ValueError(
-            f"{what}: audit slice has {n} rows (> {_AUDIT_SLICE_MAX}); "
+            f"{what}: audit slice exceeds {_AUDIT_SLICE_MAX} rows; "
             "all-pairs verification is only for bounded audit sets — "
             "use LSH candidate pairs for corpus-scale inputs"
         )

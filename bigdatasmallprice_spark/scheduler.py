@@ -79,7 +79,12 @@ def backfill_job(
     ingest.backfill_dates, whose anti-join makes re-runs insert 0)."""
 
     def run(start: dt.datetime, end: dt.datetime, now: dt.datetime) -> Any:
-        days = (end.date() - start.date()).days
+        # the policy window is half-open [start, end): a window ending
+        # exactly at midnight contains no instant of end.date(), so the
+        # last covered date comes from the last instant BELOW end —
+        # otherwise end_offset's still-hot exclusion would be defeated
+        last = (end - dt.timedelta(microseconds=1)).date()
+        days = (last - start.date()).days
         dates = [start.date() + dt.timedelta(days=i) for i in range(days + 1)]
         return do_backfill(dates)
 

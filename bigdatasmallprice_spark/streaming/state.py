@@ -131,15 +131,22 @@ def publish_state(
     with open(tmp, "w") as fh:
         json.dump(manifest, fh)
     os.replace(tmp, p)
-    _gc_stale_versions(state_path, keep=manifest["state_dir"])
+    # keep the immediately-previous version too: a reader that resolved
+    # the state dir just before this flip still holds a lazy DataFrame
+    # over it — deleting only versions >=2 flips old gives that reader a
+    # full fold-cycle of grace instead of a FileNotFound mid-collect
+    keep = {manifest["state_dir"]}
+    if prev is not None:
+        keep.add(prev["state_dir"])
+    _gc_stale_versions(state_path, keep=keep)
 
 
-def _gc_stale_versions(state_path: str, keep: str) -> None:
+def _gc_stale_versions(state_path: str, keep: set[str]) -> None:
     import glob
     import shutil
 
     for d in glob.glob(state_path.rstrip("/") + ".__v*__"):
-        if d != keep:
+        if d not in keep:
             shutil.rmtree(d, ignore_errors=True)
 
 
@@ -148,7 +155,11 @@ def versioned_already_applied(state_path: str, batch_id: int | None) -> bool:
         return False
     manifest = read_state_manifest(state_path)
     if manifest is None:
-        return False
+        # legacy layout: state written by the pre-manifest release keeps
+        # its replay watermark in the old applied-marker — honoring it
+        # here means an upgrade mid-stream cannot re-fold a batch that
+        # the old release already applied
+        return already_applied(state_path, batch_id)
     return batch_id <= manifest["max_batch_id"]
 
 

@@ -338,3 +338,21 @@ def test_backfill_job_covers_window_dates():
     fired = run_due_policies([job], now, last)
     assert fired["daily_backfill"] == len(seen)
     assert seen[0] == dt.date(2026, 2, 11) and seen[-1] == dt.date(2026, 2, 14)
+
+
+def test_backfill_job_respects_half_open_window_at_midnight():
+    """end_offset makes the window half-open [start, end): a window
+    ending exactly at midnight contains no instant of end.date(), so
+    that day must NOT be backfilled prematurely."""
+    from bigdatasmallprice_spark.scheduler import backfill_job, run_due_policies
+
+    seen: list = []
+    job = backfill_job(
+        "daily",
+        RefreshPolicy(start_offset="3 days", end_offset="6 hours", schedule="1 days"),
+        lambda dates: seen.extend(dates),
+    )
+    now = dt.datetime(2026, 8, 14, 6, 0)  # window = [Aug 11 06:00, Aug 14 00:00)
+    run_due_policies([job], now, {})
+    assert seen[0] == dt.date(2026, 8, 11)
+    assert seen[-1] == dt.date(2026, 8, 13)  # Aug 14 excluded

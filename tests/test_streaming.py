@@ -749,5 +749,42 @@ def test_versioned_state_crash_atomicity(spark, tmp_path):
     update_summary(spark, hh, terms, "term", m=8, n_shards=2, batch_id=1)
     got = {r.term: r.est for r in read_heavy_hitters(spark, hh).collect()}
     assert got == {"a": 10, "b": 4}
-    # old version directories are garbage-collected after the flip
+    # the immediately-previous version survives one flip (readers that
+    # resolved it pre-flip keep a grace window) ...
+    assert os.path.isdir(committed["state_dir"])
+    # ... and is garbage-collected after the NEXT flip
+    update_summary(spark, hh, terms, "term", m=8, n_shards=2, batch_id=2)
     assert not os.path.isdir(committed["state_dir"])
+    got = {r.term: r.est for r in read_heavy_hitters(spark, hh).collect()}
+    assert got == {"a": 15, "b": 6}
+
+
+def test_versioned_fold_honors_legacy_applied_marker(spark, tmp_path):
+    """Upgrading mid-stream from the pre-manifest release: the old
+    layout's applied-marker watermark must still suppress a replayed
+    batch, or the retry double-folds on top of state that already
+    contains it."""
+    from bigdatasmallprice_spark.streaming.hh_stream import (
+        SUMMARY_SCHEMA,
+        read_heavy_hitters,
+        update_summary,
+    )
+    from bigdatasmallprice_spark.streaming.state import mark_applied
+
+    hh = str(tmp_path / "hh")
+    # legacy layout: state parquet at the path itself + old marker
+    spark.createDataFrame(
+        [(0, "a", 5), (0, None, 0), (1, "b", 2), (1, None, 0)], SUMMARY_SCHEMA
+    ).coalesce(1).write.parquet(hh)
+    mark_applied(hh, 7)
+
+    terms = spark.createDataFrame([("a",)] * 3, "term string")
+    # replay of batch 7 (crash between old-release state write and
+    # checkpoint commit, retried after the upgrade): must be a no-op
+    update_summary(spark, hh, terms, "term", m=8, n_shards=2, batch_id=7)
+    got = {r.term: r.est for r in read_heavy_hitters(spark, hh).collect()}
+    assert got == {"a": 5, "b": 2}
+    # the next batch id still applies, folding onto the legacy state
+    update_summary(spark, hh, terms, "term", m=8, n_shards=2, batch_id=8)
+    got = {r.term: r.est for r in read_heavy_hitters(spark, hh).collect()}
+    assert got == {"a": 8, "b": 2}
