@@ -66,26 +66,47 @@ def main() -> None:
     bench_skew(spark, sf_dir, skew_evidence)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_seconds",
-                "value": round(sum(timings.values()), 4),
-                "unit": "sec",
-                "queries": timings,
-                "skew_evidence": skew_evidence,
-                # metric-composition flags: the headline total covers every
-                # registered query and EXCLUDES the synthetic skew A/B pair
-                # (moved to skew_evidence after round 1 — round-1 totals
-                # included it, so cross-round comparisons should diff the
-                # shared per-query timings, not raw totals)
-                "metric_version": 2,
-                "total_includes_skew": False,
-                "n_queries": len(timings),
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    full = {
+        "metric": "total_query_wall_seconds",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "skew_evidence": skew_evidence,
+        # metric-composition flags: the headline total covers every
+        # registered query and EXCLUDES the synthetic skew A/B pair
+        # (moved to skew_evidence after round 1 — round-1 totals
+        # included it, so cross-round comparisons should diff the
+        # shared per-query timings, not raw totals)
+        "metric_version": 3,
+        "total_includes_skew": False,
+        "n_queries": len(timings),
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    # Complete record (all registered queries, 4-decimal timings) goes to
+    # a file; the stdout line must stay parseable from the LAST 2000
+    # CHARS of captured output (rounds 1-2 evidence: the harness stores
+    # tail=2000 and its parse came back null because the full per-query
+    # map overflowed that window). The printed line therefore carries the
+    # driver-allowlist per-query timings at 2-decimal precision — the
+    # total still covers every registered query — and points at the file.
+    with open(os.path.join(os.path.dirname(__file__) or ".", "BENCH_FULL_local.json"), "w") as fh:
+        json.dump(full, fh, indent=1, sort_keys=True)
+    from bigdatasmallprice_spark.registry import DRIVER_ORDER
+
+    compact = dict(full)
+    compact["queries"] = {
+        n: round(timings[n], 2) for n in DRIVER_ORDER if n in timings
+    }
+    compact["skew_evidence"] = {k: round(v, 2) for k, v in skew_evidence.items()}
+    compact["full_timings"] = "BENCH_FULL_local.json"
+    line = json.dumps(compact)
+    if len(line) > 1990:  # stay inside the 2000-char tail window
+        compact["queries"] = {
+            n: round(timings[n], 2)
+            for n in sorted(timings, key=timings.get, reverse=True)[:40]
+        }
+        line = json.dumps(compact)
+    print(line)
     spark.stop()
 
 

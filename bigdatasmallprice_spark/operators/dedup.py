@@ -394,3 +394,80 @@ def connected_components(
             "— raise max_iter (rounds scale with log of component diameter)"
         )
     return labels
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter membership prefilter (incremental exact-dedup fast path)
+# ---------------------------------------------------------------------------
+
+BLOOM_M = 1 << 18  # bits in the filter
+BLOOM_K = 4  # hash functions = disjoint 8-hex-digit slices of md5
+
+# position h = (32-bit int from md5 hex slice h) mod m. md5 slices give
+# k independent uniform hashes computed by ONE digest per row, and the
+# identical positions reproduce in DuckDB via ('0x' || substr)::BIGINT.
+_BLOOM_POS = "CAST(conv(substr(md5({t}), {start}, 8), 16, 10) AS BIGINT) % {m}"
+
+
+def bloom_positions(text_col: str, m: int = BLOOM_M, k: int = BLOOM_K) -> Column:
+    """array<long> of the k bloom bit positions for a text column."""
+    slots = ", ".join(
+        _BLOOM_POS.format(t=text_col, start=1 + 8 * h, m=m) for h in range(k)
+    )
+    return F.expr(f"array({slots})")
+
+
+def bloom_bits(
+    df: DataFrame, text_col: str = "text", m: int = BLOOM_M, k: int = BLOOM_K
+) -> DataFrame:
+    """Fold a corpus into a packed bloom bitmap: (word_idx, bits) rows,
+    at most m/64 of them (4096 longs = 32 KB at the default m) — the
+    whole filter broadcasts to every executor no matter how large the
+    corpus that built it. One pass, one m/64-key shuffle of OR-partials
+    (bit_or has a map-side partial), nothing text-sized moves."""
+    pos = df.select(F.explode(bloom_positions(text_col, m, k)).alias("pos"))
+    return (
+        pos.select(
+            F.expr("pos div 64").alias("word_idx"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias("mask"),
+        )
+        .groupBy("word_idx")
+        .agg(F.expr("bit_or(mask)").alias("bits"))
+    )
+
+
+def bloom_membership(
+    df: DataFrame,
+    bits: DataFrame,
+    key_cols: list[str],
+    text_col: str = "text",
+    m: int = BLOOM_M,
+    k: int = BLOOM_K,
+    out: str = "bloom_hit",
+) -> DataFrame:
+    """(key_cols..., bloom_hit): True iff ALL k bloom bits for
+    ``text_col`` are set — the keyed row MIGHT be in the corpus the
+    bitmap was built from (no false negatives; false positives at rate
+    ~(1-e^(-kn/m))^k). The bitmap side broadcasts (<=m/64 longs), so
+    the probe is a narrow map + a key-local groupBy: explode k
+    positions, probe the broadcast map, require k hits. key_cols must
+    uniquely key df's rows."""
+    probes = df.select(
+        *key_cols,
+        F.explode(bloom_positions(text_col, m, k)).alias("pos"),
+    ).select(
+        *key_cols,
+        F.expr("pos div 64").alias("word_idx"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias("mask"),
+    )
+    return (
+        probes.join(F.broadcast(bits), "word_idx", "left")
+        .withColumn(
+            "hit",
+            F.coalesce(
+                F.expr("(bits & mask) != CAST(0 AS BIGINT)"), F.lit(False)
+            ),
+        )
+        .groupBy(*key_cols)
+        .agg((F.sum(F.when(F.col("hit"), 1).otherwise(0)) == F.lit(k)).alias(out))
+    )

@@ -474,6 +474,89 @@ def centroid_arrays(per_dim: DataFrame) -> DataFrame:
     )
 
 
+def kmeans_assignments(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Final Lloyd-round cluster ASSIGNMENT (id, cid, xu) — the labeling
+    SemDeDup-style semantic dedup partitions on. Same exact-int
+    iterations as kmeans_fit_scaled, but the last round stops after the
+    assign step (assignment r uses the centroids updated in round r-1),
+    so the result equals the oracle chain's ``a{iters}`` CTE. Plan per
+    round: broadcast-assign (narrow map) + one k*64-group update; the
+    returned frame is one row per input vector, no extra shuffle."""
+    scaled = with_scaled_units(df.select(id_col, vec_col), vec_col=vec_col, id_col=id_col)
+    cent = scaled.filter(F.col("id") < k).select(
+        F.col("id").alias("cid"), F.col("xu").alias("cu")
+    )
+    assigned = None
+    for it in range(iters):
+        assigned = assign_cells(scaled, cent)
+        if it < iters - 1:
+            per_dim = update_centroids(assigned).localCheckpoint(eager=True)
+            cent = centroid_arrays(per_dim)
+    return assigned
+
+
+def semantic_dedup_summary(
+    assigned: DataFrame, tau: float, sim_round: int = 6
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) pruning summary over a cluster
+    assignment: within each k-means cluster, a vector is REMOVED when a
+    smaller-id vector in the same cluster has cosine >= tau (keep the
+    smallest id of every eps-ball; pairwise rule, no transitive
+    closure). Cosines come from the exact integer micro-unit vectors
+    (int64 dot < 2^53 for dim 64), so both engines evaluate identical
+    doubles. The pair join is EQUI on cid — the whole point of
+    clustering first: candidates shrink from O(N^2) to sum of per-
+    cluster squares, and each cluster's block joins co-partitioned.
+    Returns one row per cluster: (cid, n_vecs, n_removed, n_kept)."""
+    idot = (
+        "aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+        "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+    a = assigned.select(
+        F.col("cid"), F.col("id").alias("id_a"), F.col("xu").alias("xa")
+    )
+    b = assigned.select(
+        F.col("cid"), F.col("id").alias("id_b"), F.col("xu").alias("xb")
+    )
+    pairs = a.join(b, "cid").filter(F.col("id_a") < F.col("id_b"))
+    sim = F.round(
+        F.expr(idot.format(a="xa", b="xb")).cast("double")
+        / (
+            F.sqrt(F.expr(idot.format(a="xa", b="xa")).cast("double"))
+            * F.sqrt(F.expr(idot.format(a="xb", b="xb")).cast("double"))
+        ),
+        sim_round,
+    )
+    removed = (
+        pairs.withColumn("sim", sim)
+        .filter(F.col("sim") >= tau)
+        .select("cid", F.col("id_b").alias("rid"))
+        .distinct()
+        .groupBy("cid")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_removed"))
+    )
+    sizes = assigned.groupBy("cid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs")
+    )
+    return (
+        sizes.join(removed, "cid", "left")
+        .select(
+            "cid",
+            "n_vecs",
+            F.coalesce(F.col("n_removed"), F.lit(0)).cast("long").alias("n_removed"),
+            (F.col("n_vecs") - F.coalesce(F.col("n_removed"), F.lit(0)))
+            .cast("long")
+            .alias("n_kept"),
+        )
+    )
+
+
 def kmeans_fit_scaled(
     df: DataFrame,
     k: int = 8,

@@ -773,3 +773,73 @@ def cross_source_contamination_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(jac, 6).alias("jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus snapshot diff: release-to-release dataset versioning audit
+# ---------------------------------------------------------------------------
+
+# two deterministic "releases" derived from the same table: v1 drops
+# every 7th doc, v2 drops every 5th and edits every 11th — so the diff
+# has all four statuses without external fixtures
+_V1_WHERE = "doc_id % 7 != 0"
+_V2_WHERE = "doc_id % 5 != 0"
+_V2_EDIT = "CASE WHEN doc_id % 11 = 0 THEN text || ' rev2' ELSE text END"
+
+
+@register(
+    "corpus_snapshot_diff",
+    f"""
+WITH v1 AS (SELECT doc_id, source, md5(text) AS h, n_chars
+            FROM documents WHERE {_V1_WHERE}),
+v2 AS (SELECT doc_id, source, md5({_V2_EDIT}) AS h,
+              length({_V2_EDIT}) AS n_chars
+       FROM documents WHERE {_V2_WHERE}),
+d AS (
+  SELECT COALESCE(v1.source, v2.source) AS source,
+         CASE WHEN v2.doc_id IS NULL THEN 'removed'
+              WHEN v1.doc_id IS NULL THEN 'added'
+              WHEN v1.h != v2.h THEN 'changed'
+              ELSE 'unchanged' END AS status,
+         COALESCE(v2.n_chars, v1.n_chars) AS n_chars
+  FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
+SELECT source, status,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM d GROUP BY 1, 2
+""",
+    doc="Dataset-release diff: two corpus snapshots compared by doc_id "
+    "+ content hash into added / removed / changed / unchanged counts "
+    "per source — the audit a versioned training-data registry runs "
+    "before promoting a release. The Spark plan hashes text BEFORE the "
+    "join, so the full-outer join shuffles only (doc_id, source, h, "
+    "n_chars) — document bodies never move; at 100 TB both sides "
+    "partition-prune to the release partitions, and the join is the "
+    "only shuffle (counts fold map-side).",
+    tags=("curation", "versioning", "audit"),
+)
+def corpus_snapshot_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    v1 = docs.filter(F.expr(_V1_WHERE)).select(
+        "doc_id", "source", F.md5("text").alias("h"), F.col("n_chars")
+    )
+    v2_text = F.expr(_V2_EDIT)
+    v2 = docs.filter(F.expr(_V2_WHERE)).select(
+        "doc_id",
+        F.col("source").alias("source2"),
+        F.md5(v2_text).alias("h2"),
+        F.length(v2_text).cast("long").alias("n_chars2"),
+    )
+    d = v1.join(v2, "doc_id", "full_outer").select(
+        F.coalesce("source", "source2").alias("source"),
+        F.when(F.col("h2").isNull(), "removed")
+        .when(F.col("h").isNull(), "added")
+        .when(F.col("h") != F.col("h2"), "changed")
+        .otherwise("unchanged")
+        .alias("status"),
+        F.coalesce("n_chars2", "n_chars").alias("n_chars"),
+    )
+    return d.groupBy("source", "status").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )

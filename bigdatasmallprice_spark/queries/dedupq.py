@@ -619,3 +619,103 @@ def dedup_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(best_jac >= 0.5, F.lit(False)).alias("is_dup"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter n-gram membership prefilter (incremental dedup fast path)
+# ---------------------------------------------------------------------------
+
+_BLOOM_N = 4  # words per textual shingle
+_BL_M = 1 << 18
+_BL_K = 4
+# 4 positions = disjoint 8-hex slices of one md5; identical ints both engines
+_O_BPOS = "('0x' || substr(md5({t}), {start}, 8))::BIGINT % {m}"
+_O_SH4 = "ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]"
+
+
+@register(
+    "bloom_shingle_prefilter",
+    f"""
+WITH b AS (SELECT doc_id, source, string_split(text, ' ') AS ws
+           FROM documents WHERE doc_id % 4 = 0),
+c AS (SELECT string_split(text, ' ') AS ws FROM documents WHERE doc_id % 4 != 0),
+bs AS (SELECT doc_id, source, unnest(list_transform(range(1, len(ws) - {_BLOOM_N - 2}), i -> {_O_SH4})) AS sh,
+              unnest(range(1, len(ws) - {_BLOOM_N - 2})) AS sidx
+       FROM b),
+cs AS (SELECT DISTINCT unnest(list_transform(range(1, len(ws) - {_BLOOM_N - 2}), i -> {_O_SH4})) AS sh FROM c),
+cset AS (SELECT DISTINCT pos FROM (
+  SELECT {_O_BPOS.format(t='sh', start=1, m=_BL_M)} AS pos FROM cs
+  UNION ALL SELECT {_O_BPOS.format(t='sh', start=9, m=_BL_M)} FROM cs
+  UNION ALL SELECT {_O_BPOS.format(t='sh', start=17, m=_BL_M)} FROM cs
+  UNION ALL SELECT {_O_BPOS.format(t='sh', start=25, m=_BL_M)} FROM cs)),
+hits AS (
+  SELECT bs.doc_id, bs.sidx, bs.source,
+         (({_O_BPOS.format(t='bs.sh', start=1, m=_BL_M)}) IN (SELECT pos FROM cset)
+          AND ({_O_BPOS.format(t='bs.sh', start=9, m=_BL_M)}) IN (SELECT pos FROM cset)
+          AND ({_O_BPOS.format(t='bs.sh', start=17, m=_BL_M)}) IN (SELECT pos FROM cset)
+          AND ({_O_BPOS.format(t='bs.sh', start=25, m=_BL_M)}) IN (SELECT pos FROM cset)) AS bloom_hit,
+         (bs.sh IN (SELECT sh FROM cs)) AS true_hit
+  FROM bs)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN bloom_hit THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_hits,
+       CAST(SUM(CASE WHEN true_hit THEN 1 ELSE 0 END) AS BIGINT) AS n_true_hits,
+       CAST(SUM(CASE WHEN bloom_hit AND NOT true_hit THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos
+FROM hits GROUP BY 1
+""",
+    doc="Bloom-filter membership prefilter over 4-word shingles: the "
+    "existing corpus folds into a 2^18-bit bitmap (4096 longs, 32 KB — "
+    "broadcastable no matter the corpus size), and a new batch probes "
+    "it per shingle instance. bloom_hit has NO false negatives, so "
+    "!bloom_hit shingles skip the expensive exact verify entirely; the "
+    "query audits the false-positive tax by also running the exact "
+    "set join. At 100 TB this is the cheap first gate of incremental "
+    "dedup: the bitmap is corpus-size-independent state (vs "
+    "dedup_incremental's band table), membership is a narrow map over "
+    "the batch, and m is sized from the stored corpus cardinality. "
+    "Cf. Lee et al. 2022 (n-gram dedup) + classic CCNet prefilters.",
+    tags=("dedup", "sketch", "incremental"),
+)
+def bloom_shingle_prefilter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdatasmallprice_spark.operators.dedup import (
+        bloom_bits,
+        bloom_membership,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    sh4 = (
+        "transform(sequence(1, size(ws) - {off}), i -> "
+        "concat_ws(' ', element_at(ws, i), element_at(ws, i + 1), "
+        "element_at(ws, i + 2), element_at(ws, i + 3)))"
+    ).format(off=_BLOOM_N - 1)
+    batch = (
+        docs.filter(F.col("doc_id") % 4 == 0)
+        .select("doc_id", "source", F.split("text", " ").alias("ws"))
+        .select("doc_id", "source", F.posexplode(F.expr(sh4)).alias("sidx0", "sh"))
+        .select("doc_id", "source", (F.col("sidx0") + 1).alias("sidx"), "sh")
+    )
+    corpus_sh = (
+        docs.filter(F.col("doc_id") % 4 != 0)
+        .select(F.split("text", " ").alias("ws"))
+        .select(F.explode(F.expr(sh4)).alias("sh"))
+        .distinct()
+    )
+    bits = bloom_bits(corpus_sh, text_col="sh", m=_BL_M, k=_BL_K)
+    bloomed = bloom_membership(
+        batch, bits, ["doc_id", "sidx"], text_col="sh", m=_BL_M, k=_BL_K
+    )
+    truth = batch.join(
+        corpus_sh.withColumn("true_hit", F.lit(True)), "sh", "left"
+    ).select(
+        "doc_id", "sidx", "source", F.coalesce("true_hit", F.lit(False)).alias("true_hit")
+    )
+    both = truth.join(bloomed, ["doc_id", "sidx"])
+    one = F.lit(1)
+    return both.groupBy("source").agg(
+        F.count(one).cast("long").alias("n_shingles"),
+        F.sum(F.when(F.col("bloom_hit"), 1).otherwise(0)).cast("long").alias("n_bloom_hits"),
+        F.sum(F.when(F.col("true_hit"), 1).otherwise(0)).cast("long").alias("n_true_hits"),
+        F.sum(F.when(F.col("bloom_hit") & ~F.col("true_hit"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_false_pos"),
+    )

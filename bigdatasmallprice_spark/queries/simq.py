@@ -914,3 +914,167 @@ def ann_label_precision_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("hits").cast("double") / _LP_K, 6).alias("precision_at_k"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup (SemDeDup) + incremental IVF index maintenance
+# ---------------------------------------------------------------------------
+
+_SD_TAU = 0.35  # same near-dup cosine bar as embedding_neardup
+
+
+def _o_km_ctes(k: int, iters: int, where: str = "TRUE", with_final_update: bool = False) -> str:
+    """The unrolled exact-int Lloyd chain as reusable CTE text: ends
+    after a{iters} (the final assignment), optionally also defining
+    u{iters}/c{iters} (the post-assignment centroid update). Same
+    arithmetic as _o_kmeans_sql, parameterized over the source slice."""
+    dist = "list_sum(list_transform(range(1, 65), i -> (x.xu[i] - c.cu[i]) * (x.xu[i] - c.cu[i])))"
+    parts = [
+        f"WITH x AS (SELECT vec_id AS id, "
+        f"list_transform(embedding, e -> CAST(round({_KM_SCALE} * CAST(e AS DOUBLE)) AS BIGINT)) AS xu "
+        f"FROM embeddings WHERE {where}),",
+        f"c0 AS (SELECT id AS cid, xu AS cu FROM x WHERE id < {k})",
+    ]
+    for it in range(1, iters + 1):
+        parts.append(
+            f", a{it} AS (SELECT id, cid, xu FROM ("
+            f"SELECT x.id, c.cid, x.xu, "
+            f"row_number() OVER (PARTITION BY x.id ORDER BY {dist}, c.cid) AS rn "
+            f"FROM x, c{it - 1} c) WHERE rn = 1)"
+        )
+        if it < iters or with_final_update:
+            parts.append(
+                f", u{it} AS (SELECT cid, dim, "
+                f"CAST(floor(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cu_e "
+                f"FROM (SELECT cid, unnest(xu) AS v, unnest(range(0, 64)) AS dim FROM a{it}) "
+                f"GROUP BY 1, 2)"
+            )
+            parts.append(
+                f", c{it} AS (SELECT cid, list(cu_e ORDER BY dim) AS cu FROM u{it} GROUP BY cid)"
+            )
+    return "".join(parts)
+
+
+_O_IDOT_XU = "list_sum(list_transform(range(1, 65), i -> {a}.xu[i] * {b}.xu[i]))"
+
+
+@register(
+    "semantic_dedup",
+    f"""
+{_o_km_ctes(_KM_K, _KM_ITERS)}
+, p AS (
+  SELECT a.cid, b.id AS rid
+  FROM a{_KM_ITERS} a JOIN a{_KM_ITERS} b ON a.cid = b.cid AND a.id < b.id
+  WHERE round(CAST({_O_IDOT_XU.format(a='a', b='b')} AS DOUBLE)
+              / (sqrt(CAST({_O_IDOT_XU.format(a='a', b='a')} AS DOUBLE))
+                 * sqrt(CAST({_O_IDOT_XU.format(a='b', b='b')} AS DOUBLE))), 6) >= {_SD_TAU}
+)
+, rem AS (SELECT cid, COUNT(DISTINCT rid) AS n_removed FROM p GROUP BY 1)
+, sz AS (SELECT cid, COUNT(*) AS n_vecs FROM a{_KM_ITERS} GROUP BY 1)
+SELECT sz.cid, CAST(sz.n_vecs AS BIGINT) AS n_vecs,
+       CAST(COALESCE(rem.n_removed, 0) AS BIGINT) AS n_removed,
+       CAST(sz.n_vecs - COALESCE(rem.n_removed, 0) AS BIGINT) AS n_kept
+FROM sz LEFT JOIN rem ON sz.cid = rem.cid
+""",
+    doc="SemDeDup (Abbas et al. 2023): k-means clusters the embedding "
+    "space, then near-duplicates are pruned WITHIN clusters only — "
+    "keep the smallest id of every cosine>=tau ball. Clustering bounds "
+    "the candidate pairs (sum of per-cluster squares, an equi-join on "
+    "cid) instead of the corpus square; at 100 TB the fit runs on a "
+    "hash sample and pruning shuffles each cluster to one partition "
+    "block. All distances and votes are exact int64 (micro-unit "
+    "vectors), so the oracle replays the identical chain.",
+    tags=("similarity", "dedup", "train"),
+)
+def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdatasmallprice_spark.operators.similarity import (
+        kmeans_assignments,
+        semantic_dedup_summary,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    assigned = kmeans_assignments(emb, k=_KM_K, iters=_KM_ITERS)
+    return semantic_dedup_summary(assigned, tau=_SD_TAU)
+
+
+_UPS_OLD = "vec_id * 5 < (SELECT MAX(vec_id) * 4 FROM embeddings)"
+
+
+@register(
+    "ann_index_upsert",
+    f"""
+{_o_km_ctes(_KM_K, _KM_ITERS, where=_UPS_OLD, with_final_update=True)}
+, xb AS (SELECT vec_id AS id,
+         list_transform(embedding, e -> CAST(round({_KM_SCALE} * CAST(e AS DOUBLE)) AS BIGINT)) AS xu
+         FROM embeddings WHERE NOT ({_UPS_OLD}))
+, ao AS (SELECT id, cid FROM (
+    SELECT x.id, c.cid,
+           row_number() OVER (PARTITION BY x.id ORDER BY
+             list_sum(list_transform(range(1, 65), i -> (x.xu[i] - c.cu[i]) * (x.xu[i] - c.cu[i]))), c.cid) AS rn
+    FROM x, c{_KM_ITERS} c) WHERE rn = 1)
+, ab AS (SELECT id, cid FROM (
+    SELECT x.id, c.cid,
+           row_number() OVER (PARTITION BY x.id ORDER BY
+             list_sum(list_transform(range(1, 65), i -> (x.xu[i] - c.cu[i]) * (x.xu[i] - c.cu[i]))), c.cid) AS rn
+    FROM xb x, c{_KM_ITERS} c) WHERE rn = 1)
+, no_ AS (SELECT cid, COUNT(*) AS n_old FROM ao GROUP BY 1)
+, nb AS (SELECT cid, COUNT(*) AS n_new, MIN(id) AS min_new_id, MAX(id) AS max_new_id
+         FROM ab GROUP BY 1)
+SELECT c.cid,
+       CAST(COALESCE(no_.n_old, 0) AS BIGINT) AS n_old,
+       CAST(COALESCE(nb.n_new, 0) AS BIGINT) AS n_new,
+       CAST(COALESCE(no_.n_old, 0) + COALESCE(nb.n_new, 0) AS BIGINT) AS n_total,
+       CAST(COALESCE(nb.min_new_id, -1) AS BIGINT) AS min_new_id,
+       CAST(COALESCE(nb.max_new_id, -1) AS BIGINT) AS max_new_id
+FROM (SELECT DISTINCT cid FROM c{_KM_ITERS}) c
+LEFT JOIN no_ ON c.cid = no_.cid LEFT JOIN nb ON c.cid = nb.cid
+""",
+    doc="Incremental IVF index maintenance: the coarse quantizer stays "
+    "FROZEN (trained on the existing 80% of the corpus by id), and a "
+    "new-arrivals batch is upserted by assigning each vector to its "
+    "nearest trained centroid — no retrain, no corpus re-scan. Output "
+    "is the per-cell index manifest (old size, added size, new extent). "
+    "At 100 TB the old counts come from the stored manifest and only "
+    "the batch (a narrow broadcast-assign map, zero shuffle before the "
+    "k-group count) touches compute — the upsert cost scales with the "
+    "batch, exactly like dedup_incremental's design.",
+    tags=("similarity", "incremental", "train"),
+)
+def ann_index_upsert_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdatasmallprice_spark.operators.similarity import (
+        assign_cells,
+        centroid_arrays,
+        kmeans_fit_scaled,
+        with_scaled_units,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    max_id = emb.agg(F.max("vec_id")).collect()[0][0]  # scalar extent read
+    old_pred = F.col("vec_id") * 5 < F.lit(int(max_id)) * 4
+    old = emb.filter(old_pred)
+    batch = emb.filter(~old_pred)
+    cent = centroid_arrays(kmeans_fit_scaled(old, k=_KM_K, iters=_KM_ITERS))
+    ao = assign_cells(with_scaled_units(old), cent)
+    ab = assign_cells(with_scaled_units(batch), cent)
+    n_old = ao.groupBy("cid").agg(F.count(F.lit(1)).cast("long").alias("n_old"))
+    n_new = ab.groupBy("cid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_new"),
+        F.min("id").cast("long").alias("min_new_id"),
+        F.max("id").cast("long").alias("max_new_id"),
+    )
+    cells = cent.select("cid").distinct()
+    z = F.lit(0).cast("long")
+    return (
+        cells.join(n_old, "cid", "left")
+        .join(n_new, "cid", "left")
+        .select(
+            "cid",
+            F.coalesce(F.col("n_old"), z).alias("n_old"),
+            F.coalesce(F.col("n_new"), z).alias("n_new"),
+            (F.coalesce(F.col("n_old"), z) + F.coalesce(F.col("n_new"), z)).alias(
+                "n_total"
+            ),
+            F.coalesce(F.col("min_new_id"), F.lit(-1).cast("long")).alias("min_new_id"),
+            F.coalesce(F.col("max_new_id"), F.lit(-1).cast("long")).alias("max_new_id"),
+        )
+    )

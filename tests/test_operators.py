@@ -1003,3 +1003,88 @@ def test_audit_slice_guard_refuses_large_inputs(spark):
     big = spark.range(_AUDIT_SLICE_MAX + 1)
     with _pytest.raises(ValueError, match="audit slice"):
         _bounded_audit_slice(big, "too_big")
+
+
+# ---------------------------------------------------------------------------
+# bloom-filter membership prefilter
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_no_false_negatives_and_bounded_size(spark):
+    """Every corpus member MUST be a bloom candidate (zero false
+    negatives — the property the prefilter's correctness rests on), and
+    the bitmap never exceeds m/64 rows regardless of corpus size."""
+    from bigdatasmallprice_spark.operators.dedup import (
+        bloom_bits,
+        bloom_membership,
+    )
+    from pyspark.sql import functions as F
+
+    corpus = spark.range(500).select(
+        F.concat(F.lit("member-"), F.col("id")).alias("t")
+    )
+    m, k = 1 << 12, 4
+    bits = bloom_bits(corpus, text_col="t", m=m, k=k)
+    assert bits.count() <= m // 64
+    # probe set = all members + disjoint non-members
+    probe = spark.range(700).select(
+        F.col("id"),
+        F.when(F.col("id") < 500, F.concat(F.lit("member-"), F.col("id")))
+        .otherwise(F.concat(F.lit("outsider-"), F.col("id")))
+        .alias("t"),
+    )
+    got = {
+        r.id: r.bloom_hit
+        for r in bloom_membership(probe, bits, ["id"], text_col="t", m=m, k=k).collect()
+    }
+    assert all(got[i] for i in range(500)), "false negative: member not flagged"
+    # small m + 500 members => some false positives are expected, but
+    # they must stay well under 100% (sanity that the bitmap is not
+    # saturated and the test is not vacuous)
+    fp = sum(1 for i in range(500, 700) if got[i])
+    assert fp < 200
+
+
+def test_bloom_bitmap_broadcasts(spark):
+    """The membership probe's join against the bitmap must be a
+    BroadcastHashJoin — the whole point of folding the corpus to
+    <=m/64 longs."""
+    from bigdatasmallprice_spark.operators.dedup import (
+        bloom_bits,
+        bloom_membership,
+    )
+    from pyspark.sql import functions as F
+
+    corpus = spark.range(100).select(F.col("id").cast("string").alias("t"))
+    bits = bloom_bits(corpus, text_col="t", m=1 << 12, k=4)
+    probe = spark.range(50).select(
+        F.col("id"), F.col("id").cast("string").alias("t")
+    )
+    plan = (
+        bloom_membership(probe, bits, ["id"], text_col="t", m=1 << 12, k=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+
+
+def test_semantic_dedup_keeps_smallest_and_counts(spark):
+    """Hand-built clusters: three exact-duplicate vectors + one
+    orthogonal vector in cluster space -> the two larger ids of the
+    duplicate triple are removed, the loner survives."""
+    from bigdatasmallprice_spark.operators.similarity import (
+        kmeans_assignments,
+        semantic_dedup_summary,
+    )
+
+    dim = 64
+    dup = [1.0] * dim
+    loner = [1.0 if i < 32 else -1.0 for i in range(dim)]
+    rows = [(0, dup), (1, dup), (2, dup), (3, loner)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    assigned = kmeans_assignments(df, k=2, iters=1)
+    out = {r.cid: r for r in semantic_dedup_summary(assigned, tau=0.99).collect()}
+    total_removed = sum(r.n_removed for r in out.values())
+    total_kept = sum(r.n_kept for r in out.values())
+    assert total_removed == 2 and total_kept == 2

@@ -273,3 +273,55 @@ def test_aqe_skew_join_splits_hot_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_semantic_dedup_pairs_join_on_cluster_not_cartesian(spark):
+    """The SemDeDup pair join must be an equi-join keyed on cid — the
+    cluster bound is the whole scale story. A CartesianProduct or
+    BroadcastNestedLoopJoin here means all-pairs leaked back in."""
+    from bigdatasmallprice_spark.registry import all_queries
+
+    df = all_queries()["semantic_dedup"].fn(spark, SF)
+    plan = _formatted(df)
+    assert "CartesianProduct" not in plan, plan
+    # the only nested-loop joins allowed are the k-row centroid
+    # broadcasts inside assign_cells (bounded by k, not the corpus)
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+    for line in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in line and not line.strip().startswith("("):
+            assert "BuildRight" in line, line
+
+
+def test_bloom_prefilter_bitmap_broadcasts_and_no_cartesian(spark):
+    """The registered bloom query probes the bitmap via broadcast (it
+    is <= m/64 longs) and never forms an unbounded product."""
+    from bigdatasmallprice_spark.registry import all_queries
+
+    df = all_queries()["bloom_shingle_prefilter"].fn(spark, SF)
+    plan = _formatted(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_ann_index_upsert_assignment_broadcasts_centroids(spark):
+    """Batch-to-cell assignment must broadcast the k centroids — the
+    upsert is a narrow map over the batch, no corpus shuffle."""
+    from bigdatasmallprice_spark.registry import all_queries
+
+    df = all_queries()["ann_index_upsert"].fn(spark, SF)
+    plan = _formatted(df)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_snapshot_diff_hashes_before_join(spark):
+    """The release diff must shuffle (doc_id, hash), not document
+    bodies: the join input's projection excludes text."""
+    from bigdatasmallprice_spark.registry import all_queries
+
+    df = all_queries()["corpus_snapshot_diff"].fn(spark, SF)
+    plan = _formatted(df)
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+    # md5 is computed below the join (in the scan-side projections);
+    # the exchange carries the 32-hex hash, not a re-read of text
+    exchange_sections = plan.split("Exchange")
+    assert len(exchange_sections) > 1, plan

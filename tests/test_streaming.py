@@ -788,3 +788,70 @@ def test_versioned_fold_honors_legacy_applied_marker(spark, tmp_path):
     update_summary(spark, hh, terms, "term", m=8, n_shards=2, batch_id=8)
     got = {r.term: r.est for r in read_heavy_hitters(spark, hh).collect()}
     assert got == {"a": 8, "b": 2}
+
+
+def test_streaming_bloom_equals_batch_and_never_misses(spark, tmp_path):
+    """Two availableNow runs OR their batches into the persisted bloom
+    bitmap; the final bitmap is BIT-IDENTICAL to the batch operator run
+    over all data at once (OR is order/partitioning-independent), and
+    membership has zero false negatives across both deliveries. A
+    mismatched (m, k) resume must raise."""
+    import pytest as _pytest
+
+    from bigdatasmallprice_spark.operators.dedup import bloom_bits, bloom_membership
+    from bigdatasmallprice_spark.streaming.bloom_stream import (
+        bloom_stream,
+        read_bloom_bits,
+    )
+    from pyspark.sql import functions as F
+
+    m, k = 1 << 12, 4
+    chunk1 = [(f"alpha-{i}",) for i in range(200)]
+    chunk2 = [(f"beta-{i}",) for i in range(150)]
+    src = str(tmp_path / "texts")
+    state, ckpt = str(tmp_path / "bloom"), str(tmp_path / "bloomckpt")
+    spark.createDataFrame(chunk1, "text string").write.parquet(src)
+
+    def run():
+        stream = spark.readStream.schema("text string").parquet(src)
+        q = bloom_stream(spark, stream, state, ckpt, m=m, k=k).start()
+        q.awaitTermination(120)
+
+    run()
+    spark.createDataFrame(chunk2, "text string").write.mode("append").parquet(src)
+    run()
+
+    streamed = {
+        r.word_idx: r.bits for r in read_bloom_bits(spark, state).collect()
+    }
+    batch = {
+        r.word_idx: r.bits
+        for r in bloom_bits(
+            spark.createDataFrame(chunk1 + chunk2, "text string"),
+            text_col="text",
+            m=m,
+            k=k,
+        ).collect()
+    }
+    assert streamed == batch
+
+    probe = spark.createDataFrame(
+        [(i, t) for i, (t,) in enumerate(chunk1 + chunk2)], "id long, t string"
+    )
+    got = bloom_membership(
+        probe, read_bloom_bits(spark, state), ["id"], text_col="t", m=m, k=k
+    )
+    assert got.filter(~F.col("bloom_hit")).count() == 0
+
+    # geometry pinning: resuming with a different m must raise
+    from bigdatasmallprice_spark.streaming.bloom_stream import update_bloom
+
+    with _pytest.raises(ValueError):
+        update_bloom(
+            spark,
+            state,
+            spark.createDataFrame([("x",)], "text string"),
+            m=1 << 13,
+            k=k,
+            batch_id=99,
+        )
