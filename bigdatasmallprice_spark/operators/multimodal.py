@@ -531,3 +531,204 @@ def video_frame_sample(media: DataFrame, stride: int = 2) -> DataFrame:
         "doc_id long, frame_idx long, width long, height long, "
         "y_sum long, u_sum long, v_sum long",
     )
+
+
+# ---------------------------------------------------------------------------
+# PNG: a real COMPRESSED image codec (DEFLATE via stdlib zlib) with the
+# full five-filter scanline pipeline — unlike BMP/WAV/Y4M above, this
+# path exercises entropy coding + predictive filtering, the two stages
+# every production image/video codec is built from. Reference parity
+# target: the reference's media handling is opaque-blob + metadata
+# (SURVEY §1.2); this goes further and is still dependency-free.
+# ---------------------------------------------------------------------------
+
+import zlib as _zlib
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", _zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _filter_scanline(ftype: int, raw: bytes, prior: bytes, bpp: int) -> bytes:
+    """Apply PNG filter ``ftype`` to one raw scanline (encode side)."""
+    out = bytearray(len(raw))
+    for i, x in enumerate(raw):
+        a = raw[i - bpp] if i >= bpp else 0
+        b = prior[i]
+        c = prior[i - bpp] if i >= bpp else 0
+        if ftype == 0:
+            out[i] = x
+        elif ftype == 1:
+            out[i] = (x - a) & 0xFF
+        elif ftype == 2:
+            out[i] = (x - b) & 0xFF
+        elif ftype == 3:
+            out[i] = (x - (a + b) // 2) & 0xFF
+        elif ftype == 4:
+            out[i] = (x - _paeth(a, b, c)) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter {ftype}")
+    return bytes(out)
+
+
+def _unfilter_scanline(ftype: int, filt: bytes, prior: bytes, bpp: int) -> bytes:
+    """Reconstruct one scanline from its filtered bytes (decode side)."""
+    out = bytearray(len(filt))
+    for i, x in enumerate(filt):
+        a = out[i - bpp] if i >= bpp else 0
+        b = prior[i]
+        c = prior[i - bpp] if i >= bpp else 0
+        if ftype == 0:
+            out[i] = x
+        elif ftype == 1:
+            out[i] = (x + a) & 0xFF
+        elif ftype == 2:
+            out[i] = (x + b) & 0xFF
+        elif ftype == 3:
+            out[i] = (x + (a + b) // 2) & 0xFF
+        elif ftype == 4:
+            out[i] = (x + _paeth(a, b, c)) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter {ftype}")
+    return bytes(out)
+
+
+def encode_png(
+    pixel_rows: list[list[tuple[int, int, int]]],
+    row_filter=None,
+) -> bytes:
+    """Real PNG encode: 8-bit RGB (color type 2), per-scanline
+    predictive filter, one DEFLATE stream, CRC-32 per chunk.
+    ``row_filter(y) -> 0..4`` selects the filter per scanline (default
+    None = 0 everywhere); routing different rows through different
+    filters makes a decode hash-match prove ALL five reconstructions."""
+    h = len(pixel_rows)
+    w = len(pixel_rows[0]) if h else 0
+    bpp = 3
+    stream = bytearray()
+    prior = bytes(w * bpp)
+    for y, row in enumerate(pixel_rows):
+        raw = bytes(v for px in row for v in px)
+        ftype = int(row_filter(y)) if row_filter is not None else 0
+        stream.append(ftype)
+        stream += _filter_scanline(ftype, raw, prior, bpp)
+        prior = raw
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", _zlib.compress(bytes(stream), 9))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png_bytes(payload: bytes) -> dict:
+    """Real PNG decode: signature + chunk walk with CRC-32 verification,
+    IDAT concatenation, DEFLATE inflate, five-filter scanline
+    reconstruction, exact integer pixel stats."""
+    assert payload[:8] == PNG_SIG, "not a PNG payload"
+    pos = 8
+    width = height = None
+    idat = bytearray()
+    n_idat_bytes = 0
+    while pos < len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+        assert crc == (_zlib.crc32(tag + data) & 0xFFFFFFFF), f"bad CRC in {tag!r}"
+        if tag == b"IHDR":
+            width, height, bit_depth, color_type, comp, filt, interlace = (
+                struct.unpack(">IIBBBBB", data)
+            )
+            assert (bit_depth, color_type, comp, filt, interlace) == (8, 2, 0, 0, 0), (
+                "only 8-bit RGB non-interlaced supported"
+            )
+        elif tag == b"IDAT":
+            idat += data
+            n_idat_bytes += length
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    raw = _zlib.decompress(bytes(idat))
+    bpp, row_bytes = 3, width * 3
+    assert len(raw) == (row_bytes + 1) * height, "IDAT size mismatch"
+    total = 0
+    prior = bytes(row_bytes)
+    for y in range(height):
+        start = y * (row_bytes + 1)
+        line = _unfilter_scanline(raw[start], raw[start + 1 : start + 1 + row_bytes], prior, bpp)
+        total += sum(line)
+        prior = line
+    return {
+        "width": width,
+        "height": height,
+        "n_pixels": width * height,
+        "pixel_sum": total,
+        "n_idat_bytes": n_idat_bytes,
+    }
+
+
+def synthesize_png(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic 8x8 RGB PNG per document (same pixel pattern as the
+    BMP path), scanline y filtered with type (doc_id + y) % 5 — every
+    document exercises several of the five PNG filters, and the corpus
+    covers all alignments."""
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids.values,
+                    "payload": [
+                        encode_png(
+                            synth_pixels(d), row_filter=lambda y, d=d: (int(d) + y) % 5
+                        )
+                        for d in ids
+                    ],
+                }
+            )
+
+    return docs.select(id_col).mapInPandas(_synth, "doc_id long, payload binary")
+
+
+def png_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched PNG decode -> exact integer pixel stats."""
+
+    def _feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for d, p in zip(pdf["doc_id"].astype("int64"), pdf["payload"]):
+                feat = decode_png_bytes(bytes(p))
+                rows.append(
+                    {
+                        "doc_id": int(d),
+                        "width": feat["width"],
+                        "height": feat["height"],
+                        "n_pixels": feat["n_pixels"],
+                        "pixel_sum": feat["pixel_sum"],
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(
+        _feat, "doc_id long, width long, height long, n_pixels long, pixel_sum long"
+    )

@@ -518,19 +518,25 @@ def semantic_dedup_summary(
         "aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
         "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
     )
-    a = assigned.select(
-        F.col("cid"), F.col("id").alias("id_a"), F.col("xu").alias("xa")
+    # persist before the self-join: the assignment's Lloyd lineage
+    # (broadcast-assign rounds) would otherwise recompute once per join
+    # branch; precompute each row's self-dot once (norms per row, not
+    # per pair — 3x fewer folds and a narrower shuffle)
+    withn = assigned.withColumn(
+        "aa", F.expr(idot.format(a="xu", b="xu"))
+    ).persist()
+    a = withn.select(
+        F.col("cid"), F.col("id").alias("id_a"), F.col("xu").alias("xa"),
+        F.col("aa").alias("na"),
     )
-    b = assigned.select(
-        F.col("cid"), F.col("id").alias("id_b"), F.col("xu").alias("xb")
+    b = withn.select(
+        F.col("cid"), F.col("id").alias("id_b"), F.col("xu").alias("xb"),
+        F.col("aa").alias("nb"),
     )
     pairs = a.join(b, "cid").filter(F.col("id_a") < F.col("id_b"))
     sim = F.round(
         F.expr(idot.format(a="xa", b="xb")).cast("double")
-        / (
-            F.sqrt(F.expr(idot.format(a="xa", b="xa")).cast("double"))
-            * F.sqrt(F.expr(idot.format(a="xb", b="xb")).cast("double"))
-        ),
+        / (F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))),
         sim_round,
     )
     removed = (
@@ -541,7 +547,7 @@ def semantic_dedup_summary(
         .groupBy("cid")
         .agg(F.count(F.lit(1)).cast("long").alias("n_removed"))
     )
-    sizes = assigned.groupBy("cid").agg(
+    sizes = withn.groupBy("cid").agg(
         F.count(F.lit(1)).cast("long").alias("n_vecs")
     )
     return (

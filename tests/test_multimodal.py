@@ -173,3 +173,72 @@ def test_bmp_resize_exact_box_mean():
             block = [px[2 * by + dy][2 * bx + dx] for dy in (0, 1) for dx in (0, 1)]
             want = tuple(sum(c[i] for c in block) // 4 for i in range(3))
             assert small[by][bx] == want, (bx, by, small[by][bx], want)
+
+
+# ---------------------------------------------------------------------------
+# PNG codec
+# ---------------------------------------------------------------------------
+
+
+def test_png_all_filters_roundtrip_exactly():
+    """Each of the five PNG filter types, applied to every scanline of a
+    gradient-ish image, must reconstruct the raw pixels bit-exactly."""
+    from bigdatasmallprice_spark.operators.multimodal import (
+        decode_png_bytes,
+        encode_png,
+    )
+
+    px = [
+        [((x * 37 + y * 11) % 256, (x + y * y) % 256, (x * x + 3 * y) % 256) for x in range(13)]
+        for y in range(9)
+    ]
+    expect = sum(v for row in px for p in row for v in p)
+    for f in range(5):
+        got = decode_png_bytes(encode_png(px, row_filter=lambda y, f=f: f))
+        assert (got["width"], got["height"], got["pixel_sum"]) == (13, 9, expect), f
+
+
+def test_png_crc_corruption_detected():
+    import pytest
+
+    from bigdatasmallprice_spark.operators.multimodal import (
+        decode_png_bytes,
+        encode_png,
+    )
+
+    p = bytearray(encode_png([[(1, 2, 3)]]))
+    p[40] ^= 0xFF  # flip a byte inside IDAT
+    with pytest.raises(AssertionError):
+        decode_png_bytes(bytes(p))
+
+
+def test_png_matches_external_decoder_if_available():
+    """If PIL exists in the env, our encoder's output must decode to the
+    same pixels there (gated import — PIL is absent in this container)."""
+    try:
+        from PIL import Image  # noqa
+    except ImportError:
+        import pytest
+
+        pytest.skip("PIL not installed")
+    import io
+
+    from bigdatasmallprice_spark.operators.multimodal import encode_png, synth_pixels
+
+    px = synth_pixels(5)
+    im = Image.open(io.BytesIO(encode_png(px, row_filter=lambda y: y % 5)))
+    assert list(im.getdata()) == [tuple(p) for row in px for p in row]
+
+
+def test_png_distributed_stats_match_closed_form(spark):
+    from bigdatasmallprice_spark.operators.multimodal import (
+        png_features,
+        synth_pixels,
+        synthesize_png,
+    )
+
+    docs = spark.range(12).selectExpr("id AS doc_id")
+    got = {r.doc_id: r for r in png_features(synthesize_png(docs)).collect()}
+    for d in range(12):
+        expect = sum(v for row in synth_pixels(d) for p in row for v in p)
+        assert got[d].pixel_sum == expect and got[d].n_pixels == 64
