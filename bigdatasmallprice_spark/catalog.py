@@ -173,3 +173,28 @@ def compact_bronze(
         shutil.rmtree(old)
         out[pv] = len([f for f in os.listdir(pdir) if f.endswith(".parquet")])
     return out
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    n_buckets: int = 16,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Bucketed table write: pre-shuffles ONCE at write time so every
+    subsequent equi-join or aggregation on ``bucket_cols`` between
+    tables bucketed the same way runs with ZERO exchange — the join
+    reads co-located buckets directly. This is the 100 TB fact-fact
+    join strategy: pay the shuffle when the table is built, never per
+    query. ``sort_cols`` additionally sorts within buckets so
+    sort-merge joins skip their sort step too.
+
+    Uses the session catalog (`saveAsTable` — bucketing metadata lives
+    in the metastore; plain parquet paths cannot carry it)."""
+    w = df.write.mode("overwrite").format("parquet").bucketBy(
+        n_buckets, *bucket_cols
+    )
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table_name)

@@ -248,3 +248,115 @@ def peak_hour_spend_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("trail_cents").cast("double") / 100.0).alias("peak_hour_value"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# funnel analysis: ordered-stage conversion over the event stream
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "event_funnel",
+    """
+WITH v AS (
+  SELECT user_id, MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+  FROM events GROUP BY 1
+),
+c AS (
+  SELECT e.user_id, MIN(CASE WHEN e.event_type = 'click' AND e.ts >= v.t_view THEN e.ts END) AS t_click
+  FROM events e JOIN v ON e.user_id = v.user_id GROUP BY 1
+),
+s AS (
+  SELECT e.user_id, MIN(CASE WHEN e.event_type = 'signup' AND e.ts >= c.t_click THEN e.ts END) AS t_signup
+  FROM events e JOIN c ON e.user_id = c.user_id GROUP BY 1
+),
+p AS (
+  SELECT e.user_id, MIN(CASE WHEN e.event_type = 'purchase' AND e.ts >= s.t_signup THEN e.ts END) AS t_purchase
+  FROM events e JOIN s ON e.user_id = s.user_id GROUP BY 1
+),
+u AS (
+  SELECT v.user_id, v.t_view, c.t_click, s.t_signup, p.t_purchase
+  FROM v JOIN c ON v.user_id = c.user_id
+         JOIN s ON v.user_id = s.user_id
+         JOIN p ON v.user_id = p.user_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+       CAST(SUM(CASE WHEN t_click IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+       CAST(SUM(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+       CAST(SUM(CASE WHEN t_purchase IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+       round(CAST(SUM(CASE WHEN t_purchase IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS full_conversion
+FROM u
+""",
+    doc="Ordered-funnel conversion (view -> click -> signup -> "
+    "purchase): a user reaches stage k only via an event AT OR AFTER "
+    "their stage-(k-1) time — the standard product-analytics funnel "
+    "with temporal ordering, not mere existence. The Spark plan "
+    "computes all four stage times with STACKED per-user window "
+    "minimums over ONE user-partitioned shuffle (each stage's "
+    "conditional min references the previous stage's column; the "
+    "partitioning is reused, so Catalyst plans a single Exchange), "
+    "then one global count row. The oracle chains per-stage "
+    "conditional-min CTEs. At 100 TB: one shuffle of (user, type, ts), "
+    "stage logic entirely in codegen windows.",
+    tags=("sequence", "window", "agg"),
+)
+def event_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events(spark, sf_dir).select("user_id", "event_type", "ts")
+    w = Window.partitionBy("user_id")
+    staged = (
+        ev.withColumn(
+            "t_view", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+        )
+        .withColumn(
+            "t_click",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("ts") >= F.col("t_view")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "t_signup",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "signup")
+                    & (F.col("ts") >= F.col("t_click")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "t_purchase",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") >= F.col("t_signup")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+    )
+    u = staged.groupBy("user_id").agg(
+        F.max("t_view").alias("t_view"),
+        F.max("t_click").alias("t_click"),
+        F.max("t_signup").alias("t_signup"),
+        F.max("t_purchase").alias("t_purchase"),
+    )
+    flag = lambda c: F.sum(F.when(F.col(c).isNotNull(), 1).otherwise(0)).cast("long")  # noqa: E731
+    return u.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        flag("t_view").alias("n_view"),
+        flag("t_click").alias("n_click"),
+        flag("t_signup").alias("n_signup"),
+        flag("t_purchase").alias("n_purchase"),
+        F.round(
+            F.sum(F.when(F.col("t_purchase").isNotNull(), 1).otherwise(0)).cast(
+                "double"
+            )
+            / F.count(F.lit(1)),
+            6,
+        ).alias("full_conversion"),
+    )

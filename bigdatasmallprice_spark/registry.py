@@ -170,6 +170,17 @@ DRIVER_ORDER: list[str] = [
     #   grain_align_join (r01 green, J4) — grain-aligning time join;
     #     same date_trunc-join shape as net_load_features (J5, listed)
     # All remain registered: benched + locally parity-gated every round.
+    #
+    # r4 rotation candidates (registered mid-r3, local parity green at
+    # sf0.001 AND sf0.01, never driver-checked): semantic_dedup,
+    # ann_index_upsert, bloom_shingle_prefilter, corpus_snapshot_diff,
+    # multimodal_png_stats, cardinality_sketch, dataset_card,
+    # langid_eval, perplexity_buckets, rolling_backtest, event_funnel.
+    # Swap them in for r2-green keepers (e.g. asof_last_purchase,
+    # session_stats, latest_event_per_user, top_days_per_type,
+    # peak_hour_spend, ann_cosine_topk, text_stats, lang_id,
+    # quality_filter, tfidf_terms, json_props_stats) once those carry
+    # two green rounds.
 ]
 
 

@@ -50,6 +50,16 @@ QUERIES = [
     "session_stats",
     "train_gbt_model",
     "training_features",
+    # round-3 additions (cluster-bounded / bitmap / closed-form paths —
+    # each must stay <= ~linear at 10x)
+    "semantic_dedup",
+    "ann_index_upsert",
+    "bloom_shingle_prefilter",
+    "cardinality_sketch",
+    "perplexity_buckets",
+    "multimodal_png_stats",
+    "rolling_backtest",
+    "dataset_card",
 ]
 
 
@@ -83,13 +93,20 @@ def main() -> None:
         out[name] = {"sf01": s01, "sf1": s1, "ratio": round(s1 / s01, 2)}
         print(name, out[name], flush=True)
 
+    # merge into the existing checkpoint: keep prior query rows (and
+    # extra evidence keys like long_series_window_ab) unless re-measured
+    path = os.path.join(REPO, "BENCH_sf1.json")
     doc = {
         "metric": "sf1_scale_checkpoint",
         "unit": "sec",
         "sf_pair": [0.1, 1.0],
-        "queries": out,
+        "queries": {},
     }
-    with open(os.path.join(REPO, "BENCH_sf1.json"), "w") as fh:
+    if os.path.exists(path):
+        with open(path) as fh:
+            doc.update(json.load(fh))
+    doc["queries"].update(out)
+    with open(path, "w") as fh:
         json.dump(doc, fh, indent=1, sort_keys=True)
     spark.stop()
 

@@ -325,3 +325,60 @@ def test_snapshot_diff_hashes_before_join(spark):
     # the exchange carries the 32-hex hash, not a re-read of text
     exchange_sections = plan.split("Exchange")
     assert len(exchange_sections) > 1, plan
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Two tables bucketed on the same key join with ZERO Exchange —
+    the write-once-shuffle-never strategy for recurring fact-fact
+    joins at 100 TB. Also: aggregation on the bucket key needs no
+    exchange."""
+    from bigdatasmallprice_spark.catalog import load_table, write_bucketed
+
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        ev = load_table(spark, SF, "events").select("event_id", "user_id", "value")
+        usr = (
+            load_table(spark, SF, "events")
+            .groupBy("user_id")
+            .count()
+            .withColumnRenamed("count", "n_events")
+        )
+        write_bucketed(ev, "bt_events", ["user_id"], n_buckets=8)
+        write_bucketed(usr, "bt_users", ["user_id"], n_buckets=8)
+        a = spark.table("bt_events")
+        b = spark.table("bt_users")
+        joined = a.join(b, "user_id")
+        plan = _formatted(joined)
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan
+        # same-key aggregation over the bucketed table: no exchange either
+        agg_plan = _formatted(a.groupBy("user_id").count())
+        assert "Exchange" not in agg_plan, agg_plan
+        # and the result matches the unbucketed join
+        assert joined.count() == (
+            load_table(spark, SF, "events")
+            .select("event_id", "user_id", "value")
+            .join(usr, "user_id")
+            .count()
+        )
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS bt_events")
+        spark.sql("DROP TABLE IF EXISTS bt_users")
+
+
+def test_event_funnel_reuses_one_partitioning(spark):
+    """All four funnel-stage windows + the per-user rollup must share
+    ONE user-partitioned Exchange; only the final single-row aggregate
+    adds a second. Three-plus exchanges would mean the stacked windows
+    re-shuffled per stage."""
+    from bigdatasmallprice_spark.registry import all_queries
+
+    df = all_queries()["event_funnel"].fn(spark, SF)
+    plan = _formatted(df)
+    n_exchanges = sum(
+        1 for line in plan.splitlines() if line.strip().startswith("(") and ") Exchange" in line
+    )
+    assert n_exchanges <= 2, plan
+    assert "Window" in plan
