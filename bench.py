@@ -89,23 +89,31 @@ def main() -> None:
     # map overflowed that window). The printed line therefore carries the
     # driver-allowlist per-query timings at 2-decimal precision — the
     # total still covers every registered query — and points at the file.
-    with open(os.path.join(os.path.dirname(__file__) or ".", "BENCH_FULL_local.json"), "w") as fh:
+    # sf-tagged filename: a run at another sf must not clobber the
+    # committed sf0.1 evidence the stdout pointer names
+    full_name = (
+        "BENCH_FULL_local.json"
+        if sf == "0.1"
+        else f"BENCH_FULL_local_sf{sf}.json"
+    )
+    with open(os.path.join(os.path.dirname(__file__) or ".", full_name), "w") as fh:
         json.dump(full, fh, indent=1, sort_keys=True)
     from bigdatasmallprice_spark.registry import DRIVER_ORDER
 
     compact = dict(full)
-    compact["queries"] = {
-        n: round(timings[n], 2) for n in DRIVER_ORDER if n in timings
-    }
     compact["skew_evidence"] = {k: round(v, 2) for k, v in skew_evidence.items()}
-    compact["full_timings"] = "BENCH_FULL_local.json"
-    line = json.dumps(compact)
-    if len(line) > 1990:  # stay inside the 2000-char tail window
-        compact["queries"] = {
-            n: round(timings[n], 2)
-            for n in sorted(timings, key=timings.get, reverse=True)[:40]
-        }
+    compact["full_timings"] = full_name
+    # stay inside the 2000-char tail window: start from the full driver
+    # allowlist and shrink (slowest-first, stable key set) until it fits
+    driver_names = [n for n in DRIVER_ORDER if n in timings]
+    keep = len(driver_names)
+    while True:
+        chosen = sorted(driver_names, key=timings.get, reverse=True)[:keep]
+        compact["queries"] = {n: round(timings[n], 2) for n in sorted(chosen)}
         line = json.dumps(compact)
+        if len(line) <= 1990 or keep <= 10:
+            break
+        keep -= 5
     print(line)
     spark.stop()
 

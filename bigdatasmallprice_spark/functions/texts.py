@@ -109,3 +109,23 @@ def o_quality_score(n_tok: str, n_uniq: str, stop_hits: str) -> str:
         f"+ 0.3 * (CAST({n_uniq} AS DOUBLE) / {n_tok}) "
         f"+ 0.3 * (1.0 - CAST({stop_hits} AS DOUBLE) / {n_tok})"
     )
+
+
+def shingle_expr(toks: str, n: int) -> str:
+    """Spark-side positional word n-gram strings (one per start
+    position, duplicates kept; EMPTY array for docs shorter than n —
+    sequence() would descend and element_at would throw otherwise)."""
+    return (
+        f"CASE WHEN size({toks}) >= {n} THEN "
+        f"transform(sequence(1, size({toks}) - {n - 1}), "
+        f"i -> concat_ws(' ', slice({toks}, i, {n}))) ELSE array() END"
+    )
+
+
+def o_shingle_expr(toks: str, n: int) -> str:
+    """DuckDB-side positional word n-grams — same values/order as
+    ``shingle_expr`` (range() is empty-safe via greatest)."""
+    return (
+        f"list_transform(range(0, greatest(len({toks}) - {n - 1}, 0)), "
+        f"i -> array_to_string({toks}[i+1:i+{n}], ' '))"
+    )

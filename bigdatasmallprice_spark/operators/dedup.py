@@ -410,7 +410,16 @@ _BLOOM_POS = "CAST(conv(substr(md5({t}), {start}, 8), 16, 10) AS BIGINT) % {m}"
 
 
 def bloom_positions(text_col: str, m: int = BLOOM_M, k: int = BLOOM_K) -> Column:
-    """array<long> of the k bloom bit positions for a text column."""
+    """array<long> of the k bloom bit positions for a text column.
+
+    k is capped at 4: md5 hex is 32 chars and each hash consumes a
+    disjoint 8-char slice — a 5th slice would be substr past the end,
+    conv('') -> NULL positions, and every membership probe would fail
+    (universal false negatives). Fail loudly instead."""
+    if not (1 <= k <= 4):
+        raise ValueError(f"bloom k must be 1..4 (md5 has 4 disjoint 8-hex slices), got {k}")
+    if m < 64:
+        raise ValueError(f"bloom m must be >= 64 (one packed word), got {m}")
     slots = ", ".join(
         _BLOOM_POS.format(t=text_col, start=1 + 8 * h, m=m) for h in range(k)
     )

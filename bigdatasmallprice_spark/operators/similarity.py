@@ -474,6 +474,29 @@ def centroid_arrays(per_dim: DataFrame) -> DataFrame:
     )
 
 
+def _lloyd(scaled: DataFrame, k: int, iters: int, final_update: bool):
+    """Shared exact-int Lloyd loop: init = the k smallest ids, then per
+    round broadcast-assign + (cid,dim) groupBy update. localCheckpoint
+    severs each round's lineage (round r's plan would otherwise re-embed
+    rounds 1..r-1; the checkpointed frame is k*dim rows — the model, not
+    the data). ``final_update=False`` stops the last round after the
+    assign step (assignment r uses centroids updated in round r-1 — the
+    oracle chain's ``a{iters}`` CTE). Returns (assigned, per_dim);
+    per_dim is None when the last update was skipped AND iters == 1."""
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    cent = scaled.filter(F.col("id") < k).select(
+        F.col("id").alias("cid"), F.col("xu").alias("cu")
+    )
+    assigned = per_dim = None
+    for it in range(1, iters + 1):
+        assigned = assign_cells(scaled, cent)
+        if it < iters or final_update:
+            per_dim = update_centroids(assigned).localCheckpoint(eager=True)
+            cent = centroid_arrays(per_dim)
+    return assigned, per_dim
+
+
 def kmeans_assignments(
     df: DataFrame,
     k: int = 8,
@@ -483,21 +506,12 @@ def kmeans_assignments(
 ) -> DataFrame:
     """Final Lloyd-round cluster ASSIGNMENT (id, cid, xu) — the labeling
     SemDeDup-style semantic dedup partitions on. Same exact-int
-    iterations as kmeans_fit_scaled, but the last round stops after the
-    assign step (assignment r uses the centroids updated in round r-1),
-    so the result equals the oracle chain's ``a{iters}`` CTE. Plan per
-    round: broadcast-assign (narrow map) + one k*64-group update; the
-    returned frame is one row per input vector, no extra shuffle."""
+    iterations as kmeans_fit_scaled (shared _lloyd loop), but the last
+    round stops after the assign step, so the result equals the oracle
+    chain's ``a{iters}`` CTE. The returned frame is one row per input
+    vector, no extra shuffle."""
     scaled = with_scaled_units(df.select(id_col, vec_col), vec_col=vec_col, id_col=id_col)
-    cent = scaled.filter(F.col("id") < k).select(
-        F.col("id").alias("cid"), F.col("xu").alias("cu")
-    )
-    assigned = None
-    for it in range(iters):
-        assigned = assign_cells(scaled, cent)
-        if it < iters - 1:
-            per_dim = update_centroids(assigned).localCheckpoint(eager=True)
-            cent = centroid_arrays(per_dim)
+    assigned, _ = _lloyd(scaled, k, iters, final_update=False)
     return assigned
 
 
@@ -579,18 +593,7 @@ def kmeans_fit_scaled(
     final assignment pass touches the full corpus."""
     scaled = df.select(id_col, vec_col)
     scaled = with_scaled_units(scaled, vec_col=vec_col, id_col=id_col)
-    cent = scaled.filter(F.col("id") < k).select(
-        F.col("id").alias("cid"), F.col("xu").alias("cu")
-    )
-    per_dim = None
-    for _ in range(iters):
-        assigned = assign_cells(scaled, cent)
-        # localCheckpoint severs the per-round lineage (the pattern
-        # connected_components uses): round r's plan would otherwise
-        # re-embed rounds 1..r-1 and recompute them per action. The
-        # checkpointed frame is k*dim rows — the model, not the data.
-        per_dim = update_centroids(assigned).localCheckpoint(eager=True)
-        cent = centroid_arrays(per_dim)
+    _, per_dim = _lloyd(scaled, k, iters, final_update=True)
     return per_dim.select(
         "cid",
         F.col("dim").cast("long").alias("dim"),

@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bigdatasmallprice_spark.functions.texts import n_tokens, o_n_tokens
+from bigdatasmallprice_spark.functions.texts import o_shingle_expr, shingle_expr
 from bigdatasmallprice_spark.queries.core import table
 from bigdatasmallprice_spark.registry import register
 
@@ -850,16 +851,14 @@ def corpus_snapshot_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _LC_M = 1 << 20  # buckets; sized for headroom at sf1 (est valid while V < m)
-_O_LC_SH = "ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]"
 
 
 @register(
     "cardinality_sketch",
     f"""
-WITH s AS (
-  SELECT source, unnest(list_transform(range(1, len(string_split(text, ' ')) - 2),
-                 i -> {_O_LC_SH.replace('ws', "string_split(text, ' ')")})) AS sh
-  FROM documents
+WITH toks AS (SELECT source, string_split(text, ' ') AS ws FROM documents),
+s AS (
+  SELECT source, unnest({o_shingle_expr('ws', 4)}) AS sh FROM toks
 ),
 p AS (SELECT source, sh, ('0x' || substr(md5(sh), 1, 8))::BIGINT % {_LC_M} AS pos FROM s)
 SELECT source,
@@ -883,11 +882,7 @@ FROM p GROUP BY 1
 )
 def cardinality_sketch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    sh4 = (
-        "transform(sequence(1, size(ws) - 3), i -> "
-        "concat_ws(' ', element_at(ws, i), element_at(ws, i + 1), "
-        "element_at(ws, i + 2), element_at(ws, i + 3)))"
-    )
+    sh4 = shingle_expr("ws", 4)
     s = (
         docs.select("source", F.split("text", " ").alias("ws"))
         .select("source", F.explode(F.expr(sh4)).alias("sh"))

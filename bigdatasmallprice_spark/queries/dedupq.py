@@ -6,7 +6,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from bigdatasmallprice_spark.functions.texts import HASH_MOD, bag_fingerprint, o_bag_fingerprint
+from bigdatasmallprice_spark.functions.texts import (
+    HASH_MOD,
+    bag_fingerprint,
+    o_bag_fingerprint,
+    o_shingle_expr,
+    shingle_expr,
+)
 from bigdatasmallprice_spark.operators.dedup import (
     MINHASH_COEFS,
     jaccard,
@@ -630,7 +636,7 @@ _BL_M = 1 << 18
 _BL_K = 4
 # 4 positions = disjoint 8-hex slices of one md5; identical ints both engines
 _O_BPOS = "('0x' || substr(md5({t}), {start}, 8))::BIGINT % {m}"
-_O_SH4 = "ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]"
+
 
 
 @register(
@@ -639,10 +645,10 @@ _O_SH4 = "ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]"
 WITH b AS (SELECT doc_id, source, string_split(text, ' ') AS ws
            FROM documents WHERE doc_id % 4 = 0),
 c AS (SELECT string_split(text, ' ') AS ws FROM documents WHERE doc_id % 4 != 0),
-bs AS (SELECT doc_id, source, unnest(list_transform(range(1, len(ws) - {_BLOOM_N - 2}), i -> {_O_SH4})) AS sh,
-              unnest(range(1, len(ws) - {_BLOOM_N - 2})) AS sidx
+bs AS (SELECT doc_id, source, unnest({o_shingle_expr('ws', _BLOOM_N)}) AS sh,
+              unnest(range(1, greatest(len(ws) - {_BLOOM_N - 2}, 1))) AS sidx
        FROM b),
-cs AS (SELECT DISTINCT unnest(list_transform(range(1, len(ws) - {_BLOOM_N - 2}), i -> {_O_SH4})) AS sh FROM c),
+cs AS (SELECT DISTINCT unnest({o_shingle_expr('ws', _BLOOM_N)}) AS sh FROM c),
 cset AS (SELECT DISTINCT pos FROM (
   SELECT {_O_BPOS.format(t='sh', start=1, m=_BL_M)} AS pos FROM cs
   UNION ALL SELECT {_O_BPOS.format(t='sh', start=9, m=_BL_M)} FROM cs
@@ -683,11 +689,7 @@ def bloom_shingle_prefilter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = table(spark, sf_dir, "documents")
-    sh4 = (
-        "transform(sequence(1, size(ws) - {off}), i -> "
-        "concat_ws(' ', element_at(ws, i), element_at(ws, i + 1), "
-        "element_at(ws, i + 2), element_at(ws, i + 3)))"
-    ).format(off=_BLOOM_N - 1)
+    sh4 = shingle_expr("ws", _BLOOM_N)
     # both frames feed multiple branches (bits+truth; bloomed+truth+agg)
     # — persist so the explode runs once, not per branch
     batch = (

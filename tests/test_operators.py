@@ -1088,3 +1088,57 @@ def test_semantic_dedup_keeps_smallest_and_counts(spark):
     total_removed = sum(r.n_removed for r in out.values())
     total_kept = sum(r.n_kept for r in out.values())
     assert total_removed == 2 and total_kept == 2
+
+
+def test_shingle_expr_short_docs_and_duckdb_parity(spark):
+    """Docs shorter than the shingle width must yield an EMPTY array
+    (unguarded sequence() descends and element_at throws), and the
+    Spark expression must agree value-for-value with the DuckDB twin
+    on every length."""
+    import duckdb
+
+    from bigdatasmallprice_spark.functions.texts import o_shingle_expr, shingle_expr
+    from pyspark.sql import functions as F
+
+    texts = ["", "a", "a b", "a b c", "a b c d", "a b c d e", "x y z w v u"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, t string")
+    got = {
+        r.i: r.sh
+        for r in df.select(
+            "i", F.expr(shingle_expr("split(t, ' ')", 4)).alias("sh")
+        ).collect()
+    }
+    con = duckdb.connect()
+    for i, t in enumerate(texts):
+        (expect,) = con.execute(
+            f"SELECT {o_shingle_expr('ws', 4)} FROM (SELECT string_split(?, ' ') AS ws)",
+            [t],
+        ).fetchone()
+        assert got[i] == expect, (t, got[i], expect)
+    assert got[0] == [] and got[3] == [] and len(got[6]) == 3
+
+
+def test_bloom_positions_rejects_bad_geometry(spark):
+    """k > 4 would slice past md5's 32 hex chars -> NULL positions ->
+    universal false negatives; must raise instead of silently breaking
+    the no-false-negative guarantee."""
+    import pytest
+
+    from bigdatasmallprice_spark.operators.dedup import bloom_positions
+
+    with pytest.raises(ValueError):
+        bloom_positions("t", k=5)
+    with pytest.raises(ValueError):
+        bloom_positions("t", k=0)
+    with pytest.raises(ValueError):
+        bloom_positions("t", m=32)
+
+
+def test_kmeans_assignments_rejects_zero_iters(spark):
+    import pytest
+
+    from bigdatasmallprice_spark.operators.similarity import kmeans_assignments
+
+    df = spark.createDataFrame([(0, [1.0] * 64)], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError):
+        kmeans_assignments(df, k=1, iters=0)
