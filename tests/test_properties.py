@@ -270,3 +270,67 @@ def test_pii_redaction_is_exhaustive(spark, pieces):
         .clean
     )
     assert again == out  # idempotent
+
+
+# ---------------------------------------------------------------------------
+# PNG codec: random images x random per-row filters round-trip losslessly
+# ---------------------------------------------------------------------------
+
+png_image_strategy = st.integers(1, 6).flatmap(
+    lambda h: st.integers(1, 9).flatmap(
+        lambda w: st.tuples(
+            st.lists(
+                st.lists(
+                    st.tuples(
+                        st.integers(0, 255), st.integers(0, 255), st.integers(0, 255)
+                    ),
+                    min_size=w,
+                    max_size=w,
+                ),
+                min_size=h,
+                max_size=h,
+            ),
+            st.lists(st.integers(0, 4), min_size=h, max_size=h),
+        )
+    )
+)
+
+
+@given(img=png_image_strategy)
+@settings(max_examples=40, deadline=None)
+def test_png_roundtrip_property(img):
+    """Any image, any per-scanline filter assignment: decode(encode(x))
+    recovers the exact pixel bytes (sum is a complete check here since
+    widths/heights are also asserted and filters are lossless)."""
+    from bigdatasmallprice_spark.operators.multimodal import (
+        decode_png_bytes,
+        encode_png,
+    )
+
+    pixel_rows, filters = img
+    expect = sum(v for row in pixel_rows for p in row for v in p)
+    got = decode_png_bytes(encode_png(pixel_rows, row_filter=lambda y: filters[y]))
+    assert got["width"] == len(pixel_rows[0])
+    assert got["height"] == len(pixel_rows)
+    assert got["pixel_sum"] == expect
+
+
+# ---------------------------------------------------------------------------
+# bloom filter: membership is complete (no false negatives) for any corpus
+# ---------------------------------------------------------------------------
+
+
+@given(
+    corpus=st.lists(st.text(min_size=0, max_size=12), min_size=1, max_size=40, unique=True),
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_bloom_never_misses_property(spark, corpus):
+    """For ANY string corpus (including empty strings and unicode),
+    every member must probe as a candidate — the one guarantee the
+    prefilter's correctness rests on."""
+    from bigdatasmallprice_spark.operators.dedup import bloom_bits, bloom_membership
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(corpus)], "id long, t string")
+    bits = bloom_bits(df, text_col="t", m=1 << 10, k=3)
+    got = bloom_membership(df, bits, ["id"], text_col="t", m=1 << 10, k=3).collect()
+    assert all(r.bloom_hit for r in got), [r for r in got if not r.bloom_hit]
