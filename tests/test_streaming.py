@@ -855,3 +855,42 @@ def test_streaming_bloom_equals_batch_and_never_misses(spark, tmp_path):
             k=k,
             batch_id=99,
         )
+
+
+def test_streaming_funnel_equals_batch(spark, tmp_path):
+    """Two availableNow deliveries split at the median event time fold
+    into per-user stage-time state; the rolled-up funnel counts equal
+    the batch event_funnel query over the same events — including
+    users whose events are all outside the funnel stages."""
+    from bigdatasmallprice_spark.catalog import load_table
+    from bigdatasmallprice_spark.registry import all_queries
+    from bigdatasmallprice_spark.streaming.funnel_stream import (
+        funnel_stream,
+        read_funnel_counts,
+    )
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events").select("user_id", "event_type", "ts")
+    mid = ev.agg(F.expr("percentile(unix_micros(ts), 0.5)")).collect()[0][0]
+    c1 = ev.filter(F.unix_micros("ts") <= F.lit(int(mid)))
+    c2 = ev.filter(F.unix_micros("ts") > F.lit(int(mid)))
+
+    src = str(tmp_path / "ev")
+    state, ckpt = str(tmp_path / "funnel"), str(tmp_path / "funnelckpt")
+    c1.write.parquet(src)
+
+    def run():
+        stream = spark.readStream.schema(
+            "user_id long, event_type string, ts timestamp"
+        ).parquet(src)
+        q = funnel_stream(spark, stream, state, ckpt).start()
+        q.awaitTermination(120)
+
+    run()
+    c2.write.mode("append").parquet(src)
+    run()
+
+    got = read_funnel_counts(spark, state).collect()[0].asDict()
+    want = all_queries()["event_funnel"].fn(spark, sf).collect()[0].asDict()
+    assert got == want, (got, want)
