@@ -1007,3 +1007,50 @@ def rolling_backtest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return reduce(lambda a, b: a.unionByName(b), outs)
+
+
+# ---------------------------------------------------------------------------
+# distribution-rank profile: percent_rank / cume_dist window coverage
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "user_spend_rank",
+    f"""
+WITH s AS (
+  SELECT user_id, event_type,
+         CAST(SUM({o_cents('value')}) AS BIGINT) AS spend_c
+  FROM events GROUP BY 1, 2
+)
+SELECT user_id, event_type, spend_c,
+       round(percent_rank() OVER (PARTITION BY event_type
+                                  ORDER BY spend_c, user_id), 6) AS pr,
+       round(cume_dist() OVER (PARTITION BY event_type
+                               ORDER BY spend_c, user_id), 6) AS cd
+FROM s
+""",
+    doc="Per-type user spend rank profile: percent_rank + cume_dist "
+    "over exact integer cents with a (spend, user_id) total order — "
+    "the distributional-position features a personalization or "
+    "anomaly pipeline derives per entity. Rank arithmetic is pure "
+    "integer; the two final ratios are identical IEEE ops. The window "
+    "partitions by type over the PRE-AGGREGATED per-user frame (users "
+    "x types rows, not raw events), so the sort is entity-scale, not "
+    "event-scale, at 100 TB.",
+    tags=("ml", "window", "agg"),
+)
+def user_spend_rank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = events(spark, sf_dir)
+    s = ev.groupBy("user_id", "event_type").agg(
+        F.sum(cents(F.col("value"))).cast("long").alias("spend_c")
+    )
+    w = Window.partitionBy("event_type").orderBy("spend_c", "user_id")
+    return s.select(
+        "user_id",
+        "event_type",
+        "spend_c",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )

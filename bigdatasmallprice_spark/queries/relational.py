@@ -578,3 +578,58 @@ def small_quantity_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_small"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD type-2 history: validity-interval dimension maintenance
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scd2_history",
+    """
+WITH c AS (
+  SELECT o_custkey AS custkey, o_orderpriority AS priority,
+         o_orderdate AS ts, o_orderkey AS okey
+  FROM orders
+),
+i AS (
+  SELECT custkey, priority, ts, okey,
+         lag(priority) OVER (PARTITION BY custkey ORDER BY ts, okey) AS prev
+  FROM c
+),
+isl AS (
+  SELECT custkey, priority, ts, okey FROM i
+  WHERE prev IS NULL OR prev != priority
+)
+SELECT custkey, priority, ts AS valid_from,
+       lead(ts) OVER (PARTITION BY custkey ORDER BY ts, okey) AS valid_to,
+       (lead(ts) OVER (PARTITION BY custkey ORDER BY ts, okey) IS NULL) AS is_current
+FROM isl
+""",
+    doc="SCD type-2 dimension history: per-customer order-priority "
+    "tracked as validity intervals — consecutive same-value changes "
+    "collapse (gaps-and-islands via lag), valid_to = next island's "
+    "start (lead), open interval flagged is_current. ONE key-"
+    "partitioned window, no self-join; (ts, orderkey) makes the order "
+    "total so equal-date changes resolve identically in both engines. "
+    "operators/scd2.py also ships the INCREMENTAL form (scd2_apply: "
+    "one batch merged against open intervals only, history enters via "
+    "pass-through) proven equal to this rebuild over time-partitioned "
+    "batches — the daily-pipeline path at 100 TB, where rebuilding "
+    "from the full change log is the thing you must never do.",
+    tags=("relational", "window", "scd"),
+)
+def scd2_history_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdatasmallprice_spark.operators.scd2 import scd2_reconstruct
+
+    orders = table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderdate").alias("ts"),
+        F.col("o_orderkey").alias("okey"),
+    )
+    out = scd2_reconstruct(orders, "custkey", "priority", "ts", "okey")
+    return out.select(
+        "custkey", "priority", "valid_from", "valid_to", "is_current"
+    )

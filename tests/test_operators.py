@@ -1142,3 +1142,50 @@ def test_kmeans_assignments_rejects_zero_iters(spark):
     df = spark.createDataFrame([(0, [1.0] * 64)], "vec_id long, embedding array<float>")
     with pytest.raises(ValueError):
         kmeans_assignments(df, k=1, iters=0)
+
+
+# ---------------------------------------------------------------------------
+# SCD type-2: incremental apply == full rebuild
+# ---------------------------------------------------------------------------
+
+
+def test_scd2_apply_fold_equals_reconstruct(spark):
+    """Folding time-partitioned change batches through scd2_apply must
+    produce the same history as one scd2_reconstruct over the full
+    log — including no-op changes (same attr), multi-change batches,
+    and keys untouched by later batches."""
+    from bigdatasmallprice_spark.operators.scd2 import scd2_apply, scd2_reconstruct
+    from pyspark.sql import functions as F
+
+    rows = [
+        # (key, attr, ts, tiebreak)
+        (1, "A", 1, 1),
+        (1, "A", 2, 2),   # no-op (same attr)
+        (1, "B", 3, 3),
+        (1, "B", 5, 5),   # no-op
+        (1, "C", 9, 9),
+        (2, "X", 1, 4),
+        (2, "Y", 2, 6),
+        (2, "Y", 8, 7),   # no-op in a later batch
+        (3, "Q", 4, 8),   # single-change key
+    ]
+    sch = "k long, a string, ts long, tb long"
+    full = spark.createDataFrame(rows, sch)
+    want = sorted(
+        map(tuple, scd2_reconstruct(full, "k", "a", "ts", "tb").collect())
+    )
+
+    # batches split at ts<=2, ts in (2,5], ts>5 — time-partitioned
+    hist = scd2_reconstruct(
+        spark.createDataFrame([r for r in rows if r[2] <= 2], sch), "k", "a", "ts", "tb"
+    )
+    for lo, hi in [(2, 5), (5, 99)]:
+        batch = spark.createDataFrame(
+            [r for r in rows if lo < r[2] <= hi], sch
+        )
+        hist = scd2_apply(hist, batch, "k", "a", "ts", "tb")
+    got = sorted(map(tuple, hist.collect()))
+    assert got == want, (got, want)
+    # shape sanity: exactly one open interval per key
+    opens = [r for r in got if r[4]]
+    assert len(opens) == 3

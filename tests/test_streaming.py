@@ -894,3 +894,50 @@ def test_streaming_funnel_equals_batch(spark, tmp_path):
     got = read_funnel_counts(spark, state).collect()[0].asDict()
     want = all_queries()["event_funnel"].fn(spark, sf).collect()[0].asDict()
     assert got == want, (got, want)
+
+
+def test_streaming_scd2_equals_rebuild(spark, tmp_path):
+    """Three availableNow deliveries of time-partitioned dimension
+    changes fold into the SCD2 history; the final state equals one
+    batch reconstruction over the full change log."""
+    from bigdatasmallprice_spark.operators.scd2 import scd2_reconstruct
+    from bigdatasmallprice_spark.streaming.scd2_stream import (
+        read_scd2_history,
+        scd2_stream,
+    )
+
+    rows = [
+        (1, "A", 1, 1), (1, "A", 2, 2), (1, "B", 3, 3), (1, "C", 7, 4),
+        (2, "X", 1, 5), (2, "Y", 4, 6), (2, "Y", 8, 7),
+        (3, "Q", 6, 8),
+    ]
+    sch = "k long, a string, ts long, tb long"
+    src = str(tmp_path / "changes")
+    state, ckpt = str(tmp_path / "scd2"), str(tmp_path / "scd2ckpt")
+
+    def run():
+        stream = spark.readStream.schema(sch).parquet(src)
+        q = scd2_stream(spark, stream, state, ckpt, "k", "a", "ts", "tb").start()
+        q.awaitTermination(120)
+
+    spark.createDataFrame([r for r in rows if r[2] <= 2], sch).write.parquet(src)
+    run()
+    spark.createDataFrame([r for r in rows if 2 < r[2] <= 5], sch).write.mode(
+        "append"
+    ).parquet(src)
+    run()
+    spark.createDataFrame([r for r in rows if r[2] > 5], sch).write.mode(
+        "append"
+    ).parquet(src)
+    run()
+
+    got = sorted(map(tuple, read_scd2_history(spark, state, "k", "a").collect()))
+    want = sorted(
+        map(
+            tuple,
+            scd2_reconstruct(
+                spark.createDataFrame(rows, sch), "k", "a", "ts", "tb"
+            ).collect(),
+        )
+    )
+    assert got == want, (got, want)
