@@ -198,3 +198,30 @@ def write_bucketed(
     if sort_cols:
         w = w.sortBy(*sort_cols)
     w.saveAsTable(table_name)
+
+
+def with_audit_cols(
+    df: DataFrame,
+    batch_id: str,
+    ingest_ts,
+    content_cols: list[str] | None = None,
+) -> DataFrame:
+    """Bronze-layer lineage columns: every ingested row carries the
+    batch that wrote it, a fixed (injected, not wall-clock) ingest
+    timestamp, the source file it came from, and a content hash over
+    the named columns for downstream change detection / dedup.
+
+    All four are per-row narrow expressions (input_file_name is plan
+    metadata; the hash is one md5 over a canonical concat) — zero
+    shuffle, so auditability is free at any scale. The injected
+    ingest_ts keeps re-runs byte-identical (the same determinism rule
+    ingest.py's backfill driver follows)."""
+    out = df.withColumn("_audit_batch_id", F.lit(batch_id)).withColumn(
+        "_audit_ingest_ts", F.lit(ingest_ts).cast("timestamp")
+    ).withColumn("_audit_source_file", F.input_file_name())
+    if content_cols:
+        out = out.withColumn(
+            "_audit_row_hash",
+            F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in content_cols])),
+        )
+    return out

@@ -303,60 +303,11 @@ FROM u
     tags=("sequence", "window", "agg"),
 )
 def event_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdatasmallprice_spark.operators.funnel import (
+        funnel_counts,
+        funnel_stage_times,
+    )
+
     ev = events(spark, sf_dir).select("user_id", "event_type", "ts")
-    w = Window.partitionBy("user_id")
-    staged = (
-        ev.withColumn(
-            "t_view", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
-        )
-        .withColumn(
-            "t_click",
-            F.min(
-                F.when(
-                    (F.col("event_type") == "click") & (F.col("ts") >= F.col("t_view")),
-                    F.col("ts"),
-                )
-            ).over(w),
-        )
-        .withColumn(
-            "t_signup",
-            F.min(
-                F.when(
-                    (F.col("event_type") == "signup")
-                    & (F.col("ts") >= F.col("t_click")),
-                    F.col("ts"),
-                )
-            ).over(w),
-        )
-        .withColumn(
-            "t_purchase",
-            F.min(
-                F.when(
-                    (F.col("event_type") == "purchase")
-                    & (F.col("ts") >= F.col("t_signup")),
-                    F.col("ts"),
-                )
-            ).over(w),
-        )
-    )
-    u = staged.groupBy("user_id").agg(
-        F.max("t_view").alias("t_view"),
-        F.max("t_click").alias("t_click"),
-        F.max("t_signup").alias("t_signup"),
-        F.max("t_purchase").alias("t_purchase"),
-    )
-    flag = lambda c: F.sum(F.when(F.col(c).isNotNull(), 1).otherwise(0)).cast("long")  # noqa: E731
-    return u.agg(
-        F.count(F.lit(1)).cast("long").alias("n_users"),
-        flag("t_view").alias("n_view"),
-        flag("t_click").alias("n_click"),
-        flag("t_signup").alias("n_signup"),
-        flag("t_purchase").alias("n_purchase"),
-        F.round(
-            F.sum(F.when(F.col("t_purchase").isNotNull(), 1).otherwise(0)).cast(
-                "double"
-            )
-            / F.count(F.lit(1)),
-            6,
-        ).alias("full_conversion"),
-    )
+    stages = ["view", "click", "signup", "purchase"]
+    return funnel_counts(funnel_stage_times(ev, stages), stages)

@@ -1189,3 +1189,79 @@ def test_scd2_apply_fold_equals_reconstruct(spark):
     # shape sanity: exactly one open interval per key
     opens = [r for r in got if r[4]]
     assert len(opens) == 3
+
+
+def test_funnel_stage_times_arbitrary_stages_vs_python_oracle(spark):
+    """3-stage funnel on hand-built sequences vs a brute-force Python
+    fold — covers out-of-order events, ties at equal timestamps,
+    skipped stages, and users with no funnel events at all."""
+    from bigdatasmallprice_spark.operators.funnel import funnel_stage_times
+
+    rows = [
+        (1, "a", 1), (1, "b", 2), (1, "c", 3),     # full path
+        (2, "b", 1), (2, "a", 2), (2, "c", 3),     # b before a: b doesn't count, c >= nothing
+        (3, "a", 5), (3, "b", 5), (3, "c", 5),     # all ties: >= lets every stage through
+        (4, "a", 1), (4, "c", 2),                  # skipped middle: c never qualifies
+        (5, "x", 1),                               # no funnel events: present, all null
+        (6, "a", 4), (6, "b", 3), (6, "b", 9),     # early b ignored, later b counts
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts long")
+    got = {
+        r.user_id: (r.t_a, r.t_b, r.t_c)
+        for r in funnel_stage_times(df, ["a", "b", "c"]).collect()
+    }
+
+    def oracle(evts):
+        ta = min((t for t, e in evts if e == "a"), default=None)
+        tb = (
+            min((t for t, e in evts if e == "b" and t >= ta), default=None)
+            if ta is not None
+            else None
+        )
+        tc = (
+            min((t for t, e in evts if e == "c" and t >= tb), default=None)
+            if tb is not None
+            else None
+        )
+        return (ta, tb, tc)
+
+    by_user: dict[int, list] = {}
+    for u, e, t in rows:
+        by_user.setdefault(u, []).append((t, e))
+    for u, evts in by_user.items():
+        assert got[u] == oracle(evts), (u, got[u], oracle(evts))
+    import pytest
+
+    with pytest.raises(ValueError):
+        funnel_stage_times(df, [])
+    with pytest.raises(ValueError):
+        funnel_stage_times(df, ["a", "a"])
+
+
+def test_audit_cols_are_shuffle_free_and_deterministic(spark, tmp_path):
+    """Lineage columns: no Exchange in the plan, source file captured
+    from the scan, and the row hash is stable across re-runs (injected
+    ingest_ts, not wall clock)."""
+    import datetime as dt
+
+    from bigdatasmallprice_spark.catalog import with_audit_cols
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "in")
+    spark.range(100).selectExpr("id", "id * 2 AS v").write.parquet(src)
+    base = spark.read.parquet(src)
+    ts = dt.datetime(2026, 8, 14, 0, 0, 0)
+    a1 = with_audit_cols(base, "batch-1", ts, content_cols=["id", "v"])
+    plan = a1._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    rows1 = {r.id: r for r in a1.collect()}
+    rows2 = {r.id: r for r in with_audit_cols(base, "batch-1", ts, ["id", "v"]).collect()}
+    assert all(rows1[i]._audit_row_hash == rows2[i]._audit_row_hash for i in rows1)
+    assert all(rows1[i]._audit_source_file.endswith(".parquet") for i in rows1)
+    assert rows1[0]._audit_batch_id == "batch-1"
+    # hash keys on content: a changed value changes the hash
+    changed = with_audit_cols(
+        base.withColumn("v", F.col("v") + 1), "batch-1", ts, ["id", "v"]
+    )
+    rows3 = {r.id: r for r in changed.collect()}
+    assert all(rows1[i]._audit_row_hash != rows3[i]._audit_row_hash for i in rows1)
