@@ -129,3 +129,17 @@ def o_shingle_expr(toks: str, n: int) -> str:
         f"list_transform(range(0, greatest(len({toks}) - {n - 1}, 0)), "
         f"i -> array_to_string({toks}[i+1:i+{n}], ' '))"
     )
+
+
+def md5_bucket_expr(col_sql: str, m: int) -> str:
+    """Spark-side uniform bucket from the first 8 md5 hex chars of a
+    column expression — the engine-paired membership/bucketing hash
+    (an (a*x+b) mod p LCG degenerates to a plain stride for small id
+    ranges: 48271 %% 10 == 1, so hv %% 10 tracks id %% 10, correlating
+    the bucket with every other id-modulus-derived feature)."""
+    return f"CAST(conv(substr(md5(CAST({col_sql} AS STRING)), 1, 8), 16, 10) AS BIGINT) % {m}"
+
+
+def o_md5_bucket_expr(col_sql: str, m: int) -> str:
+    """DuckDB twin of ``md5_bucket_expr`` — identical integers."""
+    return f"('0x' || substr(md5(CAST({col_sql} AS VARCHAR)), 1, 8))::BIGINT % {m}"

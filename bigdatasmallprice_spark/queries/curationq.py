@@ -32,7 +32,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bigdatasmallprice_spark.functions.texts import n_tokens, o_n_tokens
-from bigdatasmallprice_spark.functions.texts import o_shingle_expr, shingle_expr
+from bigdatasmallprice_spark.functions.texts import (
+    md5_bucket_expr,
+    o_md5_bucket_expr,
+    o_shingle_expr,
+    shingle_expr,
+)
 from bigdatasmallprice_spark.queries.core import table
 from bigdatasmallprice_spark.registry import register
 
@@ -1004,4 +1009,109 @@ def dataset_card_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "avg_tokens"
             ),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# contamination-safe eval split: select, audit, and certify held-out docs
+# ---------------------------------------------------------------------------
+
+_ES_FRAC = 10  # ~1/10 of docs become eval candidates
+_ES_N = 8  # span width for the overlap audit
+# md5-mixed membership (functions/texts.py::md5_bucket_expr): an LCG
+# mod-bucket degenerates to a plain doc_id stride for small id ranges
+# (48271 % 10 == 1, so (id*48271+11) % 10 tracks (id+1) % 10), which
+# would correlate the eval split with every other doc_id-modulus-derived
+# feature in this corpus (PII injection uses %2/%5, snapshot releases
+# use %5/%7); md5 mixes at any scale
+_O_ES_PRED = f"{o_md5_bucket_expr('doc_id', _ES_FRAC)} = 0"
+_S_ES_PRED = f"{md5_bucket_expr('doc_id', _ES_FRAC)} = 0"
+
+
+@register(
+    "eval_split_clean",
+    f"""
+WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS ws,
+                     ({_O_ES_PRED}) AS is_eval
+              FROM documents),
+g AS (SELECT doc_id, source, is_eval, unnest({o_shingle_expr('ws', _ES_N)}) AS sp FROM toks),
+train_sp AS (SELECT DISTINCT sp FROM g WHERE NOT is_eval),
+eval_doc AS (
+  SELECT g.doc_id, g.source,
+         CAST(COUNT(*) AS BIGINT) AS n_spans,
+         CAST(SUM(CASE WHEN t.sp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap
+  FROM g LEFT JOIN train_sp t ON g.sp = t.sp
+  WHERE g.is_eval
+  GROUP BY 1, 2
+),
+short_eval AS (
+  SELECT doc_id, source FROM toks
+  WHERE is_eval AND len(ws) < {_ES_N}
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_eval_candidates,
+       CAST(SUM(CASE WHEN n_overlap > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+       CAST(SUM(CASE WHEN n_overlap = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
+       CAST(SUM(CASE WHEN n_overlap = 0 THEN n_spans ELSE 0 END) AS BIGINT) AS clean_span_mass
+FROM (SELECT doc_id, source, n_spans, n_overlap FROM eval_doc
+      UNION ALL
+      SELECT doc_id, source, 0, 0 FROM short_eval) u
+GROUP BY 1
+""",
+    doc="Contamination-safe eval-split construction: candidates are a "
+    "deterministic md5-hash ~10% of documents (reproducible across "
+    "engines/partitions, no rand()), then every candidate is audited "
+    "for 8-word-span overlap against the REMAINING train split and "
+    "certified clean only at zero overlap — the benchmark-hygiene "
+    "step run before any held-out evaluation is trusted (cf. "
+    "benchmark_decontamination, which audits an EXTERNAL eval slice; "
+    "this builds an internal one). Docs shorter than the span width "
+    "carry no spans and are trivially clean. At 100 TB the train span "
+    "set becomes an xxhash64 semi-join (or the bloom bitmap as a "
+    "prefilter) — the audit never materializes text pairs.",
+    tags=("curation", "eval", "join"),
+)
+def eval_split_clean_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.split("text", " ").alias("ws"),
+        F.expr(_S_ES_PRED).alias("is_eval"),
+    )
+    g = toks.select(
+        "doc_id", "source", "is_eval",
+        F.explode(F.expr(shingle_expr("ws", _ES_N))).alias("sp"),
+    ).persist()
+    train_sp = g.filter(~F.col("is_eval")).select("sp").distinct()
+    eval_doc = (
+        g.filter(F.col("is_eval"))
+        .join(train_sp.withColumn("__hit", F.lit(1)), "sp", "left")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_spans"),
+            F.sum(F.when(F.col("__hit").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_overlap"),
+        )
+    )
+    short_eval = toks.filter(
+        F.col("is_eval") & (F.size("ws") < _ES_N)
+    ).select(
+        "doc_id", "source",
+        F.lit(0).cast("long").alias("n_spans"),
+        F.lit(0).cast("long").alias("n_overlap"),
+    )
+    u = eval_doc.unionByName(short_eval)
+    return u.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_eval_candidates"),
+        F.sum(F.when(F.col("n_overlap") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_contaminated"),
+        F.sum(F.when(F.col("n_overlap") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_clean"),
+        F.sum(F.when(F.col("n_overlap") == 0, F.col("n_spans")).otherwise(0))
+        .cast("long")
+        .alias("clean_span_mass"),
     )

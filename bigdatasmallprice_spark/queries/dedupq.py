@@ -725,3 +725,102 @@ def bloom_shingle_prefilter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_false_pos"),
     )
+
+
+# ---------------------------------------------------------------------------
+# cross-document repeated-span mass (Lee et al. 2022 dedup signal)
+# ---------------------------------------------------------------------------
+
+_SPAN_N = 8  # words per span
+
+
+@register(
+    "dedup_span_stats",
+    f"""
+WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+g AS (
+  SELECT doc_id, source, unnest({o_shingle_expr('ws', _SPAN_N)}) AS sp
+  FROM toks
+),
+df_ AS (
+  SELECT sp, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS ndocs
+  FROM g GROUP BY 1
+),
+per_doc AS (
+  SELECT g.doc_id, g.source,
+         CAST(COUNT(*) AS BIGINT) AS n_spans,
+         CAST(SUM(CASE WHEN df_.ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+  FROM g JOIN df_ ON g.sp = df_.sp
+  GROUP BY 1, 2
+),
+short_docs AS (
+  SELECT doc_id, source, CAST(0 AS BIGINT) AS n_spans, CAST(0 AS BIGINT) AS n_shared
+  FROM toks WHERE len(ws) < {_SPAN_N}
+),
+all_docs AS (SELECT * FROM per_doc UNION ALL SELECT * FROM short_docs)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_spans) AS BIGINT) AS total_spans,
+       CAST(SUM(n_shared) AS BIGINT) AS shared_spans,
+       CAST(SUM(CASE WHEN n_shared * 5 >= n_spans THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_boilerplate_docs
+FROM all_docs GROUP BY 1
+""",
+    doc="Cross-document repeated-span mass (Lee et al. 2022, 'Deduplicating "
+    "Training Data Makes Language Models Better'): every 8-word span's "
+    "document frequency, folded back per document into the fraction of "
+    "its spans that also occur elsewhere — the boilerplate signal that "
+    "motivates span-level (not doc-level) dedup; docs with >=20% shared "
+    "spans are flagged; sub-span-width docs carry zero spans but "
+    "still count in the per-source totals. Distinct from repetition_stats (WITHIN-doc "
+    "repetition) and benchmark_decontamination (overlap vs an eval "
+    "slice): this is corpus-internal cross-doc duplication. Plan: one "
+    "span explode, one span-key groupBy, one join back — at 100 TB the "
+    "span key becomes xxhash64(span) so the shuffle carries 8-byte "
+    "keys, and the df_ table is exactly the dedup index span-dedup "
+    "would consume.",
+    tags=("dedup", "agg", "join"),
+)
+def dedup_span_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    g = (
+        docs.select("doc_id", "source", F.split("text", " ").alias("ws"))
+        .select(
+            "doc_id", "source",
+            F.explode(F.expr(shingle_expr("ws", _SPAN_N))).alias("sp"),
+        )
+        .persist()  # feeds both the df_ aggregate and the join back
+    )
+    df_ = g.groupBy("sp").agg(
+        F.countDistinct("doc_id").cast("long").alias("ndocs")
+    )
+    per_doc = (
+        g.join(df_, "sp")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_spans"),
+            F.sum(F.when(F.col("ndocs") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_shared"),
+        )
+    )
+    # docs shorter than the span width carry no spans but still count
+    # in the per-source doc totals (and are never boilerplate)
+    short_docs = (
+        docs.select("doc_id", "source", F.split("text", " ").alias("ws"))
+        .filter(F.size("ws") < _SPAN_N)
+        .select(
+            "doc_id", "source",
+            F.lit(0).cast("long").alias("n_spans"),
+            F.lit(0).cast("long").alias("n_shared"),
+        )
+    )
+    all_docs = per_doc.unionByName(short_docs)
+    return all_docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_spans").cast("long").alias("total_spans"),
+        F.sum("n_shared").cast("long").alias("shared_spans"),
+        F.sum(F.when(F.col("n_shared") * 5 >= F.col("n_spans"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_boilerplate_docs"),
+    )

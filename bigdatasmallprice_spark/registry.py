@@ -175,7 +175,8 @@ DRIVER_ORDER: list[str] = [
     # sf0.001 AND sf0.01, never driver-checked): semantic_dedup,
     # ann_index_upsert, bloom_shingle_prefilter, corpus_snapshot_diff,
     # multimodal_png_stats, cardinality_sketch, dataset_card,
-    # langid_eval, perplexity_buckets, rolling_backtest, event_funnel.
+    # langid_eval, perplexity_buckets, rolling_backtest, event_funnel,
+    # scd2_history, user_spend_rank, dedup_span_stats, eval_split_clean.
     # Swap them in for r2-green keepers (e.g. asof_last_purchase,
     # session_stats, latest_event_per_user, top_days_per_type,
     # peak_hour_spend, ann_cosine_topk, text_stats, lang_id,
