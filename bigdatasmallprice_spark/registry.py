@@ -76,8 +76,26 @@ def all_queries() -> dict[str, QuerySpec]:
 DRIVER_CAP = 50
 
 DRIVER_ORDER: list[str] = [
-    # -- never driver-verified before r3 (first priority: close the gap so
-    #    every registered query has a green row in r1∪r2∪r3)
+    # -- never driver-verified before r4 (first priority, same rule as r3:
+    #    close the gap so every registered query has a green row in
+    #    r1∪…∪r4; these 15 were registered mid-r3 after the rotation was
+    #    already full — see COVERAGE.json's driver_unverified list)
+    "semantic_dedup",
+    "ann_index_upsert",
+    "bloom_shingle_prefilter",
+    "corpus_snapshot_diff",
+    "multimodal_png_stats",
+    "cardinality_sketch",
+    "dataset_card",
+    "langid_eval",
+    "perplexity_buckets",
+    "rolling_backtest",
+    "event_funnel",
+    "scd2_history",
+    "user_spend_rank",
+    "dedup_span_stats",
+    "eval_split_clean",
+    # -- green in r3 only (kept: second external row confirms stability)
     "hybrid_search_rrf",
     "warc_ingest_stats",
     "kanon_release",
@@ -97,23 +115,8 @@ DRIVER_ORDER: list[str] = [
     "token_stats_by_source",
     "ann_cosine_topk_np",
     "embedding_neardup_np",
-    # -- green in r2 only (kept: second external row confirms stability)
-    "asof_last_purchase",
-    "session_stats",
-    "latest_event_per_user",
-    "top_days_per_type",
-    "peak_hour_spend",
-    "ann_cosine_topk",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "embedding_neardup",
-    "label_centroids",
-    "text_stats",
-    "lang_id",
-    "quality_filter",
-    "tfidf_terms",
+    # -- green in both r2 and r3 (kept while slots remain: third row)
     "bpe_token_stats",
-    "json_props_stats",
     "train_linear_model",
     "multimodal_wav_stats",
     "pii_scrub",
@@ -128,7 +131,15 @@ DRIVER_ORDER: list[str] = [
     "repetition_stats",
     "kmeans_centroids",
     "multimodal_bmp_resize",
-    "train_gbt_model",  # new in r3: histogram boosted trees (D5 complete)
+    "train_gbt_model",  # r3 green: histogram boosted trees (D5 complete)
+    # r4 rotation: swapped OUT 15 queries green in both r2 and r3
+    # (asof_last_purchase, session_stats, latest_event_per_user,
+    # top_days_per_type, peak_hour_spend, ann_cosine_topk, ann_lsh_topk,
+    # ann_ivf_topk, embedding_neardup, label_centroids, text_stats,
+    # lang_id, quality_filter, tfidf_terms, json_props_stats) for the 15
+    # mid-r3 registrations that had no external row (VERDICT r3 ask #1;
+    # machine-readable ledger: COVERAGE.json + tests/test_coverage.py).
+    #
     # r3 rotation: the 19 queries green in BOTH r1 and r2
     # (chrono_split_summary, corpus_curation_summary, dedup_exact,
     # error_monitor, freshness_gate, hourly_pivot, hourly_rollup,
@@ -171,17 +182,6 @@ DRIVER_ORDER: list[str] = [
     #     same date_trunc-join shape as net_load_features (J5, listed)
     # All remain registered: benched + locally parity-gated every round.
     #
-    # r4 rotation candidates (registered mid-r3, local parity green at
-    # sf0.001 AND sf0.01, never driver-checked): semantic_dedup,
-    # ann_index_upsert, bloom_shingle_prefilter, corpus_snapshot_diff,
-    # multimodal_png_stats, cardinality_sketch, dataset_card,
-    # langid_eval, perplexity_buckets, rolling_backtest, event_funnel,
-    # scd2_history, user_spend_rank, dedup_span_stats, eval_split_clean.
-    # Swap them in for r2-green keepers (e.g. asof_last_purchase,
-    # session_stats, latest_event_per_user, top_days_per_type,
-    # peak_hour_spend, ann_cosine_topk, text_stats, lang_id,
-    # quality_filter, tfidf_terms, json_props_stats) once those carry
-    # two green rounds.
 ]
 
 
