@@ -921,13 +921,26 @@ def ann_label_precision_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _SD_TAU = 0.35  # same near-dup cosine bar as embedding_neardup
+# SemDeDup's pair stage is quadratic in CLUSTER size (~N²/k pairs), so k
+# must grow with the corpus: k = max(8, n // TARGET) keeps the expected
+# cluster at ~TARGET vectors and the pair stage at ~N·TARGET/2 — linear
+# in N (SemDeDup itself runs ~100k clusters at web scale). Both engines
+# derive k from the same COUNT, so the fit replays exactly; at sf0.01
+# (500 vecs) this resolves to the historical k=8.
+_SD_TARGET_CLUSTER = 64
+_O_SD_K = f"(SELECT GREATEST(8, COUNT(*) // {_SD_TARGET_CLUSTER}) FROM x)"
 
 
-def _o_km_ctes(k: int, iters: int, where: str = "TRUE", with_final_update: bool = False) -> str:
+def _o_km_ctes(
+    k: int | str, iters: int, where: str = "TRUE", with_final_update: bool = False
+) -> str:
     """The unrolled exact-int Lloyd chain as reusable CTE text: ends
     after a{iters} (the final assignment), optionally also defining
     u{iters}/c{iters} (the post-assignment centroid update). Same
-    arithmetic as _o_kmeans_sql, parameterized over the source slice."""
+    arithmetic as _o_kmeans_sql, parameterized over the source slice.
+    ``k`` may be an int literal or a SQL scalar expression (e.g. a
+    corpus-size-derived subquery) — it only enters through the seed
+    predicate, so the chain itself is k-agnostic."""
     dist = "list_sum(list_transform(range(1, 65), i -> (x.xu[i] - c.cu[i]) * (x.xu[i] - c.cu[i])))"
     parts = [
         f"WITH x AS (SELECT vec_id AS id, "
@@ -961,7 +974,7 @@ _O_IDOT_XU = "list_sum(list_transform(range(1, 65), i -> {a}.xu[i] * {b}.xu[i]))
 @register(
     "semantic_dedup",
     f"""
-{_o_km_ctes(_KM_K, _KM_ITERS)}
+{_o_km_ctes(_O_SD_K, _KM_ITERS)}
 , p AS (
   SELECT a.cid, b.id AS rid
   FROM a{_KM_ITERS} a JOIN a{_KM_ITERS} b ON a.cid = b.cid AND a.id < b.id
@@ -983,13 +996,12 @@ FROM sz LEFT JOIN rem ON sz.cid = rem.cid
     "cid) instead of the corpus square; at 100 TB the fit runs on a "
     "hash sample and pruning shuffles each cluster to one partition "
     "block. All distances and votes are exact int64 (micro-unit "
-    "vectors), so the oracle replays the identical chain. NOTE the "
-    "candidate stage is quadratic in CLUSTER size (~N^2/k pairs): this "
-    "registered demo fixes k=8 so the oracle stays a closed CTE chain, "
-    "but production scales k with the corpus (SemDeDup itself uses "
-    "~100k clusters) to keep per-cluster blocks bounded — sf1 "
-    "evidence: 10x data at fixed k cost 10.2x, matching the N^2/k "
-    "prediction, and the same code takes any k.",
+    "vectors), so the oracle replays the identical chain. k SCALES "
+    f"WITH THE CORPUS: k = max(8, n // {_SD_TARGET_CLUSTER}) holds the "
+    "expected cluster at a constant size, so the pair stage stays "
+    "linear in n (r3's pinned k=8 measured 10.2x wall at 10x data — "
+    "the N^2/k prediction; deriving k from the same COUNT in both "
+    "engines keeps the oracle a closed CTE chain).",
     tags=("similarity", "dedup", "train"),
 )
 def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -999,7 +1011,10 @@ def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = table(spark, sf_dir, "embeddings")
-    assigned = kmeans_assignments(emb, k=_KM_K, iters=_KM_ITERS)
+    # scalar count read: the same corpus-size-derived k as the oracle's
+    # seed-predicate subquery
+    k = max(8, emb.count() // _SD_TARGET_CLUSTER)
+    assigned = kmeans_assignments(emb, k=k, iters=_KM_ITERS)
     return semantic_dedup_summary(assigned, tau=_SD_TAU)
 
 

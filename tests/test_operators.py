@@ -641,15 +641,20 @@ def test_kmeans_fit_reduces_sse(spark):
         kmeans_fit_scaled,
         update_centroids,
         with_scaled_units,
-        _sq_dist,
     )
     from bigdatasmallprice_spark.queries.core import table
 
     emb = table(spark, "/root/testdata/sf0.001", "embeddings")
     scaled = with_scaled_units(emb.select("vec_id", "embedding"))
 
+    # independent SQL distance (not the numpy path under test)
+    sq_dist = F.expr(
+        "aggregate(zip_with(xu, cu, (x, y) -> (x - y) * (x - y)), "
+        "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+
     def sse(cent):
-        a = scaled.crossJoin(F.broadcast(cent)).withColumn("d", _sq_dist("xu", "cu"))
+        a = scaled.crossJoin(F.broadcast(cent)).withColumn("d", sq_dist)
         return (
             a.groupBy("id").agg(F.min("d").alias("dmin")).agg(F.sum("dmin")).first()[0]
         )
