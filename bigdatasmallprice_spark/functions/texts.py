@@ -143,3 +143,19 @@ def md5_bucket_expr(col_sql: str, m: int) -> str:
 def o_md5_bucket_expr(col_sql: str, m: int) -> str:
     """DuckDB twin of ``md5_bucket_expr`` — identical integers."""
     return f"('0x' || substr(md5(CAST({col_sql} AS VARCHAR)), 1, 8))::BIGINT % {m}"
+
+
+def md5_key60_expr(col_sql: str) -> str:
+    """60-bit integer key from the first 15 md5 hex chars of a string
+    expression — the engine-portable stand-in for xxhash64 when a
+    shuffle/join key must replay in DuckDB (xxhash64 exists only on the
+    Spark side). Grouping on this instead of the raw string shrinks the
+    shuffle key to 8 bytes regardless of text length; a collision would
+    merge two keys identically in BOTH engines, so oracle parity is
+    unconditional."""
+    return f"CAST(conv(substr(md5({col_sql}), 1, 15), 16, 10) AS BIGINT)"
+
+
+def o_md5_key60_expr(col_sql: str) -> str:
+    """DuckDB twin of ``md5_key60_expr`` — identical integers."""
+    return f"('0x' || substr(md5({col_sql}), 1, 15))::BIGINT"

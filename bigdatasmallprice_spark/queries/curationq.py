@@ -168,10 +168,17 @@ def _o_lines() -> str:
     )
 
 
-@register(
-    "line_dedup",
-    f"""
-WITH lines AS ({_o_lines()}),
+def _o_line_dedup_sql(hashed: bool) -> str:
+    from bigdatasmallprice_spark.functions.texts import o_md5_key60_expr
+
+    lines = _o_lines()
+    if hashed:
+        lines = (
+            f"SELECT doc_id, source, {o_md5_key60_expr('line')} AS line "
+            f"FROM ({lines}) l0"
+        )
+    return f"""
+WITH lines AS ({lines}),
 freq AS (
   SELECT line, COUNT(DISTINCT doc_id) AS n_docs_with
   FROM lines GROUP BY 1
@@ -188,21 +195,13 @@ SELECT source,
        CAST(COUNT(DISTINCT CASE WHEN n_docs_with >= 2 THEN line END) AS BIGINT) AS n_boiler_lines
 FROM marked
 GROUP BY 1
-""",
-    doc="C4-style line-level exact dedup: the corpus is exploded into "
-    f"lines ({_LINE_TOKENS}-token chunks — the synthetic text has no "
-    "newlines), each line's document frequency is computed corpus-wide, "
-    "and every occurrence of a cross-document line except the one in "
-    "the lowest doc_id is removed. Plan: one explode + one groupBy on "
-    "the line + join back (at 100 TB the join key becomes "
-    "xxhash64(line), 8 B, and the line-frequency table stays a shuffle "
-    "join — boilerplate vocab outgrows broadcast). The keep-first rule "
-    "is a window over the line key, NOT a global order — partitions by "
-    "line, so it scales with the widest duplicate class, not the corpus.",
-    tags=("text", "curation", "dedup"),
-)
-def line_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+"""
+
+
+def _line_dedup_df(spark: SparkSession, sf_dir: str, hashed: bool) -> DataFrame:
     from pyspark.sql import Window
+
+    from bigdatasmallprice_spark.functions.texts import md5_key60_expr
 
     n = _LINE_TOKENS
     docs = table(spark, sf_dir, "documents").withColumn(
@@ -218,6 +217,12 @@ def line_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("line"),
     )
+    if hashed:
+        # every downstream shuffle (freq groupBy, join back, keep-first
+        # window, distinct boiler count) carries the 8-byte key
+        lines = lines.select(
+            "doc_id", "source", F.expr(md5_key60_expr("line")).alias("line")
+        )
     freq = lines.groupBy("line").agg(
         F.countDistinct("doc_id").alias("n_docs_with")
     )
@@ -240,6 +245,46 @@ def line_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_removed"),
         F.countDistinct(F.when(boiler, F.col("line"))).alias("n_boiler_lines"),
     )
+
+
+@register(
+    "line_dedup",
+    _o_line_dedup_sql(hashed=False),
+    doc="C4-style line-level exact dedup: the corpus is exploded into "
+    f"lines ({_LINE_TOKENS}-token chunks — the synthetic text has no "
+    "newlines), each line's document frequency is computed corpus-wide, "
+    "and every occurrence of a cross-document line except the one in "
+    "the lowest doc_id is removed. Plan: one explode + one groupBy on "
+    "the line + join back; the line-frequency table stays a shuffle "
+    "join (boilerplate vocab outgrows broadcast). The keep-first rule "
+    "is a window over the line key, NOT a global order — partitions by "
+    "line, so it scales with the widest duplicate class, not the "
+    "corpus. This variant shuffles raw line strings; line_dedup_hashed "
+    "is the 8-byte-key scale path.",
+    tags=("text", "curation", "dedup"),
+)
+def line_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _line_dedup_df(spark, sf_dir, hashed=False)
+
+
+@register(
+    "line_dedup_hashed",
+    _o_line_dedup_sql(hashed=True),
+    doc="line_dedup with every line-keyed shuffle (frequency groupBy, "
+    "join back, keep-first window, distinct boiler count) carried on a "
+    "60-bit md5-slice integer instead of the line text (xxhash64 in a "
+    "pure-Spark deployment; the md5 slice is the engine-portable twin, "
+    "and a collision merges identically in both engines). Same output "
+    "schema and values. Measured tradeoff (BENCH_sf1.json): hashing "
+    "WINS for 8-word spans (dedup_span_stats_hashed 13.2s vs 17.3s "
+    "raw at sf1) but LOSES here at the synthetic 3-token line width "
+    "(8.1s vs 5.7s) — the hash compute outweighs shuffling ~15-char "
+    "strings; pick the keyed variant when key width exceeds ~8 bytes "
+    "by enough to matter, i.e. real line/paragraph dedup.",
+    tags=("text", "curation", "dedup"),
+)
+def line_dedup_hashed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _line_dedup_df(spark, sf_dir, hashed=True)
 
 
 # ---------------------------------------------------------------------------
@@ -1028,13 +1073,23 @@ _O_ES_PRED = f"{o_md5_bucket_expr('doc_id', _ES_FRAC)} = 0"
 _S_ES_PRED = f"{md5_bucket_expr('doc_id', _ES_FRAC)} = 0"
 
 
-@register(
-    "eval_split_clean",
-    f"""
+def _o_eval_split_sql(hashed: bool) -> str:
+    from bigdatasmallprice_spark.functions.texts import o_md5_key60_expr
+
+    g = (
+        f"SELECT doc_id, source, is_eval, "
+        f"unnest({o_shingle_expr('ws', _ES_N)}) AS sp FROM toks"
+    )
+    if hashed:
+        g = (
+            f"SELECT doc_id, source, is_eval, {o_md5_key60_expr('sp')} AS sp "
+            f"FROM ({g}) g0"
+        )
+    return f"""
 WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS ws,
                      ({_O_ES_PRED}) AS is_eval
               FROM documents),
-g AS (SELECT doc_id, source, is_eval, unnest({o_shingle_expr('ws', _ES_N)}) AS sp FROM toks),
+g AS ({g}),
 train_sp AS (SELECT DISTINCT sp FROM g WHERE NOT is_eval),
 eval_doc AS (
   SELECT g.doc_id, g.source,
@@ -1057,21 +1112,12 @@ FROM (SELECT doc_id, source, n_spans, n_overlap FROM eval_doc
       UNION ALL
       SELECT doc_id, source, 0, 0 FROM short_eval) u
 GROUP BY 1
-""",
-    doc="Contamination-safe eval-split construction: candidates are a "
-    "deterministic md5-hash ~10% of documents (reproducible across "
-    "engines/partitions, no rand()), then every candidate is audited "
-    "for 8-word-span overlap against the REMAINING train split and "
-    "certified clean only at zero overlap — the benchmark-hygiene "
-    "step run before any held-out evaluation is trusted (cf. "
-    "benchmark_decontamination, which audits an EXTERNAL eval slice; "
-    "this builds an internal one). Docs shorter than the span width "
-    "carry no spans and are trivially clean. At 100 TB the train span "
-    "set becomes an xxhash64 semi-join (or the bloom bitmap as a "
-    "prefilter) — the audit never materializes text pairs.",
-    tags=("curation", "eval", "join"),
-)
-def eval_split_clean_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+"""
+
+
+def _eval_split_df(spark: SparkSession, sf_dir: str, hashed: bool) -> DataFrame:
+    from bigdatasmallprice_spark.functions.texts import md5_key60_expr
+
     docs = table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
@@ -1082,7 +1128,14 @@ def eval_split_clean_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = toks.select(
         "doc_id", "source", "is_eval",
         F.explode(F.expr(shingle_expr("ws", _ES_N))).alias("sp"),
-    ).persist()
+    )
+    if hashed:
+        # 8-byte key for the train-span semi-join instead of the span text
+        g = g.select(
+            "doc_id", "source", "is_eval",
+            F.expr(md5_key60_expr("sp")).alias("sp"),
+        )
+    g = g.persist()
     train_sp = g.filter(~F.col("is_eval")).select("sp").distinct()
     eval_doc = (
         g.filter(F.col("is_eval"))
@@ -1115,3 +1168,38 @@ def eval_split_clean_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("clean_span_mass"),
     )
+
+
+@register(
+    "eval_split_clean",
+    _o_eval_split_sql(hashed=False),
+    doc="Contamination-safe eval-split construction: candidates are a "
+    "deterministic md5-hash ~10% of documents (reproducible across "
+    "engines/partitions, no rand()), then every candidate is audited "
+    "for 8-word-span overlap against the REMAINING train split and "
+    "certified clean only at zero overlap — the benchmark-hygiene "
+    "step run before any held-out evaluation is trusted (cf. "
+    "benchmark_decontamination, which audits an EXTERNAL eval slice; "
+    "this builds an internal one). Docs shorter than the span width "
+    "carry no spans and are trivially clean. This variant joins on raw "
+    "span strings; eval_split_clean_hashed is the 8-byte-key scale "
+    "path (the bloom bitmap works as a prefilter for either).",
+    tags=("curation", "eval", "join"),
+)
+def eval_split_clean_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _eval_split_df(spark, sf_dir, hashed=False)
+
+
+@register(
+    "eval_split_clean_hashed",
+    _o_eval_split_sql(hashed=True),
+    doc="eval_split_clean with the train-span semi-join keyed on a "
+    "60-bit md5-slice integer instead of the raw 8-word span — the "
+    "100 TB variant: the span explode's shuffle and the overlap join "
+    "carry 8-byte keys (xxhash64 in a pure-Spark deployment; the md5 "
+    "slice is the engine-portable twin, and a collision merges "
+    "identically in both engines). Same output schema and values.",
+    tags=("curation", "eval", "join"),
+)
+def eval_split_clean_hashed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _eval_split_df(spark, sf_dir, hashed=True)

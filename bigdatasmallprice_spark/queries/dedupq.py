@@ -734,13 +734,16 @@ def bloom_shingle_prefilter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SPAN_N = 8  # words per span
 
 
-@register(
-    "dedup_span_stats",
-    f"""
+def _o_span_stats_sql(hashed: bool) -> str:
+    from bigdatasmallprice_spark.functions.texts import o_md5_key60_expr
+
+    g = f"SELECT doc_id, source, unnest({o_shingle_expr('ws', _SPAN_N)}) AS sp FROM toks"
+    if hashed:
+        g = f"SELECT doc_id, source, {o_md5_key60_expr('sp')} AS sp FROM ({g}) g0"
+    return f"""
 WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
 g AS (
-  SELECT doc_id, source, unnest({o_shingle_expr('ws', _SPAN_N)}) AS sp
-  FROM toks
+  {g}
 ),
 df_ AS (
   SELECT sp, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS ndocs
@@ -765,32 +768,21 @@ SELECT source,
        CAST(SUM(CASE WHEN n_shared * 5 >= n_spans THEN 1 ELSE 0 END) AS BIGINT)
          AS n_boilerplate_docs
 FROM all_docs GROUP BY 1
-""",
-    doc="Cross-document repeated-span mass (Lee et al. 2022, 'Deduplicating "
-    "Training Data Makes Language Models Better'): every 8-word span's "
-    "document frequency, folded back per document into the fraction of "
-    "its spans that also occur elsewhere — the boilerplate signal that "
-    "motivates span-level (not doc-level) dedup; docs with >=20% shared "
-    "spans are flagged; sub-span-width docs carry zero spans but "
-    "still count in the per-source totals. Distinct from repetition_stats (WITHIN-doc "
-    "repetition) and benchmark_decontamination (overlap vs an eval "
-    "slice): this is corpus-internal cross-doc duplication. Plan: one "
-    "span explode, one span-key groupBy, one join back — at 100 TB the "
-    "span key becomes xxhash64(span) so the shuffle carries 8-byte "
-    "keys, and the df_ table is exactly the dedup index span-dedup "
-    "would consume.",
-    tags=("dedup", "agg", "join"),
-)
-def dedup_span_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+"""
+
+
+def _span_stats_df(spark: SparkSession, sf_dir: str, hashed: bool) -> DataFrame:
+    from bigdatasmallprice_spark.functions.texts import md5_key60_expr
+
     docs = table(spark, sf_dir, "documents")
-    g = (
-        docs.select("doc_id", "source", F.split("text", " ").alias("ws"))
-        .select(
-            "doc_id", "source",
-            F.explode(F.expr(shingle_expr("ws", _SPAN_N))).alias("sp"),
-        )
-        .persist()  # feeds both the df_ aggregate and the join back
+    g = docs.select("doc_id", "source", F.split("text", " ").alias("ws")).select(
+        "doc_id", "source",
+        F.explode(F.expr(shingle_expr("ws", _SPAN_N))).alias("sp"),
     )
+    if hashed:
+        # 8-byte shuffle/join key instead of the ~50-byte span string
+        g = g.select("doc_id", "source", F.expr(md5_key60_expr("sp")).alias("sp"))
+    g = g.persist()  # feeds both the df_ aggregate and the join back
     df_ = g.groupBy("sp").agg(
         F.countDistinct("doc_id").cast("long").alias("ndocs")
     )
@@ -824,3 +816,40 @@ def dedup_span_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_boilerplate_docs"),
     )
+
+
+@register(
+    "dedup_span_stats",
+    _o_span_stats_sql(hashed=False),
+    doc="Cross-document repeated-span mass (Lee et al. 2022, 'Deduplicating "
+    "Training Data Makes Language Models Better'): every 8-word span's "
+    "document frequency, folded back per document into the fraction of "
+    "its spans that also occur elsewhere — the boilerplate signal that "
+    "motivates span-level (not doc-level) dedup; docs with >=20% shared "
+    "spans are flagged; sub-span-width docs carry zero spans but "
+    "still count in the per-source totals. Distinct from repetition_stats (WITHIN-doc "
+    "repetition) and benchmark_decontamination (overlap vs an eval "
+    "slice): this is corpus-internal cross-doc duplication. Plan: one "
+    "span explode, one span-key groupBy, one join back. This variant "
+    "shuffles RAW span strings (~50 B keys); the scale path is "
+    "dedup_span_stats_hashed, which carries an 8-byte key.",
+    tags=("dedup", "agg", "join"),
+)
+def dedup_span_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _span_stats_df(spark, sf_dir, hashed=False)
+
+
+@register(
+    "dedup_span_stats_hashed",
+    _o_span_stats_sql(hashed=True),
+    doc="dedup_span_stats with the span groupBy/join keyed on a 60-bit "
+    "md5-slice integer instead of the raw 8-word string — the 100 TB "
+    "variant: the explode's shuffle and the join back carry 8-byte "
+    "keys (pure-Spark deployments would use xxhash64; the md5 slice is "
+    "the engine-portable twin so DuckDB replays the identical key, and "
+    "any collision merges identically in both engines). Same output "
+    "schema and, at these corpus sizes, identical values.",
+    tags=("dedup", "agg", "join"),
+)
+def dedup_span_stats_hashed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _span_stats_df(spark, sf_dir, hashed=True)

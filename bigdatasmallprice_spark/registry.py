@@ -95,6 +95,11 @@ DRIVER_ORDER: list[str] = [
     "user_spend_rank",
     "dedup_span_stats",
     "eval_split_clean",
+    # -- new in r4: 8-byte-key shuffle variants of the span/line queries
+    #    (VERDICT r3 ask #4) — never driver-verified
+    "dedup_span_stats_hashed",
+    "eval_split_clean_hashed",
+    "line_dedup_hashed",
     # -- green in r3 only (kept: second external row confirms stability)
     "hybrid_search_rrf",
     "warc_ingest_stats",
@@ -116,10 +121,7 @@ DRIVER_ORDER: list[str] = [
     "ann_cosine_topk_np",
     "embedding_neardup_np",
     # -- green in both r2 and r3 (kept while slots remain: third row)
-    "bpe_token_stats",
     "train_linear_model",
-    "multimodal_wav_stats",
-    "pii_scrub",
     "line_dedup",
     "shard_manifest",
     "mixture_sampling_plan",
@@ -132,12 +134,14 @@ DRIVER_ORDER: list[str] = [
     "kmeans_centroids",
     "multimodal_bmp_resize",
     "train_gbt_model",  # r3 green: histogram boosted trees (D5 complete)
-    # r4 rotation: swapped OUT 15 queries green in both r2 and r3
+    # r4 rotation: swapped OUT 18 queries green in both r2 and r3
     # (asof_last_purchase, session_stats, latest_event_per_user,
     # top_days_per_type, peak_hour_spend, ann_cosine_topk, ann_lsh_topk,
     # ann_ivf_topk, embedding_neardup, label_centroids, text_stats,
-    # lang_id, quality_filter, tfidf_terms, json_props_stats) for the 15
-    # mid-r3 registrations that had no external row (VERDICT r3 ask #1;
+    # lang_id, quality_filter, tfidf_terms, json_props_stats,
+    # bpe_token_stats, multimodal_wav_stats, pii_scrub) for the 15
+    # mid-r3 registrations that had no external row (VERDICT r3 ask #1)
+    # plus the three new *_hashed shuffle-key variants (ask #4;
     # machine-readable ledger: COVERAGE.json + tests/test_coverage.py).
     #
     # r3 rotation: the 19 queries green in BOTH r1 and r2

@@ -382,3 +382,43 @@ def test_event_funnel_reuses_one_partitioning(spark):
     )
     assert n_exchanges <= 2, plan
     assert "Window" in plan
+
+
+def _key_exchanges(plan: str, key: str) -> list[str]:
+    import re
+
+    out = []
+    for line in plan.splitlines():
+        if "hashpartitioning" not in line:
+            continue
+        m = re.search(rf"hashpartitioning\(({key}#\d+L?)[,)]", line)
+        if m:
+            out.append(m.group(1))
+    return out
+
+
+def test_hashed_span_and_line_shuffles_carry_long_keys(spark):
+    """The *_hashed variants must shuffle on an 8-byte BIGINT key (the
+    md5-slice stand-in for xxhash64), never on the raw span/line text;
+    the unhashed originals keep the string key (documented constant-
+    factor cost). Long attributes print with an 'L' suffix in the
+    formatted plan (sp#38L); strings have no suffix."""
+    from bigdatasmallprice_spark.registry import all_queries
+
+    cases = [
+        ("dedup_span_stats", "dedup_span_stats_hashed", "sp"),
+        ("eval_split_clean", "eval_split_clean_hashed", "sp"),
+        ("line_dedup", "line_dedup_hashed", "line"),
+    ]
+    for raw_name, hashed_name, key in cases:
+        hashed_plan = _formatted(all_queries()[hashed_name].fn(spark, SF))
+        keys = _key_exchanges(hashed_plan, key)
+        assert keys, f"{hashed_name}: no {key}-keyed exchange found"
+        assert all(k.endswith("L") for k in keys), (hashed_name, keys)
+
+        raw_plan = _formatted(all_queries()[raw_name].fn(spark, SF))
+        raw_keys = _key_exchanges(raw_plan, key)
+        assert raw_keys and all(not k.endswith("L") for k in raw_keys), (
+            raw_name,
+            raw_keys,
+        )
