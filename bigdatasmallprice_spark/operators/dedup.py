@@ -73,26 +73,30 @@ def with_shingles(df: DataFrame, text_col: str = "text", out: str = "shingles") 
     )
 
 
-def with_minhash(df: DataFrame, shingle_col: str = "shingles") -> DataFrame:
+def with_minhash(
+    df: DataFrame, shingle_col: str = "shingles", distinct: bool = True
+) -> DataFrame:
     """k minhash values h_i = min over shingles of (a_i*x+b_i) mod p.
     NULL when the shingle set is empty.
 
     All k mins are computed in ONE expression binding the shingle array
     to a lambda variable once (see with_shingles for why), then unpacked
-    into mh0..mh{k-1} columns. The binding deduplicates the shingle
-    array first: min over the distinct set equals min over the multiset
-    (signatures are bit-identical), and the k transform passes then
-    walk ~30% fewer elements on repetitive text (measured 0.65s ->
-    0.42s at sf0.1)."""
+    into mh0..mh{k-1} columns. min over the distinct set equals min over
+    the multiset, so ``distinct`` never changes the signature — it only
+    trades an array_distinct pass against shorter transform walks. Pass
+    ``distinct=False`` when the input arrays are ALREADY deduplicated
+    (the LSH pipeline persists distinct sets for its Jaccard verify) or
+    when signatures are the only output (the dedup pass costs more than
+    the k shorter walks save: 0.53s vs 0.42s at sf0.1); keep the
+    default for repetitive multiset inputs that feed several passes."""
+    src = f"array_distinct({shingle_col})" if distinct else shingle_col
     mins = ", ".join(
         f"array_min(transform(__sh, x -> ({a} * x + {b}) % {HASH_MOD}))"
         for (a, b) in MINHASH_COEFS
     )
     df = df.withColumn(
         "__mhs",
-        F.expr(
-            f"transform(array(array_distinct({shingle_col})), __sh -> array({mins}))[0]"
-        ),
+        F.expr(f"transform(array({src}), __sh -> array({mins}))[0]"),
     )
     for i in range(len(MINHASH_COEFS)):
         df = df.withColumn(f"mh{i}", F.col("__mhs")[i])

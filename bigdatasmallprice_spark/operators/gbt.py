@@ -292,6 +292,481 @@ def predict_cents_column(artifact: dict, ts_col: str) -> Column:
     return F.when(F.col(ts_col).isNotNull(), pred)
 
 
+# ---------------------------------------------------------------------------
+# generalized histogram GBT: binned continuous features, arbitrary depth
+# ---------------------------------------------------------------------------
+#
+# The depth-2 (hour, dow) model above collects the JOINT feature
+# histogram, which only works while the joint space is tiny (168 cells).
+# The general model below is the real histogram-GBT factorization
+# (LightGBM / XGBoost 'hist', reference src/modelling/train.py:124-165):
+# per-NODE per-FEATURE bin histograms, one small groupBy per tree LEVEL,
+# split search on the collected model-sized histogram. Costs per round =
+# depth histogram passes over the persisted featurized frame — each an
+# embarrassingly-parallel scan plus a <= nodes*features*bins-group
+# shuffle — so the same code runs at 100 TB with the scan as the only
+# corpus-sized work. Continuous features are quantile-binned with EXACT
+# rank thresholds (t_j = min value whose cumulative train count reaches
+# 1 + (j*n)//B) so the DuckDB oracle derives bit-identical candidates;
+# a production deployment would swap approx_percentile in and drop the
+# oracle-parity constraint.
+
+
+@dataclass(frozen=True)
+class GSplit:
+    feature: int
+    threshold: int  # goes left iff x[feature] < threshold (exact ints)
+
+
+@dataclass
+class GTree:
+    splits: list[dict[int, GSplit]]  # splits[level][node] (missing = unsplit)
+    leaf_values: dict[int, int]  # leaf id at level `depth` -> value (cents)
+    leaf_counts: dict[int, int]
+
+
+@dataclass
+class GbtFullModel:
+    base: int
+    depth: int
+    trees: list[GTree]
+
+
+def _node_col(tree_splits: list[dict[int, GSplit]], upto_level: int, xcols) -> "Column":
+    """Node id at ``upto_level`` as a literal column (pure codegen):
+    node_0 = 0; node_{l+1} = node_l * 2 + bit, bit = 0 on the left of
+    that node's split (or always 0 when the node is unsplit)."""
+    node = F.lit(0)
+    for lvl in range(upto_level):
+        bit = F.lit(0)
+        for nd, sp in tree_splits[lvl].items():
+            cond = (node == F.lit(nd)) & (xcols[sp.feature] >= F.lit(sp.threshold))
+            bit = F.when(cond, F.lit(1)).otherwise(bit)
+        node = node * 2 + bit
+    return node
+
+
+def _exact_rank_thresholds(
+    tr: DataFrame, cont_features: list[int], xcols, n_bins: int
+) -> dict[int, list[int]]:
+    """B-1 exact order-statistic thresholds per continuous feature over
+    the TRAIN rows: t_j = min v with cum_count(v) >= 1 + (j*n)//B.
+    Computed distributively (value-histogram + per-feature cumulative
+    window + broadcast rank join); only the <= features*(B-1) result
+    rows reach the driver. Deterministic in values (ties in the sort
+    cannot change the value at a rank)."""
+    from pyspark.sql import Window
+
+    n = tr.count()
+    stacked = tr.select(
+        F.posexplode(F.array(*[xcols[f] for f in cont_features])).alias("fi", "v")
+    )
+    dist = stacked.groupBy("fi", "v").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("fi").orderBy("v")
+    cum = dist.withColumn("cum", F.sum("c").over(w))
+    ranks = [(j, 1 + (j * n) // n_bins) for j in range(1, n_bins)]
+    rdf = tr.sparkSession.createDataFrame(ranks, "j long, r long")
+    thr = (
+        cum.join(F.broadcast(rdf), cum["cum"] >= rdf["r"])
+        .groupBy("fi", "j")
+        .agg(F.min("v").alias("t"))
+        .select("fi", "t")
+        .distinct()
+        .collect()
+    )
+    out: dict[int, list[int]] = {f: [] for f in cont_features}
+    for row in thr:
+        out[cont_features[row["fi"]]].append(int(row["t"]))
+    return {f: sorted(set(ts)) for f, ts in out.items()}
+
+
+def _best_general_split(
+    bins: dict[tuple[int, int], tuple[int, int]], thresholds: dict[int, list[int]]
+) -> GSplit | None:
+    """Argmax variance-reduction split for ONE node from its per-
+    (feature, bin) histogram. ``bins`` maps (feature, bin) -> (n, rs);
+    bin(x) = #{thresholds <= x}, so candidate 'x < t_j' puts bins
+    0..j-1 on the left. Gain/tie-break arithmetic is the same IEEE
+    expression tree as the oracle (gain DESC, feature, threshold)."""
+    best: tuple[float, int, int] | None = None
+    for f, ts in thresholds.items():
+        k = len(ts)
+        pref = [(0, 0)] * (k + 2)
+        n_t = s_t = 0
+        acc_n = acc_s = 0
+        by_bin = {b: (n, s) for (ff, b), (n, s) in bins.items() if ff == f}
+        for b in range(0, k + 1):
+            n_b, s_b = by_bin.get(b, (0, 0))
+            acc_n += n_b
+            acc_s += s_b
+            pref[b + 1] = (acc_n, acc_s)
+        n_t, s_t = acc_n, acc_s
+        for j in range(1, k + 1):
+            n_l, s_l = pref[j]
+            n_r = n_t - n_l
+            if n_l <= 0 or n_r <= 0:
+                continue
+            s_r = s_t - s_l
+            gain = (float(s_l) * float(s_l)) / float(n_l) + (
+                float(s_r) * float(s_r)
+            ) / float(n_r)
+            key = (-gain, f, ts[j - 1])
+            if best is None or key < best:
+                best = key
+    return None if best is None else GSplit(feature=best[1], threshold=best[2])
+
+
+def fit_gbt_full(
+    feat: DataFrame,
+    n_features: int,
+    thresholds: dict[int, list[int]],
+    n_rounds: int,
+    depth: int,
+    lr: float,
+) -> tuple[GbtFullModel, DataFrame]:
+    """Fit boosted depth-``depth`` trees on a featurized frame with
+    columns x0..x{m-1} (exact BIGINT), y (exact cents), is_train.
+
+    Distributed work per round: ``depth`` histogram passes, each ONE
+    groupBy(node, feature, bin) with map-side partials over the
+    persisted frame (<= 2^depth * m * B groups — model-sized); split
+    search and leaf values run driver-side on the collected histogram.
+    Returns (model, frame-with-per-round-pred-columns __p1..__pR) so
+    the caller computes the loss history in one more pass."""
+    xcols = [F.col(f"x{i}") for i in range(n_features)]
+    bin_cols = []
+    for f in range(n_features):
+        b = F.lit(0)
+        for t in thresholds[f]:
+            b = b + F.when(xcols[f] >= F.lit(t), 1).otherwise(0)
+        bin_cols.append(b.alias(f"__b{f}"))
+    cur = feat.select("*", *bin_cols).persist()
+
+    agg = cur.filter("is_train").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("s")
+    ).collect()[0]
+    if not agg["n"]:
+        raise ValueError("gbt_full fit needs a non-empty training split")
+    base = math.floor(float(agg["s"]) / float(agg["n"]))
+
+    trees: list[GTree] = []
+    pred = F.lit(base)
+    for r in range(1, n_rounds + 1):
+        cur = cur.withColumn("__rs", F.col("y") - pred)
+        splits: list[dict[int, GSplit]] = []
+        last_hist: dict[tuple[int, int, int], tuple[int, int]] = {}
+        for lvl in range(depth):
+            nd = _node_col(splits, lvl, xcols)
+            hist_rows = (
+                cur.filter("is_train")
+                .select(
+                    nd.alias("nd"),
+                    F.col("__rs"),
+                    F.posexplode(
+                        F.array(*[F.col(f"__b{f}") for f in range(n_features)])
+                    ).alias("f", "b"),
+                )
+                .groupBy("nd", "f", "b")
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("n"),
+                    F.sum("__rs").cast("long").alias("s"),
+                )
+                .collect()
+            )
+            last_hist = {
+                (row["nd"], row["f"], row["b"]): (row["n"], row["s"])
+                for row in hist_rows
+            }
+            lvl_splits: dict[int, GSplit] = {}
+            for node in sorted({k[0] for k in last_hist}):
+                node_bins = {
+                    (f, b): v
+                    for (nd_, f, b), v in last_hist.items()
+                    if nd_ == node
+                }
+                sp = _best_general_split(node_bins, thresholds)
+                if sp is not None:
+                    lvl_splits[node] = sp
+            splits.append(lvl_splits)
+
+        # leaf stats from the LAST level's histogram + its chosen splits
+        leaf_n: dict[int, int] = {}
+        leaf_s: dict[int, int] = {}
+        for (node, f, b), (n, s) in last_hist.items():
+            sp = splits[depth - 1].get(node)
+            # the per-feature histograms count every row once PER
+            # feature; take only the split feature's rows (feature 0's
+            # for unsplit nodes) so each row contributes once
+            if f != (sp.feature if sp is not None else 0):
+                continue
+            bit = 0 if sp is None or b < _bin_of_threshold(thresholds, sp) else 1
+            leaf = node * 2 + bit
+            leaf_n[leaf] = leaf_n.get(leaf, 0) + n
+            leaf_s[leaf] = leaf_s.get(leaf, 0) + s
+        leaf_values = {
+            leaf: math.floor((lr * float(leaf_s[leaf])) / float(n))
+            for leaf, n in leaf_n.items()
+        }
+        tree = GTree(splits=splits, leaf_values=leaf_values, leaf_counts=leaf_n)
+        trees.append(tree)
+
+        leaf_col = _node_col(splits, depth, xcols)
+        val = F.lit(0)
+        for lf, v in leaf_values.items():
+            val = F.when(leaf_col == F.lit(lf), F.lit(v)).otherwise(val)
+        pred = pred + val
+        cur = cur.withColumn(f"__p{r}", pred)
+        # sever lineage EVERY round: leaving the when-cascades stacked
+        # makes each of the next round's histogram jobs re-analyze and
+        # re-codegen a projection that grows with r (measured: the whole
+        # fit is analysis/codegen-bound, not data-bound). The
+        # checkpointed frame is the hourly fit frame — model-sized.
+        if r < n_rounds:
+            cur = cur.localCheckpoint(eager=True)
+            pred = F.col(f"__p{r}")
+
+    return GbtFullModel(base=base, depth=depth, trees=trees), cur
+
+
+def _bin_of_threshold(thresholds: dict[int, list[int]], sp: GSplit) -> int:
+    """bin(x) < j  <=>  x < t_j: the left side of split (f, t_j) is
+    exactly bins 0..j-1 of feature f."""
+    return thresholds[sp.feature].index(sp.threshold) + 1
+
+
+GBT_FULL_CONT_FEATURES = [2, 3, 4]  # x2=lag1c, x3=lag24c, x4=roll24c
+
+# fit frames up to this many rows take the collected fast path (the
+# reference trains driver-side on a pandas frame, train.py:124-165);
+# larger frames use the distributed per-level histogram passes. Both
+# paths share the split-search/leaf arithmetic and are test-asserted
+# identical (tests/test_gbt.py::test_gbt_full_paths_identical).
+GBT_FULL_COLLECT_MAX = 200_000
+
+
+def _fit_gbt_full_local(
+    rows: list,
+    n_features: int,
+    thresholds: dict[int, list[int]],
+    n_rounds: int,
+    depth: int,
+    lr: float,
+) -> tuple[GbtFullModel, dict]:
+    """Driver-side twin of ``fit_gbt_full`` over collected feature rows:
+    identical binning, split search (shared _best_general_split), leaf
+    arithmetic, and MAE floors — one distributed pass total (the
+    collect), the rest pure Python on the model-sized frame."""
+    xs = [[int(r[f"x{i}"]) for i in range(n_features)] for r in rows]
+    ys = [int(r["y"]) for r in rows]
+    trains = [bool(r["is_train"]) for r in rows]
+    bins = [
+        [sum(1 for t in thresholds[f] if x[f] >= t) for f in range(n_features)]
+        for x in xs
+    ]
+    n_tr = sum(trains)
+    if not n_tr:
+        raise ValueError("gbt_full fit needs a non-empty training split")
+    base = math.floor(float(sum(y for y, t in zip(ys, trains) if t)) / float(n_tr))
+
+    preds = [base] * len(rows)
+    trees: list[GTree] = []
+    mae: dict = {}
+    for r in range(1, n_rounds + 1):
+        rs = [y - p for y, p in zip(ys, preds)]
+        nodes = [0] * len(rows)
+        splits: list[dict[int, GSplit]] = []
+        for lvl in range(depth):
+            hist: dict[tuple[int, int, int], list[int]] = {}
+            for i in range(len(rows)):
+                if not trains[i]:
+                    continue
+                for f in range(n_features):
+                    k = (nodes[i], f, bins[i][f])
+                    e = hist.setdefault(k, [0, 0])
+                    e[0] += 1
+                    e[1] += rs[i]
+            lvl_splits: dict[int, GSplit] = {}
+            for node in sorted({k[0] for k in hist}):
+                node_bins = {
+                    (f, b): (n, s)
+                    for (nd, f, b), (n, s) in hist.items()
+                    if nd == node
+                }
+                sp = _best_general_split(node_bins, thresholds)
+                if sp is not None:
+                    lvl_splits[node] = sp
+            splits.append(lvl_splits)
+            for i in range(len(rows)):
+                sp = lvl_splits.get(nodes[i])
+                bit = 1 if sp is not None and xs[i][sp.feature] >= sp.threshold else 0
+                nodes[i] = nodes[i] * 2 + bit
+        leaf_n: dict[int, int] = {}
+        leaf_s: dict[int, int] = {}
+        for i in range(len(rows)):
+            if not trains[i]:
+                continue
+            leaf_n[nodes[i]] = leaf_n.get(nodes[i], 0) + 1
+            leaf_s[nodes[i]] = leaf_s.get(nodes[i], 0) + rs[i]
+        leaf_values = {
+            leaf: math.floor((lr * float(leaf_s[leaf])) / float(n))
+            for leaf, n in leaf_n.items()
+        }
+        trees.append(GTree(splits=splits, leaf_values=leaf_values, leaf_counts=leaf_n))
+        for i in range(len(rows)):
+            preds[i] += leaf_values.get(nodes[i], 0)
+        for split_name, flag in (("train", True), ("val", False)):
+            sel = [abs(y - p) for y, p, t in zip(ys, preds, trains) if t == flag]
+            if sel:
+                mae[(split_name, r)] = math.floor(
+                    float(sum(sel)) / float(len(sel))
+                )
+    return GbtFullModel(base=base, depth=depth, trees=trees), mae
+
+
+def featurize_hourly_series(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    event_type: str = "purchase",
+    val_days: int = 9,
+) -> DataFrame:
+    """The flagship feature view's shape as EXACT integers: the hourly
+    '{event_type}' cents series with its lag-1h / lag-24h values and the
+    trailing-24h rolling SUM (24 PRECEDING..1 PRECEDING — no target
+    leakage, P6), plus the calendar pair. Sums instead of means keep
+    every feature int64 so the whole fit replays in the oracle. The
+    global-order window runs over the post-aggregation hourly frame
+    (bounded by the covered hours, not corpus rows; see
+    plans/feature_views.py scale notes / partitioned_lag_stitch)."""
+    from pyspark.sql import Window
+
+    hp = (
+        df.filter(F.col("event_type") == event_type)
+        .groupBy(F.date_trunc("hour", F.col(ts_col)).alias("h"))
+        .agg(F.sum(F.round(F.col(value_col) * 100, 0).cast("long")).alias("pc"))
+    )
+    w = Window.orderBy("h")
+    f0 = hp.select(
+        "h",
+        F.col("pc").alias("y"),
+        F.hour("h").cast("long").alias("x0"),
+        F.dayofweek("h").cast("long").alias("x1"),
+        F.lag("pc", 1).over(w).alias("x2"),
+        F.lag("pc", 24).over(w).alias("x3"),
+        F.sum("pc").over(w.rowsBetween(-24, -1)).alias("x4"),
+    )
+    f1 = f0.filter(
+        F.col("x2").isNotNull() & F.col("x3").isNotNull() & F.col("x4").isNotNull()
+    )
+    mx = f1.agg(F.max(F.to_date("h"))).collect()[0][0]  # scalar extent read
+    if mx is None:
+        raise ValueError("gbt_full featurization produced no rows")
+    train_end = mx - dt.timedelta(days=val_days)
+    return f1.withColumn("is_train", F.to_date("h") <= F.lit(train_end))
+
+
+def train_gbt_full(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    n_rounds: int = 10,
+    depth: int = 3,
+    lr: float = 0.5,
+    val_days: int = 9,
+    n_bins: int = 16,
+) -> DataFrame:
+    """General histogram-GBT training over the hourly feature view:
+    ``n_rounds`` depth-``depth`` trees on (hour, dow, lag1c, lag24c,
+    roll24c), continuous features quantile-binned into ``n_bins``
+    buckets, squared-error boosting with shrinkage ``lr``, rolling
+    train/val split anchored at max(date) (operators/splits.py
+    semantics), per-round integer train/val MAE history — the val-MAE
+    argmin is the early-stopping round (reference train.py:312-318).
+
+    Output: one row per (round, non-empty leaf), all BIGINT: round,
+    leaf, the (feature, threshold) pair at each path level (l{i}_f /
+    l{i}_t, -1 where the node is unsplit), n_leaf, leaf_value_c,
+    train_mae_c, val_mae_c.
+    """
+    spark = df.sparkSession
+    # the fit frame here is the HOURLY rollup — bounded by the covered
+    # time extent, not corpus rows (the corpus-sized work is the one
+    # groupBy inside featurize). One partition turns each distributed
+    # histogram job into a single task over ~720 rows. For a
+    # corpus-sized feature frame (per-entity features), drop the
+    # coalesce: every histogram pass is embarrassingly parallel.
+    feat = (
+        featurize_hourly_series(
+            df, ts_col=ts_col, value_col=value_col, val_days=val_days
+        )
+        .select("y", "x0", "x1", "x2", "x3", "x4", "is_train")
+        .coalesce(1)
+    )
+    xcols = [F.col(f"x{i}") for i in range(5)]
+    thresholds = {
+        0: list(range(1, 24)),
+        1: list(range(2, 8)),
+        **_exact_rank_thresholds(
+            feat.filter("is_train"), GBT_FULL_CONT_FEATURES, xcols, n_bins
+        ),
+    }
+
+    rows = feat.limit(GBT_FULL_COLLECT_MAX + 1).collect()
+    if len(rows) <= GBT_FULL_COLLECT_MAX:
+        # model-sized frame: fit driver-side in one pass (the reference
+        # trains on a collected pandas frame too); arithmetic identical
+        # to the distributed path, asserted by test_gbt_full_paths_identical
+        model, mae = _fit_gbt_full_local(
+            rows, 5, thresholds, n_rounds, depth, lr
+        )
+    else:
+        model, cur = fit_gbt_full(feat, 5, thresholds, n_rounds, depth, lr)
+        err = (
+            cur.groupBy("is_train")
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                *[
+                    F.sum(F.abs(F.col("y") - F.col(f"__p{r}"))).alias(f"sa{r}")
+                    for r in range(1, n_rounds + 1)
+                ],
+            )
+            .collect()
+        )
+        mae = {}
+        for row in err:
+            split = "train" if row["is_train"] else "val"
+            for r in range(1, n_rounds + 1):
+                mae[(split, r)] = math.floor(
+                    float(row[f"sa{r}"]) / float(row["cnt"])
+                )
+
+    out_rows = []
+    for r, tree in enumerate(model.trees, start=1):
+        for leaf in sorted(tree.leaf_values):
+            path = []
+            for lvl in range(depth):
+                node = leaf >> (depth - lvl)
+                sp = tree.splits[lvl].get(node)
+                path += [sp.feature, sp.threshold] if sp else [-1, -1]
+            out_rows.append(
+                (
+                    r,
+                    leaf,
+                    *path,
+                    tree.leaf_counts[leaf],
+                    tree.leaf_values[leaf],
+                    mae.get(("train", r)),
+                    mae.get(("val", r)),
+                )
+            )
+    names = ["round", "leaf"]
+    for i in range(1, depth + 1):
+        names += [f"l{i}_f", f"l{i}_t"]
+    names += ["n_leaf", "leaf_value_c", "train_mae_c", "val_mae_c"]
+    schema = T.StructType([T.StructField(n, T.LongType(), True) for n in names])
+    return spark.createDataFrame(out_rows, schema)
+
+
 def train_gbt(
     df: DataFrame,
     ts_col: str = "ts",

@@ -870,6 +870,192 @@ def train_gbt_model_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# generalized GBT (binned continuous features, depth 3, 10 rounds)
+# ---------------------------------------------------------------------------
+
+_GBTF_ROUNDS = 10
+_GBTF_DEPTH = 3
+_GBTF_LR = 0.2
+_GBTF_VAL_DAYS = 9
+_GBTF_BINS = 16
+
+
+def _o_gbt_full_sql(
+    rounds: int, depth: int, lr: float, val_days: int, n_bins: int
+) -> str:
+    """Unrolled general histogram-GBT as a DuckDB CTE chain mirroring
+    operators/gbt.py::train_gbt_full op-for-op: hourly purchase-cents
+    feature view (calendar + int lag/rolling-sum features), exact-rank
+    quantile thresholds, per-round greedy depth-``depth`` trees via one
+    (node, candidate) stats + argmax stage per level, floor'd integer
+    leaf values with shrinkage, integer-exact per-round train/val MAE."""
+    gain = _o_gbt_gain("n_l", "s_l", "n_t", "s_t")
+
+    def fv(alias: str, fcol: str) -> str:
+        return (
+            f"(CASE {fcol} WHEN 0 THEN {alias}.x0 WHEN 1 THEN {alias}.x1 "
+            f"WHEN 2 THEN {alias}.x2 WHEN 3 THEN {alias}.x3 ELSE {alias}.x4 END)"
+        )
+
+    thr_blocks = "\n    UNION ALL\n".join(
+        f"""    SELECT {f} AS f, MIN(v) AS t
+    FROM (SELECT v, SUM(c) OVER (ORDER BY v) AS cum
+          FROM (SELECT x{f} AS v, COUNT(*) AS c FROM tr GROUP BY 1)) dv,
+         (SELECT COUNT(*) AS n FROM tr) nn,
+         range(1, {n_bins}) j
+    WHERE dv.cum >= 1 + (j.range * nn.n) // {n_bins}
+    GROUP BY j.range"""
+        for f in (2, 3, 4)
+    )
+    xs = "x0, x1, x2, x3, x4"
+    parts = [
+        f"""
+WITH hp AS MATERIALIZED (
+  SELECT date_trunc('hour', ts) AS h, CAST(SUM({o_cents('value')}) AS BIGINT) AS pc
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+f0 AS (
+  SELECT h, pc AS y,
+         CAST(EXTRACT(hour FROM h) AS BIGINT) AS x0,
+         CAST(EXTRACT(dow FROM h) + 1 AS BIGINT) AS x1,
+         lag(pc, 1) OVER w AS x2,
+         lag(pc, 24) OVER w AS x3,
+         SUM(pc) OVER (ORDER BY h ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS x4
+  FROM hp WINDOW w AS (ORDER BY h)
+),
+f1 AS MATERIALIZED (
+  SELECT * FROM f0 WHERE x2 IS NOT NULL AND x3 IS NOT NULL AND x4 IS NOT NULL
+),
+rows0 AS MATERIALIZED (
+  SELECT y, {xs},
+         CAST(h AS DATE) <= (SELECT MAX(CAST(h AS DATE)) - {val_days} FROM f1) AS is_train
+  FROM f1
+),
+tr AS MATERIALIZED (SELECT * FROM rows0 WHERE is_train),
+thr AS MATERIALIZED (
+  SELECT DISTINCT f, t FROM (
+{thr_blocks}
+  )
+),
+cands AS MATERIALIZED (
+  SELECT CAST(0 AS BIGINT) AS f, CAST(range AS BIGINT) AS t FROM range(1, 24)
+  UNION ALL SELECT CAST(1 AS BIGINT), CAST(range AS BIGINT) FROM range(2, 8)
+  UNION ALL SELECT CAST(f AS BIGINT), CAST(t AS BIGINT) FROM thr
+),
+pm0 AS MATERIALIZED (
+  SELECT y, {xs}, is_train,
+         (SELECT CAST(floor(CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) FROM tr) AS pred
+  FROM rows0
+)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""", a{r}_0 AS MATERIALIZED (
+  SELECT y, {xs}, is_train, pred, CAST(0 AS BIGINT) AS nd, y - pred AS rs
+  FROM pm{r - 1}
+)"""
+        )
+        for lv in range(depth):
+            parts.append(
+                f""", st{r}_{lv} AS MATERIALIZED (
+  SELECT a.nd, cd.f, cd.t,
+         CAST(COALESCE(SUM(CASE WHEN {fv('a', 'cd.f')} < cd.t THEN 1 END), 0) AS BIGINT) AS n_l,
+         CAST(COALESCE(SUM(CASE WHEN {fv('a', 'cd.f')} < cd.t THEN a.rs END), 0) AS BIGINT) AS s_l,
+         CAST(COUNT(*) AS BIGINT) AS n_t,
+         CAST(SUM(a.rs) AS BIGINT) AS s_t
+  FROM a{r}_{lv} a CROSS JOIN cands cd
+  WHERE a.is_train
+  GROUP BY 1, 2, 3
+), bs{r}_{lv} AS MATERIALIZED (
+  SELECT nd, f, t FROM (
+    SELECT nd, f, t,
+           row_number() OVER (PARTITION BY nd ORDER BY {gain} DESC, f, t) AS rn
+    FROM st{r}_{lv} WHERE n_l > 0 AND n_t - n_l > 0
+  ) WHERE rn = 1
+), a{r}_{lv + 1} AS MATERIALIZED (
+  SELECT a.y, a.x0, a.x1, a.x2, a.x3, a.x4, a.is_train, a.pred, a.rs,
+         a.nd * 2 + (CASE WHEN b.f IS NULL THEN 0
+                          WHEN {fv('a', 'b.f')} < b.t THEN 0 ELSE 1 END) AS nd
+  FROM a{r}_{lv} a LEFT JOIN bs{r}_{lv} b ON a.nd = b.nd
+)"""
+            )
+        path_joins = "\n".join(
+            f"  LEFT JOIN bs{r}_{lv} p{lv} ON p{lv}.nd = lv.leaf // {1 << (depth - lv)}"
+            for lv in range(depth)
+        )
+        path_cols = ",\n".join(
+            f"         CAST(COALESCE(p{lv}.f, -1) AS BIGINT) AS l{lv + 1}_f,\n"
+            f"         CAST(COALESCE(p{lv}.t, -1) AS BIGINT) AS l{lv + 1}_t"
+            for lv in range(depth)
+        )
+        parts.append(
+            f""", lv{r} AS MATERIALIZED (
+  SELECT nd AS leaf, CAST(COUNT(*) AS BIGINT) AS n_leaf,
+         CAST(floor(({lr} * CAST(SUM(rs) AS DOUBLE)) / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS v
+  FROM a{r}_{depth} WHERE is_train GROUP BY 1
+), pm{r} AS MATERIALIZED (
+  SELECT a.y, a.x0, a.x1, a.x2, a.x3, a.x4, a.is_train,
+         a.pred + COALESCE(lv.v, 0) AS pred
+  FROM a{r}_{depth} a LEFT JOIN lv{r} lv ON a.nd = lv.leaf
+), err{r} AS MATERIALIZED (
+  SELECT is_train, CAST(SUM(ABS(y - pred)) AS BIGINT) AS sa,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM pm{r} GROUP BY 1
+), out{r} AS MATERIALIZED (
+  SELECT CAST({r} AS BIGINT) AS round, lv.leaf,
+{path_cols},
+         lv.n_leaf, lv.v AS leaf_value_c,
+         (SELECT CAST(floor(CAST(sa AS DOUBLE) / CAST(cnt AS DOUBLE)) AS BIGINT)
+          FROM err{r} WHERE is_train) AS train_mae_c,
+         (SELECT CAST(floor(CAST(sa AS DOUBLE) / CAST(cnt AS DOUBLE)) AS BIGINT)
+          FROM err{r} WHERE NOT is_train) AS val_mae_c
+  FROM lv{r} lv
+{path_joins}
+)"""
+        )
+    parts.append(
+        "\n"
+        + "\nUNION ALL\n".join(f"SELECT * FROM out{r}" for r in range(1, rounds + 1))
+    )
+    return "".join(parts)
+
+
+@register(
+    "train_gbt_full",
+    _o_gbt_full_sql(_GBTF_ROUNDS, _GBTF_DEPTH, _GBTF_LR, _GBTF_VAL_DAYS, _GBTF_BINS),
+    doc="Generalized engine-side gradient-boosted trees — the full "
+    "reference model shape (train.py:124-165: many features, deeper "
+    f"trees, many rounds): {_GBTF_ROUNDS} rounds of depth-{_GBTF_DEPTH} "
+    "trees over (hour, dow, lag-1h, lag-24h, rolling-24h-sum) of the "
+    f"hourly purchase-cents series, lr={_GBTF_LR}, continuous features "
+    f"quantile-binned into {_GBTF_BINS} buckets via exact rank "
+    "thresholds. This is the real histogram-GBT factorization (per-"
+    "NODE per-feature bin histograms, one model-sized groupBy per tree "
+    "level — NOT the joint-histogram shortcut of train_gbt_model, "
+    "which only works while the joint feature space is 168 cells): at "
+    "100 TB each level pass is an embarrassingly-parallel scan of the "
+    "persisted featurized frame plus a <= nodes*features*bins-group "
+    "shuffle, and the fit itself runs on collected model-sized "
+    "histograms. Beats the linear baseline's val MAE on the same "
+    "features (tests/test_gbt.py::test_gbt_full_beats_linear_val_mae) "
+    "— the reference's XGB-beats-linear ordering.",
+    tags=("ml", "agg", "train", "iterative"),
+)
+def train_gbt_full_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdatasmallprice_spark.operators.gbt import train_gbt_full
+
+    ev = events(spark, sf_dir)
+    return train_gbt_full(
+        ev,
+        n_rounds=_GBTF_ROUNDS,
+        depth=_GBTF_DEPTH,
+        lr=_GBTF_LR,
+        val_days=_GBTF_VAL_DAYS,
+        n_bins=_GBTF_BINS,
+    )
+
+
+# ---------------------------------------------------------------------------
 # rolling-origin backtest: the forecast-model evaluation protocol
 # ---------------------------------------------------------------------------
 

@@ -96,10 +96,12 @@ DRIVER_ORDER: list[str] = [
     "dedup_span_stats",
     "eval_split_clean",
     # -- new in r4: 8-byte-key shuffle variants of the span/line queries
-    #    (VERDICT r3 ask #4) — never driver-verified
+    #    (VERDICT r3 ask #4) and the generalized histogram GBT (ask #3)
+    #    — never driver-verified
     "dedup_span_stats_hashed",
     "eval_split_clean_hashed",
     "line_dedup_hashed",
+    "train_gbt_full",
     # -- green in r3 only (kept: second external row confirms stability)
     "hybrid_search_rrf",
     "warc_ingest_stats",
@@ -124,7 +126,6 @@ DRIVER_ORDER: list[str] = [
     "train_linear_model",
     "line_dedup",
     "shard_manifest",
-    "mixture_sampling_plan",
     "curation_funnel",
     "bpe_train_merges",
     "embedding_covariance",

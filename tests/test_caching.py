@@ -1,0 +1,51 @@
+"""Cache-release discipline: a long-lived session running many
+persisting queries must not accumulate cache entries."""
+
+from __future__ import annotations
+
+from bigdatasmallprice_spark.caching import (
+    persistent_rdd_ids,
+    released_caches,
+    run_query_released,
+)
+
+# ten registered queries that persist() internally
+PERSISTING = [
+    "minhash_lsh_pairs",
+    "simhash_pairs",
+    "dedup_span_stats",
+    "dedup_span_stats_hashed",
+    "eval_split_clean",
+    "eval_split_clean_hashed",
+    "dedup_incremental",
+    "bloom_shingle_prefilter",
+    "semantic_dedup",
+    "neardup_clusters",
+]
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_back_to_back_persisting_queries_stay_bounded(spark):
+    spark.catalog.clearCache()
+    base = persistent_rdd_ids(spark)
+    for name in PERSISTING:
+        rows = run_query_released(spark, name, SF)
+        assert rows  # the query actually ran
+        added = persistent_rdd_ids(spark) - base
+        assert not added, (name, added)
+
+
+def test_released_caches_spares_preexisting(spark):
+    from pyspark.sql import functions as F
+
+    pre = spark.range(100).select(F.col("id")).persist()
+    pre.count()
+    pre_ids = persistent_rdd_ids(spark)
+    with released_caches(spark):
+        inner = spark.range(50).persist()
+        inner.count()
+        assert persistent_rdd_ids(spark) > pre_ids
+    after = persistent_rdd_ids(spark)
+    assert pre_ids <= after and len(after) == len(pre_ids)
+    pre.unpersist()
