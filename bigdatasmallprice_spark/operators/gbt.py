@@ -688,7 +688,6 @@ def train_gbt_full(
     l{i}_t, -1 where the node is unsplit), n_leaf, leaf_value_c,
     train_mae_c, val_mae_c.
     """
-    spark = df.sparkSession
     # the fit frame here is the HOURLY rollup — bounded by the covered
     # time extent, not corpus rows (the corpus-sized work is the one
     # groupBy inside featurize). One partition turns each distributed
@@ -702,13 +701,43 @@ def train_gbt_full(
         .select("y", "x0", "x1", "x2", "x3", "x4", "is_train")
         .coalesce(1)
     )
-    xcols = [F.col(f"x{i}") for i in range(5)]
+    return train_gbt_on_features(
+        feat,
+        n_features=5,
+        n_rounds=n_rounds,
+        depth=depth,
+        lr=lr,
+        n_bins=n_bins,
+        fixed_thresholds={0: list(range(1, 24)), 1: list(range(2, 8))},
+    )
+
+
+def train_gbt_on_features(
+    feat: DataFrame,
+    n_features: int,
+    n_rounds: int = 10,
+    depth: int = 3,
+    lr: float = 0.5,
+    n_bins: int = 16,
+    fixed_thresholds: dict[int, list[int]] | None = None,
+) -> DataFrame:
+    """Histogram-GBT over ANY featurized frame with columns y (exact
+    cents BIGINT), x0..x{m-1} (exact BIGINT features), is_train — the
+    generic entry the flagship-view fit uses (tests/test_gbt.py::
+    test_gbt_full_beats_linear_on_flagship_view trains on the
+    ``training_features`` columns of export.FEATURE_COLS shape).
+
+    ``fixed_thresholds`` pins candidate split sets for features with a
+    known small domain (calendar fields); every other feature gets
+    ``n_bins`` exact-rank quantile thresholds from the training split.
+    Output schema matches :func:`train_gbt_full`."""
+    spark = feat.sparkSession
+    xcols = [F.col(f"x{i}") for i in range(n_features)]
+    fixed = fixed_thresholds or {}
+    cont = [f for f in range(n_features) if f not in fixed]
     thresholds = {
-        0: list(range(1, 24)),
-        1: list(range(2, 8)),
-        **_exact_rank_thresholds(
-            feat.filter("is_train"), GBT_FULL_CONT_FEATURES, xcols, n_bins
-        ),
+        **{f: list(v) for f, v in fixed.items()},
+        **_exact_rank_thresholds(feat.filter("is_train"), cont, xcols, n_bins),
     }
 
     rows = feat.limit(GBT_FULL_COLLECT_MAX + 1).collect()
@@ -717,10 +746,10 @@ def train_gbt_full(
         # trains on a collected pandas frame too); arithmetic identical
         # to the distributed path, asserted by test_gbt_full_paths_identical
         model, mae = _fit_gbt_full_local(
-            rows, 5, thresholds, n_rounds, depth, lr
+            rows, n_features, thresholds, n_rounds, depth, lr
         )
     else:
-        model, cur = fit_gbt_full(feat, 5, thresholds, n_rounds, depth, lr)
+        model, cur = fit_gbt_full(feat, n_features, thresholds, n_rounds, depth, lr)
         err = (
             cur.groupBy("is_train")
             .agg(
@@ -765,6 +794,64 @@ def train_gbt_full(
     names += ["n_leaf", "leaf_value_c", "train_mae_c", "val_mae_c"]
     schema = T.StructType([T.StructField(n, T.LongType(), True) for n in names])
     return spark.createDataFrame(out_rows, schema)
+
+
+# The flagship view's model features, leak-safe (P6): lags and trailing
+# rolls of the target plus lagged exogenous series and the one
+# known-at-forecast-time forecast column — the export.FEATURE_COLS shape
+# (reference export_pipeline.py:33-74) restated on the testdata analog
+# columns. Contemporaneous actuals (clicks, errgen, net_pos at t) stay
+# out for the same reason the reference keeps actual load out: unknown
+# at forecast time.
+FLAGSHIP_GBT_FEATURES: tuple[str, ...] = (
+    "price_lag_1h", "price_lag_24h", "price_lag_168h",
+    "price_roll_24h", "price_roll_168h",
+    "hour", "day_of_week", "month", "is_weekend", "is_peak_hour",
+    "clicks_lag_24h", "errgen_lag_24h", "errgen_lag_168h",
+    "net_pos_lag_24h", "net_pos_lag_168h", "signups_forecast",
+)
+
+# features with a small fixed domain -> pinned candidate thresholds
+# (every split point is a candidate, no binning loss)
+FLAGSHIP_GBT_FIXED: dict[str, list[int]] = {
+    "hour": list(range(1, 24)),
+    "day_of_week": list(range(2, 8)),
+    "month": list(range(2, 13)),
+    "is_weekend": [1],
+    "is_peak_hour": [1],
+}
+
+
+def featurize_flagship_view(
+    tf: DataFrame,
+    target_col: str = "price",
+    feature_cols: tuple[str, ...] = FLAGSHIP_GBT_FEATURES,
+    val_days: int = 6,
+) -> tuple[DataFrame, dict[int, list[int]]]:
+    """Turn the ``training_features`` view into the exact-integer fit
+    frame ``train_gbt_on_features`` consumes: y = target cents, x{i} =
+    feature i in cents (calendar ints pass through exactly: n*100 is
+    still order-isomorphic, so splits are unchanged), rows with any
+    NULL feature dropped (the first 168 warm-up hours), chronological
+    is_train split anchored ``val_days`` before max(date). Returns
+    (frame, fixed_thresholds) with the calendar features' pinned
+    candidate sets scaled to match."""
+    cents_of = lambda c: F.round(F.col(c).cast("double") * 100, 0).cast("long")  # noqa: E731
+    cols = [cents_of(target_col).alias("y")] + [
+        cents_of(c).alias(f"x{i}") for i, c in enumerate(feature_cols)
+    ]
+    f0 = tf.select(F.to_date("t").alias("d"), *cols).na.drop()
+    mx = f0.agg(F.max("d")).collect()[0][0]  # scalar extent read
+    if mx is None:
+        raise ValueError("flagship featurization produced no rows")
+    train_end = mx - dt.timedelta(days=val_days)
+    feat = f0.withColumn("is_train", F.col("d") <= F.lit(train_end)).drop("d")
+    fixed = {
+        i: [t * 100 for t in FLAGSHIP_GBT_FIXED[c]]
+        for i, c in enumerate(feature_cols)
+        if c in FLAGSHIP_GBT_FIXED
+    }
+    return feat.coalesce(1), fixed
 
 
 def train_gbt(

@@ -265,6 +265,43 @@ def test_gbt_full_exact_rank_thresholds_match_sorted_ranks(spark):
         assert got[f] == [int(v) for v in want], (f, got[f], want)
 
 
+def test_gbt_full_beats_linear_on_flagship_view(spark):
+    """The reference's headline model trains on the full
+    training_features view (export_pipeline.py FEATURE_COLS), not the
+    toy series — so reproduce the XGB-beats-linear ordering THERE: the
+    boosted model's best-round val MAE must beat least squares on the
+    SAME 16 leak-safe flagship features (lags, trailing rolls,
+    calendar, lagged exogenous, signup forecast)."""
+    import math
+
+    import numpy as np
+
+    from bigdatasmallprice_spark.operators.gbt import (
+        FLAGSHIP_GBT_FEATURES,
+        featurize_flagship_view,
+        train_gbt_on_features,
+    )
+    from bigdatasmallprice_spark.registry import all_queries
+
+    tf = all_queries()["training_features"].fn(spark, "/root/testdata/sf0.01")
+    feat, fixed = featurize_flagship_view(tf)
+    m = len(FLAGSHIP_GBT_FEATURES)
+    pdf = feat.toPandas()
+    tr, va = pdf[pdf.is_train], pdf[~pdf.is_train]
+    assert len(tr) > 200 and len(va) > 80  # split is real on both sides
+
+    X = np.stack([np.ones(len(tr))] + [tr[f"x{i}"] for i in range(m)], 1).astype(float)
+    beta, *_ = np.linalg.lstsq(X, tr.y.astype(float), rcond=None)
+    Xv = np.stack([np.ones(len(va))] + [va[f"x{i}"] for i in range(m)], 1).astype(float)
+    lin_val = math.floor(np.abs(va.y - Xv @ beta).mean())
+
+    out = train_gbt_on_features(
+        feat, m, n_rounds=10, depth=3, lr=0.2, n_bins=16, fixed_thresholds=fixed
+    ).toPandas()
+    best_val = out.groupby("round").val_mae_c.first().min()
+    assert best_val < lin_val, (best_val, lin_val)
+
+
 def test_gbt_full_paths_identical(spark, monkeypatch):
     """The collected fast path and the distributed per-level histogram
     path must produce byte-identical output (same splits, leaf values,
