@@ -46,6 +46,18 @@ def latest_features(spark: SparkSession, view: str = "training_features") -> Dat
     return _view(spark, view).orderBy(F.col("time").desc()).limit(1)
 
 
+def run_registered(spark: SparkSession, name: str, sf_dir: str) -> list:
+    """Serve one registered analytics query by name under the
+    cache-release discipline: any persist the query creates (dedup
+    signatures, span explodes) is unpersisted once its rows have been
+    materialized, so a long-lived serving session's executor storage
+    stays bounded across many requests (caching.py; the bench harness
+    achieves the same with clearCache between queries)."""
+    from bigdatasmallprice_spark.caching import run_query_released
+
+    return run_query_released(spark, name, sf_dir)
+
+
 def price_history(spark: SparkSession, hours: int = 48) -> DataFrame:
     """O2 — newest N hourly prices, ascending (main.py:355-372)."""
     df = _view(spark, "entsoe_day_ahead_prices").select("time", "price_eur_mwh")

@@ -49,3 +49,13 @@ def test_released_caches_spares_preexisting(spark):
     after = persistent_rdd_ids(spark)
     assert pre_ids <= after and len(after) == len(pre_ids)
     pre.unpersist()
+
+
+def test_serving_run_registered_releases_caches(spark):
+    from bigdatasmallprice_spark.serving import run_registered
+
+    spark.catalog.clearCache()
+    base = persistent_rdd_ids(spark)
+    rows = run_registered(spark, "minhash_lsh_pairs", SF)
+    assert isinstance(rows, list)
+    assert not (persistent_rdd_ids(spark) - base)
