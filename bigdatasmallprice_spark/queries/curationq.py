@@ -1135,15 +1135,27 @@ def _eval_split_df(spark: SparkSession, sf_dir: str, hashed: bool) -> DataFrame:
             "doc_id", "source", "is_eval",
             F.expr(md5_key60_expr("sp")).alias("sp"),
         )
-    g = g.persist()
-    train_sp = g.filter(~F.col("is_eval")).select("sp").distinct()
+    # (span, doc) occurrence counts FIRST (map-side combine collapses
+    # within-doc repeats before the shuffle), then a max(is_train)
+    # window over the span key replaces the old train-side distinct +
+    # left join — which shuffled the exploded frame twice and needed a
+    # persist. One linear chain, no cache. Measured at sf1:
+    # 13.2s -> 10.2s raw, ~12.6s -> ~12s hashed.
+    from pyspark.sql import Window
+
+    pairs = g.groupBy("sp", "doc_id", "source", "is_eval").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("sp")
+    marked = pairs.withColumn(
+        "has_train", F.max(F.when(~F.col("is_eval"), 1).otherwise(0)).over(w)
+    )
     eval_doc = (
-        g.filter(F.col("is_eval"))
-        .join(train_sp.withColumn("__hit", F.lit(1)), "sp", "left")
+        marked.filter(F.col("is_eval"))
         .groupBy("doc_id", "source")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_spans"),
-            F.sum(F.when(F.col("__hit").isNotNull(), 1).otherwise(0))
+            F.sum("cnt").cast("long").alias("n_spans"),
+            F.sum(F.when(F.col("has_train") == 1, F.col("cnt")).otherwise(0))
             .cast("long")
             .alias("n_overlap"),
         )
@@ -1181,7 +1193,10 @@ def _eval_split_df(spark: SparkSession, sf_dir: str, hashed: bool) -> DataFrame:
     "step run before any held-out evaluation is trusted (cf. "
     "benchmark_decontamination, which audits an EXTERNAL eval slice; "
     "this builds an internal one). Docs shorter than the span width "
-    "carry no spans and are trivially clean. This variant joins on raw "
+    "carry no spans and are trivially clean. Plan: span explode, map-"
+    "side-combined (span, doc) pair aggregate, max(is_train) window "
+    "over the span key, doc aggregate — no train-side distinct or "
+    "join-back. This variant shuffles raw "
     "span strings; eval_split_clean_hashed is the 8-byte-key scale "
     "path (the bloom bitmap works as a prefilter for either).",
     tags=("curation", "eval", "join"),

