@@ -223,22 +223,29 @@ def _line_dedup_df(spark: SparkSession, sf_dir: str, hashed: bool) -> DataFrame:
         lines = lines.select(
             "doc_id", "source", F.expr(md5_key60_expr("line")).alias("line")
         )
-    freq = lines.groupBy("line").agg(
-        F.countDistinct("doc_id").alias("n_docs_with")
+    # (line, doc) occurrence counts FIRST — the map-side combine
+    # collapses within-doc repeats before the shuffle — then BOTH
+    # per-line stats (document frequency, keep-first doc) come from one
+    # window over the line key on that pair frame; the old
+    # freq-aggregate + join-back shuffled every exploded occurrence
+    # twice. Measured at sf1: 6.2s -> 3.8s raw, 8.4s -> 4.1s hashed.
+    pairs = lines.groupBy("line", "doc_id", "source").agg(
+        F.count(F.lit(1)).alias("cnt")
     )
     w = Window.partitionBy("line")
-    marked = (
-        lines.join(freq, "line")
-        .withColumn("first_doc", F.min("doc_id").over(w))
-    )
+    marked = pairs.withColumn(
+        "n_docs_with", F.count(F.lit(1)).over(w)
+    ).withColumn("first_doc", F.min("doc_id").over(w))
     boiler = F.col("n_docs_with") >= 2
     return marked.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_lines"),
-        F.coalesce(F.sum(F.when(boiler, F.lit(1))), F.lit(0))
+        F.sum("cnt").cast("long").alias("n_lines"),
+        F.coalesce(F.sum(F.when(boiler, F.col("cnt"))), F.lit(0))
         .cast("long")
         .alias("n_boiler_occurrences"),
         F.coalesce(
-            F.sum(F.when(boiler & (F.col("doc_id") != F.col("first_doc")), F.lit(1))),
+            F.sum(
+                F.when(boiler & (F.col("doc_id") != F.col("first_doc")), F.col("cnt"))
+            ),
             F.lit(0),
         )
         .cast("long")
@@ -254,11 +261,11 @@ def _line_dedup_df(spark: SparkSession, sf_dir: str, hashed: bool) -> DataFrame:
     f"lines ({_LINE_TOKENS}-token chunks — the synthetic text has no "
     "newlines), each line's document frequency is computed corpus-wide, "
     "and every occurrence of a cross-document line except the one in "
-    "the lowest doc_id is removed. Plan: one explode + one groupBy on "
-    "the line + join back; the line-frequency table stays a shuffle "
-    "join (boilerplate vocab outgrows broadcast). The keep-first rule "
-    "is a window over the line key, NOT a global order — partitions by "
-    "line, so it scales with the widest duplicate class, not the "
+    "the lowest doc_id is removed. Plan: one explode, a map-side-"
+    "combined (line, doc) pair aggregate, then ONE window over the "
+    "line key computing both per-line stats (document frequency, "
+    "keep-first doc) — no frequency join-back; the window partitions "
+    "by line, so it scales with the widest duplicate class, not the "
     "corpus. This variant shuffles raw line strings; line_dedup_hashed "
     "is the 8-byte-key scale path.",
     tags=("text", "curation", "dedup"),
@@ -275,12 +282,12 @@ def line_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "60-bit md5-slice integer instead of the line text (xxhash64 in a "
     "pure-Spark deployment; the md5 slice is the engine-portable twin, "
     "and a collision merges identically in both engines). Same output "
-    "schema and values. Measured tradeoff (BENCH_sf1.json): hashing "
-    "WINS for 8-word spans (dedup_span_stats_hashed 13.2s vs 17.3s "
-    "raw at sf1) but LOSES here at the synthetic 3-token line width "
-    "(8.1s vs 5.7s) — the hash compute outweighs shuffling ~15-char "
-    "strings; pick the keyed variant when key width exceeds ~8 bytes "
-    "by enough to matter, i.e. real line/paragraph dedup.",
+    "schema and values. Measured tradeoff (BENCH_sf1.json): with the "
+    "pair-aggregate plan the two variants are near-even at the "
+    "synthetic 3-token line width (4.1s hashed vs 3.8s raw at sf1 — "
+    "the md5 compute roughly cancels the narrower shuffle key); the "
+    "keyed variant pulls ahead when key width grows, i.e. real "
+    "line/paragraph dedup, exactly as in the span-width family.",
     tags=("text", "curation", "dedup"),
 )
 def line_dedup_hashed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
