@@ -449,6 +449,46 @@ def bloom_bits(
     )
 
 
+def collect_bloom_bitmap(bits: DataFrame, m: int = BLOOM_M) -> list[int]:
+    """Materialize a bloom_bits frame into the dense m/64-long bitmap
+    (32 KB at the default m) — bounded, corpus-size-independent state,
+    the same class of driver-side read as a trained model. Feed it to
+    :func:`bloom_hit_column` for a shuffle-free membership probe."""
+    arr = [0] * (m // 64)
+    for row in bits.collect():
+        arr[row["word_idx"]] = row["bits"]
+    return arr
+
+
+def bloom_hit_column(
+    bitmap: list[int], text_col: str, m: int = BLOOM_M, k: int = BLOOM_K
+) -> Column:
+    """Membership probe as a PURE COLUMN against a collected bitmap:
+    all k bit positions set <=> might be in the corpus. The bitmap
+    rides the plan as one array literal (constant-folded, not per-row
+    data), so the probe is whole-stage-codegen row-local work — no
+    explode, no broadcast join, no per-key groupBy (cf.
+    bloom_membership, the frame-level variant the streaming twin uses,
+    where a literal cannot carry evolving state)."""
+    if len(bitmap) != m // 64:
+        raise ValueError(f"bitmap must have m/64 = {m // 64} words, got {len(bitmap)}")
+    if not (1 <= k <= 4):
+        raise ValueError(f"bloom k must be 1..4, got {k}")
+    arr_sql = "array(" + ",".join(f"{v}L" for v in bitmap) + ")"
+    # unrolled AND of k probes, not forall(): higher-order functions
+    # are CodegenFallback (interpreted per row); the unrolled form
+    # stays inside whole-stage codegen
+    probes = []
+    for h in range(k):
+        p = _BLOOM_POS.format(t=text_col, start=1 + 8 * h, m=m)
+        probes.append(
+            f"(element_at({arr_sql}, CAST(({p}) div 64 AS INT) + 1) "
+            f"& shiftleft(CAST(1 AS BIGINT), CAST(({p}) % 64 AS INT))) "
+            "!= CAST(0 AS BIGINT)"
+        )
+    return F.expr("(" + ") AND (".join(probes) + ")")
+
+
 def bloom_membership(
     df: DataFrame,
     bits: DataFrame,

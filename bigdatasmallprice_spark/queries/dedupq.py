@@ -693,20 +693,18 @@ FROM hits GROUP BY 1
 def bloom_shingle_prefilter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdatasmallprice_spark.operators.dedup import (
         bloom_bits,
-        bloom_membership,
+        bloom_hit_column,
+        collect_bloom_bitmap,
     )
 
     docs = table(spark, sf_dir, "documents")
     sh4 = shingle_expr("ws", _BLOOM_N)
-    # both frames feed multiple branches (bits+truth; bloomed+truth+agg)
-    # — persist so the explode runs once, not per branch
     batch = (
         docs.filter(F.col("doc_id") % 4 == 0)
         .select("doc_id", "source", F.split("text", " ").alias("ws"))
-        .select("doc_id", "source", F.posexplode(F.expr(sh4)).alias("sidx0", "sh"))
-        .select("doc_id", "source", (F.col("sidx0") + 1).alias("sidx"), "sh")
-        .persist()
+        .select("doc_id", "source", F.explode(F.expr(sh4)).alias("sh"))
     )
+    # corpus shingle set feeds the bitmap build AND the truth join
     corpus_sh = (
         docs.filter(F.col("doc_id") % 4 != 0)
         .select(F.split("text", " ").alias("ws"))
@@ -714,18 +712,27 @@ def bloom_shingle_prefilter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .persist()
     )
-    bits = bloom_bits(corpus_sh, text_col="sh", m=_BL_M, k=_BL_K)
-    bloomed = bloom_membership(
-        batch, bits, ["doc_id", "sidx"], text_col="sh", m=_BL_M, k=_BL_K
+    # materialize the 32 KB bitmap driver-side (bounded, corpus-size-
+    # independent — a model-sized read) and probe it as a pure codegen
+    # column: vs the frame-level bloom_membership this removes the
+    # probe explode, its broadcast join, the per-key groupBy, and the
+    # (doc, sidx) rejoin with the truth frame — batch rows flow
+    # straight into the truth join with bloom_hit already attached
+    # (10.3s -> 9.8s at sf1, two fewer shuffles; the streaming twin
+    # keeps bloom_membership because its bitmap state evolves)
+    bitmap = collect_bloom_bitmap(
+        bloom_bits(corpus_sh, text_col="sh", m=_BL_M, k=_BL_K), m=_BL_M
     )
-    truth = batch.join(
+    probed = batch.withColumn(
+        "bloom_hit", bloom_hit_column(bitmap, "sh", m=_BL_M, k=_BL_K)
+    )
+    truth = probed.join(
         corpus_sh.withColumn("true_hit", F.lit(True)), "sh", "left"
     ).select(
-        "doc_id", "sidx", "source", F.coalesce("true_hit", F.lit(False)).alias("true_hit")
+        "source", "bloom_hit", F.coalesce("true_hit", F.lit(False)).alias("true_hit")
     )
-    both = truth.join(bloomed, ["doc_id", "sidx"])
     one = F.lit(1)
-    return both.groupBy("source").agg(
+    return truth.groupBy("source").agg(
         F.count(one).cast("long").alias("n_shingles"),
         F.sum(F.when(F.col("bloom_hit"), 1).otherwise(0)).cast("long").alias("n_bloom_hits"),
         F.sum(F.when(F.col("true_hit"), 1).otherwise(0)).cast("long").alias("n_true_hits"),

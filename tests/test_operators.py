@@ -1050,6 +1050,41 @@ def test_bloom_no_false_negatives_and_bounded_size(spark):
     assert fp < 200
 
 
+def test_bloom_hit_column_matches_frame_variant(spark):
+    """The literal-bitmap column probe must agree with the frame-level
+    bloom_membership on every row (members AND outsiders), and its plan
+    must contain no exchange — it is pure row-local codegen work."""
+    from bigdatasmallprice_spark.operators.dedup import (
+        bloom_bits,
+        bloom_hit_column,
+        bloom_membership,
+        collect_bloom_bitmap,
+    )
+    from pyspark.sql import functions as F
+
+    corpus = spark.range(300).select(
+        F.concat(F.lit("member-"), F.col("id")).alias("t")
+    )
+    m, k = 1 << 12, 4
+    bits = bloom_bits(corpus, text_col="t", m=m, k=k)
+    bitmap = collect_bloom_bitmap(bits, m=m)
+    probe = spark.range(500).select(
+        F.col("id"),
+        F.when(F.col("id") < 300, F.concat(F.lit("member-"), F.col("id")))
+        .otherwise(F.concat(F.lit("outsider-"), F.col("id")))
+        .alias("t"),
+    )
+    frame = {
+        r.id: r.bloom_hit
+        for r in bloom_membership(probe, bits, ["id"], text_col="t", m=m, k=k).collect()
+    }
+    col_df = probe.select("id", bloom_hit_column(bitmap, "t", m=m, k=k).alias("h"))
+    col = {r.id: r.h for r in col_df.collect()}
+    assert col == frame
+    plan = col_df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
 def test_bloom_bitmap_broadcasts(spark):
     """The membership probe's join against the bitmap must be a
     BroadcastHashJoin — the whole point of folding the corpus to
