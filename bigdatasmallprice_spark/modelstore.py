@@ -114,6 +114,35 @@ def save_gbt_model(
     )
 
 
+def save_gbt_full_model(
+    model_dir: str,
+    name: str,
+    model,
+    mae: dict | None = None,
+    metrics: DataFrame | None = None,
+    version: str | None = None,
+) -> str:
+    """Persist a general boosted model (operators/gbt.py::GbtFullModel)
+    as a ``kind: "gbt_full"`` artifact: base + depth + per-tree split
+    paths/leaf values + the val-MAE early-stopping round. Scoring
+    reconstitutes it as one literal column over the caller's feature
+    columns (score_latest with feature_cols, or
+    operators.gbt.predict_full_cents_column directly)."""
+    from bigdatasmallprice_spark.operators.gbt import full_model_to_artifact
+
+    return _write_artifact(
+        model_dir,
+        name,
+        version,
+        metrics,
+        {
+            "kind": "gbt_full",
+            "model": full_model_to_artifact(model, mae),
+            "coefficients": [],
+        },
+    )
+
+
 def find_latest(model_dir: str, name: str) -> str | None:
     """O8 — newest artifact for ``name`` by version-sortable filename
     (predict.py:40-57's glob + max). Returns None when nothing matches."""
@@ -143,17 +172,30 @@ def score_latest(
     df: DataFrame,
     key: str,
     ts_col: str = "ts",
+    feature_cols: list[str] | None = None,
 ) -> DataFrame:
     """Serving splice: resolve newest model by name, emit per-row
     predictions (the latest_features → predict path the reference
     serves). Linear artifacts broadcast-join their per-key coefficient
     frame; gbt artifacts score through a literal tree expression (no
     join at all — ``key`` is ignored, the boosted model is global like
-    the reference's)."""
+    the reference's); gbt_full artifacts additionally need
+    ``feature_cols`` naming df's x-columns in training order."""
     path = find_latest(model_dir, name)
     if path is None:
         raise FileNotFoundError(f"no artifact for model {name!r} in {model_dir}")
     doc = load_model(path)
+    if doc.get("kind") == "gbt_full":
+        from bigdatasmallprice_spark.operators.gbt import predict_full_cents_column
+
+        if not feature_cols:
+            raise ValueError("gbt_full scoring needs feature_cols in training order")
+        pred = predict_full_cents_column(
+            doc["model"], [F.col(c) for c in feature_cols]
+        )
+        return df.withColumn(
+            "prediction", F.round(pred.cast("double") / 100.0, 6)
+        ).withColumn("model_version", F.lit(doc["version"]))
     if doc.get("kind") == "gbt":
         from bigdatasmallprice_spark.operators.gbt import predict_cents_column
 

@@ -712,7 +712,7 @@ def train_gbt_full(
     )
 
 
-def train_gbt_on_features(
+def fit_gbt_on_features(
     feat: DataFrame,
     n_features: int,
     n_rounds: int = 10,
@@ -720,18 +720,15 @@ def train_gbt_on_features(
     lr: float = 0.5,
     n_bins: int = 16,
     fixed_thresholds: dict[int, list[int]] | None = None,
-) -> DataFrame:
-    """Histogram-GBT over ANY featurized frame with columns y (exact
-    cents BIGINT), x0..x{m-1} (exact BIGINT features), is_train — the
-    generic entry the flagship-view fit uses (tests/test_gbt.py::
-    test_gbt_full_beats_linear_on_flagship_view trains on the
-    ``training_features`` columns of export.FEATURE_COLS shape).
-
+) -> tuple[GbtFullModel, dict]:
+    """Fit the histogram GBT over ANY featurized frame with columns y
+    (exact cents BIGINT), x0..x{m-1} (exact BIGINT features), is_train,
+    returning (model, mae history {(split, round): floor-MAE cents}).
     ``fixed_thresholds`` pins candidate split sets for features with a
     known small domain (calendar fields); every other feature gets
     ``n_bins`` exact-rank quantile thresholds from the training split.
-    Output schema matches :func:`train_gbt_full`."""
-    spark = feat.sparkSession
+    The train/serve pair is :func:`full_model_to_artifact` +
+    :func:`predict_full_cents_column`."""
     xcols = [F.col(f"x{i}") for i in range(n_features)]
     fixed = fixed_thresholds or {}
     cont = [f for f in range(n_features) if f not in fixed]
@@ -768,7 +765,35 @@ def train_gbt_on_features(
                 mae[(split, r)] = math.floor(
                     float(row[f"sa{r}"]) / float(row["cnt"])
                 )
+    return model, mae
 
+
+def train_gbt_on_features(
+    feat: DataFrame,
+    n_features: int,
+    n_rounds: int = 10,
+    depth: int = 3,
+    lr: float = 0.5,
+    n_bins: int = 16,
+    fixed_thresholds: dict[int, list[int]] | None = None,
+) -> DataFrame:
+    """:func:`fit_gbt_on_features` formatted as the train_gbt_full
+    output frame — one row per (round, non-empty leaf) with the split
+    path, leaf value, and the integer train/val MAE history. The
+    generic entry the flagship-view fit uses (tests/test_gbt.py::
+    test_gbt_full_beats_linear_on_flagship_view trains on the
+    ``training_features`` columns of export.FEATURE_COLS shape)."""
+    spark = feat.sparkSession
+    model, mae = fit_gbt_on_features(
+        feat,
+        n_features,
+        n_rounds=n_rounds,
+        depth=depth,
+        lr=lr,
+        n_bins=n_bins,
+        fixed_thresholds=fixed_thresholds,
+    )
+    depth = model.depth
     out_rows = []
     for r, tree in enumerate(model.trees, start=1):
         for leaf in sorted(tree.leaf_values):
@@ -794,6 +819,78 @@ def train_gbt_on_features(
     names += ["n_leaf", "leaf_value_c", "train_mae_c", "val_mae_c"]
     schema = T.StructType([T.StructField(n, T.LongType(), True) for n in names])
     return spark.createDataFrame(out_rows, schema)
+
+
+def full_model_to_artifact(model: GbtFullModel, mae: dict | None = None) -> dict:
+    """JSON-serializable document for the model registry
+    (modelstore.save_gbt_full_model): base + depth + per-tree split
+    paths and leaf values. When the fit's MAE history is supplied, the
+    val-MAE argmin round is stored as ``best_round`` — the
+    early-stopping cut the scorer applies (reference train.py:312-318,
+    where XGBoost's best_iteration serves, not the last round)."""
+    doc = {
+        "base": model.base,
+        "depth": model.depth,
+        "trees": [
+            {
+                "splits": [
+                    {str(nd): [sp.feature, sp.threshold] for nd, sp in lvl.items()}
+                    for lvl in t.splits
+                ],
+                "leaves": {str(leaf): v for leaf, v in t.leaf_values.items()},
+            }
+            for t in model.trees
+        ],
+    }
+    if mae:
+        val = {r: v for (s, r), v in mae.items() if s == "val"}
+        if val:
+            doc["best_round"] = min(sorted(val), key=lambda r: (val[r], r))
+    return doc
+
+
+def artifact_to_full_model(doc: dict) -> GbtFullModel:
+    """Inverse of :func:`full_model_to_artifact` (best_round is the
+    caller's to apply; the reconstituted model carries every tree)."""
+    return GbtFullModel(
+        base=int(doc["base"]),
+        depth=int(doc["depth"]),
+        trees=[
+            GTree(
+                splits=[
+                    {int(nd): GSplit(int(ft[0]), int(ft[1])) for nd, ft in lvl.items()}
+                    for lvl in t["splits"]
+                ],
+                leaf_values={int(k): int(v) for k, v in t["leaves"].items()},
+                leaf_counts={},
+            )
+            for t in doc["trees"]
+        ],
+    )
+
+
+def predict_full_cents_column(doc: dict, xcols: list[Column]) -> Column:
+    """Score the general boosted model as ONE literal column over the
+    feature columns — the same pure-codegen serving path as the
+    depth-2 model's predict_cents_column: trees are constants, no
+    join, no UDF, nothing shuffles at any scale. Only the first
+    ``best_round`` trees contribute (all, when the artifact carries no
+    early-stopping pick). Routing mirrors the fit's _node_col exactly,
+    so train-time predictions and served predictions are bit-equal
+    (tests/test_gbt.py::test_gbt_full_artifact_round_trip_and_serving)."""
+    model = artifact_to_full_model(doc)
+    n_use = int(doc.get("best_round", len(model.trees)))
+    pred = F.lit(model.base)
+    for tree in model.trees[:n_use]:
+        leaf_col = _node_col(tree.splits, model.depth, xcols)
+        val = F.lit(0)
+        for lf, v in tree.leaf_values.items():
+            val = F.when(leaf_col == F.lit(lf), F.lit(v)).otherwise(val)
+        pred = pred + val
+    nn = F.lit(True)
+    for c in xcols:
+        nn = nn & c.isNotNull()
+    return F.when(nn, pred)
 
 
 # The flagship view's model features, leak-safe (P6): lags and trailing

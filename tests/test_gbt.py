@@ -314,3 +314,59 @@ def test_gbt_full_paths_identical(spark, monkeypatch):
     monkeypatch.setattr(gbt, "GBT_FULL_COLLECT_MAX", 0)
     dist = sorted(map(tuple, gbt.train_gbt_full(ev, n_rounds=3, depth=3).collect()))
     assert local == dist
+
+
+def test_gbt_full_artifact_round_trip_and_serving(spark, tmp_path):
+    """Train -> artifact -> registry -> serve must reproduce the fit's
+    own numbers: the artifact round-trips losslessly, score_latest
+    resolves the newest gbt_full artifact, and the served literal
+    column's val MAE at the stored best_round equals the val_mae_c the
+    fit recorded for that round (train/serve bit-parity)."""
+    import math
+
+    from bigdatasmallprice_spark import modelstore
+    from bigdatasmallprice_spark.operators.gbt import (
+        artifact_to_full_model,
+        featurize_hourly_series,
+        fit_gbt_on_features,
+        full_model_to_artifact,
+        predict_full_cents_column,
+    )
+    from bigdatasmallprice_spark.queries.core import events
+
+    ev = events(spark, "/root/testdata/sf0.001")
+    feat = (
+        featurize_hourly_series(ev)
+        .select("y", "x0", "x1", "x2", "x3", "x4", "is_train")
+        .coalesce(1)
+    )
+    model, mae = fit_gbt_on_features(
+        feat, 5, n_rounds=4, depth=3, lr=0.2,
+        fixed_thresholds={0: list(range(1, 24)), 1: list(range(2, 8))},
+    )
+    doc = full_model_to_artifact(model, mae)
+    rt = artifact_to_full_model(doc)
+    assert rt.base == model.base and rt.depth == model.depth
+    assert [t.splits for t in rt.trees] == [t.splits for t in model.trees]
+    assert [t.leaf_values for t in rt.trees] == [t.leaf_values for t in model.trees]
+    best = doc["best_round"]
+    assert best == min(range(1, 5), key=lambda r: (mae[("val", r)], r))
+
+    modelstore.save_gbt_full_model(str(tmp_path), "gbt_full_test", model, mae)
+    scored = modelstore.score_latest(
+        spark, str(tmp_path), "gbt_full_test", feat, key="unused",
+        feature_cols=["x0", "x1", "x2", "x3", "x4"],
+    )
+    rows = scored.filter(~F.col("is_train")).select("y", "prediction").collect()
+    served_val_mae = math.floor(
+        sum(abs(r["y"] - int(round(r["prediction"] * 100))) for r in rows) / len(rows)
+    )
+    assert served_val_mae == mae[("val", best)]
+
+    # NULL feature -> NULL prediction
+    from pyspark.sql import functions as SF
+    one = feat.limit(1).withColumn("x2", SF.lit(None).cast("long"))
+    p = one.select(
+        predict_full_cents_column(doc, [SF.col(f"x{i}") for i in range(5)]).alias("p")
+    ).collect()[0]["p"]
+    assert p is None
