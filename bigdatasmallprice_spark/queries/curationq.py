@@ -940,18 +940,23 @@ FROM p GROUP BY 1
 def cardinality_sketch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     sh4 = shingle_expr("ws", 4)
-    s = (
-        docs.select("source", F.split("text", " ").alias("ws"))
-        .select("source", F.explode(F.expr(sh4)).alias("sh"))
-        .withColumn(
-            "pos",
-            F.expr(f"CAST(conv(substr(md5(sh), 1, 8), 16, 10) AS BIGINT) % {_LC_M}"),
-        )
+    s = docs.select("source", F.split("text", " ").alias("ws")).select(
+        "source", F.explode(F.expr(sh4)).alias("sh")
+    )
+    # aggregate (source, shingle) pairs FIRST: two count-distincts on
+    # the raw exploded frame made Spark Expand-triple every occurrence,
+    # and pos = f(sh) means both distincts are derivable from the pair
+    # frame — which also md5-hashes only DISTINCT shingles instead of
+    # every instance (11.8s -> 7.3s at sf1)
+    pairs = s.groupBy("source", "sh").agg(F.count(F.lit(1)).alias("cnt"))
+    pairs = pairs.withColumn(
+        "pos",
+        F.expr(f"CAST(conv(substr(md5(sh), 1, 8), 16, 10) AS BIGINT) % {_LC_M}"),
     )
     m = float(_LC_M)
-    return s.groupBy("source").agg(
-        F.count(F.lit(1)).cast("long").alias("n_instances"),
-        F.countDistinct("sh").cast("long").alias("n_exact_distinct"),
+    return pairs.groupBy("source").agg(
+        F.sum("cnt").cast("long").alias("n_instances"),
+        F.count(F.lit(1)).cast("long").alias("n_exact_distinct"),
         F.countDistinct("pos").cast("long").alias("n_occupied"),
         F.round(
             -m * F.log(F.lit(1.0) - F.countDistinct("pos").cast("double") / m), 4
