@@ -100,15 +100,47 @@ ANN_PLANES = 4
 EMBED_DIM = 64
 PLANES = _lcg_planes(ANN_PLANES, EMBED_DIM)
 
+# near-dup bucket scaling: a FIXED plane count makes same-bucket pair
+# stages ~N^2/2^p (the semantic_dedup pinned-k disease; measured 80.9x
+# wall at 10x data) — so the near-dup queries draw a LONGER prefix of
+# the same LCG stream, sized to hold the expected bucket at a constant
+# block size. The first ANN_PLANES rows are bit-identical to PLANES
+# (sequential generator), so a corpus small enough for 4 planes hashes
+# exactly as before.
+NEARDUP_MAX_PLANES = 12
+NEARDUP_PLANES = _lcg_planes(NEARDUP_MAX_PLANES, EMBED_DIM)
+NEARDUP_BLOCK = 128
+
+
+def scaled_plane_count(
+    n_vecs: int,
+    target: int = NEARDUP_BLOCK,
+    lo: int = ANN_PLANES,
+    hi: int = NEARDUP_MAX_PLANES,
+) -> int:
+    """Smallest p in [lo, hi] with 2^p bucket slots >= ceil(n/target) —
+    integer comparisons only, so an oracle CASE chain derives the
+    identical p from the same COUNT (no float log2 at a boundary)."""
+    blocks = (max(n_vecs, 1) + target - 1) // target
+    p = lo
+    while (1 << p) < blocks and p < hi:
+        p += 1
+    return p
+
 
 def _plane_literal(p: list[float]) -> str:
     return "array(" + ", ".join(f"CAST({v} AS DOUBLE)" for v in p) + ")"
 
 
-def with_lsh_bucket(df: DataFrame, vec_col: str = "embedding", out: str = "bucket") -> DataFrame:
+def with_lsh_bucket(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    out: str = "bucket",
+    planes: list[list[float]] | None = None,
+) -> DataFrame:
     """Random-hyperplane signature: bit j = [dot(v, plane_j) >= 0]."""
     terms = []
-    for j, p in enumerate(PLANES):
+    for j, p in enumerate(PLANES if planes is None else planes):
         dot = (
             f"aggregate(zip_with({vec_col}, {_plane_literal(p)}, (x, y) -> CAST(x AS DOUBLE) * y), "
             f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
@@ -190,6 +222,7 @@ def bucketed_neardup_vectorized(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    planes: list[list[float]] | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs above a cosine threshold, computed
     bucket-locally with numpy: LSH-bucket the corpus, then ONE
@@ -201,7 +234,7 @@ def bucketed_neardup_vectorized(
     import numpy as np
     import pandas as pd
 
-    e = with_lsh_bucket(df.select(id_col, vec_col), vec_col)
+    e = with_lsh_bucket(df.select(id_col, vec_col), vec_col, planes=planes)
 
     def per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) < 2:

@@ -6,10 +6,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bigdatasmallprice_spark.operators.similarity import (
+    ANN_PLANES,
+    NEARDUP_BLOCK,
+    NEARDUP_MAX_PLANES,
+    NEARDUP_PLANES,
     PLANES,
     ann_lsh_topk,
     brute_force_topk,
     cosine,
+    scaled_plane_count,
     with_lsh_bucket,
 )
 from bigdatasmallprice_spark.queries.core import table
@@ -111,14 +116,44 @@ def ann_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_lsh_topk(emb.filter(F.col("vec_id") < 20), emb, k=3)
 
 
+def _o_scaled_planes_case() -> str:
+    """p = smallest plane count in [ANN_PLANES, NEARDUP_MAX_PLANES]
+    with 2^p >= ceil(n/NEARDUP_BLOCK), as a pure integer CASE chain —
+    bit-identical to scaled_plane_count (no float log2 at a block-count
+    boundary)."""
+    whens = "".join(
+        f" WHEN blocks <= {1 << p} THEN {p}"
+        for p in range(ANN_PLANES, NEARDUP_MAX_PLANES)
+    )
+    return (
+        f"SELECT CASE{whens} ELSE {NEARDUP_MAX_PLANES} END AS p "
+        f"FROM (SELECT (COUNT(*) + {NEARDUP_BLOCK - 1}) // {NEARDUP_BLOCK} "
+        "AS blocks FROM embeddings)"
+    )
+
+
+def _o_masked_plane_bucket(vec: str) -> str:
+    """All NEARDUP_MAX_PLANES bit terms, each gated on j < np.p — the
+    oracle's closed-form analog of taking the first p planes."""
+    terms = []
+    for j, p in enumerate(NEARDUP_PLANES):
+        lits = ", ".join(f"CAST({v} AS DOUBLE)" for v in p)
+        dot = f"list_sum(list_transform(range(1, 65), i -> CAST({vec}[i] AS DOUBLE) * [{lits}][i]))"
+        terms.append(
+            f"(CASE WHEN {j} < np.p AND {dot} >= 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
 @register(
     "embedding_neardup",
     f"""
-WITH e AS (
+WITH np AS ({_o_scaled_planes_case()}),
+e AS (
   SELECT vec_id, label, embedding,
          {_O_NORM.format(a='embedding')} AS nrm,
-         {_o_plane_bucket('embedding')} AS bucket
-  FROM embeddings
+         {_o_masked_plane_bucket('embedding')} AS bucket
+  FROM embeddings, np
 ),
 pairs AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -129,15 +164,26 @@ SELECT id_a, id_b, sim FROM pairs WHERE sim >= 0.35
 """,
     doc="Embedding-cosine near-duplicate detection, LSH-bucket blocked "
     "(same-bucket pairs only, sim >= 0.35) — the semantic-dedup pass of "
-    "a training-data pipeline.",
+    "a training-data pipeline. The PLANE COUNT SCALES WITH THE CORPUS "
+    f"(smallest p with 2^p buckets >= n/{NEARDUP_BLOCK}, same integer "
+    "chain in both engines): a fixed p makes the same-bucket pair "
+    "stage ~N^2/2^p — measured 80.9x wall at 10x data before the fix, "
+    "6.0s after — while scaled p holds the expected bucket at "
+    f"~{NEARDUP_BLOCK} vectors so pair work stays linear. More planes "
+    "trade recall (near-dups split across buckets) exactly like "
+    "semantic_dedup's k — multi-band probing is the recall-recovery "
+    "path at production scale.",
     tags=("similarity", "dedup"),
 )
 def embedding_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdatasmallprice_spark.operators.similarity import _norm, cosine_prenormed
 
     emb = table(spark, sf_dir, "embeddings")
+    p = scaled_plane_count(emb.count())  # scalar extent read
     e = with_lsh_bucket(
-        emb.select("vec_id", "embedding", _norm("embedding").alias("nrm")), "embedding"
+        emb.select("vec_id", "embedding", _norm("embedding").alias("nrm")),
+        "embedding",
+        planes=NEARDUP_PLANES[:p],
     )
     a = e.select(
         F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"),
@@ -281,14 +327,18 @@ def ann_cosine_topk_np_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bucket -> numpy/BLAS Vn@Vn.T upper triangle >= threshold. The "
     "pairwise comparison never materializes as a join; buckets bound "
     "both parallelism and executor memory. Identical results to the "
-    "fold-based embedding_neardup (same oracle).",
+    "fold-based embedding_neardup (same oracle, same corpus-scaled "
+    "plane count).",
     tags=("similarity", "dedup", "udf"),
 )
 def embedding_neardup_np_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdatasmallprice_spark.operators.similarity import bucketed_neardup_vectorized
 
     emb = table(spark, sf_dir, "embeddings")
-    return bucketed_neardup_vectorized(emb, threshold=0.35)
+    p = scaled_plane_count(emb.count())
+    return bucketed_neardup_vectorized(
+        emb, threshold=0.35, planes=NEARDUP_PLANES[:p]
+    )
 
 
 def _attach_neardup_np_oracle() -> None:
