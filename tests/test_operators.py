@@ -1305,3 +1305,32 @@ def test_audit_cols_are_shuffle_free_and_deterministic(spark, tmp_path):
     )
     rows3 = {r.id: r for r in changed.collect()}
     assert all(rows1[i]._audit_row_hash != rows3[i]._audit_row_hash for i in rows1)
+
+
+def test_scaled_plane_count_matches_oracle_case_chain():
+    """The Spark side derives the near-dup plane count in Python
+    (scaled_plane_count); the oracle derives it from COUNT(*) via an
+    integer CASE chain (_o_scaled_planes_case). They must agree at
+    EVERY corpus size, especially the power-of-two block boundaries
+    where a float log2 derivation would be engine-dependent."""
+    import duckdb
+
+    from bigdatasmallprice_spark.operators.similarity import (
+        ANN_PLANES,
+        NEARDUP_BLOCK,
+        NEARDUP_MAX_PLANES,
+        scaled_plane_count,
+    )
+    from bigdatasmallprice_spark.queries.simq import _o_scaled_planes_case
+
+    con = duckdb.connect()
+    sizes = {1, 2, NEARDUP_BLOCK - 1, NEARDUP_BLOCK, NEARDUP_BLOCK + 1}
+    for p in range(ANN_PLANES, NEARDUP_MAX_PLANES + 1):
+        b = (1 << p) * NEARDUP_BLOCK  # largest n still mapping to p
+        sizes |= {b - 1, b, b + 1}
+    for n in sorted(sizes):
+        con.execute(f"CREATE OR REPLACE VIEW embeddings AS SELECT * FROM range({n})")
+        got = con.execute(_o_scaled_planes_case()).fetchone()[0]
+        want = scaled_plane_count(n)
+        assert got == want, (n, got, want)
+        assert ANN_PLANES <= want <= NEARDUP_MAX_PLANES
