@@ -380,6 +380,27 @@ def _exact_rank_thresholds(
     return {f: sorted(set(ts)) for f, ts in out.items()}
 
 
+def _approx_quantile_thresholds(
+    tr: DataFrame, cont_features: list[int], n_bins: int, rel_err: float = 0.001
+) -> dict[int, list[int]]:
+    """Approximate-quantile thresholds (Greenwald–Khanna via Spark's
+    approxQuantile) — the production binning path at 100 TB, where the
+    exact variant's per-feature value histogram + rank window is an
+    avoidable full-cardinality pass. One sketch pass over the train
+    frame covers all features; the thresholds land within ``rel_err``
+    rank error of the exact ones. NOT oracle-replayable (the sketch is
+    engine-specific), so the registered parity queries keep exact
+    binning and this path is differential-tested against it
+    (tests/test_gbt.py::test_gbt_full_approx_bins_close_to_exact)."""
+    probs = [j / n_bins for j in range(1, n_bins)]
+    cols = [f"x{f}" for f in cont_features]
+    qs = tr.approxQuantile(cols, probs, rel_err)
+    return {
+        f: sorted({int(v) for v in vals})
+        for f, vals in zip(cont_features, qs)
+    }
+
+
 def _best_general_split(
     bins: dict[tuple[int, int], tuple[int, int]], thresholds: dict[int, list[int]]
 ) -> GSplit | None:
@@ -720,21 +741,30 @@ def fit_gbt_on_features(
     lr: float = 0.5,
     n_bins: int = 16,
     fixed_thresholds: dict[int, list[int]] | None = None,
+    approx_bins: bool = False,
 ) -> tuple[GbtFullModel, dict]:
     """Fit the histogram GBT over ANY featurized frame with columns y
     (exact cents BIGINT), x0..x{m-1} (exact BIGINT features), is_train,
     returning (model, mae history {(split, round): floor-MAE cents}).
     ``fixed_thresholds`` pins candidate split sets for features with a
     known small domain (calendar fields); every other feature gets
-    ``n_bins`` exact-rank quantile thresholds from the training split.
-    The train/serve pair is :func:`full_model_to_artifact` +
-    :func:`predict_full_cents_column`."""
+    ``n_bins`` quantile thresholds from the training split — exact rank
+    statistics by default (oracle-replayable), or one
+    Greenwald–Khanna sketch pass with ``approx_bins=True`` (the 100 TB
+    path; see _approx_quantile_thresholds). The train/serve pair is
+    :func:`full_model_to_artifact` + :func:`predict_full_cents_column`."""
     xcols = [F.col(f"x{i}") for i in range(n_features)]
     fixed = fixed_thresholds or {}
     cont = [f for f in range(n_features) if f not in fixed]
+    tr = feat.filter("is_train")
+    cont_thresholds = (
+        _approx_quantile_thresholds(tr, cont, n_bins)
+        if approx_bins
+        else _exact_rank_thresholds(tr, cont, xcols, n_bins)
+    )
     thresholds = {
         **{f: list(v) for f, v in fixed.items()},
-        **_exact_rank_thresholds(feat.filter("is_train"), cont, xcols, n_bins),
+        **cont_thresholds,
     }
 
     rows = feat.limit(GBT_FULL_COLLECT_MAX + 1).collect()

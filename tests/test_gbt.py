@@ -370,3 +370,33 @@ def test_gbt_full_artifact_round_trip_and_serving(spark, tmp_path):
         predict_full_cents_column(doc, [SF.col(f"x{i}") for i in range(5)]).alias("p")
     ).collect()[0]["p"]
     assert p is None
+
+
+def test_gbt_full_approx_bins_close_to_exact(spark):
+    """The approx-quantile binning path (the 100 TB production
+    variant) must train end-to-end and land within a few percent of
+    the exact-rank fit's best val MAE on the same frame — the sketch
+    moves thresholds by at most the rank error, not the model shape."""
+    from bigdatasmallprice_spark.operators.gbt import (
+        featurize_hourly_series,
+        fit_gbt_on_features,
+    )
+    from bigdatasmallprice_spark.queries.core import events
+
+    ev = events(spark, "/root/testdata/sf0.01")
+    feat = (
+        featurize_hourly_series(ev)
+        .select("y", "x0", "x1", "x2", "x3", "x4", "is_train")
+        .coalesce(1)
+    )
+    fixed = {0: list(range(1, 24)), 1: list(range(2, 8))}
+    _, mae_exact = fit_gbt_on_features(
+        feat, 5, n_rounds=6, depth=3, lr=0.2, fixed_thresholds=fixed
+    )
+    _, mae_approx = fit_gbt_on_features(
+        feat, 5, n_rounds=6, depth=3, lr=0.2, fixed_thresholds=fixed,
+        approx_bins=True,
+    )
+    best_exact = min(v for (s, r), v in mae_exact.items() if s == "val")
+    best_approx = min(v for (s, r), v in mae_approx.items() if s == "val")
+    assert best_approx <= best_exact * 1.05, (best_approx, best_exact)
