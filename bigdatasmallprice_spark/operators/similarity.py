@@ -260,6 +260,94 @@ def bucketed_neardup_vectorized(
     )
 
 
+def bands_for_recall(target_recall: float, sim: float, planes_per_band: int) -> int:
+    """Bands needed so a pair at cosine ``sim`` is caught with
+    probability >= target_recall: per-plane collision prob for random
+    hyperplanes is 1 - theta/pi (Charikar 2002), a band catches a pair
+    iff ALL its planes agree, and bands are independent —
+    recall = 1 - (1 - s^p)^b, solved for b."""
+    import math
+
+    if not (0 < target_recall < 1):
+        raise ValueError("target_recall must be in (0, 1)")
+    s = 1.0 - math.acos(max(-1.0, min(1.0, sim))) / math.pi
+    band_hit = s**planes_per_band
+    if band_hit <= 0:
+        raise ValueError("band hit probability is 0; lower planes_per_band")
+    return max(1, math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - band_hit)))
+
+
+def banded_neardup_vectorized(
+    df: DataFrame,
+    threshold: float,
+    n_bands: int,
+    planes_per_band: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-band near-dup pairs — the recall-recovery path the
+    single-band queries document: ``n_bands`` independent hyperplane
+    signatures (disjoint slices of one LCG stream), a pair is a
+    candidate if ANY band agrees (recall 1-(1-s^p)^b vs the single
+    band's s^p; size bands with :func:`bands_for_recall`), and every
+    candidate is verified with the exact cosine, so extra bands add
+    recall, never false positives. One pass: all band buckets computed
+    per row, exploded to (band, bucket), one numpy block per group, and
+    pairs caught by several bands dedupe on the identical verified
+    tuple. Cost scales with n_bands * same-bucket block mass — linear
+    in the corpus while planes_per_band tracks scaled_plane_count."""
+    import numpy as np
+    import pandas as pd
+
+    planes = _lcg_planes(n_bands * planes_per_band, EMBED_DIM)
+    e = df.select(id_col, vec_col)
+    band_cols = []
+    for b in range(n_bands):
+        sub = planes[b * planes_per_band : (b + 1) * planes_per_band]
+        terms = []
+        for j, p in enumerate(sub):
+            dot = (
+                f"aggregate(zip_with({vec_col}, {_plane_literal(p)}, (x, y) -> CAST(x AS DOUBLE) * y), "
+                f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+            )
+            terms.append(
+                f"(CASE WHEN {dot} >= 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+            )
+        band_cols.append(
+            F.struct(
+                F.lit(b).alias("band"), F.expr(" + ".join(terms)).alias("bucket")
+            )
+        )
+    ex = e.select(
+        id_col, vec_col, F.explode(F.array(*band_cols)).alias("bb")
+    ).select(id_col, vec_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    def per_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "sim": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "sim": "float64"}
+            )
+        pdf = pdf.sort_values(id_col)
+        ids = pdf[id_col].to_numpy()
+        V = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+        n = np.linalg.norm(V, axis=1)
+        ok = n > 0
+        Vn = V / np.where(ok, n, 1.0)[:, None]
+        S = (Vn @ Vn.T).round(6)
+        S = np.where(ok[:, None] & ok[None, :], S, 0.0)
+        ia, ib = np.triu_indices(len(ids), k=1)
+        keep = S[ia, ib] >= threshold
+        return pd.DataFrame(
+            {"id_a": ids[ia[keep]], "id_b": ids[ib[keep]], "sim": S[ia[keep], ib[keep]]}
+        )
+
+    return (
+        ex.groupBy("band", "bucket")
+        .applyInPandas(per_block, "id_a long, id_b long, sim double")
+        .distinct()
+    )
+
+
 def with_ivf_cells(
     df: DataFrame,
     centroids: DataFrame,

@@ -1334,3 +1334,64 @@ def test_scaled_plane_count_matches_oracle_case_chain():
         want = scaled_plane_count(n)
         assert got == want, (n, got, want)
         assert ANN_PLANES <= want <= NEARDUP_MAX_PLANES
+
+
+def test_banded_neardup_recovers_recall(spark):
+    """Multi-band near-dup: bands add recall monotonically, never
+    false positives (every candidate is exact-cosine verified), the
+    single-band result is a subset, and measured recall is in the
+    ballpark of the 1-(1-s^p)^b Charikar bound that bands_for_recall
+    inverts."""
+    import numpy as np
+
+    from bigdatasmallprice_spark.operators.similarity import (
+        NEARDUP_PLANES,
+        bands_for_recall,
+        banded_neardup_vectorized,
+        bucketed_neardup_vectorized,
+    )
+    from bigdatasmallprice_spark.queries.core import table
+
+    emb = table(spark, "/root/testdata/sf0.01", "embeddings")
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    V = np.stack([np.array(r.embedding, dtype="float64") for r in rows])
+    n = np.linalg.norm(V, axis=1)
+    ok = n > 0
+    Vn = V / np.where(ok, n, 1.0)[:, None]
+    S = (Vn @ Vn.T).round(6)
+    iu, ju = np.triu_indices(len(ids), k=1)
+    truth = {
+        (int(ids[i]), int(ids[j]))
+        for i, j in zip(iu, ju)
+        if S[i, j] >= 0.35 and ok[i] and ok[j]
+    }
+    assert truth  # non-vacuous
+
+    p = 4
+    single = {
+        (r.id_a, r.id_b)
+        for r in bucketed_neardup_vectorized(
+            emb, threshold=0.35, planes=NEARDUP_PLANES[:p]
+        ).collect()
+    }
+    recalls = {}
+    for nb in (1, 4):
+        got = {
+            (r.id_a, r.id_b)
+            for r in banded_neardup_vectorized(
+                emb, threshold=0.35, n_bands=nb, planes_per_band=p
+            ).collect()
+        }
+        assert got <= truth  # exact verify => no false positives
+        recalls[nb] = len(got & truth) / len(truth)
+        if nb == 1:
+            assert got == single  # band 0 IS the single-band plane set
+    assert recalls[4] > recalls[1]
+
+    # bands_for_recall inverts the band-hit formula exactly
+    b = bands_for_recall(0.9, sim=0.35, planes_per_band=4)
+    import math
+    s = 1.0 - math.acos(0.35) / math.pi
+    assert 1.0 - (1.0 - s**4) ** b >= 0.9
+    assert 1.0 - (1.0 - s**4) ** (b - 1) < 0.9
