@@ -277,13 +277,25 @@ def bands_for_recall(target_recall: float, sim: float, planes_per_band: int) -> 
     return max(1, math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - band_hit)))
 
 
+def band_planes(band: int, n_planes: int = NEARDUP_MAX_PLANES) -> list[list[float]]:
+    """Band ``band``'s hyperplane set: its own LCG stream (seed offset
+    by band), so a runtime-scaled PREFIX of each band stays a fixed
+    literal list an oracle can embed and mask — band 0's stream is
+    exactly NEARDUP_PLANES, so band 0 reproduces the single-band
+    queries' buckets bit-for-bit."""
+    if band == 0:
+        return _lcg_planes(n_planes, EMBED_DIM)
+    return _lcg_planes(n_planes, EMBED_DIM, seed=77770001 + 1000003 * band)
+
+
 def banded_neardup_vectorized(
     df: DataFrame,
     threshold: float,
-    n_bands: int,
-    planes_per_band: int,
+    n_bands: int | None = None,
+    planes_per_band: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    bands: list[list[list[float]]] | None = None,
 ) -> DataFrame:
     """Multi-band near-dup pairs — the recall-recovery path the
     single-band queries document: ``n_bands`` independent hyperplane
@@ -295,15 +307,24 @@ def banded_neardup_vectorized(
     per row, exploded to (band, bucket), one numpy block per group, and
     pairs caught by several bands dedupe on the identical verified
     tuple. Cost scales with n_bands * same-bucket block mass — linear
-    in the corpus while planes_per_band tracks scaled_plane_count."""
+    in the corpus while planes_per_band tracks scaled_plane_count.
+    Pass ``bands`` (explicit per-band plane lists, e.g.
+    ``[band_planes(b)[:p] for b in range(nb)]``) to pin the exact
+    plane sets; otherwise contiguous slices of one stream are used."""
     import numpy as np
     import pandas as pd
 
-    planes = _lcg_planes(n_bands * planes_per_band, EMBED_DIM)
+    if bands is None:
+        if n_bands is None or planes_per_band is None:
+            raise ValueError("pass bands, or n_bands + planes_per_band")
+        planes = _lcg_planes(n_bands * planes_per_band, EMBED_DIM)
+        bands = [
+            planes[b * planes_per_band : (b + 1) * planes_per_band]
+            for b in range(n_bands)
+        ]
     e = df.select(id_col, vec_col)
     band_cols = []
-    for b in range(n_bands):
-        sub = planes[b * planes_per_band : (b + 1) * planes_per_band]
+    for b, sub in enumerate(bands):
         terms = []
         for j, p in enumerate(sub):
             dot = (

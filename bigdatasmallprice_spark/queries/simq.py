@@ -132,11 +132,11 @@ def _o_scaled_planes_case() -> str:
     )
 
 
-def _o_masked_plane_bucket(vec: str) -> str:
+def _o_masked_plane_bucket(vec: str, planes: list[list[float]] | None = None) -> str:
     """All NEARDUP_MAX_PLANES bit terms, each gated on j < np.p — the
     oracle's closed-form analog of taking the first p planes."""
     terms = []
-    for j, p in enumerate(NEARDUP_PLANES):
+    for j, p in enumerate(NEARDUP_PLANES if planes is None else planes):
         lits = ", ".join(f"CAST({v} AS DOUBLE)" for v in p)
         dot = f"list_sum(list_transform(range(1, 65), i -> CAST({vec}[i] AS DOUBLE) * [{lits}][i]))"
         terms.append(
@@ -348,6 +348,65 @@ def _attach_neardup_np_oracle() -> None:
 
 
 _attach_neardup_np_oracle()
+
+
+_ND_BANDS = 4
+
+
+def _o_banded_neardup_sql() -> str:
+    from bigdatasmallprice_spark.operators.similarity import band_planes
+
+    band_rows = "\n  UNION ALL ".join(
+        f"SELECT vec_id, embedding, nrm, CAST({b} AS BIGINT) AS band, "
+        f"{_o_masked_plane_bucket('embedding', band_planes(b))} AS bucket "
+        "FROM e, np"
+        for b in range(_ND_BANDS)
+    )
+    return f"""
+WITH np AS ({_o_scaled_planes_case()}),
+e AS (
+  SELECT vec_id, embedding, {_O_NORM.format(a='embedding')} AS nrm FROM embeddings
+),
+bb AS (
+  {band_rows}
+),
+pairs AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+         round({_o_cosine_prenormed('a.embedding', 'b.embedding', 'a.nrm', 'b.nrm')}, 6) AS sim
+  FROM bb a JOIN bb b ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, sim FROM pairs WHERE sim >= 0.35
+"""
+
+
+@register(
+    "embedding_neardup_banded",
+    _o_banded_neardup_sql(),
+    doc=f"Multi-band near-dup pairs ({_ND_BANDS} independent hyperplane "
+    "bands, each its own LCG seed, per-band plane count scaled with "
+    "the corpus like embedding_neardup): a pair is a candidate when "
+    "ANY band agrees and every candidate is exact-cosine verified, so "
+    "recall rises 1-(1-s^p)^b over the single band's s^p with zero "
+    "false positives (bands_for_recall sizes b for a target recall). "
+    "Band 0's stream IS the single-band plane set, so this result is "
+    "a superset of embedding_neardup's. Cost = bands x same-bucket "
+    "block mass — still linear in the corpus; cross-band duplicate "
+    "catches dedupe on the identical verified tuple.",
+    tags=("similarity", "dedup", "udf"),
+)
+def embedding_neardup_banded_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdatasmallprice_spark.operators.similarity import (
+        band_planes,
+        banded_neardup_vectorized,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    p = scaled_plane_count(emb.count())
+    return banded_neardup_vectorized(
+        emb,
+        threshold=0.35,
+        bands=[band_planes(b)[:p] for b in range(_ND_BANDS)],
+    )
 
 
 @register(

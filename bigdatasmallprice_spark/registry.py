@@ -102,6 +102,7 @@ DRIVER_ORDER: list[str] = [
     "eval_split_clean_hashed",
     "line_dedup_hashed",
     "train_gbt_full",
+    "embedding_neardup_banded",
     # -- green in r3 only (kept: second external row confirms stability)
     "hybrid_search_rrf",
     "warc_ingest_stats",
@@ -134,7 +135,9 @@ DRIVER_ORDER: list[str] = [
     "repetition_stats",
     "kmeans_centroids",
     "multimodal_bmp_resize",
-    "train_gbt_model",  # r3 green: histogram boosted trees (D5 complete)
+    # (train_gbt_model, r3-green, rotated out mid-r4 to free the slot
+    # for embedding_neardup_banded — its machinery stays exercised by
+    # train_gbt_full, which generalizes it)
     # r4 rotation: swapped OUT 18 queries green in both r2 and r3
     # (asof_last_purchase, session_stats, latest_event_per_user,
     # top_days_per_type, peak_hour_spend, ann_cosine_topk, ann_lsh_topk,
