@@ -9,18 +9,20 @@ from bigdatasmallprice_spark.caching import (
     run_query_released,
 )
 
-# ten registered queries that persist() internally
+# ten registered queries that persist() internally (the round-4
+# pair-aggregate window rewrites removed the span/eval/line persists,
+# so this list names queries that still genuinely cache)
 PERSISTING = [
     "minhash_lsh_pairs",
     "simhash_pairs",
-    "dedup_span_stats",
-    "dedup_span_stats_hashed",
-    "eval_split_clean",
-    "eval_split_clean_hashed",
     "dedup_incremental",
     "bloom_shingle_prefilter",
     "semantic_dedup",
     "neardup_clusters",
+    "dedup_canonical",
+    "corpus_curation_summary",
+    "embedding_covariance",
+    "hybrid_search_rrf",
 ]
 
 SF = "/root/testdata/sf0.001"
