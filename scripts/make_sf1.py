@@ -44,8 +44,17 @@ def main() -> None:
     spark = get_spark("make-sf1")
     os.makedirs(DST, exist_ok=True)
 
-    for t in ["region", "nation", "customer", "supplier", "part", "orders", "lineitem"]:
+    # Small dimension tables are copied verbatim (single file is fine at
+    # their size); orders/lineitem get a splittable rewrite below.
+    for t in ["region", "nation", "customer", "supplier", "part"]:
         shutil.copyfile(f"{SRC}/{t}.parquet", f"{DST}/{t}.parquet")
+    for t, key in [("orders", "o_orderkey"), ("lineitem", "l_orderkey")]:
+        (
+            load_table(spark, SRC, t)
+            .repartition(8, F.col(key))
+            .write.mode("overwrite")
+            .parquet(f"{DST}/{t}.parquet")
+        )
 
     copies = spark.range(COPIES).select(F.col("id").cast("long").alias("copy"))
 
@@ -68,7 +77,13 @@ def main() -> None:
         )
         .withColumn("n_chars", F.length("text"))
     )
-    out.coalesce(8).write.mode("overwrite").parquet(f"{DST}/documents.parquet")
+    # repartition (coalesce cannot INCREASE the single-partition input —
+    # the r1-r4 generator's coalesce(8) silently wrote ONE file with one
+    # row group, making every scan a single task); hashing on doc_id is
+    # deterministic, keeping the dataset reproducible file-for-file.
+    out.repartition(32, F.col("doc_id")).write.mode("overwrite").parquet(
+        f"{DST}/documents.parquet"
+    )
 
     emb = load_table(spark, SRC, "embeddings")
     n_vec = emb.agg(F.max("vec_id")).collect()[0][0] + 1
@@ -84,7 +99,7 @@ def main() -> None:
             F.expr(rot).alias("embedding"),
             "label",
         )
-        .coalesce(8)
+        .repartition(32, F.col("vec_id"))
         .write.mode("overwrite")
         .parquet(f"{DST}/embeddings.parquet")
     )
@@ -102,7 +117,7 @@ def main() -> None:
             "value",
             "props",
         )
-        .coalesce(8)
+        .repartition(32, F.col("event_id"))
         .write.mode("overwrite")
         .parquet(f"{DST}/events.parquet")
     )
