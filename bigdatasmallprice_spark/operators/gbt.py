@@ -333,17 +333,42 @@ class GbtFullModel:
 
 
 def _node_col(tree_splits: list[dict[int, GSplit]], upto_level: int, xcols) -> "Column":
-    """Node id at ``upto_level`` as a literal column (pure codegen):
-    node_0 = 0; node_{l+1} = node_l * 2 + bit, bit = 0 on the left of
-    that node's split (or always 0 when the node is unsplit)."""
-    node = F.lit(0)
-    for lvl in range(upto_level):
-        bit = F.lit(0)
-        for nd, sp in tree_splits[lvl].items():
-            cond = (node == F.lit(nd)) & (xcols[sp.feature] >= F.lit(sp.threshold))
-            bit = F.when(cond, F.lit(1)).otherwise(bit)
-        node = node * 2 + bit
-    return node
+    """Node id at ``upto_level`` as a literal column (pure codegen).
+
+    Semantics: node_0 = 0; node_{l+1} = node_l * 2 + bit, bit = 1 right
+    of that node's split (always 0 when the node is unsplit). Built by
+    ENUMERATING each node's path conjunction rather than nesting the
+    node expression level-by-level: the recursive form duplicates the
+    whole level-l expression inside every level-(l+1) when-condition,
+    which is exponential in depth and OOMs analysis at depth 7; the
+    path-conjunction form is O(depth * 2^depth) simple comparisons —
+    ~900 terms at depth 7, comfortably codegen-able. The mapping is
+    bit-identical to the recursive definition (asserted by
+    tests/test_gbt.py::test_gbt_full_paths_identical and the
+    depth-7 twin)."""
+    expr = F.lit(0)
+    for node in range(1, 1 << upto_level):
+        cond = None
+        reachable = True
+        for lvl in range(upto_level):
+            anc = node >> (upto_level - lvl)
+            bit = (node >> (upto_level - lvl - 1)) & 1
+            sp = tree_splits[lvl].get(anc)
+            if sp is None:
+                if bit == 1:
+                    reachable = False  # unsplit nodes send every row left
+                    break
+                continue  # bit 0 under an unsplit node: vacuously true
+            c = (
+                (xcols[sp.feature] >= F.lit(sp.threshold))
+                if bit
+                else (xcols[sp.feature] < F.lit(sp.threshold))
+            )
+            cond = c if cond is None else (cond & c)
+        if not reachable or cond is None:
+            continue
+        expr = F.when(cond, F.lit(node)).otherwise(expr)
+    return expr
 
 
 def _exact_rank_thresholds(
@@ -444,16 +469,30 @@ def fit_gbt_full(
     n_rounds: int,
     depth: int,
     lr: float,
-) -> tuple[GbtFullModel, DataFrame]:
+    patience: int | None = None,
+    stats: dict | None = None,
+) -> tuple[GbtFullModel, dict]:
     """Fit boosted depth-``depth`` trees on a featurized frame with
-    columns x0..x{m-1} (exact BIGINT), y (exact cents), is_train.
+    columns x0..x{m-1} (exact BIGINT), y (exact cents), and is_train —
+    or a 3-way ``split`` column ('train'/'val'/'test', the reference's
+    rolling load split, export_pipeline.py run_load_export) from which
+    is_train is derived.
 
     Distributed work per round: ``depth`` histogram passes, each ONE
     groupBy(node, feature, bin) with map-side partials over the
     persisted frame (<= 2^depth * m * B groups — model-sized); split
-    search and leaf values run driver-side on the collected histogram.
-    Returns (model, frame-with-per-round-pred-columns __p1..__pR) so
-    the caller computes the loss history in one more pass."""
+    search and leaf values run driver-side on the collected histogram;
+    one more model-sized aggregate per round folds |y - pred| into the
+    per-split MAE history. Returns (model, mae) with mae keyed
+    (split_name, round) in floor'd integer cents.
+
+    ``patience`` is the reference's early_stopping_rounds
+    (train.py:124-165): training stops after the first round r with
+    r - argmin(val MAE over 1..r) >= patience (earliest argmin on
+    ties, matching the strict-improvement update), and the model
+    carries only the executed rounds. ``stats`` (optional dict)
+    records 'hist_rows_max' / 'hist_rows_by_level' — the test hook
+    proving the per-level groupBy stays model-sized at depth 7."""
     xcols = [F.col(f"x{i}") for i in range(n_features)]
     bin_cols = []
     for f in range(n_features):
@@ -461,6 +500,12 @@ def fit_gbt_full(
         for t in thresholds[f]:
             b = b + F.when(xcols[f] >= F.lit(t), 1).otherwise(0)
         bin_cols.append(b.alias(f"__b{f}"))
+    if "split" not in feat.columns:
+        feat = feat.withColumn(
+            "split", F.when(F.col("is_train"), "train").otherwise("val")
+        )
+    if "is_train" not in feat.columns:
+        feat = feat.withColumn("is_train", F.col("split") == "train")
     cur = feat.select("*", *bin_cols).persist()
 
     agg = cur.filter("is_train").agg(
@@ -471,6 +516,9 @@ def fit_gbt_full(
     base = math.floor(float(agg["s"]) / float(agg["n"]))
 
     trees: list[GTree] = []
+    mae: dict = {}
+    best_val: int | None = None
+    best_round = 0
     pred = F.lit(base)
     for r in range(1, n_rounds + 1):
         cur = cur.withColumn("__rs", F.col("y") - pred)
@@ -494,6 +542,13 @@ def fit_gbt_full(
                 )
                 .collect()
             )
+            if stats is not None:
+                stats.setdefault("hist_rows_by_level", []).append(
+                    (r, lvl, len(hist_rows))
+                )
+                stats["hist_rows_max"] = max(
+                    stats.get("hist_rows_max", 0), len(hist_rows)
+                )
             last_hist = {
                 (row["nd"], row["f"], row["b"]): (row["n"], row["s"])
                 for row in hist_rows
@@ -536,17 +591,49 @@ def fit_gbt_full(
         for lf, v in leaf_values.items():
             val = F.when(leaf_col == F.lit(lf), F.lit(v)).otherwise(val)
         pred = pred + val
-        cur = cur.withColumn(f"__p{r}", pred)
+        cur = cur.withColumn("__p", pred)
+        # fold this round's |y - pred| into the MAE history: one
+        # model-sized aggregate per round (map-side partials, <=3 groups)
+        err = (
+            cur.groupBy("split")
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.sum(F.abs(F.col("y") - F.col("__p"))).alias("sa"),
+            )
+            .collect()
+        )
+        for row in err:
+            mae[(row["split"], r)] = math.floor(
+                float(row["sa"]) / float(row["cnt"])
+            )
+        v = mae.get(("val", r))
+        if v is not None and (best_val is None or v < best_val):
+            best_val, best_round = v, r
+        stop = (
+            patience is not None
+            and v is not None
+            and r - best_round >= patience
+        )
         # sever lineage EVERY round: leaving the when-cascades stacked
         # makes each of the next round's histogram jobs re-analyze and
         # re-codegen a projection that grows with r (measured: the whole
         # fit is analysis/codegen-bound, not data-bound). The
         # checkpointed frame is the hourly fit frame — model-sized.
-        if r < n_rounds:
+        if r < n_rounds and not stop:
+            prev = cur
             cur = cur.localCheckpoint(eager=True)
-            pred = F.col(f"__p{r}")
+            # the checkpoint materialized; the previous round's cache /
+            # checkpoint RDD is dead weight from here — release it so a
+            # long fit holds exactly one round's frame, not R of them
+            prev.unpersist()
+            pred = F.col("__p")
+        if stop:
+            break
 
-    return GbtFullModel(base=base, depth=depth, trees=trees), cur
+    # MAE history complete — release the fit frame so back-to-back
+    # fits don't accumulate executor state
+    cur.unpersist()
+    return GbtFullModel(base=base, depth=depth, trees=trees), mae
 
 
 def _bin_of_threshold(thresholds: dict[int, list[int]], sp: GSplit) -> int:
@@ -572,14 +659,21 @@ def _fit_gbt_full_local(
     n_rounds: int,
     depth: int,
     lr: float,
+    patience: int | None = None,
 ) -> tuple[GbtFullModel, dict]:
     """Driver-side twin of ``fit_gbt_full`` over collected feature rows:
     identical binning, split search (shared _best_general_split), leaf
-    arithmetic, and MAE floors — one distributed pass total (the
-    collect), the rest pure Python on the model-sized frame."""
+    arithmetic, MAE floors, and early-stopping rule — one distributed
+    pass total (the collect), the rest pure Python on the model-sized
+    frame."""
+    fields = rows[0].__fields__ if rows else []
     xs = [[int(r[f"x{i}"]) for i in range(n_features)] for r in rows]
     ys = [int(r["y"]) for r in rows]
-    trains = [bool(r["is_train"]) for r in rows]
+    if "split" in fields:
+        labels = [r["split"] for r in rows]
+    else:
+        labels = ["train" if r["is_train"] else "val" for r in rows]
+    trains = [s == "train" for s in labels]
     bins = [
         [sum(1 for t in thresholds[f] if x[f] >= t) for f in range(n_features)]
         for x in xs
@@ -592,6 +686,8 @@ def _fit_gbt_full_local(
     preds = [base] * len(rows)
     trees: list[GTree] = []
     mae: dict = {}
+    best_val: int | None = None
+    best_round = 0
     for r in range(1, n_rounds + 1):
         rs = [y - p for y, p in zip(ys, preds)]
         nodes = [0] * len(rows)
@@ -635,12 +731,21 @@ def _fit_gbt_full_local(
         trees.append(GTree(splits=splits, leaf_values=leaf_values, leaf_counts=leaf_n))
         for i in range(len(rows)):
             preds[i] += leaf_values.get(nodes[i], 0)
-        for split_name, flag in (("train", True), ("val", False)):
-            sel = [abs(y - p) for y, p, t in zip(ys, preds, trains) if t == flag]
+        for split_name in sorted(set(labels)):
+            sel = [
+                abs(y - p)
+                for y, p, s in zip(ys, preds, labels)
+                if s == split_name
+            ]
             if sel:
                 mae[(split_name, r)] = math.floor(
                     float(sum(sel)) / float(len(sel))
                 )
+        v = mae.get(("val", r))
+        if v is not None and (best_val is None or v < best_val):
+            best_val, best_round = v, r
+        if patience is not None and v is not None and r - best_round >= patience:
+            break
     return GbtFullModel(base=base, depth=depth, trees=trees), mae
 
 
@@ -742,6 +847,8 @@ def fit_gbt_on_features(
     n_bins: int = 16,
     fixed_thresholds: dict[int, list[int]] | None = None,
     approx_bins: bool = False,
+    patience: int | None = None,
+    stats: dict | None = None,
 ) -> tuple[GbtFullModel, dict]:
     """Fit the histogram GBT over ANY featurized frame with columns y
     (exact cents BIGINT), x0..x{m-1} (exact BIGINT features), is_train,
@@ -767,62 +874,40 @@ def fit_gbt_on_features(
         **cont_thresholds,
     }
 
-    rows = feat.limit(GBT_FULL_COLLECT_MAX + 1).collect()
-    if len(rows) <= GBT_FULL_COLLECT_MAX:
+    # decide the path with a BOUNDED count (one cheap aggregate) before
+    # collecting anything: on a corpus-sized frame the old
+    # limit(cap+1).collect() shipped 200k full feature rows to the
+    # driver just to learn it should not have collected them
+    n_feat_rows = feat.limit(GBT_FULL_COLLECT_MAX + 1).count()
+    if n_feat_rows <= GBT_FULL_COLLECT_MAX:
         # model-sized frame: fit driver-side in one pass (the reference
         # trains on a collected pandas frame too); arithmetic identical
         # to the distributed path, asserted by test_gbt_full_paths_identical
+        rows = feat.collect()
         model, mae = _fit_gbt_full_local(
-            rows, n_features, thresholds, n_rounds, depth, lr
+            rows, n_features, thresholds, n_rounds, depth, lr, patience=patience
         )
     else:
-        model, cur = fit_gbt_full(feat, n_features, thresholds, n_rounds, depth, lr)
-        err = (
-            cur.groupBy("is_train")
-            .agg(
-                F.count(F.lit(1)).alias("cnt"),
-                *[
-                    F.sum(F.abs(F.col("y") - F.col(f"__p{r}"))).alias(f"sa{r}")
-                    for r in range(1, n_rounds + 1)
-                ],
-            )
-            .collect()
+        model, mae = fit_gbt_full(
+            feat,
+            n_features,
+            thresholds,
+            n_rounds,
+            depth,
+            lr,
+            patience=patience,
+            stats=stats,
         )
-        mae = {}
-        for row in err:
-            split = "train" if row["is_train"] else "val"
-            for r in range(1, n_rounds + 1):
-                mae[(split, r)] = math.floor(
-                    float(row[f"sa{r}"]) / float(row["cnt"])
-                )
     return model, mae
 
 
-def train_gbt_on_features(
-    feat: DataFrame,
-    n_features: int,
-    n_rounds: int = 10,
-    depth: int = 3,
-    lr: float = 0.5,
-    n_bins: int = 16,
-    fixed_thresholds: dict[int, list[int]] | None = None,
+def _format_gbt_output(
+    spark, model: GbtFullModel, mae: dict, mae_splits: tuple[str, ...]
 ) -> DataFrame:
-    """:func:`fit_gbt_on_features` formatted as the train_gbt_full
-    output frame — one row per (round, non-empty leaf) with the split
-    path, leaf value, and the integer train/val MAE history. The
-    generic entry the flagship-view fit uses (tests/test_gbt.py::
-    test_gbt_full_beats_linear_on_flagship_view trains on the
-    ``training_features`` columns of export.FEATURE_COLS shape)."""
-    spark = feat.sparkSession
-    model, mae = fit_gbt_on_features(
-        feat,
-        n_features,
-        n_rounds=n_rounds,
-        depth=depth,
-        lr=lr,
-        n_bins=n_bins,
-        fixed_thresholds=fixed_thresholds,
-    )
+    """The boosted fit as one row per (round, non-empty leaf), all
+    BIGINT: round, leaf, the (feature, threshold) pair at each path
+    level, n_leaf, leaf_value_c, and one ``{split}_mae_c`` column per
+    name in ``mae_splits``."""
     depth = model.depth
     out_rows = []
     for r, tree in enumerate(model.trees, start=1):
@@ -839,16 +924,45 @@ def train_gbt_on_features(
                     *path,
                     tree.leaf_counts[leaf],
                     tree.leaf_values[leaf],
-                    mae.get(("train", r)),
-                    mae.get(("val", r)),
+                    *[mae.get((s, r)) for s in mae_splits],
                 )
             )
     names = ["round", "leaf"]
     for i in range(1, depth + 1):
         names += [f"l{i}_f", f"l{i}_t"]
-    names += ["n_leaf", "leaf_value_c", "train_mae_c", "val_mae_c"]
+    names += ["n_leaf", "leaf_value_c"] + [f"{s}_mae_c" for s in mae_splits]
     schema = T.StructType([T.StructField(n, T.LongType(), True) for n in names])
     return spark.createDataFrame(out_rows, schema)
+
+
+def train_gbt_on_features(
+    feat: DataFrame,
+    n_features: int,
+    n_rounds: int = 10,
+    depth: int = 3,
+    lr: float = 0.5,
+    n_bins: int = 16,
+    fixed_thresholds: dict[int, list[int]] | None = None,
+    patience: int | None = None,
+) -> DataFrame:
+    """:func:`fit_gbt_on_features` formatted as the train_gbt_full
+    output frame — one row per (round, non-empty leaf) with the split
+    path, leaf value, and the integer train/val MAE history. The
+    generic entry the flagship-view fit uses (tests/test_gbt.py::
+    test_gbt_full_beats_linear_on_flagship_view trains on the
+    ``training_features`` columns of export.FEATURE_COLS shape)."""
+    spark = feat.sparkSession
+    model, mae = fit_gbt_on_features(
+        feat,
+        n_features,
+        n_rounds=n_rounds,
+        depth=depth,
+        lr=lr,
+        n_bins=n_bins,
+        fixed_thresholds=fixed_thresholds,
+        patience=patience,
+    )
+    return _format_gbt_output(spark, model, mae, ("train", "val"))
 
 
 def full_model_to_artifact(model: GbtFullModel, mae: dict | None = None) -> dict:
@@ -1071,3 +1185,144 @@ def train_gbt(
         ]
     )
     return spark.createDataFrame(out_rows, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Model A: net-load forecasting twin (reference train.py:124-246,
+# export_pipeline.py:374-400,563-660)
+# ---------------------------------------------------------------------------
+
+# the winterthur_net_load_features surface restated on the testdata
+# analog (net = purchase - signup cents): net-load lags 1h/1d/7d + the
+# trailing 24h roll, and the calendar block (hour, weekday, month,
+# quarter, is_weekend). The reference view's load_rolling_avg_24h spans
+# 23 PRECEDING..CURRENT ROW (features.sql:357-359) — that includes the
+# target, so this engine keeps its P6 leakage guard and uses
+# 24 PRECEDING..1 PRECEDING (an exact-int trailing SUM), the same
+# deliberate deviation the flagship features make.
+LOAD_GBT_N_FEATURES = 9
+
+# hourly-row count at or above which the long lag is the full 168h week
+# (below it, 48h — a sparse series would lose every row to warmup)
+LOAD_GBT_LONG_LAG_MIN = 400
+
+# calendar features -> pinned candidate thresholds (full small domains)
+LOAD_GBT_FIXED: dict[int, list[int]] = {
+    0: list(range(1, 24)),  # hour 0..23
+    1: list(range(2, 8)),   # dow 1..7 (Spark dayofweek, 1=Sunday)
+    2: list(range(2, 13)),  # month
+    3: list(range(2, 5)),   # quarter
+    4: [1],                 # is_weekend
+}
+
+
+def featurize_net_load_series(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    val_days: int = 14,
+    test_days: int = 7,
+) -> DataFrame:
+    """Model A's fit frame as EXACT integers: the hourly net series
+    (purchase cents - signup cents where the hour has load rows — the
+    net_load_features view's J5/F4 arithmetic), its lags 1/24/168 and
+    trailing-24h SUM, the calendar block, and the reference's 3-way
+    rolling split (run_load_export: test = last ``test_days`` days,
+    val = the ``val_days`` before, train = the rest, anchored at
+    max(date))."""
+    from pyspark.sql import Window
+
+    c = F.round(F.col(value_col) * 100, 0).cast("long")
+    et = F.col("event_type")
+    hourly = df.groupBy(F.date_trunc("hour", F.col(ts_col)).alias("h")).agg(
+        F.sum(F.when(et == "purchase", c)).alias("lc"),
+        F.count(F.when(et == "purchase", F.lit(1))).alias("lcnt"),
+        F.sum(F.when(et == "signup", c)).alias("pv_c"),
+    )
+    net = hourly.filter(F.col("lcnt") > 0).select(
+        "h", (F.col("lc") - F.coalesce(F.col("pv_c"), F.lit(0))).alias("net_c")
+    )
+    # the 7-day lag's ROW warmup (168 rows) would consume a sparse
+    # series whole (sf0.001 has ~170 purchase-hours), so the long-lag
+    # horizon scales with the series: the full week when >= LONG_LAG_MIN
+    # hourly rows exist, else 48h — an integer comparison on COUNT(*)
+    # the oracle replays exactly (the scaled_plane_count pattern)
+    n_series = net.count()  # scalar extent read
+    long_lag = 168 if n_series >= LOAD_GBT_LONG_LAG_MIN else 48
+    w = Window.orderBy("h")
+    f0 = net.select(
+        "h",
+        F.col("net_c").alias("y"),
+        F.hour("h").cast("long").alias("x0"),
+        F.dayofweek("h").cast("long").alias("x1"),
+        F.month("h").cast("long").alias("x2"),
+        F.quarter("h").cast("long").alias("x3"),
+        F.when(F.dayofweek("h").isin(1, 7), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("x4"),
+        F.lag("net_c", 1).over(w).alias("x5"),
+        F.lag("net_c", 24).over(w).alias("x6"),
+        F.lag("net_c", long_lag).over(w).alias("x7"),
+        F.sum("net_c").over(w.rowsBetween(-24, -1)).alias("x8"),
+    )
+    f1 = f0.filter(
+        F.col("x5").isNotNull()
+        & F.col("x6").isNotNull()
+        & F.col("x7").isNotNull()
+        & F.col("x8").isNotNull()
+    )
+    mx = f1.agg(F.max(F.to_date("h"))).collect()[0][0]  # scalar extent read
+    if mx is None:
+        raise ValueError("net-load featurization produced no rows")
+    val_end = mx - dt.timedelta(days=test_days)
+    train_end = val_end - dt.timedelta(days=val_days)
+    d = F.to_date("h")
+    return f1.select(
+        "y",
+        *[f"x{i}" for i in range(LOAD_GBT_N_FEATURES)],
+        F.when(d <= F.lit(train_end), F.lit("train"))
+        .when(d <= F.lit(val_end), F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    ).withColumn("is_train", F.col("split") == "train")
+
+
+def train_gbt_load(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    n_rounds: int = 15,
+    depth: int = 7,
+    lr: float = 0.05,
+    val_days: int = 14,
+    test_days: int = 7,
+    n_bins: int = 16,
+    patience: int | None = 3,
+) -> DataFrame:
+    """Model A: the net-load boosted model at reference shape —
+    depth-``depth`` trees (reference max_depth=7, train.py:145), up to
+    ``n_rounds`` rounds with val-MAE early stopping after ``patience``
+    rounds without improvement (early_stopping_rounds, train.py:157),
+    the reference's rolling 3-way split (test = last week), and the
+    9-feature net-load surface. Output: one row per (round, non-empty
+    leaf) for the EXECUTED rounds only, with train/val/test integer
+    MAE per round — the test column is the reference's held-out
+    evaluate_all metric (train.py:227-238)."""
+    feat = featurize_net_load_series(
+        df, ts_col=ts_col, value_col=value_col, val_days=val_days,
+        test_days=test_days,
+    ).coalesce(1)
+    model, mae = fit_gbt_on_features(
+        feat,
+        n_features=LOAD_GBT_N_FEATURES,
+        n_rounds=n_rounds,
+        depth=depth,
+        lr=lr,
+        n_bins=n_bins,
+        fixed_thresholds=LOAD_GBT_FIXED,
+        patience=patience,
+    )
+    return _format_gbt_output(
+        df.sparkSession, model, mae, ("train", "val", "test")
+    )

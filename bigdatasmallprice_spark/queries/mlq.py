@@ -1056,6 +1056,255 @@ def train_gbt_full_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Model A twin: net-load GBT at reference shape (depth 7, early stopping)
+# ---------------------------------------------------------------------------
+
+_GBTL_ROUNDS = 15
+_GBTL_DEPTH = 7
+_GBTL_LR = 0.05  # the reference's learning_rate (train.py:144)
+# the reference's rolling load split is test=7d/val=14d over months of
+# data (export_pipeline.py:563-660); the 30-day testdata extent minus
+# the 168h lag warmup leaves ~23 feature days, so the registered query
+# scales the windows proportionally (train ~12d / val 7d / test 4d) —
+# train_gbt_load's DEFAULTS keep the reference's 14/7
+_GBTL_VAL_DAYS = 7
+_GBTL_TEST_DAYS = 4
+_GBTL_BINS = 16
+_GBTL_PATIENCE = 3
+
+
+def _o_gbt_load_sql(
+    rounds: int,
+    depth: int,
+    lr: float,
+    val_days: int,
+    test_days: int,
+    n_bins: int,
+    patience: int,
+) -> str:
+    """Unrolled Model-A histogram GBT as a DuckDB CTE chain mirroring
+    operators/gbt.py::train_gbt_load op-for-op: the 9-feature net-load
+    view (net cents + lags 1/24/168 + trailing-24 sum + calendar
+    block), the reference's 3-way rolling split, exact-rank quantile
+    thresholds, per-round greedy depth-``depth`` trees, per-split
+    integer MAE — and the early-stopping rule replayed in SQL: executed
+    rounds = first r with r - (earliest prefix-argmin of val MAE) >=
+    ``patience``, else all ``rounds``."""
+    from bigdatasmallprice_spark.operators.gbt import LOAD_GBT_LONG_LAG_MIN
+
+    long_lag_min = LOAD_GBT_LONG_LAG_MIN
+    gain = _o_gbt_gain("n_l", "s_l", "n_t", "s_t")
+
+    def fv(alias: str, fcol: str) -> str:
+        whens = " ".join(
+            f"WHEN {i} THEN {alias}.x{i}" for i in range(8)
+        )
+        return f"(CASE {fcol} {whens} ELSE {alias}.x8 END)"
+
+    thr_blocks = "\n    UNION ALL\n".join(
+        f"""    SELECT {f} AS f, MIN(v) AS t
+    FROM (SELECT v, SUM(c) OVER (ORDER BY v) AS cum
+          FROM (SELECT x{f} AS v, COUNT(*) AS c FROM tr GROUP BY 1)) dv,
+         (SELECT COUNT(*) AS n FROM tr) nn,
+         range(1, {n_bins}) j
+    WHERE dv.cum >= 1 + (j.range * nn.n) // {n_bins}
+    GROUP BY j.range"""
+        for f in (5, 6, 7, 8)
+    )
+    xs = ", ".join(f"x{i}" for i in range(9))
+    parts = [
+        f"""
+WITH hp AS MATERIALIZED (
+  SELECT date_trunc('hour', ts) AS h,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN {o_cents('value')} END) AS BIGINT) AS lc,
+         COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS lcnt,
+         CAST(SUM(CASE WHEN event_type = 'signup' THEN {o_cents('value')} END) AS BIGINT) AS pv_c
+  FROM events GROUP BY 1
+),
+net AS (
+  SELECT h, lc - COALESCE(pv_c, 0) AS net_c FROM hp WHERE lcnt > 0
+),
+f0 AS (
+  SELECT h, net_c AS y,
+         CAST(EXTRACT(hour FROM h) AS BIGINT) AS x0,
+         CAST(EXTRACT(dow FROM h) + 1 AS BIGINT) AS x1,
+         CAST(EXTRACT(month FROM h) AS BIGINT) AS x2,
+         CAST(EXTRACT(quarter FROM h) AS BIGINT) AS x3,
+         CAST(CASE WHEN EXTRACT(dow FROM h) IN (0, 6) THEN 1 ELSE 0 END AS BIGINT) AS x4,
+         lag(net_c, 1) OVER w AS x5,
+         lag(net_c, 24) OVER w AS x6,
+         -- long-lag horizon scales with the series length, replaying
+         -- featurize_net_load_series's integer rule exactly
+         CASE WHEN (SELECT COUNT(*) FROM net) >= {long_lag_min}
+              THEN lag(net_c, 168) OVER w
+              ELSE lag(net_c, 48) OVER w END AS x7,
+         SUM(net_c) OVER (ORDER BY h ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS x8
+  FROM net WINDOW w AS (ORDER BY h)
+),
+f1 AS MATERIALIZED (
+  SELECT * FROM f0
+  WHERE x5 IS NOT NULL AND x6 IS NOT NULL AND x7 IS NOT NULL AND x8 IS NOT NULL
+),
+rows0 AS MATERIALIZED (
+  SELECT y, {xs},
+         CASE WHEN CAST(h AS DATE) <= (SELECT MAX(CAST(h AS DATE)) - {val_days + test_days} FROM f1) THEN 'train'
+              WHEN CAST(h AS DATE) <= (SELECT MAX(CAST(h AS DATE)) - {test_days} FROM f1) THEN 'val'
+              ELSE 'test' END AS split
+  FROM f1
+),
+tr AS MATERIALIZED (SELECT * FROM rows0 WHERE split = 'train'),
+thr AS MATERIALIZED (
+  SELECT DISTINCT f, t FROM (
+{thr_blocks}
+  )
+),
+cands AS MATERIALIZED (
+  SELECT CAST(0 AS BIGINT) AS f, CAST(range AS BIGINT) AS t FROM range(1, 24)
+  UNION ALL SELECT CAST(1 AS BIGINT), CAST(range AS BIGINT) FROM range(2, 8)
+  UNION ALL SELECT CAST(2 AS BIGINT), CAST(range AS BIGINT) FROM range(2, 13)
+  UNION ALL SELECT CAST(3 AS BIGINT), CAST(range AS BIGINT) FROM range(2, 5)
+  UNION ALL SELECT CAST(4 AS BIGINT), CAST(1 AS BIGINT)
+  UNION ALL SELECT CAST(f AS BIGINT), CAST(t AS BIGINT) FROM thr
+),
+pm0 AS MATERIALIZED (
+  SELECT y, {xs}, split,
+         (SELECT CAST(floor(CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) FROM tr) AS pred
+  FROM rows0
+)"""
+    ]
+    axs = ", ".join(f"a.x{i}" for i in range(9))
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""", a{r}_0 AS MATERIALIZED (
+  SELECT y, {xs}, split, pred, CAST(0 AS BIGINT) AS nd, y - pred AS rs
+  FROM pm{r - 1}
+)"""
+        )
+        for lv in range(depth):
+            parts.append(
+                f""", st{r}_{lv} AS MATERIALIZED (
+  SELECT a.nd, cd.f, cd.t,
+         CAST(COALESCE(SUM(CASE WHEN {fv('a', 'cd.f')} < cd.t THEN 1 END), 0) AS BIGINT) AS n_l,
+         CAST(COALESCE(SUM(CASE WHEN {fv('a', 'cd.f')} < cd.t THEN a.rs END), 0) AS BIGINT) AS s_l,
+         CAST(COUNT(*) AS BIGINT) AS n_t,
+         CAST(SUM(a.rs) AS BIGINT) AS s_t
+  FROM a{r}_{lv} a CROSS JOIN cands cd
+  WHERE a.split = 'train'
+  GROUP BY 1, 2, 3
+), bs{r}_{lv} AS MATERIALIZED (
+  SELECT nd, f, t FROM (
+    SELECT nd, f, t,
+           row_number() OVER (PARTITION BY nd ORDER BY {gain} DESC, f, t) AS rn
+    FROM st{r}_{lv} WHERE n_l > 0 AND n_t - n_l > 0
+  ) WHERE rn = 1
+), a{r}_{lv + 1} AS MATERIALIZED (
+  SELECT a.y, {axs}, a.split, a.pred, a.rs,
+         a.nd * 2 + (CASE WHEN b.f IS NULL THEN 0
+                          WHEN {fv('a', 'b.f')} < b.t THEN 0 ELSE 1 END) AS nd
+  FROM a{r}_{lv} a LEFT JOIN bs{r}_{lv} b ON a.nd = b.nd
+)"""
+            )
+        path_joins = "\n".join(
+            f"  LEFT JOIN bs{r}_{lv} p{lv} ON p{lv}.nd = lv.leaf // {1 << (depth - lv)}"
+            for lv in range(depth)
+        )
+        path_cols = ",\n".join(
+            f"         CAST(COALESCE(p{lv}.f, -1) AS BIGINT) AS l{lv + 1}_f,\n"
+            f"         CAST(COALESCE(p{lv}.t, -1) AS BIGINT) AS l{lv + 1}_t"
+            for lv in range(depth)
+        )
+        parts.append(
+            f""", lv{r} AS MATERIALIZED (
+  SELECT nd AS leaf, CAST(COUNT(*) AS BIGINT) AS n_leaf,
+         CAST(floor(({lr} * CAST(SUM(rs) AS DOUBLE)) / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS v
+  FROM a{r}_{depth} WHERE split = 'train' GROUP BY 1
+), pm{r} AS MATERIALIZED (
+  SELECT a.y, {axs}, a.split,
+         a.pred + COALESCE(lv.v, 0) AS pred
+  FROM a{r}_{depth} a LEFT JOIN lv{r} lv ON a.nd = lv.leaf
+), err{r} AS MATERIALIZED (
+  SELECT split, CAST(SUM(ABS(y - pred)) AS BIGINT) AS sa,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM pm{r} GROUP BY 1
+), out{r} AS MATERIALIZED (
+  SELECT CAST({r} AS BIGINT) AS round, lv.leaf,
+{path_cols},
+         lv.n_leaf, lv.v AS leaf_value_c,
+         (SELECT CAST(floor(CAST(sa AS DOUBLE) / CAST(cnt AS DOUBLE)) AS BIGINT)
+          FROM err{r} WHERE split = 'train') AS train_mae_c,
+         (SELECT CAST(floor(CAST(sa AS DOUBLE) / CAST(cnt AS DOUBLE)) AS BIGINT)
+          FROM err{r} WHERE split = 'val') AS val_mae_c,
+         (SELECT CAST(floor(CAST(sa AS DOUBLE) / CAST(cnt AS DOUBLE)) AS BIGINT)
+          FROM err{r} WHERE split = 'test') AS test_mae_c
+  FROM lv{r} lv
+{path_joins}
+)"""
+        )
+    vh_rows = "\n  UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS r, "
+        f"(SELECT CAST(floor(CAST(sa AS DOUBLE) / CAST(cnt AS DOUBLE)) AS BIGINT) "
+        f"FROM err{r} WHERE split = 'val') AS v"
+        for r in range(1, rounds + 1)
+    )
+    parts.append(
+        f""", vh AS MATERIALIZED (
+  {vh_rows}
+), bst AS (
+  SELECT h.r,
+         (SELECT MIN(h2.r) FROM vh h2
+          WHERE h2.r <= h.r
+            AND h2.v = (SELECT MIN(h3.v) FROM vh h3 WHERE h3.r <= h.r)) AS best_r
+  FROM vh h
+), stp AS (
+  SELECT COALESCE(MIN(r), {rounds}) AS stop_r FROM bst WHERE r - best_r >= {patience}
+)
+SELECT * FROM (
+{chr(10).join("SELECT * FROM out" + str(r) + (" UNION ALL" if r < rounds else "") for r in range(1, rounds + 1))}
+) u WHERE u.round <= (SELECT stop_r FROM stp)"""
+    )
+    return "".join(parts)
+
+
+@register(
+    "train_gbt_load",
+    _o_gbt_load_sql(
+        _GBTL_ROUNDS, _GBTL_DEPTH, _GBTL_LR, _GBTL_VAL_DAYS, _GBTL_TEST_DAYS,
+        _GBTL_BINS, _GBTL_PATIENCE,
+    ),
+    doc="Model A twin — the net-load boosted model at reference shape "
+    f"(train.py:168-246): depth-{_GBTL_DEPTH} trees (reference "
+    f"max_depth=7), up to {_GBTL_ROUNDS} rounds with TRUE val-MAE "
+    f"early stopping after {_GBTL_PATIENCE} stale rounds "
+    "(early_stopping_rounds semantics — the executed-round count is "
+    "data-dependent and the oracle REPLAYS the stop rule in SQL from "
+    "the same val-MAE history), the reference's rolling 3-way split "
+    "(run_load_export: test = the last days, val before it), and the "
+    "9-feature net-load surface (net cents, lags 1/24/168, trailing-24 "
+    "sum, hour/dow/month/quarter/is_weekend). Per-round integer MAE "
+    "for train/val/test — test is the reference's held-out "
+    "evaluate_all metric. Same per-level model-sized histogram "
+    "factorization as train_gbt_full; at depth 7 each level groupBy "
+    "is still <= 2^7 x features x bins groups "
+    "(tests/test_gbt.py::test_gbt_load_depth7_histograms_model_sized).",
+    tags=("ml", "agg", "train", "iterative"),
+)
+def train_gbt_load_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdatasmallprice_spark.operators.gbt import train_gbt_load
+
+    ev = events(spark, sf_dir)
+    return train_gbt_load(
+        ev,
+        n_rounds=_GBTL_ROUNDS,
+        depth=_GBTL_DEPTH,
+        lr=_GBTL_LR,
+        val_days=_GBTL_VAL_DAYS,
+        test_days=_GBTL_TEST_DAYS,
+        n_bins=_GBTL_BINS,
+        patience=_GBTL_PATIENCE,
+    )
+
+
+# ---------------------------------------------------------------------------
 # rolling-origin backtest: the forecast-model evaluation protocol
 # ---------------------------------------------------------------------------
 

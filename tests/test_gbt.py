@@ -400,3 +400,115 @@ def test_gbt_full_approx_bins_close_to_exact(spark):
     best_exact = min(v for (s, r), v in mae_exact.items() if s == "val")
     best_approx = min(v for (s, r), v in mae_approx.items() if s == "val")
     assert best_approx <= best_exact * 1.05, (best_approx, best_exact)
+
+
+# ---------------------------------------------------------------------------
+# Model A twin: net-load GBT at reference shape (depth 7, early stopping)
+# ---------------------------------------------------------------------------
+
+
+def _load_feat_sf001(spark):
+    from bigdatasmallprice_spark.operators.gbt import featurize_net_load_series
+    from bigdatasmallprice_spark.queries.core import events
+
+    ev = events(spark, "/root/testdata/sf0.01")
+    return featurize_net_load_series(ev, val_days=7, test_days=4)
+
+
+def test_gbt_load_beats_linear_val_mae(spark):
+    """The reference's XGB-beats-linear ordering on the SECOND model
+    surface (Model A, train.py:168-246): the boosted net-load model's
+    best-round val MAE must beat least squares on the same 9 features.
+    (On this synthetic series the train-mean naive predictor beats
+    both — the hourly net target is noise-dominated at sf0.01 — but
+    the reference's ordering claim is XGB < linear, which holds.)"""
+    import math
+
+    import numpy as np
+
+    from bigdatasmallprice_spark.operators.gbt import (
+        LOAD_GBT_FIXED,
+        LOAD_GBT_N_FEATURES,
+        fit_gbt_on_features,
+    )
+
+    feat = _load_feat_sf001(spark)
+    m = LOAD_GBT_N_FEATURES
+    pdf = feat.toPandas()
+    tr, va = pdf[pdf.split == "train"], pdf[pdf.split == "val"]
+    assert len(tr) > 150 and len(va) > 80  # the 3-way split is real
+
+    X = np.stack([np.ones(len(tr))] + [tr[f"x{i}"] for i in range(m)], 1).astype(float)
+    beta, *_ = np.linalg.lstsq(X, tr.y.astype(float), rcond=None)
+    Xv = np.stack([np.ones(len(va))] + [va[f"x{i}"] for i in range(m)], 1).astype(float)
+    lin_val = math.floor(np.abs(va.y - Xv @ beta).mean())
+
+    _, mae = fit_gbt_on_features(
+        feat, m, n_rounds=15, depth=7, lr=0.05,
+        fixed_thresholds=LOAD_GBT_FIXED, patience=3,
+    )
+    best_val = min(v for (s, _), v in mae.items() if s == "val")
+    assert best_val < lin_val, (best_val, lin_val)
+
+
+def test_gbt_load_reference_capacity_early_stops(spark):
+    """The reference Model-A config — up to 300 rounds, early stopping
+    20 (train.py:145-157) — must run end-to-end and stop itself: the
+    executed round count is exactly best_round + 20, far below the
+    cap, and every round after best_round never improves val MAE."""
+    from bigdatasmallprice_spark.operators.gbt import (
+        LOAD_GBT_FIXED,
+        LOAD_GBT_N_FEATURES,
+        fit_gbt_on_features,
+    )
+
+    feat = _load_feat_sf001(spark)
+    model, mae = fit_gbt_on_features(
+        feat, LOAD_GBT_N_FEATURES, n_rounds=300, depth=7, lr=0.05,
+        fixed_thresholds=LOAD_GBT_FIXED, patience=20,
+    )
+    executed = len(model.trees)
+    vals = {r: v for (s, r), v in mae.items() if s == "val"}
+    best_r = min(sorted(vals), key=lambda r: (vals[r], r))
+    assert executed < 300, executed
+    assert executed == best_r + 20, (executed, best_r)
+    assert all(vals[r] >= vals[best_r] for r in vals if r > best_r)
+
+
+def test_gbt_load_depth7_histograms_model_sized(spark, monkeypatch):
+    """The scale claim behind depth 7: every per-level histogram
+    groupBy collects <= 2^level * features * (bins + 1) rows — model-
+    sized, never corpus-sized — so deeper trees widen the groupBy, not
+    the corpus-side scan. Forces the distributed path and checks the
+    recorded per-level sizes against the bound."""
+    from bigdatasmallprice_spark.operators import gbt
+
+    feat = _load_feat_sf001(spark)
+    monkeypatch.setattr(gbt, "GBT_FULL_COLLECT_MAX", 0)
+    stats: dict = {}
+    model, _ = gbt.fit_gbt_on_features(
+        feat, gbt.LOAD_GBT_N_FEATURES, n_rounds=3, depth=7, lr=0.05,
+        fixed_thresholds=gbt.LOAD_GBT_FIXED, patience=None, stats=stats,
+    )
+    assert model.depth == 7 and len(model.trees) == 3
+    sizes = stats["hist_rows_by_level"]
+    assert len(sizes) == 3 * 7
+    m, bins = gbt.LOAD_GBT_N_FEATURES, 16
+    for _r, lvl, n_rows in sizes:
+        assert n_rows <= (1 << lvl) * m * (bins + 1), (lvl, n_rows)
+    assert stats["hist_rows_max"] <= (1 << 7) * m * (bins + 1)
+
+
+def test_gbt_load_paths_identical(spark, monkeypatch):
+    """Collected fast path vs distributed per-level path at depth 7
+    with early stopping: byte-identical output (same trees, same
+    executed-round count, same 3-way MAE history)."""
+    from bigdatasmallprice_spark.operators import gbt
+    from bigdatasmallprice_spark.queries.core import events
+
+    ev = events(spark, "/root/testdata/sf0.001")
+    kw = dict(n_rounds=6, depth=7, lr=0.05, val_days=7, test_days=4, patience=3)
+    local = sorted(map(tuple, gbt.train_gbt_load(ev, **kw).collect()))
+    monkeypatch.setattr(gbt, "GBT_FULL_COLLECT_MAX", 0)
+    dist = sorted(map(tuple, gbt.train_gbt_load(ev, **kw).collect()))
+    assert local == dist
