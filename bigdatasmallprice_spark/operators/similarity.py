@@ -362,10 +362,17 @@ def banded_neardup_vectorized(
             {"id_a": ids[ia[keep]], "id_b": ids[ib[keep]], "sim": S[ia[keep], ib[keep]]}
         )
 
+    # Dedupe cross-band duplicate catches on the PAIR KEY, not the full
+    # row: each block computes sim via a BLAS matmul whose blocking
+    # depends on the block shape, so two bands' round-6 values can
+    # straddle a rounding boundary by an ULP and full-row distinct()
+    # would emit the pair twice nondeterministically. max(sim) is
+    # deterministic in both engines (the oracle mirrors it).
     return (
         ex.groupBy("band", "bucket")
         .applyInPandas(per_block, "id_a long, id_b long, sim double")
-        .distinct()
+        .groupBy("id_a", "id_b")
+        .agg(F.max("sim").alias("sim"))
     )
 
 

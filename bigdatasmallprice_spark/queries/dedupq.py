@@ -98,6 +98,12 @@ def minhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sigs.select("doc_id", *[f"mh{i}" for i in range(len(MINHASH_COEFS))])
 
 
+# candidate-pair frames at or under this row count broadcast for the
+# verify joins (~16 B/pair -> ~80 MB, comfortably inside the driver);
+# larger sets fall back to AQE's join choice instead of failing
+_MH_BROADCAST_MAX_PAIRS = 5_000_000
+
+
 @register(
     "minhash_lsh_pairs",
     f"""
@@ -138,15 +144,23 @@ def minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     sigs = with_minhash(s, distinct=False)  # arrays already deduplicated
-    cand = lsh_candidate_pairs(sigs)
+    # persist the candidate pairs so the size gate's count and the two
+    # verify joins share one materialization of the band join
+    cand = lsh_candidate_pairs(sigs).persist()
     sa = s.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
     sb = s.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
     # broadcast the candidate PAIRS so the fat shingle arrays never
-    # shuffle for the verify joins (1.35s -> 1.01s at sf0.1); the pair
-    # set is near-linear in corpus size by the banding design — drop
-    # the hint (AQE then decides) if candidates ever outgrow the driver
+    # shuffle for the verify joins (1.35s -> 1.01s at sf0.1) — but only
+    # while the pair set is provably driver-sized: it grows near-
+    # linearly with the corpus by the banding design, so an unconditional
+    # hint would eventually hit the broadcast limit / driver OOM where a
+    # shuffle join (AQE's pick) just gets slower
+    if cand.count() > _MH_BROADCAST_MAX_PAIRS:
+        cand_j = cand  # AQE decides the strategy at this size
+    else:
+        cand_j = F.broadcast(cand)
     return (
-        F.broadcast(cand)
+        cand_j
         .join(sa, "id_a")
         .join(sb, "id_b")
         .select(
@@ -739,6 +753,74 @@ def bloom_shingle_prefilter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("bloom_hit") & ~F.col("true_hit"), 1).otherwise(0))
         .cast("long")
         .alias("n_false_pos"),
+    )
+
+
+@register(
+    "bloom_shingle_prefilter_lean",
+    f"""
+WITH b AS (SELECT doc_id, source, string_split(text, ' ') AS ws
+           FROM documents WHERE doc_id % 4 = 0),
+c AS (SELECT string_split(text, ' ') AS ws FROM documents WHERE doc_id % 4 != 0),
+bs AS (SELECT doc_id, source, unnest({o_shingle_expr('ws', _BLOOM_N)}) AS sh
+       FROM b),
+cs AS (SELECT DISTINCT unnest({o_shingle_expr('ws', _BLOOM_N)}) AS sh FROM c),
+cset AS (SELECT DISTINCT pos FROM (
+  SELECT {_O_BPOS.format(t='sh', start=1, m=_BL_M)} AS pos FROM cs
+  UNION ALL SELECT {_O_BPOS.format(t='sh', start=9, m=_BL_M)} FROM cs
+  UNION ALL SELECT {_O_BPOS.format(t='sh', start=17, m=_BL_M)} FROM cs
+  UNION ALL SELECT {_O_BPOS.format(t='sh', start=25, m=_BL_M)} FROM cs))
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN
+              ({_O_BPOS.format(t='bs.sh', start=1, m=_BL_M)}) IN (SELECT pos FROM cset)
+          AND ({_O_BPOS.format(t='bs.sh', start=9, m=_BL_M)}) IN (SELECT pos FROM cset)
+          AND ({_O_BPOS.format(t='bs.sh', start=17, m=_BL_M)}) IN (SELECT pos FROM cset)
+          AND ({_O_BPOS.format(t='bs.sh', start=25, m=_BL_M)}) IN (SELECT pos FROM cset)
+       THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_hits
+FROM bs GROUP BY 1
+""",
+    doc="bloom_shingle_prefilter's PRODUCTION path: identical bitmap "
+    "build and per-shingle probe, WITHOUT the exact-truth join — that "
+    "join exists only to measure the false-positive rate and dominated "
+    "the audited query's wall clock (its cost is the thing the bloom "
+    "gate exists to avoid). Batch side is bitmap-fold -> constant-"
+    "folded literal probe -> per-source aggregate: a pure map over the "
+    "batch, zero joins (plan-asserted, tests/test_plans.py), corpus-"
+    "size-independent 32 KB state.",
+    tags=("dedup", "sketch", "incremental"),
+)
+def bloom_shingle_prefilter_lean_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdatasmallprice_spark.operators.dedup import (
+        bloom_bits,
+        bloom_hit_column,
+        collect_bloom_bitmap,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    sh4 = shingle_expr("ws", _BLOOM_N)
+    batch = (
+        docs.filter(F.col("doc_id") % 4 == 0)
+        .select("doc_id", "source", F.split("text", " ").alias("ws"))
+        .select("doc_id", "source", F.explode(F.expr(sh4)).alias("sh"))
+    )
+    corpus_sh = (
+        docs.filter(F.col("doc_id") % 4 != 0)
+        .select(F.split("text", " ").alias("ws"))
+        .select(F.explode(F.expr(sh4)).alias("sh"))
+        .distinct()
+    )
+    bitmap = collect_bloom_bitmap(
+        bloom_bits(corpus_sh, text_col="sh", m=_BL_M, k=_BL_K), m=_BL_M
+    )
+    probed = batch.withColumn(
+        "bloom_hit", bloom_hit_column(bitmap, "sh", m=_BL_M, k=_BL_K)
+    )
+    return probed.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shingles"),
+        F.sum(F.when(F.col("bloom_hit"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_bloom_hits"),
     )
 
 

@@ -371,9 +371,12 @@ bb AS (
   {band_rows}
 ),
 pairs AS (
-  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
-         round({_o_cosine_prenormed('a.embedding', 'b.embedding', 'a.nrm', 'b.nrm')}, 6) AS sim
+  -- MAX over the per-band catches mirrors the engine's pair-key dedupe
+  -- (groupBy(id_a, id_b).agg(max(sim)) — see banded_neardup_vectorized)
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         MAX(round({_o_cosine_prenormed('a.embedding', 'b.embedding', 'a.nrm', 'b.nrm')}, 6)) AS sim
   FROM bb a JOIN bb b ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+  GROUP BY 1, 2
 )
 SELECT id_a, id_b, sim FROM pairs WHERE sim >= 0.35
 """

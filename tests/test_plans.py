@@ -303,6 +303,19 @@ def test_bloom_prefilter_bitmap_broadcasts_and_no_cartesian(spark):
     assert "CartesianProduct" not in plan, plan
 
 
+def test_bloom_prefilter_lean_has_no_join(spark):
+    """The production bloom path must be join-free: the 32 KB bitmap is
+    a constant-folded literal probed per row, so the batch side is a
+    pure map + one per-source aggregate — the exact-truth join lives
+    only in the audited variant."""
+    from bigdatasmallprice_spark.registry import all_queries
+
+    df = all_queries()["bloom_shingle_prefilter_lean"].fn(spark, SF)
+    plan = _formatted(df)
+    assert "Join" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
 def test_ann_index_upsert_assignment_broadcasts_centroids(spark):
     """Batch-to-cell assignment must broadcast the k centroids — the
     upsert is a narrow map over the batch, no corpus shuffle."""
