@@ -76,10 +76,17 @@ def all_queries() -> dict[str, QuerySpec]:
 DRIVER_CAP = 50
 
 DRIVER_ORDER: list[str] = [
-    # -- never driver-verified before r4 (first priority, same rule as r3:
-    #    close the gap so every registered query has a green row in
-    #    r1∪…∪r4; these 15 were registered mid-r3 after the rotation was
-    #    already full — see COVERAGE.json's driver_unverified list)
+    # r5 rotation rule (VERDICT r4 ask #4): new queries first, then
+    # every query whose external evidence is a SINGLE green row. 53
+    # single-row queries + 2 new ones = 55 candidates for 50 slots, so
+    # five singles with documented machinery redundancy sit out (listed
+    # at the bottom); after r5 the minimum evidence across the other
+    # 118 queries is two green rows.
+    # -- new in r5, never driver-verified
+    "train_gbt_load",
+    "bloom_shingle_prefilter_lean",
+    # -- first green in r4 (second row ratchets stability, same rule
+    #    that gave the r3 firsts their second rows in r4)
     "semantic_dedup",
     "ann_index_upsert",
     "bloom_shingle_prefilter",
@@ -95,101 +102,57 @@ DRIVER_ORDER: list[str] = [
     "user_spend_rank",
     "dedup_span_stats",
     "eval_split_clean",
-    # -- new in r4: 8-byte-key shuffle variants of the span/line queries
-    #    (VERDICT r3 ask #4) and the generalized histogram GBT (ask #3)
-    #    — never driver-verified
     "dedup_span_stats_hashed",
     "eval_split_clean_hashed",
     "line_dedup_hashed",
     "train_gbt_full",
     "embedding_neardup_banded",
-    # -- green in r3 only (kept: second external row confirms stability)
-    "hybrid_search_rrf",
-    "warc_ingest_stats",
-    "kanon_release",
-    "ngram_lm_score",
-    "pack_sequences",
-    "robust_outliers_mad",
-    "spend_concentration_gini",
-    "doc_length_histogram",
-    "cross_source_contamination",
-    "bow_cosine_pairs",
-    "ann_quantized_topk",
-    "ann_recall_eval",
-    "ann_label_precision",
-    "ann_ivf_trained",
-    "password_hash_audit",
-    "embedding_norms",
-    "token_stats_by_source",
-    "ann_cosine_topk_np",
-    "embedding_neardup_np",
-    # -- green in both r2 and r3 (kept while slots remain: third row)
-    "train_linear_model",
-    "line_dedup",
-    "shard_manifest",
-    "curation_funnel",
-    "bpe_train_merges",
-    "embedding_covariance",
-    "dedup_incremental",
-    "benchmark_decontamination",
-    "repetition_stats",
-    "kmeans_centroids",
-    "multimodal_bmp_resize",
-    # (train_gbt_model, r3-green, rotated out mid-r4 to free the slot
-    # for embedding_neardup_banded — its machinery stays exercised by
-    # train_gbt_full, which generalizes it)
-    # r4 rotation: swapped OUT 18 queries green in both r2 and r3
-    # (asof_last_purchase, session_stats, latest_event_per_user,
-    # top_days_per_type, peak_hour_spend, ann_cosine_topk, ann_lsh_topk,
-    # ann_ivf_topk, embedding_neardup, label_centroids, text_stats,
-    # lang_id, quality_filter, tfidf_terms, json_props_stats,
-    # bpe_token_stats, multimodal_wav_stats, pii_scrub) for the 15
-    # mid-r3 registrations that had no external row (VERDICT r3 ask #1)
-    # plus the three new *_hashed shuffle-key variants (ask #4;
-    # machine-readable ledger: COVERAGE.json + tests/test_coverage.py).
-    #
-    # r3 rotation: the 19 queries green in BOTH r1 and r2
-    # (chrono_split_summary, corpus_curation_summary, dedup_exact,
-    # error_monitor, freshness_gate, hourly_pivot, hourly_rollup,
-    # minhash_lsh_pairs, model_score, neardup_clusters, net_load_features,
-    # net_position, pricing_summary, row_explorer_page, simhash_pairs,
-    # table_stats, tariff_breakdown, training_features, upsert_idempotency)
-    # rotated out to make room for the 19 never-driver-verified queries
-    # above; video_frame_sample (r2-green) also rotated out for
-    # train_gbt_model's slot. All stay registered, benched, parity-gated.
-    #
-    # Rotated out in r2 (each carries a round-1 green CORRECTNESS row and
-    # its machinery is exercised inside a still-listed query):
-    #   stratified_sample_summary — keyed-LCG hash sampling + per-group
-    #     aggregation also drive shard_manifest and mixture_sampling_plan
+    # -- single green row from the r1/r2-era rotations (second row now)
+    "argmax_event_per_type",
+    "backfill_estimate",
+    "brand_nation_revenue",
+    "chart_downsample",
+    "customer_activity_split",
+    "customer_retention_sets",
+    "daily_mean_deviation",
+    "dedup_canonical",
+    "forecast_metrics",
+    "gap_fill_hourly",
+    "grain_align_join",
+    "hash_sample_summary",
+    "holiday_range_join",
+    "market_revenue",
+    "median_impute",
+    "minhash_signatures",
+    "price_history",
+    "revenue_grouping_sets",
+    "sliding_hour_windows",
+    "small_quantity_revenue",
+    "stratified_sample_summary",
+    "top_users",
+    "twap_hourly",
+    "value_deciles",
+    "value_distribution",
+    "value_quantiles_by_type",
+    "value_trend_regression",
+    "video_frame_sample",
+    # Five single-row queries sit out this round (slots exhausted);
+    # each keeps its green row and its unique machinery runs inside a
+    # double-green listed/verified query:
+    #   train_gbt_model — strict depth-2 subset of train_gbt_full (in
+    #     this round's list) and train_gbt_load (new)
+    #   union_by_name — unionByName(allowMissingColumns) also runs
+    #     inside table_stats (green r2+r3)
+    #   filtered_counts — SUM/MAX-over-CASE conditional aggregates also
+    #     run inside net_position (green r2+r3)
+    #   traffic_light — bucketing over tariff_breakdown's verified
+    #     formula stack (green r2+r3)
     #   ngram_jaccard_pairs — shingle-Jaccard verify also runs inside
-    #     minhash_lsh_pairs and dedup_incremental
-    #   chart_downsample — stride predicate; pagination/top-k serving
-    #     surface still covered by price_history + row_explorer_page
-    #   traffic_light — tariff bucketing on top of tariff_breakdown's
-    #     driver-verified formula stack
-    #   union_by_name — unionByName(allowMissingColumns) machinery also
-    #     runs inside table_stats's multi-table summary union
-    #   filtered_counts — SUM/MAX-over-CASE conditional aggregates (A4)
-    #     also run inside net_position's conditional net-flow sums
-    #   price_history (r01 green, O2) — newest-k window machinery also
-    #     runs inside row_explorer_page's keyset pagination (O3)
-    #   daily_mean_deviation (r01 green, A7) — daily-mean-vs-row delta
-    #     joins; same groupBy+join-back shape as median_impute (F12)
-    #   value_distribution (r01 green, A9/P9) — min/max/avg/approx-pct
-    #     stats; exact-quantile machinery still listed via
-    #     stratified_sample_summary + table_stats' per-table min/max
-    #   backfill_estimate (r01 green, A8) — gap-count arithmetic on top
-    #     of freshness_gate's driver-verified extent scan
-    #   median_impute (r01 green, F12) — group-median + join-back; same
-    #     shape as model_score's feature prep, percentile machinery
-    #     still covered by value_quantiles_by_type's local parity
-    #   forecast_metrics (r01 green, F11) — masked-MAPE machinery now
-    #     driver-verified inside train_linear_model's gate columns
-    #   grain_align_join (r01 green, J4) — grain-aligning time join;
-    #     same date_trunc-join shape as net_load_features (J5, listed)
-    # All remain registered: benched + locally parity-gated every round.
+    #     minhash_lsh_pairs (green r2+r3) and dedup_incremental
     #
+    # r4 rotation history: 30 keepers + the 20 then-unverified (see
+    # COVERAGE.json; every registered query has had >=1 green row since
+    # r4). Earlier rotation rationales live in git history (r2-r4).
 ]
 
 
