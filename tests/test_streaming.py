@@ -941,3 +941,63 @@ def test_streaming_scd2_equals_rebuild(spark, tmp_path):
         )
     )
     assert got == want, (got, want)
+
+
+def test_streaming_span_stats_equals_batch(spark, tmp_path):
+    """Two availableNow deliveries (documents time-split at the median
+    doc_id) fold (span, doc) pair counts into persisted state; the
+    rolled-up summary equals the batch dedup_span_stats query over the
+    whole table — including sub-span-width docs — and a replayed batch
+    id is a no-op. The hashed twin matches dedup_span_stats_hashed."""
+    from bigdatasmallprice_spark.catalog import load_table
+    from bigdatasmallprice_spark.registry import all_queries
+    from bigdatasmallprice_spark.streaming.span_stream import (
+        span_stream,
+        span_stats_from_state,
+        update_span_pairs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents").select("doc_id", "source", "text")
+    mid = docs.agg(F.expr("percentile(doc_id, 0.5)")).collect()[0][0]
+    src = str(tmp_path / "docs")
+    sch = "doc_id long, source string, text string"
+
+    for hashed in (False, True):
+        suffix = "h" if hashed else "r"
+        state = str(tmp_path / f"span_{suffix}")
+        ckpt = str(tmp_path / f"spanckpt_{suffix}")
+
+        def run():
+            stream = spark.readStream.schema(sch).parquet(src)
+            q = span_stream(spark, stream, state, ckpt, hashed=hashed).start()
+            q.awaitTermination(120)
+
+        if hashed:  # source already fully written by the raw pass
+            run()
+        else:
+            docs.filter(F.col("doc_id") <= F.lit(float(mid))).write.mode(
+                "overwrite"
+            ).parquet(src)
+            run()
+            docs.filter(F.col("doc_id") > F.lit(float(mid))).write.mode(
+                "append"
+            ).parquet(src)
+            run()
+
+        qname = "dedup_span_stats_hashed" if hashed else "dedup_span_stats"
+        want = sorted(map(tuple, all_queries()[qname].fn(spark, sf).collect()))
+        got = sorted(map(tuple, span_stats_from_state(spark, state).collect()))
+        assert got == want, (qname, got[:3], want[:3])
+
+    # replay of the last applied batch id must not double-count
+    state = str(tmp_path / "span_r")
+    before = sorted(map(tuple, span_stats_from_state(spark, state).collect()))
+    replay = docs.limit(50)
+    update_span_pairs(spark, state, replay, batch_id=0)
+    after = sorted(map(tuple, span_stats_from_state(spark, state).collect()))
+    assert after == before
+
+    # geometry pinning: resuming with a different span width must raise
+    with pytest.raises(ValueError):
+        update_span_pairs(spark, state, replay, span_n=5, batch_id=99)
