@@ -985,3 +985,141 @@ def perplexity_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("score"), 6).alias("min_score"),
         F.round(F.max("score"), 6).alias("max_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# classifier distillation: train a cheap quality model, filter at scale
+# ---------------------------------------------------------------------------
+
+
+def _distill_train_oracle() -> str:
+    from bigdatasmallprice_spark.operators.distill import (
+        DISTILL_ITERS,
+        o_distill_chain_sql,
+    )
+
+    rows = "\nUNION ALL\n".join(
+        f"SELECT CAST({t} AS BIGINT) AS iter, round(w0, 6) AS w0, "
+        f"round(w1, 6) AS w1, round(w2, 6) AS w2, round(w3, 6) AS w3, "
+        f"loss_micro, n FROM w{t}"
+        for t in range(1, DISTILL_ITERS + 1)
+    )
+    return f"WITH {o_distill_chain_sql()}\n{rows}"
+
+
+@register(
+    "quality_classifier_train",
+    _distill_train_oracle(),
+    doc="Distill the quality heuristic into a trained linear classifier "
+    "(CCNet / FineWeb-Edu pattern: expensive labeler on a slice, cheap "
+    "model everywhere): 8 gradient-descent iterations over the "
+    "doc_id%4 training slice, rational-sigmoid link (exp-free, so both "
+    "engines run bit-identical IEEE doubles), per-row gradient and "
+    "loss contributions rounded to integer micro-units and summed as "
+    "exact BIGINTs (order-independent — the linreg MAPE-gate trick). "
+    "Output is the convergence table: per iteration the updated "
+    "weights and the pre-update training loss. Each iteration is ONE "
+    "map-side-combined global aggregate over a persisted slim feature "
+    "frame — model-sized driver state, T passes, no collect of data "
+    "rows, unchanged at 100 TB. The oracle replays the identical CTE "
+    "chain. See operators/distill.py.",
+    tags=("text", "ml", "curation"),
+)
+def quality_classifier_train_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdatasmallprice_spark.operators.distill import (
+        fit_quality_classifier,
+        quality_features,
+    )
+
+    feats = quality_features(table(spark, sf_dir, "documents")).persist()
+    try:
+        history = fit_quality_classifier(feats)
+    finally:
+        feats.unpersist()
+    rows = [
+        (
+            h["iter"],
+            round(h["w"][0], 6),
+            round(h["w"][1], 6),
+            round(h["w"][2], 6),
+            round(h["w"][3], 6),
+            h["loss_micro"],
+            h["n"],
+        )
+        for h in history
+    ]
+    return spark.createDataFrame(
+        rows,
+        "iter long, w0 double, w1 double, w2 double, w3 double, "
+        "loss_micro long, n long",
+    )
+
+
+def _distill_filter_oracle() -> str:
+    from bigdatasmallprice_spark.operators.distill import (
+        DISTILL_ITERS,
+        P_EXPR,
+        Z_TMPL,
+        o_distill_chain_sql,
+    )
+
+    z = Z_TMPL.format(w0="w0", w1="w1", w2="w2", w3="w3")
+    return f"""WITH {o_distill_chain_sql()},
+scored AS (
+  SELECT source, y, {z} AS z FROM feat, w{DISTILL_ITERS}
+),
+sp AS (SELECT source, y, {P_EXPR} AS p FROM scored)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN p >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_model_keep,
+       CAST(SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_heuristic_keep,
+       CAST(SUM(CASE WHEN (p >= 0.5) = (y = 1.0) THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+FROM sp GROUP BY 1
+"""
+
+
+@register(
+    "quality_classifier_filter",
+    _distill_filter_oracle(),
+    doc="Apply the distilled quality classifier corpus-wide: re-run the "
+    "8-iteration fit on the doc_id%4 slice (same bit-exact trajectory "
+    "as quality_classifier_train), then score EVERY document with the "
+    "final weights as one literal codegen expression — the "
+    "filter-at-scan-speed half of the distillation pattern. Per source: "
+    "doc count, model keeps (p >= 0.5), teacher-heuristic keeps, and "
+    "model-teacher agreement (the distillation fidelity metric, "
+    "computed on train AND held-out docs alike). Scoring shuffles "
+    "nothing but the per-source aggregate.",
+    tags=("text", "ml", "curation"),
+)
+def quality_classifier_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdatasmallprice_spark.operators.distill import (
+        P_EXPR,
+        Z_TMPL,
+        fit_quality_classifier,
+        quality_features,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    feats = quality_features(docs).persist()
+    try:
+        history = fit_quality_classifier(feats)
+    finally:
+        feats.unpersist()
+    w = history[-1]["w"]
+    z = Z_TMPL.format(w0=repr(w[0]), w1=repr(w[1]), w2=repr(w[2]), w3=repr(w[3]))
+    scored = quality_features(docs).selectExpr(
+        "source", "y", f"{z} AS z"
+    ).selectExpr("source", "y", f"{P_EXPR} AS p")
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("p") >= 0.5, 1).otherwise(0))
+        .cast("long")
+        .alias("n_model_keep"),
+        F.sum(F.when(F.col("y") == 1.0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_heuristic_keep"),
+        F.sum(F.when((F.col("p") >= 0.5) == (F.col("y") == 1.0), 1).otherwise(0))
+        .cast("long")
+        .alias("n_agree"),
+    )

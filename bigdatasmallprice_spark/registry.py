@@ -78,13 +78,15 @@ DRIVER_CAP = 50
 DRIVER_ORDER: list[str] = [
     # r5 rotation rule (VERDICT r4 ask #4): new queries first, then
     # every query whose external evidence is a SINGLE green row. 53
-    # single-row queries + 2 new ones = 55 candidates for 50 slots, so
-    # five singles with documented machinery redundancy sit out (listed
-    # at the bottom); after r5 the minimum evidence across the other
-    # 118 queries is two green rows.
+    # single-row queries + 4 new ones = 57 candidates for 50 slots, so
+    # seven singles with documented machinery redundancy sit out
+    # (listed at the bottom); after r5 the minimum evidence across the
+    # other 116 queries is two green rows.
     # -- new in r5, never driver-verified
     "train_gbt_load",
     "bloom_shingle_prefilter_lean",
+    "quality_classifier_train",
+    "quality_classifier_filter",
     # -- first green in r4 (second row ratchets stability, same rule
     #    that gave the r3 firsts their second rows in r4)
     "semantic_dedup",
@@ -111,10 +113,8 @@ DRIVER_ORDER: list[str] = [
     "argmax_event_per_type",
     "backfill_estimate",
     "brand_nation_revenue",
-    "chart_downsample",
     "customer_activity_split",
     "customer_retention_sets",
-    "daily_mean_deviation",
     "dedup_canonical",
     "forecast_metrics",
     "gap_fill_hourly",
@@ -149,6 +149,11 @@ DRIVER_ORDER: list[str] = [
     #     formula stack (green r2+r3)
     #   ngram_jaccard_pairs — shingle-Jaccard verify also runs inside
     #     minhash_lsh_pairs (green r2+r3) and dedup_incremental
+    #   chart_downsample — stride predicate; the top-k/pagination
+    #     serving surface is covered by price_history +
+    #     row_explorer_page (both in this round's list)
+    #   daily_mean_deviation — daily-mean-vs-row delta join; same
+    #     groupBy+join-back shape as median_impute (in this list)
     #
     # r4 rotation history: 30 keepers + the 20 then-unverified (see
     # COVERAGE.json; every registered query has had >=1 green row since
