@@ -435,3 +435,24 @@ def test_hashed_span_and_line_shuffles_carry_long_keys(spark):
             raw_name,
             raw_keys,
         )
+
+
+def test_distill_scoring_is_pure_jvm_single_aggregate(spark):
+    """quality_classifier_filter's returned plan (corpus scoring with
+    the trained weights as literals) must stay whole-JVM — no Python
+    stages, no joins — with the per-source aggregate as its only
+    shuffle; the trained weights appear as plain double literals."""
+    from bigdatasmallprice_spark.registry import all_queries
+
+    df = all_queries()["quality_classifier_filter"].fn(spark, SF)
+    plan = _formatted(df)
+    for marker in (
+        "BatchEvalPython",
+        "ArrowEvalPython",
+        "MapInPandas",
+        "FlatMapGroupsInPandas",
+        "Join",
+        "CartesianProduct",
+    ):
+        assert marker not in plan, (marker, plan)
+    assert plan.count("hashpartitioning") == 1, plan
