@@ -1001,6 +1001,7 @@ def _distill_train_oracle() -> str:
     rows = "\nUNION ALL\n".join(
         f"SELECT CAST({t} AS BIGINT) AS iter, round(w0, 6) AS w0, "
         f"round(w1, 6) AS w1, round(w2, 6) AS w2, round(w3, 6) AS w3, "
+        f"round(w4, 6) AS w4, "
         f"loss_micro, n FROM w{t}"
         for t in range(1, DISTILL_ITERS + 1)
     )
@@ -1012,7 +1013,7 @@ def _distill_train_oracle() -> str:
     _distill_train_oracle(),
     doc="Distill the quality heuristic into a trained linear classifier "
     "(CCNet / FineWeb-Edu pattern: expensive labeler on a slice, cheap "
-    "model everywhere): 8 gradient-descent iterations over the "
+    "model everywhere): 16 class-weighted GD iterations over the "
     "doc_id%4 training slice, rational-sigmoid link (exp-free, so both "
     "engines run bit-identical IEEE doubles), per-row gradient and "
     "loss contributions rounded to integer micro-units and summed as "
@@ -1043,6 +1044,7 @@ def quality_classifier_train_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             round(h["w"][1], 6),
             round(h["w"][2], 6),
             round(h["w"][3], 6),
+            round(h["w"][4], 6),
             h["loss_micro"],
             h["n"],
         )
@@ -1051,7 +1053,7 @@ def quality_classifier_train_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows,
         "iter long, w0 double, w1 double, w2 double, w3 double, "
-        "loss_micro long, n long",
+        "w4 double, loss_micro long, n long",
     )
 
 
@@ -1063,7 +1065,7 @@ def _distill_filter_oracle() -> str:
         o_distill_chain_sql,
     )
 
-    z = Z_TMPL.format(w0="w0", w1="w1", w2="w2", w3="w3")
+    z = Z_TMPL.format(w0="w0", w1="w1", w2="w2", w3="w3", w4="w4")
     return f"""WITH {o_distill_chain_sql()},
 scored AS (
   SELECT source, y, {z} AS z FROM feat, w{DISTILL_ITERS}
@@ -1082,7 +1084,8 @@ FROM sp GROUP BY 1
     "quality_classifier_filter",
     _distill_filter_oracle(),
     doc="Apply the distilled quality classifier corpus-wide: re-run the "
-    "8-iteration fit on the doc_id%4 slice (same bit-exact trajectory "
+    "16-iteration class-weighted fit on the doc_id%4 slice (same "
+    "bit-exact trajectory "
     "as quality_classifier_train), then score EVERY document with the "
     "final weights as one literal codegen expression — the "
     "filter-at-scan-speed half of the distillation pattern. Per source: "
@@ -1107,7 +1110,10 @@ def quality_classifier_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         feats.unpersist()
     w = history[-1]["w"]
-    z = Z_TMPL.format(w0=repr(w[0]), w1=repr(w[1]), w2=repr(w[2]), w3=repr(w[3]))
+    z = Z_TMPL.format(
+        w0=repr(w[0]), w1=repr(w[1]), w2=repr(w[2]), w3=repr(w[3]),
+        w4=repr(w[4]),
+    )
     scored = quality_features(docs).selectExpr(
         "source", "y", f"{z} AS z"
     ).selectExpr("source", "y", f"{P_EXPR} AS p")
