@@ -1,0 +1,276 @@
+"""HTTP serving layer: the reference's FastAPI surface
+(/root/reference/src/api/main.py) re-expressed over the engine's
+serving methods with ONLY the standard library (http.server) — no
+web-framework dependency.
+
+Route map (reference main.py lines in parentheses):
+
+- POST /auth/register           (210-218)  201 / 409 duplicate
+- POST /auth/login              (221-231)  HS256 JWT / 401
+- GET  /api/forecast            (260-352)  full model->tariff composition
+- GET  /api/price-history       (355-372)  ?hours=, newest-N ascending
+- GET  /api/db-status           (380-398)  per-table count/min/max
+- GET  /api/db-explorer/rows/T  (429-452)  ?limit=&offset=, whitelist P8
+- GET  /api/timeseries/T        (457-535)  ?horizon=&points=, 10k guard
+- POST /api/backfill/estimate   (755-822)  missing-day cost estimate
+- GET  /api/rate-limits         (663-690)  24h rollup over api_call_log
+
+Every /api/* route requires ``Authorization: Bearer <jwt>`` and mirrors
+the reference's status mapping: 401 invalid/expired token, 404 unknown
+route or non-whitelisted table (ValueError from serving's P8 check),
+503 when serving raises LookupError/FileNotFoundError (no data / no
+model), 500 otherwise. Row payloads serialize through
+functions/serialization (F13: Decimal -> float, datetime -> ISO), so
+the JSON matches the reference's response shapes.
+
+Design notes: the handler delegates ALL computation to serving.py —
+this module contains zero query logic, exactly like the reference's
+route functions. The Spark session is shared across requests
+(ThreadingHTTPServer + a lock around job submission keeps scheduling
+simple; a production deployment would put a real ASGI server in front,
+but the engine surface is identical). The clock is injectable, like
+every serving method. Passwords hash with sha256 hexdigest — the same
+function the reference's _hash_pw uses and the Column twin
+(functions/auth.hash_password) applies on the data plane.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import hashlib
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+from pyspark.sql import SparkSession
+
+TOKEN_TTL_S = 3600
+
+
+class ApiState:
+    """Shared state behind the handler: session, config, user store."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        model_dir: str,
+        secret: str,
+        clock=None,
+    ):
+        self.spark = spark
+        self.model_dir = model_dir
+        self.secret = secret
+        self.clock = clock or (lambda: dt.datetime.now(dt.timezone.utc))
+        self.users: dict[str, str] = {}
+        self.lock = threading.Lock()
+
+    def now_s(self) -> int:
+        return int(self.clock().timestamp())
+
+
+def _hash_pw(password: str) -> str:
+    # reference main.py:169-171; Column twin: functions/auth.hash_password
+    return hashlib.sha256(password.encode()).hexdigest()
+
+
+class ApiHandler(BaseHTTPRequestHandler):
+    state: ApiState  # injected by make_server
+
+    # -- plumbing ---------------------------------------------------------
+
+    def log_message(self, fmt, *args):  # quiet test output
+        pass
+
+    def _send(self, code: int, payload) -> None:
+        body = json.dumps(payload).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _json_body(self) -> dict:
+        n = int(self.headers.get("Content-Length") or 0)
+        if n == 0:
+            return {}
+        try:
+            return json.loads(self.rfile.read(n))
+        except json.JSONDecodeError:
+            return {}
+
+    def _auth_sub(self) -> str | None:
+        """Validated JWT subject, or None (after sending 401)."""
+        from bigdatasmallprice_spark.functions.auth import jwt_decode_py
+
+        header = self.headers.get("Authorization") or ""
+        if not header.startswith("Bearer "):
+            self._send(401, {"detail": "Not authenticated"})
+            return None
+        res = jwt_decode_py(
+            header[len("Bearer "):], self.state.secret, self.state.now_s()
+        )
+        if not res["valid"]:
+            self._send(401, {"detail": f"Token {res['error']}"})
+            return None
+        return res["sub"]
+
+    def _rows(self, df) -> list[dict]:
+        from bigdatasmallprice_spark.functions.serialization import (
+            serialize_rows,
+        )
+
+        return serialize_rows(df)
+
+    # -- routes -----------------------------------------------------------
+
+    def do_POST(self) -> None:  # noqa: N802 (http.server contract)
+        path = urlparse(self.path).path
+        st = self.state
+        body = self._json_body()
+        if path == "/auth/register":
+            username, password = body.get("username"), body.get("password")
+            if not username or not password:
+                return self._send(422, {"detail": "username/password required"})
+            with st.lock:
+                if username in st.users:
+                    return self._send(409, {"detail": "Username already exists"})
+                st.users[username] = _hash_pw(password)
+            return self._send(201, {"message": "User created"})
+        if path == "/auth/login":
+            from bigdatasmallprice_spark.functions.auth import jwt_encode_py
+
+            username, password = body.get("username"), body.get("password")
+            stored = st.users.get(username or "")
+            if stored is None or stored != _hash_pw(password or ""):
+                return self._send(401, {"detail": "Invalid credentials"})
+            token = jwt_encode_py(
+                username, st.now_s() + TOKEN_TTL_S, st.secret
+            )
+            return self._send(
+                200, {"access_token": token, "token_type": "bearer"}
+            )
+        if path == "/api/backfill/estimate":
+            if self._auth_sub() is None:
+                return None
+            return self._dispatch(self._backfill, body)
+        return self._send(404, {"detail": "Not found"})
+
+    def do_GET(self) -> None:  # noqa: N802
+        url = urlparse(self.path)
+        path, q = url.path, parse_qs(url.query)
+        if not path.startswith("/api/"):
+            return self._send(404, {"detail": "Not found"})
+        if self._auth_sub() is None:
+            return None
+        if path == "/api/forecast":
+            return self._dispatch(self._forecast)
+        if path == "/api/price-history":
+            return self._dispatch(self._price_history, q)
+        if path == "/api/db-status":
+            return self._dispatch(self._db_status)
+        if path.startswith("/api/db-explorer/rows/"):
+            return self._dispatch(
+                self._explore, path.rsplit("/", 1)[1], q
+            )
+        if path.startswith("/api/timeseries/"):
+            return self._dispatch(
+                self._timeseries, path.rsplit("/", 1)[1], q
+            )
+        if path == "/api/rate-limits":
+            return self._dispatch(self._rate_limits)
+        return self._send(404, {"detail": "Not found"})
+
+    def _dispatch(self, fn, *args) -> None:
+        """Reference status mapping: P8 whitelist violation -> 404, no
+        data / no model -> 503, anything else -> 500."""
+        st = self.state
+        try:
+            with st.lock:
+                result = fn(*args)
+            self._send(200, result)
+        except ValueError as e:
+            self._send(404, {"detail": str(e)})
+        except (LookupError, FileNotFoundError) as e:
+            self._send(503, {"detail": str(e)})
+        except Exception as e:  # pragma: no cover - defensive
+            self._send(500, {"detail": str(e)})
+
+    # -- serving delegates ------------------------------------------------
+
+    def _forecast(self) -> dict:
+        from bigdatasmallprice_spark.serving import forecast
+
+        return forecast(self.state.spark, self.state.model_dir)
+
+    def _price_history(self, q) -> list[dict]:
+        from bigdatasmallprice_spark.serving import price_history
+
+        hours = max(1, min(168, int(q.get("hours", ["24"])[0])))
+        return self._rows(price_history(self.state.spark, hours))
+
+    def _db_status(self) -> list[dict]:
+        from bigdatasmallprice_spark.serving import SERVING_TABLES, table_stats
+
+        st = self.state
+        # the count/min/max sweep keys on `time`; the ops log keeps its
+        # own clock column (called_at) and reports via /api/rate-limits
+        present = [
+            t for t in sorted(SERVING_TABLES)
+            if st.spark.catalog.tableExists(t)
+            and "time" in st.spark.table(t).columns
+        ]
+        return self._rows(table_stats(st.spark, present))
+
+    def _explore(self, table: str, q) -> list[dict]:
+        from bigdatasmallprice_spark.serving import explore_rows
+
+        limit = int(q.get("limit", ["100"])[0])
+        offset = int(q.get("offset", ["0"])[0])
+        return self._rows(
+            explore_rows(self.state.spark, table, limit, offset)
+        )
+
+    def _timeseries(self, table: str, q) -> list[dict]:
+        from bigdatasmallprice_spark.serving import timeseries
+
+        st = self.state
+        horizon = q.get("horizon", ["7 days"])[0]
+        points = int(q.get("points", ["500"])[0])
+        clock = st.clock().replace(tzinfo=None)
+        return self._rows(
+            timeseries(st.spark, table, clock, horizon, chart_points=points)
+        )
+
+    def _rate_limits(self) -> list[dict]:
+        from bigdatasmallprice_spark.serving import rate_limit_stats
+
+        st = self.state
+        return self._rows(
+            rate_limit_stats(st.spark, st.clock().replace(tzinfo=None))
+        )
+
+    def _backfill(self, body: dict) -> dict:
+        from bigdatasmallprice_spark.serving import backfill_estimate
+
+        return backfill_estimate(
+            self.state.spark,
+            body["table"],
+            dt.date.fromisoformat(body["start"]),
+            dt.date.fromisoformat(body["end"]),
+            int(body.get("calls_per_day", 1)),
+        )
+
+
+def make_server(
+    spark: SparkSession,
+    model_dir: str,
+    secret: str,
+    clock=None,
+    port: int = 0,
+) -> ThreadingHTTPServer:
+    """Build the HTTP server (port 0 = ephemeral; serve with
+    ``serve_forever`` in a thread, stop with ``shutdown``)."""
+    state = ApiState(spark, model_dir, secret, clock)
+    handler = type("BoundApiHandler", (ApiHandler,), {"state": state})
+    return ThreadingHTTPServer(("127.0.0.1", port), handler)
