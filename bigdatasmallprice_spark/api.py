@@ -169,6 +169,10 @@ class ApiHandler(BaseHTTPRequestHandler):
             return self._dispatch(self._price_history, q)
         if path == "/api/db-status":
             return self._dispatch(self._db_status)
+        if path == "/api/db-explorer/schema":
+            return self._dispatch(self._schema)
+        if path == "/api/models/status":
+            return self._dispatch(self._models_status)
         if path.startswith("/api/db-explorer/rows/"):
             return self._dispatch(
                 self._explore, path.rsplit("/", 1)[1], q
@@ -249,6 +253,56 @@ class ApiHandler(BaseHTTPRequestHandler):
         return self._rows(
             rate_limit_stats(st.spark, st.clock().replace(tzinfo=None))
         )
+
+    def _schema(self) -> dict:
+        """Column name/type/nullability per whitelist table (reference
+        main.py:401-426, information_schema replaced by the catalog)."""
+        from bigdatasmallprice_spark.serving import SERVING_TABLES
+
+        st = self.state
+        out: dict[str, list[dict]] = {}
+        for t in sorted(SERVING_TABLES):
+            if not st.spark.catalog.tableExists(t):
+                continue
+            out[t] = [
+                {
+                    "column": f.name,
+                    "type": f.dataType.simpleString(),
+                    "nullable": f.nullable,
+                }
+                for f in st.spark.table(t).schema.fields
+            ]
+        return out
+
+    def _models_status(self) -> dict:
+        """Newest artifact + metrics per model name (reference
+        main.py:905-1010's joblib/metrics-file scan, over the engine's
+        versioned JSON registry)."""
+        import json as _json
+        import os
+
+        from bigdatasmallprice_spark.modelstore import find_latest
+
+        names: set[str] = set()
+        try:
+            for e in os.listdir(self.state.model_dir):
+                if "_v" in e and e.endswith(".json"):
+                    names.add(e.rsplit("_v", 1)[0])
+        except FileNotFoundError:
+            pass
+        out: dict[str, dict] = {}
+        for name in sorted(names):
+            path = find_latest(self.state.model_dir, name)
+            if path is None:
+                continue
+            with open(path) as fh:
+                doc = _json.load(fh)
+            out[name] = {
+                "version": doc.get("version"),
+                "kind": doc.get("kind", "linear"),
+                "metrics": doc.get("metrics"),
+            }
+        return out
 
     def _backfill(self, body: dict) -> dict:
         from bigdatasmallprice_spark.serving import backfill_estimate

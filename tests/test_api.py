@@ -196,3 +196,14 @@ def test_forecast_endpoint(api, token):
     )
     # no load model saved in this fixture -> degraded path flagged
     assert out["net_load_available"] is False
+
+
+def test_schema_and_models_status(api, token):
+    code, schema = _call(api, "/api/db-explorer/schema", token=token)
+    assert code == 200
+    cols = {c["column"]: c for c in schema["entsoe_day_ahead_prices"]}
+    assert cols["price_eur_mwh"]["type"] == "double"
+    assert "time" in cols
+    code, models = _call(api, "/api/models/status", token=token)
+    assert code == 200
+    assert models["model_epex"]["version"] == "20260214T000000"
