@@ -154,6 +154,10 @@ class ApiHandler(BaseHTTPRequestHandler):
             if self._auth_sub() is None:
                 return None
             return self._dispatch(self._backfill, body)
+        if path == "/api/predict":
+            if self._auth_sub() is None:
+                return None
+            return self._dispatch(self._predict, body)
         return self._send(404, {"detail": "Not found"})
 
     def do_GET(self) -> None:  # noqa: N802
@@ -253,6 +257,32 @@ class ApiHandler(BaseHTTPRequestHandler):
         return self._rows(
             rate_limit_stats(st.spark, st.clock().replace(tzinfo=None))
         )
+
+    def _predict(self, body: dict) -> dict:
+        """Score an explicit feature dict (reference main.py:235-258).
+        The engine's registered models key on the timestamp, so the
+        feature dict must carry ``time`` (ISO); 503 when no artifact."""
+        from bigdatasmallprice_spark import modelstore
+
+        feats = body.get("features") or {}
+        if "time" not in feats:
+            raise ValueError("features must include 'time' (ISO timestamp)")
+        model = body.get("model", "model_epex")
+        st = self.state
+        one = st.spark.createDataFrame(
+            [(dt.datetime.fromisoformat(feats["time"]), "all")],
+            "time timestamp, k string",
+        )
+        row = modelstore.score_latest(
+            st.spark, st.model_dir, model, one, "k", ts_col="time"
+        ).collect()
+        if not row:
+            raise LookupError(f"model {model!r} matched no key")
+        return {
+            "prediction_eur_mwh": round(float(row[0]["prediction"]), 2),
+            "model": model,
+            "model_version": row[0]["model_version"],
+        }
 
     def _schema(self) -> dict:
         """Column name/type/nullability per whitelist table (reference

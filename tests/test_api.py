@@ -207,3 +207,29 @@ def test_schema_and_models_status(api, token):
     code, models = _call(api, "/api/models/status", token=token)
     assert code == 200
     assert models["model_epex"]["version"] == "20260214T000000"
+
+
+def test_predict_endpoint(api, token):
+    code, out = _call(
+        api,
+        "/api/predict",
+        "POST",
+        {"features": {"time": "2026-02-14T18:00:00"}},
+        token=token,
+    )
+    assert code == 200
+    assert out["model"] == "model_epex"
+    assert out["model_version"] == "20260214T000000"
+    assert isinstance(out["prediction_eur_mwh"], float)
+    # missing time feature -> 404 (ValueError mapping)
+    code, _ = _call(api, "/api/predict", "POST", {"features": {}}, token=token)
+    assert code == 404
+    # unknown model -> 503 (no artifact)
+    code, _ = _call(
+        api,
+        "/api/predict",
+        "POST",
+        {"features": {"time": "2026-02-14T18:00:00"}, "model": "nope"},
+        token=token,
+    )
+    assert code == 503
