@@ -187,6 +187,10 @@ class ApiHandler(BaseHTTPRequestHandler):
             )
         if path == "/api/rate-limits":
             return self._dispatch(self._rate_limits)
+        if path == "/api/rate-limits/history":
+            return self._dispatch(self._rate_limits_history)
+        if path == "/api/feature-status":
+            return self._dispatch(self._feature_status)
         return self._send(404, {"detail": "Not found"})
 
     def _dispatch(self, fn, *args) -> None:
@@ -333,6 +337,52 @@ class ApiHandler(BaseHTTPRequestHandler):
                 "metrics": doc.get("metrics"),
             }
         return out
+
+    def _rate_limits_history(self) -> dict:
+        """Hourly call counts per source, last 7 days (reference
+        main.py:719-752; time_bucket -> date_trunc, T4)."""
+        from pyspark.sql import functions as F
+
+        st = self.state
+        clock = st.clock().replace(tzinfo=None)
+        df = (
+            st.spark.table("api_call_log")
+            .filter(F.col("called_at") >= F.lit(clock) - F.expr("INTERVAL 7 DAYS"))
+            .groupBy(
+                "source", F.date_trunc("hour", "called_at").alias("hour")
+            )
+            .agg(F.count(F.lit(1)).alias("calls"))
+            .orderBy("source", "hour")
+        )
+        out: dict[str, list[dict]] = {}
+        for r in self._rows(df):
+            out.setdefault(r["source"], []).append(
+                {"hour": r["hour"], "calls": r["calls"]}
+            )
+        return out
+
+    def _feature_status(self) -> dict:
+        """training_features freshness probe (reference main.py:589-613)."""
+        from pyspark.sql import functions as F
+
+        row = (
+            self.state.spark.table("training_features")
+            .agg(
+                F.count(F.lit(1)).alias("row_count"),
+                F.min("time").alias("oldest"),
+                F.max("time").alias("newest"),
+                F.sum(
+                    F.when(F.col("lag_24h").isNotNull(), 1).otherwise(0)
+                ).alias("rows_with_lags"),
+            )
+            .collect()[0]
+        )
+        return {
+            "row_count": int(row["row_count"] or 0),
+            "oldest": row["oldest"].isoformat() if row["oldest"] else None,
+            "newest": row["newest"].isoformat() if row["newest"] else None,
+            "rows_with_lags": int(row["rows_with_lags"] or 0),
+        }
 
     def _backfill(self, body: dict) -> dict:
         from bigdatasmallprice_spark.serving import backfill_estimate

@@ -233,3 +233,15 @@ def test_predict_endpoint(api, token):
         token=token,
     )
     assert code == 503
+
+
+def test_feature_status_and_rate_limit_history(api, token):
+    code, out = _call(api, "/api/feature-status", token=token)
+    assert code == 200
+    assert out["row_count"] > 0 and out["rows_with_lags"] > 0
+    assert out["oldest"] <= out["newest"]
+    code, hist = _call(api, "/api/rate-limits/history", token=token)
+    assert code == 200
+    assert sum(h["calls"] for h in hist["entsoe"]) == 50
+    hours = [h["hour"] for h in hist["entsoe"]]
+    assert hours == sorted(hours)
