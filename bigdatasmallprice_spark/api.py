@@ -39,6 +39,7 @@ from __future__ import annotations
 import datetime as dt
 import hashlib
 import json
+import re
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
@@ -46,6 +47,16 @@ from urllib.parse import parse_qs, urlparse
 from pyspark.sql import SparkSession
 
 TOKEN_TTL_S = 3600
+
+# INTERVAL literal whitelist: the horizon query param reaches
+# F.expr(f"INTERVAL {horizon}") in serving.timeseries, so anything
+# outside this shape must be rejected before it meets the SQL parser
+_HORIZON_RE = re.compile(r"^\d{1,4} (minutes?|hours?|days?|weeks?)$")
+
+
+class BadRequest(Exception):
+    """Maps to 422 — malformed client input (FastAPI's validation
+    status in the reference)."""
 
 
 class ApiState:
@@ -201,6 +212,8 @@ class ApiHandler(BaseHTTPRequestHandler):
             with st.lock:
                 result = fn(*args)
             self._send(200, result)
+        except BadRequest as e:
+            self._send(422, {"detail": str(e)})
         except ValueError as e:
             self._send(404, {"detail": str(e)})
         except (LookupError, FileNotFoundError) as e:
@@ -248,6 +261,10 @@ class ApiHandler(BaseHTTPRequestHandler):
 
         st = self.state
         horizon = q.get("horizon", ["7 days"])[0]
+        if not _HORIZON_RE.match(horizon):
+            raise BadRequest(
+                "horizon must look like '7 days' / '24 hours'"
+            )
         points = int(q.get("points", ["500"])[0])
         clock = st.clock().replace(tzinfo=None)
         return self._rows(
@@ -270,7 +287,7 @@ class ApiHandler(BaseHTTPRequestHandler):
 
         feats = body.get("features") or {}
         if "time" not in feats:
-            raise ValueError("features must include 'time' (ISO timestamp)")
+            raise BadRequest("features must include 'time' (ISO timestamp)")
         model = body.get("model", "model_epex")
         st = self.state
         one = st.spark.createDataFrame(
@@ -387,6 +404,14 @@ class ApiHandler(BaseHTTPRequestHandler):
     def _backfill(self, body: dict) -> dict:
         from bigdatasmallprice_spark.serving import backfill_estimate
 
+        missing = [k for k in ("table", "start", "end") if k not in body]
+        if missing:
+            raise BadRequest(f"missing fields: {', '.join(missing)}")
+        try:
+            dt.date.fromisoformat(body["start"])
+            dt.date.fromisoformat(body["end"])
+        except ValueError as e:
+            raise BadRequest(f"bad date: {e}") from None
         return backfill_estimate(
             self.state.spark,
             body["table"],

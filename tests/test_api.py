@@ -221,9 +221,9 @@ def test_predict_endpoint(api, token):
     assert out["model"] == "model_epex"
     assert out["model_version"] == "20260214T000000"
     assert isinstance(out["prediction_eur_mwh"], float)
-    # missing time feature -> 404 (ValueError mapping)
+    # missing time feature -> 422 (BadRequest mapping)
     code, _ = _call(api, "/api/predict", "POST", {"features": {}}, token=token)
-    assert code == 404
+    assert code == 422
     # unknown model -> 503 (no artifact)
     code, _ = _call(
         api,
@@ -245,3 +245,24 @@ def test_feature_status_and_rate_limit_history(api, token):
     assert sum(h["calls"] for h in hist["entsoe"]) == 50
     hours = [h["hour"] for h in hist["entsoe"]]
     assert hours == sorted(hours)
+
+
+def test_malformed_input_is_422(api, token):
+    # horizon reaches F.expr(f"INTERVAL {horizon}") — reject before parse
+    code, out = _call(
+        api,
+        "/api/timeseries/weather_hourly?horizon=1%20day)%20OR%20(SELECT%201",
+        token=token,
+    )
+    assert code == 422
+    # missing backfill fields are client errors, not 503s
+    code, out = _call(api, "/api/backfill/estimate", "POST", {}, token=token)
+    assert code == 422 and "missing fields" in out["detail"]
+    code, _ = _call(
+        api,
+        "/api/backfill/estimate",
+        "POST",
+        {"table": "weather_hourly", "start": "not-a-date", "end": "2026-01-01"},
+        token=token,
+    )
+    assert code == 422
