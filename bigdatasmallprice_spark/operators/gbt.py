@@ -493,6 +493,8 @@ def fit_gbt_full(
     carries only the executed rounds. ``stats`` (optional dict)
     records 'hist_rows_max' / 'hist_rows_by_level' — the test hook
     proving the per-level groupBy stays model-sized at depth 7."""
+    from bigdatasmallprice_spark.caching import persistent_rdd_ids
+
     xcols = [F.col(f"x{i}") for i in range(n_features)]
     bin_cols = []
     for f in range(n_features):
@@ -506,6 +508,14 @@ def fit_gbt_full(
         )
     if "is_train" not in feat.columns:
         feat = feat.withColumn("is_train", F.col("split") == "train")
+    # snapshot BEFORE the persist: everything this fit caches (the
+    # binned frame + one localCheckpoint RDD per round) is released in
+    # the finally below by RDD id. Calling .unpersist() on the derived
+    # frames would be a silent no-op — Spark only uncaches a plan that
+    # sameResult-matches the exact persisted DataFrame, and checkpoint
+    # RDDs are not plan-cached at all.
+    spark = feat.sparkSession
+    rdds_before = persistent_rdd_ids(spark)
     cur = feat.select("*", *bin_cols).persist()
 
     agg = cur.filter("is_train").agg(
@@ -620,19 +630,17 @@ def fit_gbt_full(
         # fit is analysis/codegen-bound, not data-bound). The
         # checkpointed frame is the hourly fit frame — model-sized.
         if r < n_rounds and not stop:
-            prev = cur
             cur = cur.localCheckpoint(eager=True)
-            # the checkpoint materialized; the previous round's cache /
-            # checkpoint RDD is dead weight from here — release it so a
-            # long fit holds exactly one round's frame, not R of them
-            prev.unpersist()
             pred = F.col("__p")
         if stop:
             break
 
-    # MAE history complete — release the fit frame so back-to-back
-    # fits don't accumulate executor state
-    cur.unpersist()
+    # release the binned frame and every round's checkpoint RDD by id
+    # (bounded within one fit: R model-sized hourly frames) so
+    # back-to-back fits in one session don't accumulate executor state
+    from bigdatasmallprice_spark.caching import _unpersist_added
+
+    _unpersist_added(spark, rdds_before)
     return GbtFullModel(base=base, depth=depth, trees=trees), mae
 
 
@@ -863,6 +871,11 @@ def fit_gbt_on_features(
     xcols = [F.col(f"x{i}") for i in range(n_features)]
     fixed = fixed_thresholds or {}
     cont = [f for f in range(n_features) if f not in fixed]
+    # accept the documented split-only contract here too (fit_gbt_full
+    # normalizes internally, but the threshold pass below needs it now)
+    if "is_train" not in feat.columns:
+        feat = feat.withColumn("is_train", F.col("split") == "train")
+    feat = feat.persist()
     tr = feat.filter("is_train")
     cont_thresholds = (
         _approx_quantile_thresholds(tr, cont, n_bins)
@@ -878,26 +891,34 @@ def fit_gbt_on_features(
     # collecting anything: on a corpus-sized frame the old
     # limit(cap+1).collect() shipped 200k full feature rows to the
     # driver just to learn it should not have collected them
-    n_feat_rows = feat.limit(GBT_FULL_COLLECT_MAX + 1).count()
-    if n_feat_rows <= GBT_FULL_COLLECT_MAX:
-        # model-sized frame: fit driver-side in one pass (the reference
-        # trains on a collected pandas frame too); arithmetic identical
-        # to the distributed path, asserted by test_gbt_full_paths_identical
-        rows = feat.collect()
-        model, mae = _fit_gbt_full_local(
-            rows, n_features, thresholds, n_rounds, depth, lr, patience=patience
-        )
-    else:
-        model, mae = fit_gbt_full(
-            feat,
-            n_features,
-            thresholds,
-            n_rounds,
-            depth,
-            lr,
-            patience=patience,
-            stats=stats,
-        )
+    # feat is persisted above: the threshold pass materialized it, so
+    # the bounded count and the (small-path) collect read the cache
+    # instead of recomputing the featurization per action
+    try:
+        n_feat_rows = feat.limit(GBT_FULL_COLLECT_MAX + 1).count()
+        if n_feat_rows <= GBT_FULL_COLLECT_MAX:
+            # model-sized frame: fit driver-side in one pass (the
+            # reference trains on a collected pandas frame too);
+            # arithmetic identical to the distributed path, asserted by
+            # test_gbt_full_paths_identical
+            rows = feat.collect()
+            model, mae = _fit_gbt_full_local(
+                rows, n_features, thresholds, n_rounds, depth, lr,
+                patience=patience,
+            )
+        else:
+            model, mae = fit_gbt_full(
+                feat,
+                n_features,
+                thresholds,
+                n_rounds,
+                depth,
+                lr,
+                patience=patience,
+                stats=stats,
+            )
+    finally:
+        feat.unpersist()
     return model, mae
 
 
@@ -1232,7 +1253,9 @@ def featurize_net_load_series(
     max(date))."""
     from pyspark.sql import Window
 
-    c = F.round(F.col(value_col) * 100, 0).cast("long")
+    from bigdatasmallprice_spark.queries.core import cents
+
+    c = cents(F.col(value_col))
     et = F.col("event_type")
     hourly = df.groupBy(F.date_trunc("hour", F.col(ts_col)).alias("h")).agg(
         F.sum(F.when(et == "purchase", c)).alias("lc"),

@@ -136,7 +136,7 @@ DRIVER_ORDER: list[str] = [
     "value_quantiles_by_type",
     "value_trend_regression",
     "video_frame_sample",
-    # Five single-row queries sit out this round (slots exhausted);
+    # Seven single-row queries sit out this round (slots exhausted);
     # each keeps its green row and its unique machinery runs inside a
     # double-green listed/verified query:
     #   train_gbt_model — strict depth-2 subset of train_gbt_full (in

@@ -512,3 +512,27 @@ def test_gbt_load_paths_identical(spark, monkeypatch):
     monkeypatch.setattr(gbt, "GBT_FULL_COLLECT_MAX", 0)
     dist = sorted(map(tuple, gbt.train_gbt_load(ev, **kw).collect()))
     assert local == dist
+
+
+def test_distributed_fit_releases_all_cached_state(spark, monkeypatch):
+    """Back-to-back DISTRIBUTED fits must leave zero new persistent
+    RDDs: DataFrame.unpersist() on a frame derived from the persisted
+    one is a silent no-op, so the fit releases its binned frame and
+    every round's localCheckpoint RDD by RDD id instead (and spares
+    caches that existed before the fit)."""
+    from bigdatasmallprice_spark.caching import persistent_rdd_ids
+    from bigdatasmallprice_spark.operators import gbt
+    from bigdatasmallprice_spark.queries.core import events
+
+    ev = events(spark, "/root/testdata/sf0.001")
+    pre = ev.limit(50).persist()
+    pre.count()  # materialize a pre-existing cache the fit must spare
+    try:
+        base = persistent_rdd_ids(spark)
+        assert base  # the sentinel cache is registered
+        monkeypatch.setattr(gbt, "GBT_FULL_COLLECT_MAX", 0)  # force distributed
+        for _ in range(2):
+            gbt.train_gbt_full(ev, n_rounds=3, depth=2).collect()
+            assert persistent_rdd_ids(spark) == base
+    finally:
+        pre.unpersist()
