@@ -14,6 +14,20 @@ Route map (reference main.py lines in parentheses):
 - GET  /api/timeseries/T        (457-535)  ?horizon=&points=, 10k guard
 - POST /api/backfill/estimate   (755-822)  missing-day cost estimate
 - GET  /api/rate-limits         (663-690)  24h rollup over api_call_log
+- GET  /api/airflow/dags        (616-658)  dag list via the run registry
+- POST /api/backfill/trigger    (825-867)  validated date range -> run
+- GET  /api/backfill/status/R   (868-905)  run state poll
+- POST /api/training/trigger    (1073-1095) manual training run
+- GET  /api/training/status/R   (1097-1123) run state poll
+- GET  /api/training/tasks/R    (1125-1178) per-task states
+- GET  /api/models/validation/M (962-1072)  val truth/pred + loss curve
+- GET  / and /dashboard         (1181-1188) HTML shells (no auth)
+
+The reference's orchestration endpoints proxy Airflow's REST API; here
+they serve the in-process run registry (runs.py), whose default dag
+set mirrors the reference's four dag files and executes real engine
+jobs (ingest backfills, feature exports, model training) on worker
+threads with Airflow's observable state machine.
 
 Every /api/* route requires ``Authorization: Bearer <jwt>`` and mirrors
 the reference's status mapping: 401 invalid/expired token, 404 unknown
@@ -75,6 +89,7 @@ class ApiState:
         self.clock = clock or (lambda: dt.datetime.now(dt.timezone.utc))
         self.users: dict[str, str] = {}
         self.lock = threading.Lock()
+        self.runs = None  # RunRegistry, injected by make_server
 
     def now_s(self) -> int:
         return int(self.clock().timestamp())
@@ -169,11 +184,21 @@ class ApiHandler(BaseHTTPRequestHandler):
             if self._auth_sub() is None:
                 return None
             return self._dispatch(self._predict, body)
+        if path == "/api/backfill/trigger":
+            if self._auth_sub() is None:
+                return None
+            return self._dispatch(self._backfill_trigger, body)
+        if path == "/api/training/trigger":
+            if self._auth_sub() is None:
+                return None
+            return self._dispatch(self._training_trigger)
         return self._send(404, {"detail": "Not found"})
 
     def do_GET(self) -> None:  # noqa: N802
         url = urlparse(self.path)
         path, q = url.path, parse_qs(url.query)
+        if path in ("/", "/dashboard"):  # unauthenticated, like main.py:1181-1188
+            return self._html(path)
         if not path.startswith("/api/"):
             return self._send(404, {"detail": "Not found"})
         if self._auth_sub() is None:
@@ -202,6 +227,22 @@ class ApiHandler(BaseHTTPRequestHandler):
             return self._dispatch(self._rate_limits_history)
         if path == "/api/feature-status":
             return self._dispatch(self._feature_status)
+        if path == "/api/airflow/dags":
+            return self._dispatch(self._airflow_dags)
+        if path.startswith("/api/backfill/status/"):
+            return self._dispatch(
+                self._run_status, "bdsp_backfill", path.rsplit("/", 1)[1]
+            )
+        if path.startswith("/api/training/status/"):
+            return self._dispatch(
+                self._run_status, "bdsp_training_daily", path.rsplit("/", 1)[1]
+            )
+        if path.startswith("/api/training/tasks/"):
+            return self._dispatch(
+                self._run_tasks, "bdsp_training_daily", path.rsplit("/", 1)[1]
+            )
+        if path.startswith("/api/models/validation/"):
+            return self._dispatch(self._models_validation, path.rsplit("/", 1)[1])
         return self._send(404, {"detail": "Not found"})
 
     def _dispatch(self, fn, *args) -> None:
@@ -420,6 +461,99 @@ class ApiHandler(BaseHTTPRequestHandler):
             int(body.get("calls_per_day", 1)),
         )
 
+    # -- orchestration (run registry) --------------------------------------
+
+    def _airflow_dags(self) -> list[dict]:
+        return self.state.runs.list_dags()
+
+    def _backfill_trigger(self, body: dict) -> dict:
+        """Validated date range -> a bdsp_backfill run (main.py:825-867;
+        the reference rejects inverted and future ranges with 400 — the
+        engine's one malformed-input status is 422)."""
+        missing = [k for k in ("start_date", "end_date") if k not in body]
+        if missing:
+            raise BadRequest(f"missing fields: {', '.join(missing)}")
+        try:
+            start = dt.date.fromisoformat(body["start_date"])
+            end = dt.date.fromisoformat(body["end_date"])
+        except ValueError as e:
+            raise BadRequest(f"Invalid date: {e}") from None
+        if end < start:
+            raise BadRequest("end_date must be >= start_date")
+        today = self.state.clock().date()
+        if start > today or end > today:
+            raise BadRequest("Dates must not be in the future")
+        run = self.state.runs.trigger(
+            "bdsp_backfill",
+            {"backfill_start": body["start_date"], "backfill_end": body["end_date"]},
+        )
+        return {
+            "dag_run_id": run["run_id"],
+            "state": run["state"],
+            "message": "Backfill triggered.",
+        }
+
+    def _training_trigger(self) -> dict:
+        run = self.state.runs.trigger("bdsp_training_daily", {})
+        return {
+            "dag_run_id": run["run_id"],
+            "state": run["state"],
+            "message": "Training triggered.",
+        }
+
+    def _run_status(self, dag_id: str, run_id: str) -> dict:
+        try:
+            rec = self.state.runs.status(dag_id, run_id)
+        except KeyError:
+            # registry KeyError is LookupError (-> 503); not-found is 404
+            raise ValueError(f"DAG run {run_id!r} not found") from None
+        return {
+            "dag_run_id": rec["run_id"],
+            "state": rec["state"],
+            "start_date": rec["start_date"],
+            "end_date": rec["end_date"],
+        }
+
+    def _run_tasks(self, dag_id: str, run_id: str) -> dict:
+        try:
+            rec = self.state.runs.status(dag_id, run_id)
+        except KeyError:
+            raise ValueError(f"DAG run {run_id!r} not found") from None
+        return {
+            "dag_run_id": rec["run_id"],
+            "run_state": rec["state"],
+            "start_date": rec["start_date"],
+            "end_date": rec["end_date"],
+            "tasks": rec["tasks"],
+        }
+
+    def _models_validation(self, model_name: str) -> dict:
+        from bigdatasmallprice_spark.serving import model_validation
+
+        return model_validation(
+            self.state.spark, self.state.model_dir, model_name
+        )
+
+    def _html(self, path: str) -> None:
+        """Status-page shells (reference templates/index.html +
+        dashboard.html are a JS front-end over the same endpoints; the
+        engine ships the minimal equivalent so / and /dashboard answer
+        like the reference's app)."""
+        title = "BigDataSmallPrice" if path == "/" else "Dashboard"
+        body = (
+            f"<!doctype html><html><head><title>{title}</title></head>"
+            "<body><h1>" + title + "</h1>"
+            "<p>API: POST /auth/register, /auth/login; authenticated "
+            "routes under /api/ (forecast, price-history, db-status, "
+            "db-explorer, timeseries, predict, models, rate-limits, "
+            "backfill, training, airflow/dags).</p></body></html>"
+        ).encode()
+        self.send_response(200)
+        self.send_header("Content-Type", "text/html; charset=utf-8")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
 
 def make_server(
     spark: SparkSession,
@@ -427,9 +561,25 @@ def make_server(
     secret: str,
     clock=None,
     port: int = 0,
+    export_dir: str | None = None,
+    backfill_jobs: dict | None = None,
+    dag_specs: list | None = None,
 ) -> ThreadingHTTPServer:
     """Build the HTTP server (port 0 = ephemeral; serve with
-    ``serve_forever`` in a thread, stop with ``shutdown``)."""
+    ``serve_forever`` in a thread, stop with ``shutdown``).
+
+    The orchestration routes serve a RunRegistry seeded with
+    runs.default_dags (backfill/etl over ``backfill_jobs`` closures,
+    feature exports into ``export_dir``, model training into
+    ``model_dir``); pass ``dag_specs`` to replace the stock set."""
+    from bigdatasmallprice_spark.runs import RunRegistry, default_dags
+
     state = ApiState(spark, model_dir, secret, clock)
+    state.runs = RunRegistry(clock=state.clock)
+    state.runs.register_all(
+        dag_specs
+        if dag_specs is not None
+        else default_dags(spark, model_dir, state.clock, export_dir, backfill_jobs)
+    )
     handler = type("BoundApiHandler", (ApiHandler,), {"state": state})
     return ThreadingHTTPServer(("127.0.0.1", port), handler)

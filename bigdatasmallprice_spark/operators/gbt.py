@@ -1011,6 +1011,14 @@ def full_model_to_artifact(model: GbtFullModel, mae: dict | None = None) -> dict
         val = {r: v for (s, r), v in mae.items() if s == "val"}
         if val:
             doc["best_round"] = min(sorted(val), key=lambda r: (val[r], r))
+        # full per-round curves, servable as the validation endpoint's
+        # loss_history (the reference persists the same thing as a
+        # <model>_loss_<date>.json next to the joblib, main.py:1052-1063)
+        doc["mae_history"] = {
+            split: [v for (_, r), v in sorted(per.items(), key=lambda kv: kv[0][1])]
+            for split in ("train", "val")
+            if (per := {k: v for k, v in mae.items() if k[0] == split})
+        }
     return doc
 
 

@@ -241,3 +241,70 @@ def forecast_tariff(net_load: float, epex_eur_mwh: float, spark: SparkSession) -
         traffic_light(gesamttarif(netz, energie)).alias("level"),
     ).collect()[0]
     return row.asDict()
+
+
+def model_validation(
+    spark: SparkSession,
+    model_dir: str,
+    model_name: str,
+    max_points: int = 500,
+) -> dict:
+    """Validation-set truth vs prediction + loss history for a trained
+    model (reference main.py:962-1073 /api/models/validation/{name}).
+
+    The reference re-reads the export pipeline's X_val/y_val parquets
+    and re-predicts with the newest joblib; the engine re-derives the
+    SAME validation slice from the feature view with the export
+    module's split rules (D4 — 70/15/15 chronological for the EPEX
+    price surface, rolling last-7d/14d for the net-load surface) and
+    scores it through modelstore.score_latest, so one split
+    implementation serves export, training, and this endpoint. The
+    series is stride-downsampled to <= ``max_points`` rows (O7, the
+    reference's main.py:1038-1045 chart cap) BEFORE collect — only the
+    chart payload ever reaches the driver.
+
+    Raises ValueError for an unsuffixed/unknown surface (-> 404 via
+    the whitelist mapping) and FileNotFoundError when no artifact
+    exists (-> 503, the engine's standing no-model status)."""
+    from bigdatasmallprice_spark.export import LOAD_TARGET_COL, TARGET_COL
+    from bigdatasmallprice_spark.modelstore import find_latest, load_model, score_latest
+    from bigdatasmallprice_spark.operators.splits import (
+        rolling_split_bounds,
+        split_by_dates,
+        split_label_by_ratio,
+    )
+
+    is_load = model_name.endswith("_load") or model_name == "model_load"
+    view = "winterthur_net_load_features" if is_load else "training_features"
+    target = LOAD_TARGET_COL if is_load else TARGET_COL
+    df = _view(spark, view)
+    if is_load:
+        df = df.na.drop(subset=[target])
+        train_end, val_end = rolling_split_bounds(df, "time", 7, 14)
+        labeled = split_by_dates(df, "time", train_end, val_end)
+    else:
+        labeled = split_label_by_ratio(df, ["time"], 0.7, 0.15)
+    val = labeled.filter(F.col("split") == "val").withColumn("k", F.lit("all"))
+
+    path = find_latest(model_dir, model_name)
+    if path is None:
+        raise FileNotFoundError(f"no artifact for model {model_name!r} in {model_dir}")
+    doc = load_model(path)
+    scored = score_latest(spark, model_dir, model_name, val, "k", ts_col="time")
+    chart = stride_downsample(
+        scored.select("time", F.col(target).alias("y_true"), "prediction")
+        # rows the chart cannot plot: a null target (unlabeled tail
+        # hours the B-surface split keeps) or a null prediction
+        .na.drop(subset=["y_true", "prediction"]),
+        ["time"],
+        max_points,
+    )
+    rows = chart.collect()
+    return {
+        "model_name": model_name,
+        "n_points": len(rows),
+        "timestamps": [r["time"].isoformat() for r in rows],
+        "y_true": [float(r["y_true"]) for r in rows],
+        "y_pred": [float(r["prediction"]) for r in rows],
+        "loss_history": doc.get("model", {}).get("mae_history"),
+    }
