@@ -121,13 +121,22 @@ def save_gbt_full_model(
     mae: dict | None = None,
     metrics: DataFrame | None = None,
     version: str | None = None,
+    feature_cols: list[str] | None = None,
 ) -> str:
     """Persist a general boosted model (operators/gbt.py::GbtFullModel)
     as a ``kind: "gbt_full"`` artifact: base + depth + per-tree split
     paths/leaf values + the val-MAE early-stopping round. Scoring
     reconstitutes it as one literal column over the caller's feature
     columns (score_latest with feature_cols, or
-    operators.gbt.predict_full_cents_column directly)."""
+    operators.gbt.predict_full_cents_column directly).
+
+    ``feature_cols`` makes the artifact self-describing: the RAW view
+    column names, in training order, whose exact-cents featurization
+    (queries.core.cents — the transform every fit frame applies)
+    reproduces x0..xN. A self-describing artifact scores through
+    score_latest with no caller-side feature knowledge, which is what
+    lets /api/models/validation serve a boosted model the way the
+    reference charts its XGB (main.py:1018-1036)."""
     from bigdatasmallprice_spark.operators.gbt import full_model_to_artifact
 
     return _write_artifact(
@@ -138,6 +147,7 @@ def save_gbt_full_model(
         {
             "kind": "gbt_full",
             "model": full_model_to_artifact(model, mae),
+            "feature_cols": list(feature_cols) if feature_cols else None,
             "coefficients": [],
         },
     )
@@ -187,12 +197,19 @@ def score_latest(
     doc = load_model(path)
     if doc.get("kind") == "gbt_full":
         from bigdatasmallprice_spark.operators.gbt import predict_full_cents_column
+        from bigdatasmallprice_spark.queries.core import cents
 
-        if not feature_cols:
+        if feature_cols:
+            # caller-side featurization: columns already in training
+            # units (the exact-cents x{i} the fit frame carried)
+            xcols = [F.col(c) for c in feature_cols]
+        elif doc.get("feature_cols"):
+            # self-describing artifact: raw view columns, re-featurized
+            # with the same cents transform training applied
+            xcols = [cents(F.col(c)) for c in doc["feature_cols"]]
+        else:
             raise ValueError("gbt_full scoring needs feature_cols in training order")
-        pred = predict_full_cents_column(
-            doc["model"], [F.col(c) for c in feature_cols]
-        )
+        pred = predict_full_cents_column(doc["model"], xcols)
         return df.withColumn(
             "prediction", F.round(pred.cast("double") / 100.0, 6)
         ).withColumn("model_version", F.lit(doc["version"]))

@@ -307,6 +307,51 @@ def test_models_validation_series(orch, token):
     assert code == 503  # no artifact -> the engine's no-model status
 
 
+def test_models_validation_serves_self_describing_gbt(spark, orch, token):
+    """A boosted artifact saved with its raw feature_cols scores
+    through /api/models/validation with no caller-side feature
+    knowledge — score_latest re-featurizes with the same cents
+    transform training applied, and the stored per-round MAE history
+    serves as the loss curve (the reference's XGB chart path,
+    main.py:1018-1063)."""
+    from bigdatasmallprice_spark.modelstore import save_gbt_full_model
+    from bigdatasmallprice_spark.operators.gbt import fit_gbt_on_features
+    from bigdatasmallprice_spark.operators.splits import split_label_by_ratio
+    from bigdatasmallprice_spark.queries.core import cents
+
+    feats = ("lag_24h", "hour_of_day")
+    tf = spark.table("training_features").na.drop(
+        subset=["price_eur_mwh", *feats]
+    )
+    labeled = split_label_by_ratio(tf, ["time"], 0.7, 0.15)
+    feat = labeled.select(
+        cents(F.col("price_eur_mwh")).alias("y"),
+        *[cents(F.col(c)).alias(f"x{i}") for i, c in enumerate(feats)],
+        "split",
+    )
+    model, mae = fit_gbt_on_features(feat, len(feats), n_rounds=3, depth=2, n_bins=8)
+    save_gbt_full_model(
+        orch["model_dir"],
+        "model_epex_gbt",
+        model,
+        mae,
+        version="20260215T000000",
+        feature_cols=list(feats),
+    )
+    code, out = _call(
+        orch["base"], "/api/models/validation/model_epex_gbt", token=token
+    )
+    assert code == 200, out
+    assert out["n_points"] > 0
+    assert len(out["y_pred"]) == out["n_points"]
+    assert all(isinstance(v, float) for v in out["y_pred"])
+    # the loss curve is the fit's own history, not a recomputation
+    hist = out["loss_history"]
+    assert set(hist) == {"train", "val"}
+    assert len(hist["train"]) == len(hist["val"]) > 0
+    assert hist["train"] == [v for (s, r), v in sorted(mae.items()) if s == "train"]
+
+
 def test_html_shells(orch):
     for path in ("/", "/dashboard"):
         req = urllib.request.Request(orch["base"] + path)
