@@ -153,6 +153,27 @@ def save_gbt_full_model(
     )
 
 
+def save_mean_model(
+    model_dir: str,
+    name: str,
+    mean: float,
+    metrics: DataFrame | None = None,
+    version: str | None = None,
+) -> str:
+    """Persist the naive baseline — always predict the training-split
+    target mean — as a ``kind: "mean"`` artifact (the reference's
+    DummyRegressor(strategy="mean"), train.py:36-41, saved as
+    naive/naive_load joblibs). One float; scoring is a literal
+    column."""
+    return _write_artifact(
+        model_dir,
+        name,
+        version,
+        metrics,
+        {"kind": "mean", "mean": float(mean), "coefficients": []},
+    )
+
+
 def find_latest(model_dir: str, name: str) -> str | None:
     """O8 — newest artifact for ``name`` by version-sortable filename
     (predict.py:40-57's glob + max). Returns None when nothing matches."""
@@ -212,6 +233,10 @@ def score_latest(
         pred = predict_full_cents_column(doc["model"], xcols)
         return df.withColumn(
             "prediction", F.round(pred.cast("double") / 100.0, 6)
+        ).withColumn("model_version", F.lit(doc["version"]))
+    if doc.get("kind") == "mean":
+        return df.withColumn(
+            "prediction", F.lit(round(float(doc["mean"]), 6))
         ).withColumn("model_version", F.lit(doc["version"]))
     if doc.get("kind") == "gbt":
         from bigdatasmallprice_spark.operators.gbt import predict_cents_column

@@ -340,27 +340,32 @@ def default_dags(
     def _version(_conf: dict) -> str:
         return clock().strftime("%Y%m%dT%H%M%S")
 
-    def _train_price(conf: dict) -> str:
-        prices = spark.table("training_features").withColumn("k", F.lit("all"))
-        return modelstore.save_model(
-            model_dir,
-            "model_epex",
-            fit_linear_hour_dow(
-                prices, "k", ts_col="time", value_col="price_eur_mwh"
-            ),
-            version=_version(conf),
-        )
+    def _train_surface(conf: dict, model_name: str, naive_name: str) -> str:
+        """One reference training task = naive + linear over the
+        surface's TRAIN split (train.py:216-224,296-311 trains the
+        whole model family per run; the split rules are the export
+        module's, via serving.labeled_model_surface)."""
+        from bigdatasmallprice_spark.serving import labeled_model_surface
 
-    def _train_load(conf: dict) -> str:
-        load = spark.table("winterthur_net_load_features").withColumn(
+        labeled, target = labeled_model_surface(spark, model_name)
+        train = labeled.filter(F.col("split") == "train").withColumn(
             "k", F.lit("all")
         )
+        v = _version(conf)
+        mean = train.agg(F.avg(target)).collect()[0][0]
+        modelstore.save_mean_model(model_dir, naive_name, mean or 0.0, version=v)
         return modelstore.save_model(
             model_dir,
-            "model_load",
-            fit_linear_hour_dow(load, "k", ts_col="time", value_col="net_load_kwh"),
-            version=_version(conf),
+            model_name,
+            fit_linear_hour_dow(train, "k", ts_col="time", value_col=target),
+            version=v,
         )
+
+    def _train_price(conf: dict) -> str:
+        return _train_surface(conf, "model_epex", "naive")
+
+    def _train_load(conf: dict) -> str:
+        return _train_surface(conf, "model_load", "naive_load")
 
     dags.append(
         DagSpec(

@@ -243,6 +243,33 @@ def forecast_tariff(net_load: float, epex_eur_mwh: float, spark: SparkSession) -
     return row.asDict()
 
 
+def labeled_model_surface(spark: SparkSession, model_name: str):
+    """(labeled frame, target column) for a model surface, using the
+    export module's split rules (D4): ``*_load`` names -> the net-load
+    view with target-NaN drop and the rolling last-7d/14d split
+    (export_pipeline.py:563-642), everything else -> training_features
+    with the 70/15/15 chronological split. One split implementation
+    serves export, training (runs.py's dags), and validation."""
+    from bigdatasmallprice_spark.export import LOAD_TARGET_COL, TARGET_COL
+    from bigdatasmallprice_spark.operators.splits import (
+        rolling_split_bounds,
+        split_by_dates,
+        split_label_by_ratio,
+    )
+
+    is_load = model_name.endswith("_load")
+    view = "winterthur_net_load_features" if is_load else "training_features"
+    target = LOAD_TARGET_COL if is_load else TARGET_COL
+    df = _view(spark, view)
+    if is_load:
+        df = df.na.drop(subset=[target])
+        train_end, val_end = rolling_split_bounds(df, "time", 7, 14)
+        labeled = split_by_dates(df, "time", train_end, val_end)
+    else:
+        labeled = split_label_by_ratio(df, ["time"], 0.7, 0.15)
+    return labeled, target
+
+
 def model_validation(
     spark: SparkSession,
     model_dir: str,
@@ -266,24 +293,9 @@ def model_validation(
     Raises ValueError for an unsuffixed/unknown surface (-> 404 via
     the whitelist mapping) and FileNotFoundError when no artifact
     exists (-> 503, the engine's standing no-model status)."""
-    from bigdatasmallprice_spark.export import LOAD_TARGET_COL, TARGET_COL
     from bigdatasmallprice_spark.modelstore import find_latest, load_model, score_latest
-    from bigdatasmallprice_spark.operators.splits import (
-        rolling_split_bounds,
-        split_by_dates,
-        split_label_by_ratio,
-    )
 
-    is_load = model_name.endswith("_load") or model_name == "model_load"
-    view = "winterthur_net_load_features" if is_load else "training_features"
-    target = LOAD_TARGET_COL if is_load else TARGET_COL
-    df = _view(spark, view)
-    if is_load:
-        df = df.na.drop(subset=[target])
-        train_end, val_end = rolling_split_bounds(df, "time", 7, 14)
-        labeled = split_by_dates(df, "time", train_end, val_end)
-    else:
-        labeled = split_label_by_ratio(df, ["time"], 0.7, 0.15)
+    labeled, target = labeled_model_surface(spark, model_name)
     val = labeled.filter(F.col("split") == "val").withColumn("k", F.lit("all"))
 
     path = find_latest(model_dir, model_name)

@@ -282,11 +282,22 @@ def test_training_run_registers_servable_models(orch, token):
         rec["duration"] is not None for rec in tasks["tasks"].values()
     )
 
-    # the run's artifacts are immediately servable
+    # the run's artifacts are immediately servable — the full family,
+    # including the naive (train-mean) baselines the reference trains
+    # alongside each surface's real model (train.py:216-224,296-311)
     code, models = _call(base, "/api/models/status", token=token)
-    assert code == 200 and {"model_epex", "model_load"} <= set(models)
+    assert code == 200
+    assert {"model_epex", "model_load", "naive", "naive_load"} <= set(models)
+    assert models["naive"]["kind"] == "mean"
     code, fc = _call(base, "/api/forecast", token=token)
     assert code == 200 and fc["net_load_available"] is True
+
+    # naive baselines serve a constant prediction on both surfaces
+    for name in ("naive", "naive_load"):
+        code, out = _call(base, f"/api/models/validation/{name}", token=token)
+        assert code == 200, out
+        assert len(set(out["y_pred"])) == 1
+        assert len(set(out["y_true"])) > 1
 
 
 def test_models_validation_series(orch, token):
