@@ -342,23 +342,52 @@ def default_dags(
 
     def _train_surface(conf: dict, model_name: str, naive_name: str) -> str:
         """One reference training task = naive + linear over the
-        surface's TRAIN split (train.py:216-224,296-311 trains the
-        whole model family per run; the split rules are the export
-        module's, via serving.labeled_model_surface)."""
+        surface's TRAIN split, each evaluated on the TEST split
+        (train.py:216-239,296-318 trains the model family and writes
+        MAE/RMSE/masked-MAPE metrics per model; the split rules are
+        the export module's, via serving.labeled_model_surface).
+
+        Each model publishes, scores the test split through the real
+        serving splice (score_latest), then republishes the same
+        version carrying the metrics — so the metrics served by
+        /api/models/status were measured through the exact path
+        /api/predict uses."""
+        from bigdatasmallprice_spark.functions.metrics import regression_metrics
         from bigdatasmallprice_spark.serving import labeled_model_surface
 
         labeled, target = labeled_model_surface(spark, model_name)
         train = labeled.filter(F.col("split") == "train").withColumn(
             "k", F.lit("all")
         )
+        test = labeled.filter(F.col("split") == "test").withColumn(
+            "k", F.lit("all")
+        )
         v = _version(conf)
+
+        def _publish(save, name):
+            save(metrics=None)
+            m = regression_metrics(
+                modelstore.score_latest(
+                    spark, model_dir, name, test, "k", ts_col="time"
+                ),
+                target,
+                "prediction",
+            )
+            return save(metrics=m)
+
         mean = train.agg(F.avg(target)).collect()[0][0]
-        modelstore.save_mean_model(model_dir, naive_name, mean or 0.0, version=v)
-        return modelstore.save_model(
-            model_dir,
+        _publish(
+            lambda metrics: modelstore.save_mean_model(
+                model_dir, naive_name, mean or 0.0, metrics=metrics, version=v
+            ),
+            naive_name,
+        )
+        coef = fit_linear_hour_dow(train, "k", ts_col="time", value_col=target)
+        return _publish(
+            lambda metrics: modelstore.save_model(
+                model_dir, model_name, coef, metrics=metrics, version=v
+            ),
             model_name,
-            fit_linear_hour_dow(train, "k", ts_col="time", value_col=target),
-            version=v,
         )
 
     def _train_price(conf: dict) -> str:

@@ -289,6 +289,15 @@ def test_training_run_registers_servable_models(orch, token):
     assert code == 200
     assert {"model_epex", "model_load", "naive", "naive_load"} <= set(models)
     assert models["naive"]["kind"] == "mean"
+    # each artifact carries test-split metrics measured through the
+    # serving splice; the linear fit beats the constant baseline
+    for name in ("model_epex", "model_load", "naive", "naive_load"):
+        (m,) = models[name]["metrics"]
+        assert m["mae"] > 0 and m["rmse"] >= m["mae"] and m["n"] > 0
+    assert (
+        models["model_epex"]["metrics"][0]["mae"]
+        < models["naive"]["metrics"][0]["mae"]
+    )
     code, fc = _call(base, "/api/forecast", token=token)
     assert code == 200 and fc["net_load_available"] is True
 
