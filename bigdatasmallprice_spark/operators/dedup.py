@@ -524,3 +524,76 @@ def bloom_membership(
         .groupBy(*key_cols)
         .agg((F.sum(F.when(F.col("hit"), 1).otherwise(0)) == F.lit(k)).alias(out))
     )
+
+
+def span_dedup_rewrite(
+    docs: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hashed: bool = False,
+) -> DataFrame:
+    """Span-level corpus REWRITE (Lee et al. 2022 ExactSubstr, word-
+    span form): every n-word span that occurs more than once in the
+    corpus keeps only its first occurrence (global (id, pos) order);
+    every later occurrence's word positions are cut from their
+    documents and the text is rebuilt from the surviving words.
+    Completes the dedup family: dedup_exact drops whole duplicate
+    docs, dedup_span_stats only MEASURES cross-doc span mass — this
+    actually removes it. No reference counterpart (LLM-pipeline
+    surface).
+
+    Returns docs' columns with ``text_col`` replaced by ``new_text``
+    plus ``n_before`` (word count) and ``n_removed`` (distinct word
+    positions cut; overlapping duplicate spans union, counted once).
+
+    Scale shape: the document text never re-shuffles — spans shuffle
+    once for the duplicate-marking window (with ``hashed=True`` that
+    key is a 60-bit md5-slice BIGINT instead of the ~50-byte span
+    string; a collision merges two span groups identically in both
+    engines, so oracle parity is unconditional), cut positions are
+    bounded by the duplicated mass only, and the rebuild is one
+    id-keyed join of the doc row against its (small) cut array with a
+    per-row array filter — AQE picks the join strategy, the cut side
+    is duplicate-mass-sized, not corpus-sized.
+    """
+    from pyspark.sql import Window
+
+    from bigdatasmallprice_spark.functions.texts import md5_key60_expr, shingle_expr
+
+    toks = docs.withColumn("__ws", F.split(F.col(text_col), " ")).drop(text_col)
+    occ = toks.select(
+        id_col, F.posexplode(F.expr(shingle_expr("__ws", n))).alias("__pos", "__sp")
+    )
+    if hashed:
+        occ = occ.withColumn("__sp", F.expr(md5_key60_expr("__sp")))
+    w_cnt = Window.partitionBy("__sp")
+    w_rn = Window.partitionBy("__sp").orderBy(id_col, "__pos")
+    dup = (
+        occ.withColumn("__cnt", F.count(F.lit(1)).over(w_cnt))
+        .withColumn("__rn", F.row_number().over(w_rn))
+        .filter((F.col("__cnt") > 1) & (F.col("__rn") > 1))
+    )
+    cuts = (
+        dup.select(
+            id_col,
+            F.explode(F.expr(f"sequence(__pos, __pos + {n - 1})")).alias("__cut"),
+        )
+        .groupBy(id_col)
+        .agg(F.collect_set("__cut").alias("__cuts"))
+    )
+    return (
+        toks.join(cuts, id_col, "left")
+        .withColumn("n_before", F.size("__ws").cast("long"))
+        .withColumn(
+            "n_removed", F.coalesce(F.size("__cuts"), F.lit(0)).cast("long")
+        )
+        .withColumn(
+            "new_text",
+            F.expr(
+                "concat_ws(' ', filter(__ws, (w, i) -> NOT array_contains("
+                "coalesce(__cuts, CAST(array() AS ARRAY<INT>)), i)))"
+            ),
+        )
+        .drop("__ws", "__cuts")
+    )

@@ -958,3 +958,104 @@ def dedup_span_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_span_stats_hashed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _span_stats_df(spark, sf_dir, hashed=True)
+
+
+# ---------------------------------------------------------------------------
+# span-level corpus rewrite (Lee et al. 2022 ExactSubstr, word-span form)
+# ---------------------------------------------------------------------------
+
+
+def _o_rewrite_sql(hashed: bool) -> str:
+    from bigdatasmallprice_spark.functions.texts import o_md5_key60_expr
+
+    key = o_md5_key60_expr("sp") if hashed else "sp"
+    return f"""
+WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+occ AS (
+  SELECT doc_id, t.i AS pos,
+         array_to_string(ws[t.i+1:t.i+{_SPAN_N}], ' ') AS sp
+  FROM toks, LATERAL (SELECT unnest(range(0, greatest(len(ws) - {_SPAN_N - 1}, 0))) AS i) t
+),
+marked AS (
+  SELECT doc_id, pos,
+         COUNT(*) OVER (PARTITION BY {key}) AS cnt,
+         ROW_NUMBER() OVER (PARTITION BY {key} ORDER BY doc_id, pos) AS rn
+  FROM occ
+),
+cuts AS (
+  SELECT DISTINCT doc_id, pos + t.d AS cut
+  FROM marked, LATERAL (SELECT unnest(range(0, {_SPAN_N})) AS d) t
+  WHERE cnt > 1 AND rn > 1
+),
+wpos AS (
+  SELECT doc_id, t.i AS pos, ws[t.i+1] AS w
+  FROM toks, LATERAL (SELECT unnest(range(0, len(ws))) AS i) t
+),
+kept AS (
+  SELECT wp.doc_id, wp.pos, wp.w
+  FROM wpos wp ANTI JOIN cuts c ON wp.doc_id = c.doc_id AND wp.pos = c.cut
+),
+rebuilt AS (
+  SELECT doc_id, string_agg(w, ' ' ORDER BY pos) AS new_text FROM kept GROUP BY 1
+),
+ncut AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_removed FROM cuts GROUP BY 1)
+SELECT t.doc_id, t.source,
+       CAST(len(t.ws) AS BIGINT) AS n_before,
+       coalesce(n_removed, CAST(0 AS BIGINT)) AS n_removed,
+       md5(coalesce(r.new_text, '')) AS new_md5
+FROM toks t
+LEFT JOIN ncut USING (doc_id)
+LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
+def _rewrite_df(spark: SparkSession, sf_dir: str, hashed: bool) -> DataFrame:
+    from bigdatasmallprice_spark.operators.dedup import span_dedup_rewrite
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    out = span_dedup_rewrite(docs, n=_SPAN_N, hashed=hashed)
+    # per-doc md5 of the rewritten text: the driver's value hash then
+    # certifies TEXT equality with the oracle's string_agg rebuild,
+    # doc by doc, without shipping corpus-sized strings through the
+    # compare (the oracle rebuilds word-by-word via an anti-join —
+    # semantically the same corpus, reached by a different plan)
+    return out.select(
+        "doc_id", "source", "n_before", "n_removed",
+        F.md5("new_text").alias("new_md5"),
+    )
+
+
+@register(
+    "dedup_rewrite",
+    _o_rewrite_sql(hashed=False),
+    doc="Span-level corpus REWRITE (Lee et al. 2022 ExactSubstr, word-"
+    "span form): every 8-word span occurring more than once in the "
+    "corpus keeps its first occurrence in global (doc_id, pos) order; "
+    "all later occurrences' positions are cut (overlaps union) and each "
+    "document's text is rebuilt from the surviving words. The step "
+    "dedup_span_stats only measures — this one edits the corpus. "
+    "Output is one row per document: word count, distinct positions "
+    "removed, and md5 of the rewritten text (per-doc text equality is "
+    "what the oracle hash certifies). Plan: span posexplode -> "
+    "duplicate-marking window -> position cuts (duplicate-mass-sized) "
+    "-> one doc_id-keyed join back + per-row array filter; document "
+    "text shuffles zero times.",
+    tags=("dedup", "window", "rewrite"),
+)
+def dedup_rewrite_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _rewrite_df(spark, sf_dir, hashed=False)
+
+
+@register(
+    "dedup_rewrite_hashed",
+    _o_rewrite_sql(hashed=True),
+    doc="dedup_rewrite with the duplicate-marking window keyed on the "
+    "60-bit md5-slice BIGINT instead of the raw 8-word span string — "
+    "the 100 TB variant (8-byte shuffle keys; pure-Spark deployments "
+    "would use xxhash64, the md5 slice is the engine-portable twin and "
+    "a collision merges span groups identically in both engines). Same "
+    "output schema; identical values at these corpus sizes.",
+    tags=("dedup", "window", "rewrite"),
+)
+def dedup_rewrite_hashed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _rewrite_df(spark, sf_dir, hashed=True)

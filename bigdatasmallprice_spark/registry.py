@@ -78,11 +78,13 @@ DRIVER_CAP = 50
 DRIVER_ORDER: list[str] = [
     # r5 rotation rule (VERDICT r4 ask #4): new queries first, then
     # every query whose external evidence is a SINGLE green row. 53
-    # single-row queries + 4 new ones = 57 candidates for 50 slots, so
-    # seven singles with documented machinery redundancy sit out
+    # single-row queries + 6 new ones = 59 candidates for 50 slots, so
+    # nine singles with documented machinery redundancy sit out
     # (listed at the bottom); after r5 the minimum evidence across the
     # other 116 queries is two green rows.
     # -- new in r5, never driver-verified
+    "dedup_rewrite",
+    "dedup_rewrite_hashed",
     "train_gbt_load",
     "bloom_shingle_prefilter_lean",
     "quality_classifier_train",
@@ -123,7 +125,6 @@ DRIVER_ORDER: list[str] = [
     "holiday_range_join",
     "market_revenue",
     "median_impute",
-    "minhash_signatures",
     "price_history",
     "revenue_grouping_sets",
     "sliding_hour_windows",
@@ -132,11 +133,10 @@ DRIVER_ORDER: list[str] = [
     "top_users",
     "twap_hourly",
     "value_deciles",
-    "value_distribution",
     "value_quantiles_by_type",
     "value_trend_regression",
     "video_frame_sample",
-    # Seven single-row queries sit out this round (slots exhausted);
+    # Nine single-row queries sit out this round (slots exhausted);
     # each keeps its green row and its unique machinery runs inside a
     # double-green listed/verified query:
     #   train_gbt_model — strict depth-2 subset of train_gbt_full (in
@@ -154,6 +154,13 @@ DRIVER_ORDER: list[str] = [
     #     row_explorer_page (both in this round's list)
     #   daily_mean_deviation — daily-mean-vs-row delta join; same
     #     groupBy+join-back shape as median_impute (in this list)
+    #   minhash_signatures — its shingle->minhash stage is the first
+    #     half of minhash_lsh_pairs (green r2+r3) and runs inside
+    #     dedup_incremental (green r3+r4); its sf0.1 perf claim was
+    #     closed with the r5 interleaved A/B (BASELINE.md)
+    #   value_distribution — count/min/max/avg/stddev aggregate; the
+    #     same agg stack runs inside dataset_card (in this list) and
+    #     table_stats (green r2+r3)
     #
     # r4 rotation history: 30 keepers + the 20 then-unverified (see
     # COVERAGE.json; every registered query has had >=1 green row since

@@ -56,6 +56,29 @@ def test_corpus_pipeline_end_to_end(spark, tmp_path):
         .drop("__h", "__keep")
     )
 
+    # stage 2b: span-level rewrite — cross-doc boilerplate spans keep
+    # only their first occurrence (the ExactSubstr edit); word counts
+    # can only shrink and no document is dropped here
+    from bigdatasmallprice_spark.operators.dedup import span_dedup_rewrite
+
+    n_dedup = deduped.count()
+    rewritten = span_dedup_rewrite(deduped, hashed=True)
+    assert rewritten.count() == n_dedup
+    # surviving word count is exact (a fully-cut doc rebuilds to '',
+    # which split() reads back as one empty token)
+    assert (
+        rewritten.filter(
+            F.size(F.split("new_text", " "))
+            != F.when(
+                F.col("n_before") == F.col("n_removed"), F.lit(1)
+            ).otherwise(F.col("n_before") - F.col("n_removed"))
+        ).count()
+        == 0
+    )
+    deduped = rewritten.withColumnRenamed("new_text", "text").select(
+        "doc_id", "source", "text"
+    )
+
     # stage 3: quality gate + token accounting
     t = F.col("text")
     gated = deduped.select(

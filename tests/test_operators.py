@@ -1395,3 +1395,78 @@ def test_banded_neardup_recovers_recall(spark):
     s = 1.0 - math.acos(0.35) / math.pi
     assert 1.0 - (1.0 - s**4) ** b >= 0.9
     assert 1.0 - (1.0 - s**4) ** (b - 1) < 0.9
+
+
+def test_span_dedup_rewrite_semantics(spark):
+    """Handcrafted corpus vs a transparent Python reference: first
+    occurrence (global (doc_id, pos) order) survives, later ones are
+    cut, overlapping duplicate spans union their positions, within-doc
+    repeats count as duplicates, sub-span-width docs pass through."""
+    from bigdatasmallprice_spark.operators.dedup import span_dedup_rewrite
+
+    w = [f"w{i}" for i in range(30)]
+    boiler = " ".join(w[:8])  # the span that repeats across docs
+    docs = [
+        # doc 0: the canonical first occurrence (kept), plus unique tail
+        (0, boiler + " " + " ".join(w[8:16])),
+        # doc 1: same span mid-document (cut), with a 1-word overlap
+        # extension repeating w0..w7 shifted — exercises position union
+        (1, "x0 " + boiler + " " + " ".join(w[1:9])),
+        # doc 2: repeats the span TWICE within one doc; second is a
+        # within-doc duplicate of the first (both after doc 0/1)
+        (2, boiler + " sep0 sep1 " + boiler),
+        # doc 3: shorter than the span width — untouched
+        (3, "a b c"),
+        # doc 4: fully unique — untouched
+        (4, " ".join(f"u{i}" for i in range(12))),
+    ]
+    n = 8
+
+    def py_rewrite(corpus):
+        occ = []  # (span, doc, pos)
+        for d, t in corpus:
+            ws = t.split(" ")
+            for p in range(len(ws) - n + 1):
+                occ.append((" ".join(ws[p : p + n]), d, p))
+        first = {}
+        for sp, d, p in sorted(occ, key=lambda o: (o[1], o[2])):
+            first.setdefault(sp, (d, p))
+        from collections import Counter
+
+        freq = Counter(sp for sp, _, _ in occ)
+        cuts = {}
+        for sp, d, p in occ:
+            if freq[sp] > 1 and first[sp] != (d, p):
+                cuts.setdefault(d, set()).update(range(p, p + n))
+        out = {}
+        for d, t in corpus:
+            ws = t.split(" ")
+            cut = cuts.get(d, set())
+            out[d] = (
+                " ".join(wd for i, wd in enumerate(ws) if i not in cut),
+                len(ws),
+                len(cut),
+            )
+        return out
+
+    want = py_rewrite(docs)
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.new_text, r.n_before, r.n_removed)
+        for r in span_dedup_rewrite(df, n=n).collect()
+    }
+    assert got == want
+    # the invariants the corpus was built to pin down
+    assert got[0][0] == docs[0][1]  # first occurrence untouched
+    # doc 1 loses BOTH its spans: w0..w7 duplicates doc 0 pos 0 and its
+    # tail w1..w8 duplicates doc 0's pos-1 span — only the prefix stays
+    assert got[1][0] == "x0"
+    assert got[2][0] == "sep0 sep1"  # both within-doc repeats cut
+    assert got[3] == ("a b c", 3, 0)
+    assert got[4][2] == 0
+    # hashed variant: identical rewrite, 8-byte window key
+    got_h = {
+        r.doc_id: (r.new_text, r.n_before, r.n_removed)
+        for r in span_dedup_rewrite(df, n=n, hashed=True).collect()
+    }
+    assert got_h == want

@@ -456,3 +456,36 @@ def test_distill_scoring_is_pure_jvm_single_aggregate(spark):
     ):
         assert marker not in plan, (marker, plan)
     assert plan.count("hashpartitioning") == 1, plan
+
+
+def test_dedup_rewrite_plan_no_text_reshuffle_and_hashed_long_key(spark):
+    """The rewrite's duplicate-marking window shuffles SPANS (8-byte
+    BIGINT key in the hashed variant), never document text: the text-
+    bearing side reaches its single doc_id join from the scan without
+    an intermediate text-keyed exchange, and no cartesian product may
+    appear anywhere."""
+    from bigdatasmallprice_spark.registry import all_queries
+
+    hashed_plan = _formatted(all_queries()["dedup_rewrite_hashed"].fn(spark, SF))
+    keys = _key_exchanges(hashed_plan, "__sp")
+    assert keys and all(k.endswith("L") for k in keys), keys
+
+    import re
+
+    for name in ("dedup_rewrite", "dedup_rewrite_hashed"):
+        plan = _formatted(all_queries()[name].fn(spark, SF))
+        assert "CartesianProduct" not in plan, name
+        # exactly two scans of the documents parquet — the text branch
+        # and the span branch; the span branch prunes text away after
+        # the explode, and BOTH windows (count + row_number) must ride
+        # ONE span-keyed exchange (a second would mean the stacked
+        # windows re-shuffled)
+        n_scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
+        assert n_scans == 2, (name, n_scans)
+        key = "__sp"
+        span_exchanges = [
+            line
+            for line in plan.splitlines()
+            if "hashpartitioning" in line and key + "#" in line
+        ]
+        assert len(span_exchanges) == 1, (name, span_exchanges)

@@ -1001,3 +1001,83 @@ def test_streaming_span_stats_equals_batch(spark, tmp_path):
     # geometry pinning: resuming with a different span width must raise
     with pytest.raises(ValueError):
         update_span_pairs(spark, state, replay, span_n=5, batch_id=99)
+
+
+# ---------------------------------------------------------------------------
+# streaming incremental span-dedup REWRITE ≡ batch rewrite
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_rewrite_equals_batch(spark, tmp_path):
+    """Three ascending-doc_id deliveries rewritten incrementally
+    against the seen-span state must union to EXACTLY the batch
+    span_dedup_rewrite over the whole corpus (per-doc text equality,
+    raw and hashed twins); a replayed batch id must be a no-op on
+    state and leave the idempotent per-batch sink unchanged; resuming
+    with a different span width must raise."""
+    import pytest
+
+    from bigdatasmallprice_spark.catalog import load_table
+    from bigdatasmallprice_spark.operators.dedup import span_dedup_rewrite
+    from bigdatasmallprice_spark.streaming.rewrite_stream import (
+        read_rewritten,
+        rewrite_batch,
+        rewrite_stream,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents").select("doc_id", "source", "text")
+    t1, t2 = (
+        docs.agg(
+            F.expr("percentile(doc_id, 0.34)"), F.expr("percentile(doc_id, 0.67)")
+        ).collect()[0]
+    )
+    src = str(tmp_path / "docs")
+    sch = "doc_id long, source string, text string"
+
+    for hashed in (False, True):
+        suffix = "h" if hashed else "r"
+        state = str(tmp_path / f"rw_{suffix}")
+        out = str(tmp_path / f"rwout_{suffix}")
+        ckpt = str(tmp_path / f"rwckpt_{suffix}")
+
+        def run():
+            stream = spark.readStream.schema(sch).parquet(src)
+            q = rewrite_stream(
+                spark, stream, state, out, ckpt, hashed=hashed
+            ).start()
+            q.awaitTermination(120)
+
+        if hashed:  # source already fully written by the raw pass
+            run()
+        else:
+            for lo, hi in ((None, t1), (t1, t2), (t2, None)):
+                part = docs
+                if lo is not None:
+                    part = part.filter(F.col("doc_id") > F.lit(float(lo)))
+                if hi is not None:
+                    part = part.filter(F.col("doc_id") <= F.lit(float(hi)))
+                part.write.mode("append").parquet(src)
+                run()
+
+        want = sorted(
+            (r.doc_id, r.source, r.n_before, r.n_removed, r.new_text)
+            for r in span_dedup_rewrite(docs, hashed=hashed).collect()
+        )
+        got = sorted(
+            (r.doc_id, r.source, r.n_before, r.n_removed, r.new_text)
+            for r in read_rewritten(spark, out).collect()
+        )
+        assert got == want, (hashed, got[:2], want[:2])
+
+    # replay of an already-applied batch id: state version count and
+    # sink contents unchanged
+    state, out = str(tmp_path / "rw_r"), str(tmp_path / "rwout_r")
+    before = sorted(map(tuple, read_rewritten(spark, out).collect()))
+    rewrite_batch(spark, state, docs.limit(40), out, batch_id=0)
+    after = sorted(map(tuple, read_rewritten(spark, out).collect()))
+    assert after == before
+
+    # geometry pinning
+    with pytest.raises(ValueError):
+        rewrite_batch(spark, state, docs.limit(5), out, span_n=5, batch_id=99)
