@@ -56,7 +56,7 @@ import json
 import re
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from urllib.parse import parse_qs, urlparse
+from urllib.parse import parse_qs, unquote, urlparse
 
 from pyspark.sql import SparkSession
 
@@ -151,7 +151,7 @@ class ApiHandler(BaseHTTPRequestHandler):
     # -- routes -----------------------------------------------------------
 
     def do_POST(self) -> None:  # noqa: N802 (http.server contract)
-        path = urlparse(self.path).path
+        path = unquote(urlparse(self.path).path)
         st = self.state
         body = self._json_body()
         if path == "/auth/register":
@@ -196,7 +196,9 @@ class ApiHandler(BaseHTTPRequestHandler):
 
     def do_GET(self) -> None:  # noqa: N802
         url = urlparse(self.path)
-        path, q = url.path, parse_qs(url.query)
+        # run ids carry '+' (tz-aware isoformat); standards clients
+        # percent-encode path segments, so decode before matching
+        path, q = unquote(url.path), parse_qs(url.query)
         if path in ("/", "/dashboard"):  # unauthenticated, like main.py:1181-1188
             return self._html(path)
         if not path.startswith("/api/"):
@@ -269,30 +271,38 @@ class ApiHandler(BaseHTTPRequestHandler):
 
         return forecast(self.state.spark, self.state.model_dir)
 
+    @staticmethod
+    def _int_param(q, name: str, default: int, lo: int, hi: int | None = None) -> int:
+        """FastAPI Query(ge=/le=) analog: non-integer or out-of-range
+        values are malformed input (422), never the 404 the blanket
+        ValueError mapping is reserved for (P8 whitelist violations)."""
+        raw = q.get(name, [str(default)])[0]
+        try:
+            v = int(raw)
+        except ValueError:
+            raise BadRequest(f"{name} must be an integer") from None
+        if v < lo or (hi is not None and v > hi):
+            bound = f">= {lo}" if hi is None else f"in [{lo}, {hi}]"
+            raise BadRequest(f"{name} must be {bound}")
+        return v
+
     def _price_history(self, q) -> list[dict]:
         from bigdatasmallprice_spark.serving import price_history
 
-        hours = max(1, min(168, int(q.get("hours", ["24"])[0])))
+        hours = self._int_param(q, "hours", 24, 1, 168)
         return self._rows(price_history(self.state.spark, hours))
 
     def _db_status(self) -> list[dict]:
-        from bigdatasmallprice_spark.serving import SERVING_TABLES, table_stats
+        from bigdatasmallprice_spark.serving import present_time_tables, table_stats
 
         st = self.state
-        # the count/min/max sweep keys on `time`; the ops log keeps its
-        # own clock column (called_at) and reports via /api/rate-limits
-        present = [
-            t for t in sorted(SERVING_TABLES)
-            if st.spark.catalog.tableExists(t)
-            and "time" in st.spark.table(t).columns
-        ]
-        return self._rows(table_stats(st.spark, present))
+        return self._rows(table_stats(st.spark, present_time_tables(st.spark)))
 
     def _explore(self, table: str, q) -> list[dict]:
         from bigdatasmallprice_spark.serving import explore_rows
 
-        limit = int(q.get("limit", ["100"])[0])
-        offset = int(q.get("offset", ["0"])[0])
+        limit = self._int_param(q, "limit", 100, 1, 1000)
+        offset = self._int_param(q, "offset", 0, 0)
         return self._rows(
             explore_rows(self.state.spark, table, limit, offset)
         )
@@ -306,7 +316,7 @@ class ApiHandler(BaseHTTPRequestHandler):
             raise BadRequest(
                 "horizon must look like '7 days' / '24 hours'"
             )
-        points = int(q.get("points", ["500"])[0])
+        points = self._int_param(q, "points", 500, 1, 500)
         clock = st.clock().replace(tzinfo=None)
         return self._rows(
             timeseries(st.spark, table, clock, horizon, chart_points=points)
@@ -331,9 +341,12 @@ class ApiHandler(BaseHTTPRequestHandler):
             raise BadRequest("features must include 'time' (ISO timestamp)")
         model = body.get("model", "model_epex")
         st = self.state
+        try:
+            ts = dt.datetime.fromisoformat(feats["time"])
+        except (TypeError, ValueError):
+            raise BadRequest("features.time must be an ISO timestamp") from None
         one = st.spark.createDataFrame(
-            [(dt.datetime.fromisoformat(feats["time"]), "all")],
-            "time timestamp, k string",
+            [(ts, "all")], "time timestamp, k string"
         )
         row = modelstore.score_latest(
             st.spark, st.model_dir, model, one, "k", ts_col="time"
@@ -397,21 +410,10 @@ class ApiHandler(BaseHTTPRequestHandler):
         return out
 
     def _rate_limits_history(self) -> dict:
-        """Hourly call counts per source, last 7 days (reference
-        main.py:719-752; time_bucket -> date_trunc, T4)."""
-        from pyspark.sql import functions as F
+        from bigdatasmallprice_spark.serving import rate_limit_history
 
         st = self.state
-        clock = st.clock().replace(tzinfo=None)
-        df = (
-            st.spark.table("api_call_log")
-            .filter(F.col("called_at") >= F.lit(clock) - F.expr("INTERVAL 7 DAYS"))
-            .groupBy(
-                "source", F.date_trunc("hour", "called_at").alias("hour")
-            )
-            .agg(F.count(F.lit(1)).alias("calls"))
-            .orderBy("source", "hour")
-        )
+        df = rate_limit_history(st.spark, st.clock().replace(tzinfo=None))
         out: dict[str, list[dict]] = {}
         for r in self._rows(df):
             out.setdefault(r["source"], []).append(
@@ -420,21 +422,9 @@ class ApiHandler(BaseHTTPRequestHandler):
         return out
 
     def _feature_status(self) -> dict:
-        """training_features freshness probe (reference main.py:589-613)."""
-        from pyspark.sql import functions as F
+        from bigdatasmallprice_spark.serving import feature_status
 
-        row = (
-            self.state.spark.table("training_features")
-            .agg(
-                F.count(F.lit(1)).alias("row_count"),
-                F.min("time").alias("oldest"),
-                F.max("time").alias("newest"),
-                F.sum(
-                    F.when(F.col("lag_24h").isNotNull(), 1).otherwise(0)
-                ).alias("rows_with_lags"),
-            )
-            .collect()[0]
-        )
+        row = feature_status(self.state.spark).collect()[0]
         return {
             "row_count": int(row["row_count"] or 0),
             "oldest": row["oldest"].isoformat() if row["oldest"] else None,

@@ -516,6 +516,28 @@ def fit_gbt_full(
     # RDDs are not plan-cached at all.
     spark = feat.sparkSession
     rdds_before = persistent_rdd_ids(spark)
+    try:
+        return _fit_gbt_full_rounds(
+            spark, feat, bin_cols, xcols, n_features, thresholds,
+            n_rounds, depth, lr, patience, stats
+        )
+    finally:
+        # release the binned frame and every round's checkpoint RDD by
+        # id (bounded within one fit: R model-sized hourly frames) so
+        # back-to-back fits — INCLUDING failed ones (executor loss,
+        # cancellation) — never accumulate executor state
+        from bigdatasmallprice_spark.caching import _unpersist_added
+
+        _unpersist_added(spark, rdds_before)
+
+
+def _fit_gbt_full_rounds(
+    spark, feat, bin_cols, xcols, n_features, thresholds, n_rounds, depth,
+    lr, patience, stats
+):
+    """The round loop of ``fit_gbt_full`` — separated so the caller's
+    try/finally releases every cached/checkpointed RDD even when a
+    round fails mid-fit."""
     cur = feat.select("*", *bin_cols).persist()
 
     agg = cur.filter("is_train").agg(
@@ -635,12 +657,6 @@ def fit_gbt_full(
         if stop:
             break
 
-    # release the binned frame and every round's checkpoint RDD by id
-    # (bounded within one fit: R model-sized hourly frames) so
-    # back-to-back fits in one session don't accumulate executor state
-    from bigdatasmallprice_spark.caching import _unpersist_added
-
-    _unpersist_added(spark, rdds_before)
     return GbtFullModel(base=base, depth=depth, trees=trees), mae
 
 

@@ -76,6 +76,11 @@ def next_daily_run(schedule: str, now: dt.datetime) -> str | None:
         minute, hour = int(parts[0]), int(parts[1])
     except ValueError:
         return None
+    if not (0 <= minute <= 59 and 0 <= hour <= 23):
+        # numeric but impossible ("0 24 * * *") is just as absent a
+        # next_dagrun as a fancy expression — never an exception that
+        # would take down the whole dag listing
+        return None
     candidate = now.replace(minute=minute, hour=hour, second=0, microsecond=0)
     if candidate <= now:
         candidate += dt.timedelta(days=1)

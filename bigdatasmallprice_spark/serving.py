@@ -122,6 +122,50 @@ def rate_limit_stats(spark: SparkSession, clock: dt.datetime) -> DataFrame:
     )
 
 
+def rate_limit_history(
+    spark: SparkSession, clock: dt.datetime, days: int = 7
+) -> DataFrame:
+    """T4/A5 — hourly call counts per source over the trailing window
+    (reference main.py:719-752; time_bucket -> date_trunc). Output is
+    (source, hour, calls) ordered for the chart; grouping keys bound
+    the result at sources x hours regardless of call volume."""
+    return (
+        _view(spark, "api_call_log")
+        .filter(
+            F.col("called_at")
+            >= F.lit(clock) - F.expr(f"INTERVAL {int(days)} DAYS")
+        )
+        .groupBy("source", F.date_trunc("hour", "called_at").alias("hour"))
+        .agg(F.count(F.lit(1)).alias("calls"))
+        .orderBy("source", "hour")
+    )
+
+
+def feature_status(spark: SparkSession) -> DataFrame:
+    """training_features freshness probe (reference main.py:589-613):
+    one single-row aggregate — row count, time extent, rows with the
+    24h lag populated."""
+    return _view(spark, "training_features").agg(
+        F.count(F.lit(1)).alias("row_count"),
+        F.min("time").alias("oldest"),
+        F.max("time").alias("newest"),
+        F.sum(F.when(F.col("lag_24h").isNotNull(), 1).otherwise(0)).alias(
+            "rows_with_lags"
+        ),
+    )
+
+
+def present_time_tables(spark: SparkSession) -> list[str]:
+    """The db-status sweep's table set: whitelisted tables that exist
+    AND carry the `time` clock column (the ops log keeps its own clock,
+    called_at, and reports via rate_limit_stats instead)."""
+    return [
+        t
+        for t in sorted(SERVING_TABLES)
+        if spark.catalog.tableExists(t) and "time" in spark.table(t).columns
+    ]
+
+
 def backfill_estimate(
     spark: SparkSession,
     table: str,
@@ -290,18 +334,22 @@ def model_validation(
     reference's main.py:1038-1045 chart cap) BEFORE collect — only the
     chart payload ever reaches the driver.
 
-    Raises ValueError for an unsuffixed/unknown surface (-> 404 via
-    the whitelist mapping) and FileNotFoundError when no artifact
-    exists (-> 503, the engine's standing no-model status)."""
+    Raises FileNotFoundError when no artifact exists for the name
+    (-> 503, the engine's standing no-model status) — checked FIRST,
+    before any Spark work, so clients polling for a not-yet-trained
+    model get the cheap exit instead of paying the split derivation
+    per poll. Names resolve to a surface by suffix (``*_load`` -> the
+    net-load view, else the price view), mirroring the reference's
+    model registry where the artifact file IS the name whitelist."""
     from bigdatasmallprice_spark.modelstore import find_latest, load_model, score_latest
-
-    labeled, target = labeled_model_surface(spark, model_name)
-    val = labeled.filter(F.col("split") == "val").withColumn("k", F.lit("all"))
 
     path = find_latest(model_dir, model_name)
     if path is None:
         raise FileNotFoundError(f"no artifact for model {model_name!r} in {model_dir}")
     doc = load_model(path)
+
+    labeled, target = labeled_model_surface(spark, model_name)
+    val = labeled.filter(F.col("split") == "val").withColumn("k", F.lit("all"))
     scored = score_latest(spark, model_dir, model_name, val, "k", ts_col="time")
     chart = stride_downsample(
         scored.select("time", F.col(target).alias("y_true"), "prediction")

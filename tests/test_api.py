@@ -266,3 +266,61 @@ def test_malformed_input_is_422(api, token):
         token=token,
     )
     assert code == 422
+
+
+def test_numeric_params_validated_as_422_not_404(api, token):
+    """Malformed or out-of-range numeric query params are 422
+    (BadRequest), never the 404 the blanket ValueError mapping
+    reserves for whitelist violations, and never a 500."""
+    for path in (
+        "/api/price-history?hours=abc",
+        "/api/price-history?hours=0",
+        "/api/db-explorer/rows/weather_hourly?limit=abc",
+        "/api/db-explorer/rows/weather_hourly?limit=-5",
+        "/api/db-explorer/rows/weather_hourly?offset=-1",
+        "/api/timeseries/weather_hourly?points=abc",
+        # points=0 used to slip past a falsy `if chart_points:` check
+        # and return the full un-downsampled series
+        "/api/timeseries/weather_hourly?points=0",
+        "/api/timeseries/weather_hourly?points=-5",
+    ):
+        code, out = _call(api, path, token=token)
+        assert code == 422, (path, code, out)
+
+
+def test_predict_bad_timestamp_is_422(api, token):
+    code, out = _call(
+        api,
+        "/api/predict",
+        "POST",
+        {"features": {"time": "not-a-timestamp"}},
+        token=token,
+    )
+    assert code == 422 and "ISO" in out["detail"]
+
+
+def test_run_status_accepts_percent_encoded_run_ids(api, token):
+    """Run ids carry '+' (tz-aware isoformat); a standards client
+    percent-encodes the path segment and must still find its run."""
+    import urllib.parse
+
+    code, out = _call(
+        api,
+        "/api/backfill/trigger",
+        "POST",
+        {"start_date": "2026-02-13", "end_date": "2026-02-13"},
+        token=token,
+    )
+    assert code == 200
+    run_id = out["dag_run_id"]
+    deadline = dt.datetime.now() + dt.timedelta(seconds=60)
+    while dt.datetime.now() < deadline:
+        code, st = _call(
+            api,
+            "/api/backfill/status/" + urllib.parse.quote(run_id, safe=""),
+            token=token,
+        )
+        assert code == 200, (run_id, code, st)
+        if st["state"] in ("success", "failed"):
+            break
+    assert st["state"] == "success"

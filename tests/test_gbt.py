@@ -536,3 +536,34 @@ def test_distributed_fit_releases_all_cached_state(spark, monkeypatch):
             assert persistent_rdd_ids(spark) == base
     finally:
         pre.unpersist()
+
+
+def test_gbt_full_failed_fit_releases_caches(spark, monkeypatch):
+    """A fit that dies mid-rounds (executor failure, cancellation, bad
+    input discovered late) must release its persisted binned frame and
+    any checkpoint RDDs — the try/finally, not just the success path."""
+    from bigdatasmallprice_spark.caching import persistent_rdd_ids
+    from bigdatasmallprice_spark.operators import gbt
+    from bigdatasmallprice_spark.operators.gbt import (
+        featurize_hourly_series,
+        fit_gbt_full,
+    )
+    from bigdatasmallprice_spark.queries.core import events
+
+    feat = featurize_hourly_series(events(spark, "/root/testdata/sf0.001"))
+    thresholds = gbt._exact_rank_thresholds(
+        feat.filter("is_train"), [2, 3], [F.col(f"x{i}") for i in range(4)], 8
+    )
+    thresholds.setdefault(0, [12])
+    thresholds.setdefault(1, [4])
+
+    boom = RuntimeError("mid-fit failure")
+
+    def exploding(*a, **k):
+        raise boom
+
+    monkeypatch.setattr(gbt, "_best_general_split", exploding)
+    before = persistent_rdd_ids(spark)
+    with pytest.raises(RuntimeError):
+        fit_gbt_full(feat, 4, thresholds, n_rounds=3, depth=2, lr=0.2)
+    assert persistent_rdd_ids(spark) - before == set()

@@ -106,6 +106,11 @@ def test_next_daily_run_edges():
     assert next_daily_run("30 23 * * *", now) == "2026-02-15T23:30:00+00:00"
     assert next_daily_run("0 7 * * 1", now) is None  # non-daily shape
     assert next_daily_run("@daily", now) is None
+    # numeric but impossible fields are "no next run", not a ValueError
+    # that would 404 the whole dag listing
+    assert next_daily_run("0 24 * * *", now) is None
+    assert next_daily_run("75 6 * * *", now) is None
+    assert next_daily_run("-1 6 * * *", now) is None
 
 
 # -- HTTP orchestration routes over real engine jobs ----------------------
