@@ -804,11 +804,16 @@ def bloom_shingle_prefilter_lean_q(spark: SparkSession, sf_dir: str) -> DataFram
         .select("doc_id", "source", F.split("text", " ").alias("ws"))
         .select("doc_id", "source", F.explode(F.expr(sh4)).alias("sh"))
     )
+    # NO distinct before the fold (unlike the audited variant, whose
+    # truth join needs the set): bit_or is idempotent, so duplicate
+    # shingles merge in the map-side OR partials — ≤ m/64 rows per
+    # partition ever shuffle, vs distinct shuffling every corpus
+    # shingle. At sf0.1 it's a wash; at corpus scale it's the
+    # difference between a text-sized and a 32 KB exchange.
     corpus_sh = (
         docs.filter(F.col("doc_id") % 4 != 0)
         .select(F.split("text", " ").alias("ws"))
         .select(F.explode(F.expr(sh4)).alias("sh"))
-        .distinct()
     )
     bitmap = collect_bloom_bitmap(
         bloom_bits(corpus_sh, text_col="sh", m=_BL_M, k=_BL_K), m=_BL_M
