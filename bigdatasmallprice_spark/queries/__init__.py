@@ -7,6 +7,7 @@ from bigdatasmallprice_spark.queries import (  # noqa: F401
     mmq,
     relational,
     seqq,
+    sketchq,
     simq,
     textq,
     timeseries,

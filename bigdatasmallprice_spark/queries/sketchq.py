@@ -1,0 +1,289 @@
+"""Probabilistic-sketch queries: HyperLogLog distinct counting and
+Count-Min frequency estimation, both with in-query exact audits.
+
+These complete the sketch family started by ``cardinality_sketch``
+(linear counting) and ``operators/sketches.py`` (Misra-Gries heavy
+hitters): the three standard mergeable summaries a 100 TB curation
+pipeline maintains instead of corpus-wide distinct/groupBy shuffles.
+
+- **HyperLogLog** (Flajolet et al. 2007): per-source distinct-word
+  estimate from a fixed 2^12-register state. Unlike linear counting
+  (whose 2^20-bit bitmap must be sized for the expected cardinality),
+  HLL's 4096 registers estimate cardinalities far beyond the register
+  count with ~1.04/sqrt(m) = 1.6% relative error — the right state for
+  unbounded corpus growth. The register fold (MAX per register) is
+  associative/commutative/idempotent, so it merges across partitions,
+  shards and days exactly like the bloom bitmap.
+- **Count-Min** (Cormode & Muthukrishnan 2005): d x w counter matrix;
+  every word increments one counter per row, a point estimate is the
+  MIN over rows, and est <= true + e/w * N with probability 1-e^-d.
+  The sketch answers frequency queries over an unbounded vocabulary
+  with fixed memory — the complement of Misra-Gries (which returns the
+  heavy hitters but cannot answer point queries for arbitrary terms).
+
+Cross-engine determinism: hashes are md5 hex slices cast to BIGINT
+(the repo-standard engine-portable hash), register arithmetic is pure
+integer — rho via ``49 - length(bin(h >> 12))`` (bit length of the
+48-bit suffix, exact in both engines), the harmonic sum is kept as the
+SCALED integer ``sum(2^(49 - M_j))`` (every term a power of two <=
+2^48, total <= 2^61 — exact BIGINT, no float-summation order issues).
+Only the final estimate divides doubles (identical single IEEE ops in
+both engines, rounded to 4 dp; the ``ln`` in the small-range branch
+follows the precedent of ``cardinality_sketch``).
+
+No reference counterpart (the reference has no sketch layer); the
+papers above are the spec.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdatasmallprice_spark.functions.texts import o_shingle_expr, shingle_expr
+from bigdatasmallprice_spark.queries.core import table
+from bigdatasmallprice_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct 3-gram shingles per source
+# ---------------------------------------------------------------------------
+
+# p=8 keeps the per-source distinct-shingle counts (~1.1k at sf0.01,
+# ~10k at sf0.1) well ABOVE the 2.5m small-range threshold, so the
+# driver's gate verifies the genuine harmonic-mean estimator, not just
+# the linear-counting fallback. Standard error 1.04/sqrt(256) = 6.5%.
+_HLL_P = 8
+_HLL_M = 1 << _HLL_P  # 256 registers
+_HLL_W = 60 - _HLL_P  # value bits in the 60-bit md5 slice
+_HLL_RHO_MAX = _HLL_W + 1  # 49: rho when the 48-bit suffix is all zeros
+# alpha_m * m^2 * 2^49 — the numerator of the scaled-integer estimate.
+# Computed once here and embedded as the SAME double literal in both
+# engines, so the one division that produces the estimate is the
+# identical IEEE operation.
+_HLL_A = (0.7213 / (1.0 + 1.079 / _HLL_M)) * _HLL_M * _HLL_M * float(1 << _HLL_RHO_MAX)
+_HLL_SMALL = 2.5 * _HLL_M  # small-range-correction threshold
+
+
+@register(
+    "hll_distinct",
+    f"""
+WITH toks AS (SELECT source, string_split(text, ' ') AS ws FROM documents),
+words AS (
+  SELECT source, unnest({o_shingle_expr('ws', 3)}) AS wd FROM toks
+),
+pairs AS (
+  SELECT source, wd, CAST(COUNT(*) AS BIGINT) AS cnt FROM words GROUP BY 1, 2
+),
+hashed AS (
+  SELECT source, cnt, ('0x' || substr(md5(wd), 1, 15))::BIGINT AS h FROM pairs
+),
+regs AS (
+  SELECT source, h % {_HLL_M} AS idx,
+         MAX(CASE WHEN (h >> {_HLL_P}) = 0 THEN {_HLL_RHO_MAX}
+                  ELSE {_HLL_RHO_MAX} - length(bin(h >> {_HLL_P})) END) AS m_rho,
+         CAST(COUNT(*) AS BIGINT) AS n_words,
+         CAST(SUM(cnt) AS BIGINT) AS n_inst
+  FROM hashed GROUP BY 1, 2
+),
+agg AS (
+  SELECT source,
+         CAST(SUM(n_inst) AS BIGINT) AS n_instances,
+         CAST(SUM(n_words) AS BIGINT) AS n_exact_distinct,
+         CAST(COUNT(*) AS BIGINT) AS n_registers,
+         CAST({_HLL_M} - COUNT(*) AS BIGINT) AS v_zero,
+         CAST(SUM(1::BIGINT << ({_HLL_RHO_MAX} - m_rho))
+              + ({_HLL_M} - COUNT(*)) * (1::BIGINT << {_HLL_RHO_MAX}) AS BIGINT)
+           AS s_scaled
+  FROM regs GROUP BY 1
+)
+SELECT source, n_instances, n_exact_distinct, n_registers, v_zero, s_scaled,
+       round(CASE WHEN v_zero > 0
+                   AND {_HLL_A!r} / CAST(s_scaled AS DOUBLE) <= {_HLL_SMALL!r}
+                  THEN {float(_HLL_M)!r} * ln({float(_HLL_M)!r} / CAST(v_zero AS DOUBLE))
+                  ELSE {_HLL_A!r} / CAST(s_scaled AS DOUBLE) END, 4) AS est_distinct
+FROM agg
+""",
+    doc="HyperLogLog distinct 3-gram-shingle count per source "
+    "(Flajolet et al. 2007, p=8 / 256 registers) with the exact "
+    "distinct count audited in the same query. The register state is "
+    "fixed-size and MAX-mergeable (partitions, shards, days), so at "
+    "100 TB the per-source shingle cardinality needs one narrow map "
+    "plus a 256-row fold instead of the corpus-wide distinct shuffle; "
+    "unlike linear counting (cardinality_sketch), the state does not "
+    "have to be pre-sized for the expected cardinality. The harmonic "
+    "mean is folded as a scaled BIGINT (sum of powers of two, exact "
+    "in 63 bits), so both engines agree bit-for-bit up to the single "
+    "final division; the small-range branch is linear counting over "
+    "the empty-register count, same as the standard estimator.",
+    tags=("sketch", "curation", "agg"),
+)
+def hll_distinct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    words = docs.select(
+        "source", F.split("text", " ").alias("ws")
+    ).select("source", F.explode(F.expr(shingle_expr("ws", 3))).alias("wd"))
+    return hll_estimate(words)
+
+
+def hll_estimate(words: DataFrame) -> DataFrame:
+    """HLL register fold over a (source, wd) frame — the reusable core
+    of ``hll_distinct`` (unit tests drive the small-range branch with
+    synthetic frames the documents table never produces)."""
+    # aggregate (source, word) FIRST so md5 runs once per distinct word
+    # and the register fold sees pre-combined counts (same plan shape
+    # as cardinality_sketch: one corpus-width shuffle, map-side combine)
+    pairs = words.groupBy("source", "wd").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    hashed = pairs.select(
+        "source",
+        "cnt",
+        F.expr("CAST(conv(substr(md5(wd), 1, 15), 16, 10) AS BIGINT)").alias("h"),
+    )
+    rho = F.expr(
+        f"CASE WHEN shiftright(h, {_HLL_P}) = 0 THEN {_HLL_RHO_MAX} "
+        f"ELSE {_HLL_RHO_MAX} - length(bin(shiftright(h, {_HLL_P}))) END"
+    )
+    regs = (
+        hashed.withColumn("idx", F.expr(f"h % {_HLL_M}"))
+        .withColumn("rho", rho)
+        .groupBy("source", "idx")
+        .agg(
+            F.max("rho").alias("m_rho"),
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("cnt").cast("long").alias("n_inst"),
+        )
+    )
+    n_regs = F.count(F.lit(1))
+    agg = regs.groupBy("source").agg(
+        F.sum("n_inst").cast("long").alias("n_instances"),
+        F.sum("n_words").cast("long").alias("n_exact_distinct"),
+        n_regs.cast("long").alias("n_registers"),
+        (F.lit(_HLL_M) - n_regs).cast("long").alias("v_zero"),
+        (
+            F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_RHO_MAX} - m_rho)"))
+            + (F.lit(_HLL_M) - n_regs) * F.lit(1 << _HLL_RHO_MAX)
+        )
+        .cast("long")
+        .alias("s_scaled"),
+    )
+    est_raw = F.lit(_HLL_A) / F.col("s_scaled").cast("double")
+    est_small = F.lit(float(_HLL_M)) * F.log(
+        F.lit(float(_HLL_M)) / F.col("v_zero").cast("double")
+    )
+    return agg.select(
+        "source",
+        "n_instances",
+        "n_exact_distinct",
+        "n_registers",
+        "v_zero",
+        "s_scaled",
+        F.round(
+            F.when(
+                (F.col("v_zero") > 0) & (est_raw <= F.lit(_HLL_SMALL)), est_small
+            ).otherwise(est_raw),
+            4,
+        ).alias("est_distinct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min point-frequency estimates for the corpus top-k words
+# ---------------------------------------------------------------------------
+
+_CMS_W = 16384  # counters per row
+_CMS_D = 4  # rows (independent hashes)
+_CMS_E = 2.718281828459045  # e, as the identical literal in both engines
+_CMS_TOPK = 20
+
+
+def _cms_idx_sql_duck(word_expr: str, r: int) -> str:
+    return f"('0x' || substr(md5('{r}:' || {word_expr}), 1, 8))::BIGINT % {_CMS_W}"
+
+
+def _cms_idx_spark(r: int) -> F.Column:
+    return F.expr(
+        f"CAST(conv(substr(md5(concat('{r}:', wd)), 1, 8), 16, 10) AS BIGINT) % {_CMS_W}"
+    )
+
+
+@register(
+    "count_min_probe",
+    f"""
+WITH words AS (
+  SELECT unnest(string_split(text, ' ')) AS wd FROM documents
+),
+pairs AS (
+  SELECT wd, CAST(COUNT(*) AS BIGINT) AS cnt FROM words GROUP BY 1
+),
+n AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_total FROM pairs),
+rows_ AS (SELECT unnest([{", ".join(str(r) for r in range(_CMS_D))}]) AS r),
+regs AS (
+  SELECT rows_.r,
+         CASE rows_.r {" ".join(f"WHEN {r} THEN {_cms_idx_sql_duck('wd', r)}" for r in range(_CMS_D))} END AS idx,
+         CAST(SUM(cnt) AS BIGINT) AS reg
+  FROM pairs CROSS JOIN rows_ GROUP BY 1, 2
+),
+probes AS (SELECT wd, cnt FROM pairs ORDER BY cnt DESC, wd LIMIT {_CMS_TOPK}),
+probe_idx AS (
+  SELECT p.wd, p.cnt, rows_.r,
+         CASE rows_.r {" ".join(f"WHEN {r} THEN {_cms_idx_sql_duck('p.wd', r)}" for r in range(_CMS_D))} END AS idx
+  FROM probes p CROSS JOIN rows_
+),
+est AS (
+  SELECT pi.wd, pi.cnt, CAST(MIN(regs.reg) AS BIGINT) AS est_cnt
+  FROM probe_idx pi JOIN regs ON regs.r = pi.r AND regs.idx = pi.idx
+  GROUP BY 1, 2
+)
+SELECT est.wd AS term, est.cnt AS exact_cnt, est.est_cnt,
+       CAST(est.est_cnt - est.cnt AS BIGINT) AS overcount,
+       CAST(floor({_CMS_E!r} * CAST(n.n_total AS DOUBLE) / {float(_CMS_W)!r}) AS BIGINT)
+         AS err_bound
+FROM est CROSS JOIN n
+""",
+    doc="Count-Min sketch (Cormode & Muthukrishnan 2005, d=4 x "
+    "w=16384) probed at the corpus top-20 words, with the exact "
+    "counts and the e*N/w error bound in the same result so the "
+    "sketch guarantee (exact <= est <= exact + bound) is externally "
+    "hash-verified. The counter matrix is fixed-size and "
+    "SUM-mergeable — at 100 TB, per-term frequency queries cost one "
+    "narrow map plus a 65k-row fold, never a vocabulary-sized "
+    "shuffle; the probe stage is a broadcast join against the tiny "
+    "register table. Complements Misra-Gries (operators/sketches.py): "
+    "MG enumerates the heavy hitters, CMS answers point queries for "
+    "arbitrary terms.",
+    tags=("sketch", "curation", "agg"),
+)
+def count_min_probe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    words = docs.select(F.explode(F.split("text", " ")).alias("wd"))
+    # one corpus-width shuffle; persisted because three consumers fold
+    # it (registers, probes, total) — released by the caller's
+    # released_caches discipline (caching.py)
+    pairs = words.groupBy("wd").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    pairs = pairs.persist()
+    idx_arr = F.array(*[_cms_idx_spark(r) for r in range(_CMS_D)])
+    regs = (
+        pairs.select("cnt", F.posexplode(idx_arr).alias("r", "idx"))
+        .groupBy("r", "idx")
+        .agg(F.sum("cnt").cast("long").alias("reg"))
+    )
+    probes = pairs.orderBy(F.desc("cnt"), "wd").limit(_CMS_TOPK)
+    probe_idx = probes.select("wd", "cnt", F.posexplode(idx_arr).alias("r", "idx"))
+    est = (
+        regs.join(F.broadcast(probe_idx), ["r", "idx"])
+        .groupBy("wd", "cnt")
+        .agg(F.min("reg").cast("long").alias("est_cnt"))
+    )
+    n_total = pairs.agg(F.sum("cnt").cast("long").alias("n_total"))
+    return est.crossJoin(F.broadcast(n_total)).select(
+        F.col("wd").alias("term"),
+        F.col("cnt").alias("exact_cnt"),
+        "est_cnt",
+        (F.col("est_cnt") - F.col("cnt")).cast("long").alias("overcount"),
+        F.floor(
+            F.lit(_CMS_E) * F.col("n_total").cast("double") / F.lit(float(_CMS_W))
+        )
+        .cast("long")
+        .alias("err_bound"),
+    )

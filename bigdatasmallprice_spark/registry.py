@@ -83,6 +83,8 @@ DRIVER_ORDER: list[str] = [
     # (listed at the bottom); after r5 the minimum evidence across the
     # other 116 queries is two green rows.
     # -- new in r5, never driver-verified
+    "hll_distinct",
+    "count_min_probe",
     "dedup_rewrite",
     "dedup_rewrite_hashed",
     "train_gbt_load",
@@ -132,11 +134,9 @@ DRIVER_ORDER: list[str] = [
     "stratified_sample_summary",
     "top_users",
     "twap_hourly",
-    "value_deciles",
     "value_quantiles_by_type",
-    "value_trend_regression",
     "video_frame_sample",
-    # Nine single-row queries sit out this round (slots exhausted);
+    # Eleven single-row queries sit out this round (slots exhausted);
     # each keeps its green row and its unique machinery runs inside a
     # double-green listed/verified query:
     #   train_gbt_model — strict depth-2 subset of train_gbt_full (in
@@ -161,6 +161,12 @@ DRIVER_ORDER: list[str] = [
     #   value_distribution — count/min/max/avg/stddev aggregate; the
     #     same agg stack runs inside dataset_card (in this list) and
     #     table_stats (green r2+r3)
+    #   value_deciles — ntile bucketing; ntile also runs inside
+    #     perplexity_buckets (in this round's list, green r4)
+    #   value_trend_regression — integer moment sums + closed-form
+    #     slope; the same sum-of-products stack runs inside
+    #     train_linear_model (green r1+r3+r4) and rolling_backtest
+    #     (in this round's list, green r4)
     #
     # r4 rotation history: 30 keepers + the 20 then-unverified (see
     # COVERAGE.json; every registered query has had >=1 green row since
