@@ -125,13 +125,11 @@ def hll_distinct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_estimate(words)
 
 
-def hll_estimate(words: DataFrame) -> DataFrame:
-    """HLL register fold over a (source, wd) frame — the reusable core
-    of ``hll_distinct`` (unit tests drive the small-range branch with
-    synthetic frames the documents table never produces)."""
-    # aggregate (source, word) FIRST so md5 runs once per distinct word
-    # and the register fold sees pre-combined counts (same plan shape
-    # as cardinality_sketch: one corpus-width shuffle, map-side combine)
+def _hll_hashed(words: DataFrame) -> DataFrame:
+    """(source, wd) -> (source, cnt, idx, rho): aggregate (source,
+    word) FIRST so md5 runs once per distinct word and the register
+    fold sees pre-combined counts (same plan shape as
+    cardinality_sketch: one corpus-width shuffle, map-side combine)."""
     pairs = words.groupBy("source", "wd").agg(
         F.count(F.lit(1)).cast("long").alias("cnt")
     )
@@ -144,20 +142,36 @@ def hll_estimate(words: DataFrame) -> DataFrame:
         f"CASE WHEN shiftright(h, {_HLL_P}) = 0 THEN {_HLL_RHO_MAX} "
         f"ELSE {_HLL_RHO_MAX} - length(bin(shiftright(h, {_HLL_P}))) END"
     )
-    regs = (
-        hashed.withColumn("idx", F.expr(f"h % {_HLL_M}"))
-        .withColumn("rho", rho)
+    return hashed.withColumn("idx", F.expr(f"h % {_HLL_M}")).withColumn("rho", rho)
+
+
+def hll_registers(words: DataFrame) -> DataFrame:
+    """(source, wd) -> register maxima (source, idx, m_rho) — the
+    MAX-mergeable partial the streaming twin persists."""
+    return (
+        _hll_hashed(words)
         .groupBy("source", "idx")
-        .agg(
-            F.max("rho").alias("m_rho"),
-            F.count(F.lit(1)).cast("long").alias("n_words"),
-            F.sum("cnt").cast("long").alias("n_inst"),
-        )
+        .agg(F.max("rho").cast("long").alias("m_rho"))
     )
-    n_regs = F.count(F.lit(1))
-    agg = regs.groupBy("source").agg(
-        F.sum("n_inst").cast("long").alias("n_instances"),
-        F.sum("n_words").cast("long").alias("n_exact_distinct"),
+
+
+def _hll_est_col() -> F.Column:
+    """The estimate from (v_zero, s_scaled) columns: scaled harmonic
+    mean, with the standard linear-counting small-range branch."""
+    est_raw = F.lit(_HLL_A) / F.col("s_scaled").cast("double")
+    est_small = F.lit(float(_HLL_M)) * F.log(
+        F.lit(float(_HLL_M)) / F.col("v_zero").cast("double")
+    )
+    return F.round(
+        F.when(
+            (F.col("v_zero") > 0) & (est_raw <= F.lit(_HLL_SMALL)), est_small
+        ).otherwise(est_raw),
+        4,
+    ).alias("est_distinct")
+
+
+def _hll_fold_cols(n_regs: F.Column) -> list:
+    return [
         n_regs.cast("long").alias("n_registers"),
         (F.lit(_HLL_M) - n_regs).cast("long").alias("v_zero"),
         (
@@ -166,10 +180,36 @@ def hll_estimate(words: DataFrame) -> DataFrame:
         )
         .cast("long")
         .alias("s_scaled"),
+    ]
+
+
+def hll_estimate_from_registers(regs: DataFrame) -> DataFrame:
+    """(source, idx, m_rho) registers -> per-source estimate; what the
+    streaming state readback uses (no exact audit available there)."""
+    agg = regs.groupBy("source").agg(*_hll_fold_cols(F.count(F.lit(1))))
+    return agg.select(
+        "source", "n_registers", "v_zero", "s_scaled", _hll_est_col()
     )
-    est_raw = F.lit(_HLL_A) / F.col("s_scaled").cast("double")
-    est_small = F.lit(float(_HLL_M)) * F.log(
-        F.lit(float(_HLL_M)) / F.col("v_zero").cast("double")
+
+
+def hll_estimate(words: DataFrame) -> DataFrame:
+    """HLL register fold over a (source, wd) frame — the reusable core
+    of ``hll_distinct``, with the exact distinct/instance audit carried
+    through the register fold (unit tests drive the small-range branch
+    with synthetic frames the documents table never produces)."""
+    regs = (
+        _hll_hashed(words)
+        .groupBy("source", "idx")
+        .agg(
+            F.max("rho").alias("m_rho"),
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("cnt").cast("long").alias("n_inst"),
+        )
+    )
+    agg = regs.groupBy("source").agg(
+        F.sum("n_inst").cast("long").alias("n_instances"),
+        F.sum("n_words").cast("long").alias("n_exact_distinct"),
+        *_hll_fold_cols(F.count(F.lit(1))),
     )
     return agg.select(
         "source",
@@ -178,12 +218,7 @@ def hll_estimate(words: DataFrame) -> DataFrame:
         "n_registers",
         "v_zero",
         "s_scaled",
-        F.round(
-            F.when(
-                (F.col("v_zero") > 0) & (est_raw <= F.lit(_HLL_SMALL)), est_small
-            ).otherwise(est_raw),
-            4,
-        ).alias("est_distinct"),
+        _hll_est_col(),
     )
 
 

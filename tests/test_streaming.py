@@ -1081,3 +1081,80 @@ def test_streaming_rewrite_equals_batch(spark, tmp_path):
     # geometry pinning
     with pytest.raises(ValueError):
         rewrite_batch(spark, state, docs.limit(5), out, span_n=5, batch_id=99)
+
+
+def test_streaming_hll_equals_batch_estimate(spark, tmp_path):
+    """Two availableNow deliveries MAX-merge their register maxima into
+    the persisted HLL state; the final registers are IDENTICAL to the
+    batch fold over all data at once (MAX is order/partitioning-
+    independent), so the state's estimate equals hll_distinct's for the
+    same corpus. Replaying a delivery (idempotent MAX) and resuming
+    with a different precision are both covered."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from bigdatasmallprice_spark.functions.texts import shingle_expr
+    from bigdatasmallprice_spark.queries.sketchq import hll_registers
+    from bigdatasmallprice_spark.streaming.hll_stream import (
+        hll_stream,
+        read_hll_estimate,
+        read_hll_registers,
+        update_hll,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "source", "text"
+    )
+    chunk1, chunk2 = docs.filter("doc_id % 2 = 0"), docs.filter("doc_id % 2 = 1")
+    src = str(tmp_path / "docs")
+    state, ckpt = str(tmp_path / "hll"), str(tmp_path / "hllckpt")
+    chunk1.write.parquet(src)
+
+    def run():
+        stream = spark.readStream.schema(docs.schema).parquet(src)
+        q = hll_stream(spark, stream, state, ckpt).start()
+        q.awaitTermination(120)
+
+    run()
+    chunk2.write.mode("append").parquet(src)
+    run()
+
+    streamed = {
+        (r.source, r.idx): r.m_rho
+        for r in read_hll_registers(spark, state).collect()
+    }
+    words = docs.select("source", F.split("text", " ").alias("ws")).select(
+        "source", F.explode(F.expr(shingle_expr("ws", 3))).alias("wd")
+    )
+    batch = {(r.source, r.idx): r.m_rho for r in hll_registers(words).collect()}
+    assert streamed == batch
+
+    # estimate from state == the registered query's estimate columns
+    from bigdatasmallprice_spark.registry import all_queries
+
+    est_state = {
+        r.source: (r.s_scaled, r.est_distinct)
+        for r in read_hll_estimate(spark, state).collect()
+    }
+    est_query = {
+        r.source: (r.s_scaled, r.est_distinct)
+        for r in all_queries()["hll_distinct"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    }
+    assert est_state == est_query
+
+    # replay safety: folding the same delivery again changes nothing
+    update_hll(spark, state, chunk1, batch_id=999)
+    assert {
+        (r.source, r.idx): r.m_rho
+        for r in read_hll_registers(spark, state).collect()
+    } == batch
+
+    # precision pinning: a different p must raise, not silently merge
+    from bigdatasmallprice_spark.queries import sketchq
+    from bigdatasmallprice_spark.streaming import state as st
+
+    assert st.read_state_manifest(state)["config"] == {"p": sketchq._HLL_P}
+    with _pytest.raises(ValueError):
+        st.validate_state_config(state, {"p": sketchq._HLL_P + 1})
