@@ -85,6 +85,7 @@ DRIVER_ORDER: list[str] = [
     # -- new in r5, never driver-verified
     "hll_distinct",
     "count_min_probe",
+    "zorder_pruning",
     "dedup_rewrite",
     "dedup_rewrite_hashed",
     "train_gbt_load",
@@ -133,10 +134,9 @@ DRIVER_ORDER: list[str] = [
     "small_quantity_revenue",
     "stratified_sample_summary",
     "top_users",
-    "twap_hourly",
     "value_quantiles_by_type",
     "video_frame_sample",
-    # Eleven single-row queries sit out this round (slots exhausted);
+    # Twelve single-row queries sit out this round (slots exhausted);
     # each keeps its green row and its unique machinery runs inside a
     # double-green listed/verified query:
     #   train_gbt_model — strict depth-2 subset of train_gbt_full (in
@@ -167,6 +167,10 @@ DRIVER_ORDER: list[str] = [
     #     slope; the same sum-of-products stack runs inside
     #     train_linear_model (green r1+r3+r4) and rolling_backtest
     #     (in this round's list, green r4)
+    #   twap_hourly — lead()-over-time duration-weighted integer agg;
+    #     the same lead-window machinery runs inside session_stats
+    #     (green r2+r3) and sliding_hour_windows (in this round's
+    #     list)
     #
     # r4 rotation history: 30 keepers + the 20 then-unverified (see
     # COVERAGE.json; every registered query has had >=1 green row since
