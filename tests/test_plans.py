@@ -489,3 +489,38 @@ def test_dedup_rewrite_plan_no_text_reshuffle_and_hashed_long_key(spark):
             if "hashpartitioning" in line and key + "#" in line
         ]
         assert len(span_exchanges) == 1, (name, span_exchanges)
+
+
+def test_sketch_queries_stay_jvm_side_and_sketch_sized(spark):
+    """HLL: three hash-keyed exchanges (corpus pairs, register fold,
+    per-source fold), no join, no Python stage. CMS: the probe stage
+    joins BROADCAST-only against the register table (never a shuffle
+    join); the only nested-loop is the broadcast scalar total."""
+    from bigdatasmallprice_spark.registry import all_queries
+
+    hll = _formatted(all_queries()["hll_distinct"].fn(spark, SF))
+    assert "MapInPandas" not in hll and "BatchEvalPython" not in hll
+    assert "Join" not in hll, hll  # pure aggregate chain
+    n_shuffles = hll.count("Arguments: hashpartitioning")
+    assert n_shuffles == 3, hll
+
+    cms = _formatted(all_queries()["count_min_probe"].fn(spark, SF))
+    assert "SortMergeJoin" not in cms, cms
+    assert "BroadcastHashJoin" in cms, cms
+    # formatted plans print each node twice (tree + detail section):
+    # exactly ONE nested-loop node — the broadcast scalar total
+    assert cms.count("BroadcastNestedLoopJoin") <= 2, cms
+    assert "MapInPandas" not in cms and "BatchEvalPython" not in cms
+
+
+def test_zorder_pruning_is_window_over_one_union_no_join(spark):
+    """The layout comparison is union -> ntile window -> two tiny
+    aggregates: no join anywhere, the z-value computes in codegen (no
+    Python), and the window exchange carries the layout key."""
+    from bigdatasmallprice_spark.registry import all_queries
+
+    plan = _formatted(all_queries()["zorder_pruning"].fn(spark, SF))
+    assert "Join" not in plan, plan
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+    assert "Window" in plan and "ntile" in plan
+    assert "hashpartitioning(layout" in plan, plan
