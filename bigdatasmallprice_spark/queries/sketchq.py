@@ -242,6 +242,33 @@ def _cms_idx_spark(r: int) -> F.Column:
     )
 
 
+def cms_registers(words: DataFrame) -> DataFrame:
+    """(wd) frame -> the d x w counter matrix as (r, idx, reg) rows —
+    the SUM-mergeable partial the streaming twin folds into state."""
+    pairs = words.groupBy("wd").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    idx_arr = F.array(*[_cms_idx_spark(r) for r in range(_CMS_D)])
+    return (
+        pairs.select("cnt", F.posexplode(idx_arr).alias("r", "idx"))
+        .groupBy("r", "idx")
+        .agg(F.sum("cnt").cast("long").alias("reg"))
+    )
+
+
+def cms_point_estimates(terms: DataFrame, regs: DataFrame) -> DataFrame:
+    """CMS point queries: (term) frame joined against (r, idx, reg)
+    registers, estimate = MIN over the d rows. Output (term, est_cnt)."""
+    idx_arr = F.array(*[_cms_idx_spark(r) for r in range(_CMS_D)])
+    probe_idx = terms.select(
+        F.col("term").alias("wd")
+    ).select("wd", F.posexplode(idx_arr).alias("r", "idx"))
+    return (
+        regs.join(F.broadcast(probe_idx), ["r", "idx"])
+        .groupBy("wd")
+        .agg(F.min("reg").cast("long").alias("est_cnt"))
+        .select(F.col("wd").alias("term"), "est_cnt")
+    )
+
+
 @register(
     "count_min_probe",
     f"""

@@ -1158,3 +1158,64 @@ def test_streaming_hll_equals_batch_estimate(spark, tmp_path):
     assert st.read_state_manifest(state)["config"] == {"p": sketchq._HLL_P}
     with _pytest.raises(ValueError):
         st.validate_state_config(state, {"p": sketchq._HLL_P + 1})
+
+
+def test_streaming_cms_equals_batch_and_replay_safe(spark, tmp_path):
+    """Two availableNow deliveries SUM-fold their counter increments
+    into the persisted CMS matrix; the final counters are IDENTICAL to
+    the batch fold over all data (integer sums, any merge order). The
+    SUM fold is NOT idempotent, so the replay watermark must skip a
+    re-delivered batch id — replaying batch 0 must change nothing.
+    Point estimates from the state obey est >= exact for every word."""
+    from pyspark.sql import functions as F
+
+    from bigdatasmallprice_spark.queries.sketchq import cms_registers
+    from bigdatasmallprice_spark.streaming.cms_stream import (
+        cms_stream,
+        read_cms_estimates,
+        read_cms_registers,
+        update_cms,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    chunk1, chunk2 = docs.filter("doc_id % 2 = 0"), docs.filter("doc_id % 2 = 1")
+    src = str(tmp_path / "docs")
+    state, ckpt = str(tmp_path / "cms"), str(tmp_path / "cmsckpt")
+    chunk1.write.parquet(src)
+
+    def run():
+        stream = spark.readStream.schema(docs.schema).parquet(src)
+        q = cms_stream(spark, stream, state, ckpt).start()
+        q.awaitTermination(120)
+
+    run()
+    chunk2.write.mode("append").parquet(src)
+    run()
+
+    streamed = {
+        (r.r, r.idx): r.reg for r in read_cms_registers(spark, state).collect()
+    }
+    words = docs.select(F.explode(F.split("text", " ")).alias("wd"))
+    batch = {(r.r, r.idx): r.reg for r in cms_registers(words).collect()}
+    assert streamed == batch
+
+    # replay protection: the non-idempotent fold must skip a seen id
+    update_cms(spark, state, chunk1, batch_id=0)
+    assert {
+        (r.r, r.idx): r.reg for r in read_cms_registers(spark, state).collect()
+    } == batch
+
+    # point estimates from state: never undercount the true frequency
+    exact = {
+        r.wd: r.n
+        for r in words.groupBy("wd").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    probes = sorted(exact)[:10]
+    est = {
+        r.term: r.est_cnt
+        for r in read_cms_estimates(spark, state, probes).collect()
+    }
+    for t in probes:
+        assert est[t] >= exact[t], (t, est[t], exact[t])
