@@ -38,8 +38,8 @@ _VB_LO, _VB_HI = 39, 58  # cents 10_000..15_103 (256-cent buckets)
 WITH base AS (
   SELECT event_id,
          epoch_us(ts) AS us,
-         least((epoch_us(ts) - {_BASE_US}) // {_XB_US}, 255) AS xb,
-         least(CAST(round(value * 100) AS BIGINT) // 256, 255) AS vb
+         greatest(least((epoch_us(ts) - {_BASE_US}) // {_XB_US}, 255), 0) AS xb,
+         greatest(least(CAST(round(value * 100) AS BIGINT) // 256, 255), 0) AS vb
   FROM events
 ),
 zed AS (
@@ -102,10 +102,18 @@ def zorder_pruning_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = ev.select(
         "event_id",
         F.expr("unix_micros(ts)").alias("us"),
-        F.expr(f"least((unix_micros(ts) - {_BASE_US}) div {_XB_US}, 255)").alias(
-            "xb"
-        ),
-        F.expr("least(CAST(round(value * 100) AS BIGINT) div 256, 255)").alias("vb"),
+        # clamped on BOTH ends: the Morton interleave's documented
+        # domain is non-negative 8-bit (zorder.py) — an event before
+        # _BASE_US or a negative value must saturate to bucket 0, not
+        # feed a negative into shiftright/% (clamp-after-div is safe
+        # cross-engine: DuckDB floor-div and Spark trunc-div disagree
+        # only on negatives, which greatest(0) collapses anyway)
+        F.expr(
+            f"greatest(least((unix_micros(ts) - {_BASE_US}) div {_XB_US}, 255), 0)"
+        ).alias("xb"),
+        F.expr(
+            "greatest(least(CAST(round(value * 100) AS BIGINT) div 256, 255), 0)"
+        ).alias("vb"),
     )
     zed = base.withColumn("z", F.expr(zvalue_sql("xb", "vb"))).withColumn(
         "matched",

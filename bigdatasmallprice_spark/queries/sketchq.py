@@ -7,13 +7,14 @@ hitters): the three standard mergeable summaries a 100 TB curation
 pipeline maintains instead of corpus-wide distinct/groupBy shuffles.
 
 - **HyperLogLog** (Flajolet et al. 2007): per-source distinct-word
-  estimate from a fixed 2^12-register state. Unlike linear counting
-  (whose 2^20-bit bitmap must be sized for the expected cardinality),
-  HLL's 4096 registers estimate cardinalities far beyond the register
-  count with ~1.04/sqrt(m) = 1.6% relative error — the right state for
-  unbounded corpus growth. The register fold (MAX per register) is
-  associative/commutative/idempotent, so it merges across partitions,
-  shards and days exactly like the bloom bitmap.
+  estimate from a fixed 2^8-register state (p=8 — see the sizing note
+  at ``_HLL_P``). Unlike linear counting (whose 2^20-bit bitmap must
+  be sized for the expected cardinality), HLL's 256 registers estimate
+  cardinalities far beyond the register count with ~1.04/sqrt(m) =
+  6.5% relative error — the right state for unbounded corpus growth.
+  The register fold (MAX per register) is associative/commutative/
+  idempotent, so it merges across partitions, shards and days exactly
+  like the bloom bitmap.
 - **Count-Min** (Cormode & Muthukrishnan 2005): d x w counter matrix;
   every word increments one counter per row, a point estimate is the
   MIN over rows, and est <= true + e/w * N with probability 1-e^-d.
@@ -23,10 +24,12 @@ pipeline maintains instead of corpus-wide distinct/groupBy shuffles.
 
 Cross-engine determinism: hashes are md5 hex slices cast to BIGINT
 (the repo-standard engine-portable hash), register arithmetic is pure
-integer — rho via ``49 - length(bin(h >> 12))`` (bit length of the
-48-bit suffix, exact in both engines), the harmonic sum is kept as the
-SCALED integer ``sum(2^(49 - M_j))`` (every term a power of two <=
-2^48, total <= 2^61 — exact BIGINT, no float-summation order issues).
+integer — rho via ``53 - length(bin(h >> 8))`` (bit length of the
+52-bit value suffix of the 60-bit hash, exact in both engines; 53 =
+``_HLL_RHO_MAX``, rho when the suffix is all zeros), the harmonic sum
+is kept as the SCALED integer ``sum(2^(53 - M_j))`` (every term a
+power of two <= 2^52, 256 registers so the total <= 2^60 — exact
+BIGINT, no float-summation order issues).
 Only the final estimate divides doubles (identical single IEEE ops in
 both engines, rounded to 4 dp; the ``ln`` in the small-range branch
 follows the precedent of ``cardinality_sketch``).
@@ -54,8 +57,8 @@ from bigdatasmallprice_spark.registry import register
 # the linear-counting fallback. Standard error 1.04/sqrt(256) = 6.5%.
 _HLL_P = 8
 _HLL_M = 1 << _HLL_P  # 256 registers
-_HLL_W = 60 - _HLL_P  # value bits in the 60-bit md5 slice
-_HLL_RHO_MAX = _HLL_W + 1  # 49: rho when the 48-bit suffix is all zeros
+_HLL_W = 60 - _HLL_P  # 52 value bits in the 60-bit md5 slice
+_HLL_RHO_MAX = _HLL_W + 1  # 53: rho when the 52-bit suffix is all zeros
 # alpha_m * m^2 * 2^49 — the numerator of the scaled-integer estimate.
 # Computed once here and embedded as the SAME double literal in both
 # engines, so the one division that produces the estimate is the
@@ -388,8 +391,18 @@ def hll_union_distinct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # from that tiny table — output never exceeds pairs x masks,
     # where the naive self-join emits one row per (shingle, pair)
     w_src = Window.orderBy("source")
+    # the mask is a 64-bit BIGINT: shiftleft past bit 62 would silently
+    # wrap and corrupt the audit, so the bit index is guarded in-plan
+    # (lazy, no extra action; fires only if a 64th source ever appears)
     srcidx = sizes.select(
         "source", (F.row_number().over(w_src) - 1).alias("si")
+    ).withColumn(
+        "si",
+        F.expr(
+            "IF(si <= 62, si, CAST(raise_error('hll_union_distinct exact "
+            "audit supports at most 63 sources (64-bit membership mask); "
+            "use hll_union_lean beyond that') AS INT))"
+        ),
     )
     sm = (
         s.join(F.broadcast(srcidx), "source")
@@ -447,6 +460,126 @@ def hll_union_distinct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "hll_union_lean",
+    f"""
+WITH toks AS (SELECT source, string_split(text, ' ') AS ws FROM documents),
+s0 AS (SELECT source, unnest({o_shingle_expr('ws', 3)}) AS sh FROM toks),
+rr AS (
+  SELECT source, h % {_HLL_M} AS idx,
+         CASE WHEN (h >> {_HLL_P}) = 0 THEN {_HLL_RHO_MAX}
+              ELSE {_HLL_RHO_MAX} - length(bin(h >> {_HLL_P})) END AS rho
+  FROM (SELECT source, ('0x' || substr(md5(sh), 1, 15))::BIGINT AS h FROM s0)
+),
+regs AS (SELECT source, idx, MAX(rho) AS m_rho FROM rr GROUP BY 1, 2),
+se AS (
+  SELECT source, {{est}} AS est
+  FROM (SELECT source, {{fold}} FROM regs GROUP BY 1)
+),
+srcs AS (SELECT DISTINCT source FROM regs),
+pairs AS (
+  SELECT a.source AS sa, b.source AS sb
+  FROM srcs a JOIN srcs b ON a.source < b.source
+),
+u AS (
+  SELECT p.sa, p.sb, r.idx, r.m_rho FROM pairs p JOIN regs r ON r.source = p.sa
+  UNION ALL
+  SELECT p.sa, p.sb, r.idx, r.m_rho FROM pairs p JOIN regs r ON r.source = p.sb
+),
+mreg AS (SELECT sa, sb, idx, MAX(m_rho) AS m_rho FROM u GROUP BY 1, 2, 3),
+ue AS (
+  SELECT sa, sb, {{est}} AS est_union
+  FROM (SELECT sa, sb, {{fold}} FROM mreg GROUP BY 1, 2)
+)
+SELECT p.sa AS src_a, p.sb AS src_b,
+       ea.est AS est_a, eb.est AS est_b, ue.est_union,
+       round(greatest(ea.est + eb.est - ue.est_union, 0.0), 4) AS est_overlap
+FROM pairs p
+JOIN se ea ON ea.source = p.sa
+JOIN se eb ON eb.source = p.sb
+JOIN ue ON ue.sa = p.sa AND ue.sb = p.sb
+""".replace("{est}", _o_hll_est()).replace("{fold}", _O_HLL_FOLD),
+    doc="Production HLL set algebra: the same per-pair union/overlap "
+    "estimates as hll_union_distinct WITHOUT the exact audit — and "
+    "therefore without the query's entire corpus-sized surface. The "
+    "register MAX-fold is idempotent, so the input needs NO distinct() "
+    "(duplicate shingles hash to the same (idx, rho) and the MAX "
+    "absorbs them): the one corpus-width exchange is the map-side- "
+    "combined register fold itself, the (source, shingle) distinct "
+    "shuffle AND the membership-mask audit tables vanish, and "
+    "everything after the fold is sketch-sized (sources x 256 "
+    "registers, persisted once). Estimates are bit-identical to the "
+    "audited twin's — asserted in tests/test_sketchq.py. The "
+    "audit/production split mirrors bloom_shingle_prefilter(_lean).",
+    tags=("sketch", "curation", "join"),
+)
+def hll_union_lean_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    words = docs.select(
+        "source", F.split("text", " ").alias("ws")
+    ).select("source", F.explode(F.expr(shingle_expr("ws", 3))).alias("sh"))
+    # NO .distinct(): MAX over duplicate (idx, rho) rows is the dedup
+    rr = words.select(
+        "source",
+        F.expr("CAST(conv(substr(md5(sh), 1, 15), 16, 10) AS BIGINT)").alias("h"),
+    ).select(
+        "source",
+        F.expr(f"h % {_HLL_M}").alias("idx"),
+        F.expr(
+            f"CASE WHEN shiftright(h, {_HLL_P}) = 0 THEN {_HLL_RHO_MAX} "
+            f"ELSE {_HLL_RHO_MAX} - length(bin(shiftright(h, {_HLL_P}))) END"
+        ).alias("rho"),
+    )
+    # sketch-sized (sources x <=256 rows); persisted because the pair
+    # stage folds it three ways — released by the caller's
+    # released_caches discipline (caching.py)
+    regs = rr.groupBy("source", "idx").agg(F.max("rho").alias("m_rho")).persist()
+    se = (
+        regs.groupBy("source")
+        .agg(*_hll_fold_cols(F.count(F.lit(1))))
+        .select("source", _hll_est_col().alias("est"))
+    )
+    srcs = regs.select("source").distinct()
+    pairs = srcs.select(F.col("source").alias("sa")).join(
+        srcs.select(F.col("source").alias("sb")), F.col("sa") < F.col("sb")
+    )
+    u = pairs.join(regs, F.col("source") == F.col("sa")).select(
+        "sa", "sb", "idx", "m_rho"
+    ).unionByName(
+        pairs.join(regs, F.col("source") == F.col("sb")).select(
+            "sa", "sb", "idx", "m_rho"
+        )
+    )
+    ue = (
+        u.groupBy("sa", "sb", "idx")
+        .agg(F.max("m_rho").alias("m_rho"))
+        .groupBy("sa", "sb")
+        .agg(*_hll_fold_cols(F.count(F.lit(1))))
+        .select("sa", "sb", _hll_est_col().alias("est_union"))
+    )
+    ea = se.select(F.col("source").alias("sa"), F.col("est").alias("est_a"))
+    eb = se.select(F.col("source").alias("sb"), F.col("est").alias("est_b"))
+    return (
+        pairs.join(ea, "sa")
+        .join(eb, "sb")
+        .join(ue, ["sa", "sb"])
+        .select(
+            F.col("sa").alias("src_a"),
+            F.col("sb").alias("src_b"),
+            "est_a",
+            "est_b",
+            "est_union",
+            F.round(
+                F.greatest(
+                    F.col("est_a") + F.col("est_b") - F.col("est_union"),
+                    F.lit(0.0),
+                ),
+                4,
+            ).alias("est_overlap"),
+        )
+    )
+
+
 def cms_registers(words: DataFrame) -> DataFrame:
     """(wd) frame -> the d x w counter matrix as (r, idx, reg) rows —
     the SUM-mergeable partial the streaming twin folds into state."""
@@ -460,14 +593,23 @@ def cms_registers(words: DataFrame) -> DataFrame:
 
 
 def cms_point_estimates(terms: DataFrame, regs: DataFrame) -> DataFrame:
-    """CMS point queries: (term) frame joined against (r, idx, reg)
-    registers, estimate = MIN over the d rows. Output (term, est_cnt)."""
+    """CMS point queries: (term) frame probed against (r, idx, reg)
+    registers, estimate = MIN over the d rows. Output (term, est_cnt).
+
+    The register table is SPARSE (never-incremented counters are
+    implicit zeros), so the probe is a LEFT join from the d probe slots
+    with ``coalesce(reg, 0)`` — true CMS semantics: a term whose slots
+    were never touched answers est_cnt=0 instead of vanishing from the
+    output or over-estimating via a MIN over fewer than d rows. The
+    register table is sketch-sized (<= d*w = 65536 rows), so it
+    broadcasts."""
     idx_arr = F.array(*[_cms_idx_spark(r) for r in range(_CMS_D)])
     probe_idx = terms.select(
         F.col("term").alias("wd")
     ).select("wd", F.posexplode(idx_arr).alias("r", "idx"))
     return (
-        regs.join(F.broadcast(probe_idx), ["r", "idx"])
+        probe_idx.join(F.broadcast(regs), ["r", "idx"], "left")
+        .withColumn("reg", F.coalesce("reg", F.lit(0)))
         .groupBy("wd")
         .agg(F.min("reg").cast("long").alias("est_cnt"))
         .select(F.col("wd").alias("term"), "est_cnt")

@@ -998,10 +998,19 @@ def _distill_train_oracle() -> str:
         o_distill_chain_sql,
     )
 
+    # Weights leave the query as exact integer MICRO-UNITS (the same
+    # in-engine round-to-BIGINT the per-row loss_micro terms already
+    # use): SQL round at scale 0 is half-away-from-zero in both engines
+    # and decided purely by the binary double vs the .5 boundary, so it
+    # is engine-portable where emitting round(w, 6) DOUBLES was not
+    # (Python banker's round vs SQL round diverge, and iteration 1's
+    # -0.0 hash-canonicalizes engine-dependently). r5's one red row.
+    micros = ", ".join(
+        f"CAST(round(1000000.0 * w{j}) AS BIGINT) AS w{j}_micro"
+        for j in range(5)
+    )
     rows = "\nUNION ALL\n".join(
-        f"SELECT CAST({t} AS BIGINT) AS iter, round(w0, 6) AS w0, "
-        f"round(w1, 6) AS w1, round(w2, 6) AS w2, round(w3, 6) AS w3, "
-        f"round(w4, 6) AS w4, "
+        f"SELECT CAST({t} AS BIGINT) AS iter, {micros}, "
         f"loss_micro, n FROM w{t}"
         for t in range(1, DISTILL_ITERS + 1)
     )
@@ -1019,7 +1028,9 @@ def _distill_train_oracle() -> str:
     "loss contributions rounded to integer micro-units and summed as "
     "exact BIGINTs (order-independent — the linreg MAPE-gate trick). "
     "Output is the convergence table: per iteration the updated "
-    "weights and the pre-update training loss. Each iteration is ONE "
+    "weights (as exact BIGINT micro-units, rounded IN-ENGINE by the "
+    "same SQL round both engines share — never as engine-formatted "
+    "doubles) and the pre-update training loss. Each iteration is ONE "
     "map-side-combined global aggregate over a persisted slim feature "
     "frame — model-sized driver state, T passes, no collect of data "
     "rows, unchanged at 100 TB. The oracle replays the identical CTE "
@@ -1038,22 +1049,23 @@ def quality_classifier_train_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         feats.unpersist()
     rows = [
-        (
-            h["iter"],
-            round(h["w"][0], 6),
-            round(h["w"][1], 6),
-            round(h["w"][2], 6),
-            round(h["w"][3], 6),
-            round(h["w"][4], 6),
-            h["loss_micro"],
-            h["n"],
-        )
-        for h in history
+        (h["iter"], *h["w"], h["loss_micro"], h["n"]) for h in history
     ]
-    return spark.createDataFrame(
+    raw = spark.createDataFrame(
         rows,
         "iter long, w0 double, w1 double, w2 double, w3 double, "
         "w4 double, loss_micro long, n long",
+    )
+    # micro-unit encoding happens IN Spark SQL so both engines run the
+    # same round() on the same IEEE doubles (see _distill_train_oracle)
+    return raw.selectExpr(
+        "iter",
+        *[
+            f"CAST(round(1000000.0 * w{j}) AS BIGINT) AS w{j}_micro"
+            for j in range(5)
+        ],
+        "loss_micro",
+        "n",
     )
 
 

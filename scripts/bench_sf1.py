@@ -60,6 +60,11 @@ QUERIES = [
     "multimodal_png_stats",
     "rolling_backtest",
     "dataset_card",
+    # round-6 additions: the HLL set-algebra pair (the audited twin was
+    # the one registered query missing from the checkpoint — VERDICT r5
+    # ask #5) and its audit-free production variant
+    "hll_union_distinct",
+    "hll_union_lean",
 ]
 
 
@@ -80,8 +85,13 @@ def main() -> None:
 
     spark = get_spark("bench-sf1")
     specs = all_queries()
-    fns = {n: specs[n].fn for n in QUERIES}
-    fns["training_features_stitched"] = training_features_stitched
+    # optional CLI args: measure only the named queries (merged into the
+    # artifact like any run) — lets a round re-measure its additions
+    # without re-timing the whole list
+    wanted = sys.argv[1:] or QUERIES
+    fns = {n: specs[n].fn for n in wanted}
+    if not sys.argv[1:]:
+        fns["training_features_stitched"] = training_features_stitched
 
     out: dict[str, dict[str, float]] = {}
     for name, fn in fns.items():

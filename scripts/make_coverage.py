@@ -37,13 +37,21 @@ def _green(row: dict) -> bool:
     )
 
 
-def build_coverage() -> dict:
+def build_coverage(rounds_filter: list[int] | None = None) -> dict:
+    """Build the ledger from the CORRECTNESS files on disk.
+
+    ``rounds_filter`` restricts the build to those round numbers — used
+    by tests/test_coverage.py to re-derive the ledger as it stood before
+    the newest driver artifact landed (the end-of-round snapshot race).
+    """
     from bigdatasmallprice_spark.registry import all_queries
 
     rounds: dict[int, dict] = {}
     for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
         if not m:
+            continue
+        if rounds_filter is not None and int(m.group(1)) not in rounds_filter:
             continue
         with open(path) as f:
             rounds[int(m.group(1))] = json.load(f)

@@ -524,3 +524,32 @@ def test_zorder_pruning_is_window_over_one_union_no_join(spark):
     assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
     assert "Window" in plan and "ntile" in plan
     assert "hashpartitioning(layout" in plan, plan
+
+
+def test_hll_union_lean_scans_corpus_once_no_audit(spark):
+    """The production HLL union variant must carry NO corpus-sized
+    surface beyond the register fold: exactly ONE parquet scan of the
+    documents table (the persisted register table feeds every other
+    branch), the only corpus-width exchange is the (source, idx)
+    register fold, and no Python stage / cartesian product / distinct
+    of the (source, shingle) frame survives (the MAX-fold IS the
+    dedup)."""
+    import re
+
+    from bigdatasmallprice_spark.registry import all_queries
+
+    df = all_queries()["hll_union_lean"].fn(spark, SF)
+    plan = _formatted(df)
+    n_scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
+    assert n_scans == 1, (n_scans, plan)
+    assert "CartesianProduct" not in plan
+    assert "MapInPandas" not in plan and "EvalPython" not in plan
+    # the single corpus-width exchange: the register fold keyed on
+    # (source, idx); every OTHER exchange hangs off the in-memory
+    # sketch-sized register table
+    corpus_exchanges = [
+        line
+        for line in plan.splitlines()
+        if "Arguments: hashpartitioning" in line and "idx#" in line
+    ]
+    assert len(corpus_exchanges) == 1, corpus_exchanges

@@ -83,3 +83,20 @@ def test_hll_union_estimates_within_bounds(spark):
         assert abs(r.est_overlap - r.exact_overlap) <= 0.25 * r.exact_union, r
         # exact identities hold inside the result
         assert r.exact_union == r.exact_a + r.exact_b - r.exact_overlap
+
+
+def test_hll_union_lean_matches_audited_estimates(spark):
+    """The lean (audit-free) variant must produce BIT-IDENTICAL
+    estimates to the audited twin for every pair: the register MAX-fold
+    is idempotent, so skipping the (source, shingle) distinct cannot
+    change a single register, and the downstream fold is the same
+    expression tree."""
+    full = {
+        (r.src_a, r.src_b): (r.est_a, r.est_b, r.est_union, r.est_overlap)
+        for r in all_queries()["hll_union_distinct"].fn(spark, SF).collect()
+    }
+    lean = {
+        (r.src_a, r.src_b): (r.est_a, r.est_b, r.est_union, r.est_overlap)
+        for r in all_queries()["hll_union_lean"].fn(spark, SF).collect()
+    }
+    assert lean == full

@@ -1213,9 +1213,15 @@ def test_streaming_cms_equals_batch_and_replay_safe(spark, tmp_path):
         for r in words.groupBy("wd").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     probes = sorted(exact)[:10]
+    # an UNSEEN term must still yield a row (true CMS semantics: its
+    # counters are implicit zeros -> est_cnt may be 0, never a KeyError
+    # or a MIN over fewer than d rows)
+    unseen = "zz-never-in-corpus-zz"
+    assert unseen not in exact
     est = {
         r.term: r.est_cnt
-        for r in read_cms_estimates(spark, state, probes).collect()
+        for r in read_cms_estimates(spark, state, probes + [unseen]).collect()
     }
     for t in probes:
         assert est[t] >= exact[t], (t, est[t], exact[t])
+    assert est[unseen] >= 0  # present, and only hash-collision mass
