@@ -567,3 +567,125 @@ def test_gbt_full_failed_fit_releases_caches(spark, monkeypatch):
     with pytest.raises(RuntimeError):
         fit_gbt_full(feat, 4, thresholds, n_rounds=3, depth=2, lr=0.2)
     assert persistent_rdd_ids(spark) - before == set()
+
+
+def _structured_net_load_feat(spark, days=120):
+    """A deterministic hourly net-load series with the reference's
+    PROBLEM SHAPE at fit-frame scale: two different nonmonotone hour
+    profiles (weekday double-peak, weekend midday hump) over a noise
+    floor — the hour x weekend interaction a linear model cannot
+    express and a depth-7 tree can. Returns the 9-feature fit frame
+    (y, x0..x8, split, is_train) directly: featurization itself is
+    covered by the driver-green train_gbt_load query; this frame
+    exists to exercise the FIT at reference capacity. Everything is
+    integer and index-derived (LCG pseudo-noise), so the fit is
+    bit-reproducible."""
+    import math
+
+    hs_wd = [
+        int(8000 * math.exp(-((h - 8) ** 2) / 10))
+        + int(15000 * math.exp(-((h - 19) ** 2) / 8))
+        for h in range(24)
+    ]
+    hs_we = [int(11000 * math.exp(-((h - 13) ** 2) / 18)) for h in range(24)]
+    n = days * 24
+    v = []
+    for i in range(n):
+        h, d = i % 24, i // 24
+        we = 1 if d % 7 >= 5 else 0
+        noise = ((i * 1103515245 + 12345) % 2001) - 1000  # +-10_00 cents
+        v.append(50000 + (hs_we[h] if we else hs_wd[h]) + noise)
+    rows = []
+    for i in range(168, n):
+        h, d = i % 24, i // 24
+        we = 1 if d % 7 >= 5 else 0
+        day_from_end = (n - 1 - i) // 24
+        split = (
+            "test"
+            if day_from_end < 14
+            else ("val" if day_from_end < 28 else "train")
+        )
+        rows.append(
+            (
+                v[i], h, d % 7 + 1, 1 + (d // 30) % 12,
+                1 + ((d // 30) % 12) // 3, we,
+                v[i - 1], v[i - 24], v[i - 168], sum(v[i - 24 : i]), split,
+            )
+        )
+    cols = (
+        "y long, x0 long, x1 long, x2 long, x3 long, x4 long, "
+        "x5 long, x6 long, x7 long, x8 long, split string"
+    )
+    return spark.createDataFrame(rows, cols).withColumn(
+        "is_train", F.col("split") == "train"
+    )
+
+
+def test_gbt_load_reference_capacity_margin_and_convergence(spark):
+    """The fit at the FULL reference Model-A config (n_estimators=300,
+    early_stopping_rounds=20, max_depth=7, lr=0.05 — reference
+    train.py:144-157) on a structured series: convergence must be deep
+    (best round past 50 — a 15-round demo cannot reach it), early
+    stopping must cut the 300-round cap, the train-MAE history must
+    collapse by an order of magnitude, the boosted model must beat
+    least squares ON THE SAME 9 FEATURES by the reference's margin on
+    BOTH held-out splits (reference: XGB 217 vs linear 299 kWh test
+    MAE, ~27% better — models/metrics_load_20260321.json), and every
+    executed round's tree must stay inside the per-level node bound
+    that keeps the distributed histogram model-sized (<= 2^lvl nodes
+    -> <= 2^lvl * m * (bins+1) histogram rows at every one of the
+    ~1100 (round, level) aggregates; the 3-round distributed-stats
+    test measures that mapping, this asserts it across ALL capacity
+    rounds). Measured here (recorded in BASELINE.md): executed 158 of
+    300, best round 138, fit wall ~17s local-path.
+    """
+    import math
+
+    import numpy as np
+
+    from bigdatasmallprice_spark.operators.gbt import (
+        LOAD_GBT_FIXED,
+        LOAD_GBT_N_FEATURES,
+        fit_gbt_on_features,
+    )
+
+    feat = _structured_net_load_feat(spark)
+    m = LOAD_GBT_N_FEATURES
+    model, mae = fit_gbt_on_features(
+        feat, m, n_rounds=300, depth=7, lr=0.05,
+        fixed_thresholds=LOAD_GBT_FIXED, patience=20,
+    )
+    executed = len(model.trees)
+    vals = {r: v for (s, r), v in mae.items() if s == "val"}
+    tsts = {r: v for (s, r), v in mae.items() if s == "test"}
+    trns = {r: v for (s, r), v in mae.items() if s == "train"}
+    best = min(sorted(vals), key=lambda r: (vals[r], r))
+
+    # capacity actually exercised: deep convergence + a real early stop
+    assert executed < 300 and executed == best + 20, (executed, best)
+    assert best >= 50, best
+    assert trns[1] > 10 * trns[best], (trns[1], trns[best])
+
+    # reference-margin claim on the SAME features, val AND test
+    pdf = feat.toPandas()
+    tr = pdf[pdf.split == "train"]
+    X = np.stack(
+        [np.ones(len(tr))] + [tr[f"x{i}"] for i in range(m)], 1
+    ).astype(float)
+    beta, *_ = np.linalg.lstsq(X, tr.y.astype(float), rcond=None)
+    lin = {}
+    for name in ("val", "test"):
+        d = pdf[pdf.split == name]
+        Xd = np.stack(
+            [np.ones(len(d))] + [d[f"x{i}"] for i in range(m)], 1
+        ).astype(float)
+        lin[name] = math.floor(np.abs(d.y - Xd @ beta).mean())
+    assert vals[best] <= 0.80 * lin["val"], (vals[best], lin["val"])
+    assert tsts[best] <= 0.85 * lin["test"], (tsts[best], lin["test"])
+
+    # the distributed histogram keyspace bound holds for EVERY executed
+    # round: nodes split at level lvl never exceed 2^lvl
+    for tree in model.trees:
+        for lvl, lvl_splits in enumerate(tree.splits):
+            assert len(lvl_splits) <= (1 << lvl), (lvl, len(lvl_splits))
+            assert all(0 <= nd < (1 << lvl) for nd in lvl_splits), lvl_splits
