@@ -383,6 +383,189 @@ def bmp_resize_features(media: DataFrame, factor: int = 2) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Perceptual image hash (aHash) near-duplicate detection. The classic
+# average-hash: grayscale the 8x8 pixel grid, set bit j iff pixel j's
+# luma is >= the image mean, compare hashes by Hamming distance. Near-
+# identical images (same scene, small retouch) differ in a few bits;
+# blocking on exact signature chunks turns the pair search into an
+# equi-join, the same pigeonhole pattern as SimHash text dedup
+# (operators/dedup.py::simhash_near_pairs). No reference counterpart
+# (the reference has no image pipeline); spec: the standard aHash as
+# popularized by the pHash/imagehash family.
+#
+# Engine-portable integer math throughout: luma is the BT.601 integer
+# approximation (299r + 587g + 114b) // 1000, the mean comparison is
+# the divisionless 64*luma >= sum(luma), and the signature keeps bits
+# 0..62 only (AHASH_BITS = 63) so it always fits a signed BIGINT —
+# same reason the text SimHash is 48-bit. Pixel 63 still feeds the
+# mean, it just contributes no bit.
+
+AHASH_SIDE = BMP_SIDE  # 8x8 grid
+AHASH_PIXELS = AHASH_SIDE * AHASH_SIDE  # 64
+AHASH_BITS = AHASH_PIXELS - 1  # 63: signed-BIGINT-safe signature
+AHASH_CHUNKS = 4  # 16,16,16,15-bit chunks; Hamming<=3 shares one
+AHASH_CHUNK_BITS = 16
+AHASH_GROUP = 4  # near-dup synth: docs per base-pattern group
+# luma levels of the synthetic near-dup corpus: every pixel is exactly
+# LO or HI and pixels 0/63 are pinned to LO/HI, so the image mean is
+# STRICTLY between the two levels — every hash bit is unambiguous and
+# a retouch flips exactly its own bits (member m sits at Hamming m
+# from the base, pair (m1 < m2) at exactly m2 - m1)
+_AHASH_LO, _AHASH_HI = 40, 220
+# base-pattern bit mix: md5 of "g:j" (first hex nibble, mod 2) — the
+# repo-standard engine-portable hash. Arithmetic mixes fail here in
+# instructive ways: a parity mix (j*j + j is even) collapses groups
+# onto g%2, and an LCG top bit along the (37g + 11j) progression is a
+# Sturmian cut sequence, so NEIGHBORING groups' patterns correlate to
+# within the Hamming threshold (measured: 2,496 pairs instead of 750
+# at sf0.001). md5 makes cross-group base distances ~31 bits.
+_AHASH_MIX_TMPL = (
+    "('0x' || substr(md5(CAST({g} AS VARCHAR) || ':' || "
+    "CAST({j} AS VARCHAR)), 1, 1))::BIGINT % 2 = 1"
+)
+
+
+def ahash_of_lumas(lumas: list[int]) -> int:
+    """The 63-bit average hash of a 64-luma grid (bit j of pixel j,
+    j < 63; divisionless mean comparison)."""
+    total = sum(lumas)
+    h = 0
+    for j in range(AHASH_BITS):
+        if AHASH_PIXELS * lumas[j] >= total:
+            h |= 1 << j
+    return h
+
+
+def luma_of(r: int, g: int, b: int) -> int:
+    """BT.601 integer luma — the exact expression the oracle replays."""
+    return (299 * r + 587 * g + 114 * b) // 1000
+
+
+def _neardup_base_luma(g: int, j: int) -> int:
+    """Deterministic two-level base pattern for group ``g``: pixel 0
+    pinned LO and pixel 63 pinned HI keep every image's mean strictly
+    inside (LO, HI), so no hash bit is mean-ambiguous."""
+    if j == 0:
+        return _AHASH_LO
+    if j == AHASH_PIXELS - 1:
+        return _AHASH_HI
+    mixed = int(hashlib.md5(f"{g}:{j}".encode()).hexdigest()[0], 16) % 2
+    return _AHASH_HI if mixed == 1 else _AHASH_LO
+
+
+def neardup_retouch_positions(g: int, m: int) -> list[int]:
+    """Member ``m`` of group ``g`` retouches pixels (g*7 + k*17) % 62
+    + 1 for k < m — hash-visible positions (1..62), never the pinned
+    pixels, so member m sits at Hamming ~m from the group base."""
+    return [(g * 7 + k * 17) % 62 + 1 for k in range(m)]
+
+
+def synth_neardup_pixels(doc_id: int) -> list[list[tuple[int, int, int]]]:
+    """Near-duplicate synthetic image: group base pattern with member
+    m's retouched pixels flipped LO<->HI. Gray pixels (v, v, v), so
+    luma == v exactly."""
+    d = int(doc_id)
+    g, m = d // AHASH_GROUP, d % AHASH_GROUP
+    touched = set(neardup_retouch_positions(g, m))
+    rows = []
+    for y in range(AHASH_SIDE):
+        row = []
+        for x in range(AHASH_SIDE):
+            j = y * AHASH_SIDE + x
+            v = _neardup_base_luma(g, j)
+            if j in touched:
+                v = _AHASH_LO + _AHASH_HI - v
+            row.append((v, v, v))
+        rows.append(row)
+    return rows
+
+
+def synthesize_neardup_bmp(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic near-dup 8x8 24-bit BMP per document as an opaque
+    ``binary`` column (Arrow-batched real encode)."""
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids.values,
+                    "payload": [
+                        encode_bmp(synth_neardup_pixels(d)) for d in ids
+                    ],
+                }
+            )
+
+    return docs.select(id_col).mapInPandas(_synth, "doc_id long, payload binary")
+
+
+def ahash_features(media: DataFrame) -> DataFrame:
+    """REAL byte path: decode each BMP payload, integer-luma the pixel
+    grid, emit the 63-bit aHash — one Arrow batch loop. At 100 TB this
+    is the only per-byte stage; everything downstream is a signature-
+    keyed equi-join."""
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for d, p in zip(pdf["doc_id"].astype("int64"), pdf["payload"]):
+                px = decode_bmp_pixels(bytes(p))
+                lumas = [luma_of(r, g, b) for row in px for (r, g, b) in row]
+                out.append({"doc_id": int(d), "ahash": ahash_of_lumas(lumas)})
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(_hash, "doc_id long, ahash long")
+
+
+def ahash_near_pairs(
+    df: DataFrame, id_col: str = "doc_id", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup image pairs by Hamming distance with chunk blocking:
+    the 63-bit signature splits into 4 chunks (16+16+16+15 bits); any
+    pair within Hamming<=3 shares at least one exact chunk
+    (pigeonhole), so the join is an equi-join on (chunk_idx, value) —
+    never all-pairs. Mirrors simhash_near_pairs."""
+    from pyspark.sql import functions as F
+
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("ci"),
+                (
+                    F.expr(f"ahash div {1 << (AHASH_CHUNK_BITS * i)}")
+                    % (1 << AHASH_CHUNK_BITS)
+                ).alias("cv"),
+            )
+            for i in range(AHASH_CHUNKS)
+        ]
+    )
+    ex = df.select(id_col, "ahash", F.explode(chunks).alias("c")).select(
+        id_col, "ahash", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv")
+    )
+    a, b = ex.alias("a"), ex.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.ci") == F.col("b.ci"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.ahash").alias("h_a"),
+            F.col("b.ahash").alias("h_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.expr("bit_count(h_a ^ h_b)").cast("long"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Video: uncompressed YUV4MPEG2 (.y4m) — real container encode/decode.
 # Layout: one ASCII header line ("YUV4MPEG2 W8 H8 F25:1 Ip A1:1 C444\n"),
 # then per frame an ASCII "FRAME\n" marker followed by raw Y, U, V

@@ -241,3 +241,102 @@ def multimodal_png_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     return png_features(synthesize_png(docs))
+
+
+def _ahash_oracle() -> str:
+    from bigdatasmallprice_spark.operators.multimodal import (
+        _AHASH_LO,
+        _AHASH_HI,
+        _AHASH_MIX_TMPL,
+        AHASH_BITS,
+        AHASH_CHUNK_BITS,
+        AHASH_GROUP,
+        AHASH_PIXELS,
+    )
+
+    mix = _AHASH_MIX_TMPL.format(g="g", j="j")
+    flip = _AHASH_LO + _AHASH_HI
+    # member m retouches (g*7 + k*17) % 62 + 1 for k < m (m <= 3)
+    touched = " OR ".join(
+        f"(m > {k} AND j = (g * 7 + {k * 17}) % 62 + 1)" for k in range(3)
+    )
+    cw = 1 << AHASH_CHUNK_BITS
+    chunk_rows = "\n  UNION ALL ".join(
+        f"SELECT doc_id, ahash, {i} AS ci, "
+        f"(ahash // {1 << (AHASH_CHUNK_BITS * i)}) % {cw} AS cv FROM hh"
+        for i in range(4)
+    )
+    return f"""
+WITH px AS (
+  SELECT doc_id, doc_id // {AHASH_GROUP} AS g, doc_id % {AHASH_GROUP} AS m,
+         unnest(range({AHASH_PIXELS})) AS j
+  FROM documents
+),
+base AS (
+  SELECT doc_id, g, m, j,
+         CASE WHEN j = 0 THEN {_AHASH_LO}
+              WHEN j = {AHASH_PIXELS - 1} THEN {_AHASH_HI}
+              WHEN {mix} THEN {_AHASH_HI} ELSE {_AHASH_LO} END AS bv
+  FROM px
+),
+lum AS (
+  SELECT doc_id, j,
+         CASE WHEN {touched} THEN {flip} - bv ELSE bv END AS v
+  FROM base
+),
+wt AS (SELECT doc_id, j, v, SUM(v) OVER (PARTITION BY doc_id) AS tot FROM lum),
+hh AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN j < {AHASH_BITS} AND {AHASH_PIXELS} * v >= tot
+                       THEN (1::BIGINT << CAST(j AS INT)) ELSE 0 END)
+              AS BIGINT) AS ahash
+  FROM wt GROUP BY 1
+),
+chunks AS (
+  {chunk_rows}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                  a.ahash AS h_a, b.ahash AS h_b
+  FROM chunks a JOIN chunks b
+    ON a.ci = b.ci AND a.cv = b.cv AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(h_a, h_b)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(h_a, h_b)) <= 3
+"""
+
+
+@register(
+    "image_neardup_phash",
+    _ahash_oracle(),
+    doc="Perceptual-hash image near-dup detection (the aHash of the "
+    "pHash/imagehash family): synthesize a near-dup corpus of REAL "
+    "8x8 24-bit BMPs (groups of 4 sharing a base pattern, member m "
+    "retouching m pixels), decode the actual bytes, integer-luma the "
+    "grid (BT.601), build the 63-bit average hash with a divisionless "
+    "mean comparison, then find Hamming<=3 pairs via 16-bit-chunk "
+    "blocking — the SimHash pigeonhole pattern applied to images, so "
+    "the pair search is an equi-join, never all-pairs. The oracle "
+    "replays luma/hash/blocking in closed form from the synthetic "
+    "pattern WITHOUT touching bytes: a hash match certifies the whole "
+    "encode -> binary column -> decode -> signature path byte-exactly. "
+    "At 100 TB the per-byte work is one Arrow pass; candidates stay "
+    "near-linear (65k bucket values per chunk). Completes the dedup "
+    "family across modalities: text (MinHash/SimHash/span), embedding "
+    "(LSH/IVF/SemDeDup), image (this).",
+    tags=("multimodal", "dedup", "join", "udf"),
+)
+def image_neardup_phash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdatasmallprice_spark.operators.multimodal import (
+        ahash_features,
+        ahash_near_pairs,
+        synthesize_neardup_bmp,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    media = synthesize_neardup_bmp(docs)
+    # persist the tiny (doc_id, ahash) frame: both sides of the
+    # blocking self-join reuse it; without it the BMP encode+decode
+    # Arrow stages run twice (caller releases via released_caches)
+    sigs = ahash_features(media).persist()
+    return ahash_near_pairs(sigs)

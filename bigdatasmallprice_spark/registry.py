@@ -76,13 +76,37 @@ def all_queries() -> dict[str, QuerySpec]:
 DRIVER_CAP = 50
 
 DRIVER_ORDER: list[str] = [
-    # r5 rotation rule (VERDICT r4 ask #4): new queries first, then
-    # every query whose external evidence is a SINGLE green row. 53
-    # single-row queries + 6 new ones = 59 candidates for 50 slots, so
-    # nine singles with documented machinery redundancy sit out
-    # (listed at the bottom); after r5 the minimum evidence across the
-    # other 116 queries is two green rows.
-    # -- new in r5, never driver-verified
+    # r6 rotation (VERDICT r5 ask #4): the one red/never-verified query
+    # first, then this round's 2 new queries, then ALL 22 single-row
+    # queries (the 13 r5 sit-outs finally get their second row + the 9
+    # r5-firsts), then the 25 oldest double-greens. 1 + 2 + 22 + 25 =
+    # 50 — nothing sits out this round; after r6 every query registered
+    # before this round has >= 2 green rows (the ratchet the ledger has
+    # promised since r4).
+    # -- red in r5 (output-encoding defect, fixed: weights leave both
+    #    engines as exact BIGINT micro-units) — the only registered
+    #    query without a green external row; its filter twin follows so
+    #    the shared fit is certified in the same round
+    "quality_classifier_train",
+    "quality_classifier_filter",
+    # -- new in r6, never driver-verified
+    "hll_union_lean",
+    "image_neardup_phash",
+    # -- the 13 r5 sit-outs (single green row from r1-r4)
+    "train_gbt_model",
+    "union_by_name",
+    "filtered_counts",
+    "traffic_light",
+    "ngram_jaccard_pairs",
+    "chart_downsample",
+    "daily_mean_deviation",
+    "minhash_signatures",
+    "value_distribution",
+    "value_deciles",
+    "value_trend_regression",
+    "twap_hourly",
+    "value_quantiles_by_type",
+    # -- first green in r5 (second row ratchets stability)
     "hll_distinct",
     "count_min_probe",
     "zorder_pruning",
@@ -91,93 +115,35 @@ DRIVER_ORDER: list[str] = [
     "dedup_rewrite_hashed",
     "train_gbt_load",
     "bloom_shingle_prefilter_lean",
-    "quality_classifier_train",
-    "quality_classifier_filter",
-    # -- first green in r4 (second row ratchets stability, same rule
-    #    that gave the r3 firsts their second rows in r4)
-    "semantic_dedup",
-    "ann_index_upsert",
-    "bloom_shingle_prefilter",
-    "corpus_snapshot_diff",
-    "multimodal_png_stats",
-    "cardinality_sketch",
-    "dataset_card",
-    "langid_eval",
-    "perplexity_buckets",
-    "rolling_backtest",
-    "event_funnel",
-    "scd2_history",
-    "user_spend_rank",
-    "dedup_span_stats",
-    "eval_split_clean",
-    "dedup_span_stats_hashed",
-    "eval_split_clean_hashed",
-    "line_dedup_hashed",
-    "train_gbt_full",
-    "embedding_neardup_banded",
-    # -- single green row from the r1/r2-era rotations (second row now)
-    "argmax_event_per_type",
-    "backfill_estimate",
-    "brand_nation_revenue",
-    "customer_activity_split",
-    "customer_retention_sets",
-    "dedup_canonical",
-    "forecast_metrics",
-    "gap_fill_hourly",
-    "grain_align_join",
-    "hash_sample_summary",
-    "holiday_range_join",
-    "market_revenue",
-    "median_impute",
-    "price_history",
-    "revenue_grouping_sets",
-    "sliding_hour_windows",
-    "small_quantity_revenue",
-    "stratified_sample_summary",
-    "top_users",
-    "video_frame_sample",
-    # Thirteen single-row queries sit out this round (slots exhausted);
-    # each keeps its green row and its unique machinery runs inside a
-    # double-green listed/verified query:
-    #   train_gbt_model — strict depth-2 subset of train_gbt_full (in
-    #     this round's list) and train_gbt_load (new)
-    #   union_by_name — unionByName(allowMissingColumns) also runs
-    #     inside table_stats (green r2+r3)
-    #   filtered_counts — SUM/MAX-over-CASE conditional aggregates also
-    #     run inside net_position (green r2+r3)
-    #   traffic_light — bucketing over tariff_breakdown's verified
-    #     formula stack (green r2+r3)
-    #   ngram_jaccard_pairs — shingle-Jaccard verify also runs inside
-    #     minhash_lsh_pairs (green r2+r3) and dedup_incremental
-    #   chart_downsample — stride predicate; the top-k/pagination
-    #     serving surface is covered by price_history +
-    #     row_explorer_page (both in this round's list)
-    #   daily_mean_deviation — daily-mean-vs-row delta join; same
-    #     groupBy+join-back shape as median_impute (in this list)
-    #   minhash_signatures — its shingle->minhash stage is the first
-    #     half of minhash_lsh_pairs (green r2+r3) and runs inside
-    #     dedup_incremental (green r3+r4); its sf0.1 perf claim was
-    #     closed with the r5 interleaved A/B (BASELINE.md)
-    #   value_distribution — count/min/max/avg/stddev aggregate; the
-    #     same agg stack runs inside dataset_card (in this list) and
-    #     table_stats (green r2+r3)
-    #   value_deciles — ntile bucketing; ntile also runs inside
-    #     perplexity_buckets (in this round's list, green r4)
-    #   value_trend_regression — integer moment sums + closed-form
-    #     slope; the same sum-of-products stack runs inside
-    #     train_linear_model (green r1+r3+r4) and rolling_backtest
-    #     (in this round's list, green r4)
-    #   twap_hourly — lead()-over-time duration-weighted integer agg;
-    #     the same lead-window machinery runs inside session_stats
-    #     (green r2+r3) and sliding_hour_windows (in this round's
-    #     list)
-    #   value_quantiles_by_type — exact percentile over integer cents;
-    #     the same percentile machinery runs inside robust_outliers_mad
-    #     (green r3+r4) and median_impute (in this round's list)
-    #
-    # r4 rotation history: 30 keepers + the 20 then-unverified (see
-    # COVERAGE.json; every registered query has had >=1 green row since
-    # r4). Earlier rotation rationales live in git history (r2-r4).
+    # -- oldest double-greens (last green r2): third row refresh
+    "chrono_split_summary",
+    "corpus_curation_summary",
+    "dedup_exact",
+    "error_monitor",
+    "freshness_gate",
+    "hourly_pivot",
+    "hourly_rollup",
+    "minhash_lsh_pairs",
+    "model_score",
+    "neardup_clusters",
+    "net_load_features",
+    "net_position",
+    "pricing_summary",
+    "row_explorer_page",
+    "simhash_pairs",
+    "table_stats",
+    "tariff_breakdown",
+    "training_features",
+    "upsert_idempotency",
+    # -- oldest double-greens, next tier (last green r3)
+    "ann_cosine_topk",
+    "ann_ivf_topk",
+    "ann_lsh_topk",
+    "asof_last_purchase",
+    "bpe_token_stats",
+    "embedding_neardup",
+    # r5 rotation history (the 13 sit-outs' machinery-redundancy
+    # rationale) and earlier rounds' rationales live in git history.
 ]
 
 

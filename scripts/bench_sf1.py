@@ -65,6 +65,7 @@ QUERIES = [
     # ask #5) and its audit-free production variant
     "hll_union_distinct",
     "hll_union_lean",
+    "image_neardup_phash",
 ]
 
 

@@ -242,3 +242,54 @@ def test_png_distributed_stats_match_closed_form(spark):
     for d in range(12):
         expect = sum(v for row in synth_pixels(d) for p in row for v in p)
         assert got[d].pixel_sum == expect and got[d].n_pixels == 64
+
+
+def test_ahash_neardup_structure_is_exact(spark):
+    """The near-dup synth makes Hamming distances EXACT: member m sits
+    at Hamming m from the group base (retouch sets nest, lumas are
+    two-level with pinned extremes so no bit is mean-ambiguous), so
+    every intra-group pair (m1 < m2) must appear with hamming ==
+    m2 - m1 — all 6 pairs per full group, found by the chunk blocking
+    (pigeonhole at Hamming <= 3)."""
+    from bigdatasmallprice_spark.registry import all_queries
+
+    rows = (
+        all_queries()["image_neardup_phash"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    )
+    pairs = {(r.id_a, r.id_b): r.hamming for r in rows}
+    # 500 docs -> 125 full groups of 4 -> 750 intra-group pairs; the
+    # LCG base mix makes cross-group collisions impossible in range
+    intra = {(a, b): h for (a, b), h in pairs.items() if a // 4 == b // 4}
+    assert len(intra) == 750, len(intra)
+    for (a, b), h in intra.items():
+        assert h == (b % 4) - (a % 4), (a, b, h)
+    # no cross-group pair sneaks under the threshold on this corpus
+    assert len(pairs) == len(intra), set(pairs) - set(intra)
+
+
+def test_ahash_real_byte_path_matches_closed_form(spark):
+    """The Spark signature comes from DECODING real BMP bytes; the
+    closed form predicts it from the synth pattern. Equality certifies
+    the encode -> binary -> decode -> luma -> hash path byte-exactly
+    (the same property the oracle hash-checks, pinned here as a unit
+    test with the operator API)."""
+    from bigdatasmallprice_spark.operators.multimodal import (
+        ahash_features,
+        ahash_of_lumas,
+        luma_of,
+        synth_neardup_pixels,
+        synthesize_neardup_bmp,
+    )
+
+    docs = spark.range(40).selectExpr("id AS doc_id")
+    got = {
+        r.doc_id: r.ahash
+        for r in ahash_features(synthesize_neardup_bmp(docs)).collect()
+    }
+    for d in range(40):
+        lumas = [
+            luma_of(r, g, b) for row in synth_neardup_pixels(d) for (r, g, b) in row
+        ]
+        assert got[d] == ahash_of_lumas(lumas), d

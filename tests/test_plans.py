@@ -538,6 +538,10 @@ def test_hll_union_lean_scans_corpus_once_no_audit(spark):
 
     from bigdatasmallprice_spark.registry import all_queries
 
+    # a prior test's persisted subtree (e.g. the audited twin's
+    # (source, shingle) cache) would substitute InMemoryRelation for
+    # the scan and distort the counts below
+    spark.catalog.clearCache()
     df = all_queries()["hll_union_lean"].fn(spark, SF)
     plan = _formatted(df)
     n_scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
@@ -553,3 +557,24 @@ def test_hll_union_lean_scans_corpus_once_no_audit(spark):
         if "Arguments: hashpartitioning" in line and "idx#" in line
     ]
     assert len(corpus_exchanges) == 1, corpus_exchanges
+
+
+def test_image_neardup_blocking_is_equi_join_not_cartesian(spark):
+    """The perceptual-hash pair search must be the blocked equi-join
+    on (chunk_idx, chunk_value) — no cartesian product anywhere — and
+    the per-byte work exactly two Arrow stages (BMP synth + decode/
+    hash), both upstream of the persisted signature frame."""
+    from bigdatasmallprice_spark.registry import all_queries
+
+    spark.catalog.clearCache()  # see the hll_union_lean guard's note
+    df = all_queries()["image_neardup_phash"].fn(spark, SF)
+    plan = _formatted(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # a HASH-based equi join on the chunk keys (broadcast at test sf,
+    # shuffle-hash/sort-merge at scale — never a nested loop); Catalyst
+    # pushes the Hamming verify and the id ordering into the join
+    # condition as residuals
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan, plan
+    assert "bit_count" in plan, plan
+    assert plan.count("MapInPandas") >= 2  # BMP synth + decode/hash stages

@@ -1225,3 +1225,52 @@ def test_streaming_cms_equals_batch_and_replay_safe(spark, tmp_path):
     for t in probes:
         assert est[t] >= exact[t], (t, est[t], exact[t])
     assert est[unseen] >= 0  # present, and only hash-collision mass
+
+
+def test_streaming_zorder_table_equals_batch_union(spark, tmp_path):
+    """The foreachBatch OPTIMIZE ZORDER wiring end-to-end: two
+    availableNow deliveries fold into the versioned z-clustered table;
+    the readback equals the union of everything delivered, and the
+    manifest pins the layout config."""
+    from pyspark.sql import functions as F
+
+    from bigdatasmallprice_spark.streaming.state import read_state_manifest
+    from bigdatasmallprice_spark.streaming.zorder_stream import (
+        read_zorder_table,
+        zorder_table_stream,
+    )
+
+    from bigdatasmallprice_spark.queries.core import table as _table
+
+    ev = (
+        _table(spark, "/root/testdata/sf0.001", "events")
+        .select(
+            "event_id",
+            F.expr("unix_micros(ts)").alias("us"),
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("vc"),
+        )
+        .limit(400)
+    )
+    chunk1, chunk2 = ev.filter("event_id % 2 = 0"), ev.filter("event_id % 2 = 1")
+    src = str(tmp_path / "src")
+    st, ckpt = str(tmp_path / "ztab"), str(tmp_path / "zckpt")
+    chunk1.write.parquet(src)
+    x_sql = "greatest(least(us % 256, 255), 0)"
+    y_sql = "greatest(least(vc div 256, 255), 0)"
+
+    def run():
+        stream = spark.readStream.schema(ev.schema).parquet(src)
+        q = zorder_table_stream(
+            spark, stream, st, ckpt, x_sql, y_sql, rows_per_file=64
+        ).start()
+        q.awaitTermination(120)
+
+    run()
+    chunk2.write.mode("append").parquet(src)
+    run()
+
+    got = sorted(map(tuple, read_zorder_table(spark, st).collect()))
+    assert got == sorted(map(tuple, ev.collect()))
+    manifest = read_state_manifest(st)
+    assert manifest["config"]["x_sql"] == x_sql
+    assert manifest["max_batch_id"] >= 1
