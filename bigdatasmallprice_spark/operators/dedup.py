@@ -219,6 +219,111 @@ def with_simhash(df: DataFrame, text_col: str = "text", out: str = "simhash") ->
     return df.withColumn(out, F.expr(f"transform(array({whs}), __whs -> {terms})[0]"))
 
 
+# ---------------------------------------------------------------------------
+# Winnowing document fingerprints (Schleimer, Wilkerson & Aiken 2003 —
+# the MOSS algorithm). k-gram hashes -> per-window MINIMUM selection:
+# any two documents sharing a token run of length >= WINNOW_K +
+# WINNOW_W - 1 are GUARANTEED to share at least one fingerprint, while
+# the selected set is only ~2/(W+1) of all k-grams — the classic
+# guarantee/density trade the full-span family (dedup_span_stats) does
+# not give (spans detect exact 8-grams; winnowing detects any long-
+# enough overlap from a sparse signature). No reference counterpart;
+# the paper is the spec.
+
+WINNOW_K = 4  # tokens per k-gram
+WINNOW_W = 5  # window of consecutive k-gram hashes per fingerprint
+# guarantee horizon: shared runs >= K + W - 1 = 8 tokens always produce
+# a shared fingerprint — deliberately aligned with the span family's
+# 8-word span so the two operators certify the same duplication scale
+WINNOW_GUARANTEE = WINNOW_K + WINNOW_W - 1
+# fingerprints appearing in more than this many documents are dropped
+# as boilerplate before the pair join: a corpus-common phrase's
+# fingerprint carries no near-dup signal but would turn the equi-join
+# quadratic in its document frequency (the LSH hub-cap pattern)
+WINNOW_HUB_MAX = 16
+
+
+def _winnow_gram_poly(whs: str, i: str) -> str:
+    """Polynomial k-gram hash over 48-bit STRONG word hashes, mod the
+    house HASH_MOD — one md5 per WORD instead of one per k-gram string
+    (measured 3.6s -> 1.6s for the sf0.1 fingerprint stage). Every
+    intermediate stays < 2^49 (30-bit running hash * 31 + 48-bit word
+    hash), so no BIGINT overflow in either engine. 30-bit fingerprints
+    make spurious cross-doc fp collisions possible but (a) collisions
+    merge identically in BOTH engines — parity is unconditional — and
+    (b) false pairs need min_shared independent collisions, so the
+    min_shared filter absorbs them; the k+w-1 guarantee is
+    width-independent (identical runs hash identically)."""
+    from bigdatasmallprice_spark.functions.texts import HASH_MOD
+
+    h = f"element_at({whs}, {i})"
+    for j in range(1, WINNOW_K):
+        h = f"(({h}) * 31 + element_at({whs}, {i} + {j})) % {HASH_MOD}"
+    return h
+
+
+def winnow_fingerprints(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, fp) — the distinct winnowed fingerprint set per document,
+    entirely in codegen (no UDF, no shuffle): per-word md5 hashes ->
+    polynomial k-gram hashes -> window minima -> distinct. Documents
+    shorter than K tokens yield no rows; documents with fewer than W
+    k-grams yield their global minimum (the standard short-doc
+    extension)."""
+    wh = STRONG_WORDHASH.format(w="w")
+    whs = f"transform(split({text_col}, ' '), w -> {wh})"
+    # the word-hash array binds ONCE to a lambda variable: the gram
+    # polynomial references it 4x PER ELEMENT, and projection collapse
+    # would otherwise inline the tokenize+md5 array into every
+    # element_at — measured 61s instead of 2s at sf0.1 (same trap the
+    # simhash fold documents above)
+    grams = (
+        f"transform(array({whs}), __ws -> "
+        f"CASE WHEN size(__ws) >= {WINNOW_K} THEN "
+        f"transform(sequence(1, size(__ws) - {WINNOW_K - 1}), "
+        f"i -> {_winnow_gram_poly('__ws', 'i')}) ELSE array() END)[0]"
+    )
+    fps = (
+        f"array_distinct(transform("
+        f"sequence(1, greatest(size(__wh) - {WINNOW_W} + 1, 1)), "
+        f"i -> array_min(slice(__wh, i, {WINNOW_W}))))"
+    )
+    return (
+        df.select(id_col, F.expr(grams).alias("__wh"))
+        .filter(F.expr("size(__wh) >= 1"))
+        .select(id_col, F.explode(F.expr(fps)).alias("fp"))
+    )
+
+
+def winnow_pairs(
+    fps: DataFrame,
+    id_col: str = "doc_id",
+    min_shared: int = 4,
+    hub_max: int = WINNOW_HUB_MAX,
+) -> DataFrame:
+    """Near-dup pairs from a (id, fp) frame: drop boilerplate
+    fingerprints (document frequency > ``hub_max``), equi-join on fp,
+    count shared fingerprints per pair, keep pairs sharing at least
+    ``min_shared``. Output (id_a, id_b, n_shared)."""
+    keep = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") <= hub_max)
+        .select("fp")
+    )
+    ee = fps.join(keep, "fp")
+    a = ee.select(F.col(id_col).alias("id_a"), "fp")
+    b = ee.select(F.col(id_col).alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 def simhash_near_pairs(
     df: DataFrame, id_col: str = "doc_id", sim_col: str = "simhash", max_hamming: int = 3
 ) -> DataFrame:

@@ -1064,3 +1064,80 @@ def dedup_rewrite_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_rewrite_hashed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rewrite_df(spark, sf_dir, hashed=True)
+
+
+def _winnow_oracle() -> str:
+    from bigdatasmallprice_spark.functions.texts import HASH_MOD
+    from bigdatasmallprice_spark.operators.dedup import (
+        WINNOW_HUB_MAX,
+        WINNOW_K,
+        WINNOW_W,
+    )
+
+    # same 48-bit md5-slice word hash + 31-polynomial k-gram fold as
+    # the Spark side (operators/dedup.py::_winnow_gram_poly) — DuckDB
+    # parses the hex slice via the '0x' cast
+    poly = "ws[i]"
+    for j in range(1, WINNOW_K):
+        poly = f"(({poly}) * 31 + ws[i + {j}]) % {HASH_MOD}"
+    return f"""
+WITH w0 AS (
+  SELECT doc_id,
+         list_transform(string_split(text, ' '),
+                        w -> ('0x' || substr(md5(w), 1, 12))::BIGINT) AS ws
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(ws) >= {WINNOW_K} THEN
+           list_transform(range(1, len(ws) - {WINNOW_K} + 2), i -> {poly})
+         ELSE CAST([] AS BIGINT[]) END AS h
+  FROM w0
+),
+f AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(h) - {WINNOW_W} + 1, 1) + 1),
+           i -> list_min(h[i:i+{WINNOW_W - 1}]))) AS fps
+  FROM g WHERE len(h) >= 1
+),
+e AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+keep AS (SELECT fp FROM e GROUP BY 1 HAVING COUNT(*) <= {WINNOW_HUB_MAX}),
+ee AS (SELECT e.doc_id, e.fp FROM e JOIN keep USING (fp))
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM ee a JOIN ee b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING COUNT(*) >= 4
+"""
+
+
+@register(
+    "winnow_neardup_pairs",
+    _winnow_oracle(),
+    doc="Winnowing document fingerprints (Schleimer, Wilkerson & Aiken "
+    "2003 — the MOSS algorithm): 4-gram md5-slice hashes, per-window "
+    "(w=5) MINIMUM selection, distinct per doc — any two documents "
+    "sharing a token run of >= k+w-1 = 8 tokens are GUARANTEED to "
+    "share a fingerprint while only ~2/(w+1) of k-grams are kept, the "
+    "guarantee/density trade the exhaustive span family doesn't give. "
+    "Boilerplate fingerprints (doc frequency > 16) are dropped before "
+    "the pair equi-join (the LSH hub-cap pattern keeps candidates "
+    "near-linear), pairs keep >= 4 shared fingerprints. Fingerprint "
+    "construction is pure codegen over token arrays — no UDF, no "
+    "shuffle before the (doc, fp) explode; at 100 TB the exchanges "
+    "carry only 8-byte fingerprint keys at ~1/3 the corpus's k-gram "
+    "mass.",
+    tags=("dedup", "join", "text"),
+)
+def winnow_neardup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdatasmallprice_spark.operators.dedup import (
+        winnow_fingerprints,
+        winnow_pairs,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    # persist the slim (doc_id, fp) frame: the hub-filter aggregate and
+    # both sides of the pair join fold it (released by the caller's
+    # released_caches discipline)
+    fps = winnow_fingerprints(docs).persist()
+    return winnow_pairs(fps, min_shared=4)

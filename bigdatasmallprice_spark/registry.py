@@ -77,12 +77,13 @@ DRIVER_CAP = 50
 
 DRIVER_ORDER: list[str] = [
     # r6 rotation (VERDICT r5 ask #4): the one red/never-verified query
-    # first, then this round's 2 new queries, then ALL 22 single-row
+    # first, then this round's 3 new queries, then ALL 22 single-row
     # queries (the 13 r5 sit-outs finally get their second row + the 9
-    # r5-firsts), then the 25 oldest double-greens. 1 + 2 + 22 + 25 =
-    # 50 — nothing sits out this round; after r6 every query registered
-    # before this round has >= 2 green rows (the ratchet the ledger has
-    # promised since r4).
+    # r5-firsts), then the 24 oldest double-greens. 1 + 3 + 22 + 24 =
+    # 50 — no SINGLE sits out this round (the one sit-out,
+    # embedding_neardup, already holds two green rows r2+r3); after r6
+    # every query registered before this round has >= 2 green rows
+    # (the ratchet the ledger has promised since r4).
     # -- red in r5 (output-encoding defect, fixed: weights leave both
     #    engines as exact BIGINT micro-units) — the only registered
     #    query without a green external row; its filter twin follows so
@@ -92,6 +93,7 @@ DRIVER_ORDER: list[str] = [
     # -- new in r6, never driver-verified
     "hll_union_lean",
     "image_neardup_phash",
+    "winnow_neardup_pairs",
     # -- the 13 r5 sit-outs (single green row from r1-r4)
     "train_gbt_model",
     "union_by_name",
@@ -141,9 +143,10 @@ DRIVER_ORDER: list[str] = [
     "ann_lsh_topk",
     "asof_last_purchase",
     "bpe_token_stats",
-    "embedding_neardup",
-    # r5 rotation history (the 13 sit-outs' machinery-redundancy
-    # rationale) and earlier rounds' rationales live in git history.
+    # embedding_neardup (double-green r2+r3) sits out — its banded twin
+    # embedding_neardup_banded carries the same machinery with an r4+r5
+    # pair of rows. r5's 13-single sit-out rationale and earlier
+    # rounds' rotations live in git history.
 ]
 
 

@@ -188,3 +188,63 @@ def test_jsonl_corpus_roundtrip(spark, tmp_path):
         r["doc_id"]: r["shard"] for r in with_shard(df, 4, "doc_id").collect()
     }
     assert all(r[3] == want_shard[r[0]] for r in got)
+
+
+def test_winnowing_guarantee_and_density(spark):
+    """The Schleimer et al. guarantee: two documents sharing ANY token
+    run of >= k+w-1 = 8 tokens MUST share a fingerprint — regardless of
+    where the run sits in either document. Checked over many offsets
+    (the property that makes winnowing position-robust where fixed-
+    stride sampling is not). Density: the fingerprint count stays near
+    the 2/(w+1) fraction of k-grams, i.e. a SPARSE signature."""
+    from bigdatasmallprice_spark.operators.dedup import (
+        WINNOW_GUARANTEE,
+        winnow_fingerprints,
+        winnow_pairs,
+    )
+
+    run = " ".join(f"shared{i}" for i in range(WINNOW_GUARANTEE))
+    rows = []
+    # doc 2i: run embedded at a varying offset in noise; doc 2i+1: the
+    # same run at a different offset in different noise
+    for i in range(12):
+        noise_a = " ".join(f"a{i}x{j}" for j in range(i + 1))
+        noise_b = " ".join(f"b{i}y{j}" for j in range(25 - i))
+        rows.append((2 * i, f"{noise_a} {run} {noise_b}"))
+        rows.append((2 * i + 1, f"{noise_b} {noise_a} {run}"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = winnow_fingerprints(docs).persist()
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in winnow_pairs(fps, min_shared=1, hub_max=64).collect()
+    }
+    for i in range(12):
+        assert (2 * i, 2 * i + 1) in pairs, (i, sorted(pairs))
+
+    # density: ~2/(w+1) of k-grams, never the full k-gram mass
+    n_fp = fps.count()
+    n_grams = docs.selectExpr(
+        "sum(greatest(size(split(text, ' ')) - 3, 0)) AS n"
+    ).collect()[0]["n"]
+    fps.unpersist()
+    assert n_fp <= 0.6 * n_grams, (n_fp, n_grams)
+
+
+def test_winnowing_no_fingerprint_below_guarantee(spark):
+    """Runs SHORTER than k tokens shared between otherwise-disjoint
+    documents produce no shared fingerprint — the signature does not
+    fire on trivial overlaps."""
+    from bigdatasmallprice_spark.operators.dedup import (
+        winnow_fingerprints,
+        winnow_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "common pair " + " ".join(f"u{j}" for j in range(30))),
+            (1, "common pair " + " ".join(f"v{j}" for j in range(30))),
+        ],
+        "doc_id long, text string",
+    )
+    fps = winnow_fingerprints(docs)
+    assert winnow_pairs(fps, min_shared=1, hub_max=64).count() == 0

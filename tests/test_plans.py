@@ -578,3 +578,25 @@ def test_image_neardup_blocking_is_equi_join_not_cartesian(spark):
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan, plan
     assert "bit_count" in plan, plan
     assert plan.count("MapInPandas") >= 2  # BMP synth + decode/hash stages
+
+
+def test_winnow_fingerprints_are_codegen_and_pair_join_is_equi(spark):
+    """Fingerprint selection must be pure codegen over token arrays (no
+    Python stage, no shuffle before the (doc, fp) explode) and the pair
+    stage a hash equi-join on the 8-byte fp key — no cartesian."""
+    from bigdatasmallprice_spark.registry import all_queries
+
+    spark.catalog.clearCache()
+    df = all_queries()["winnow_neardup_pairs"].fn(spark, SF)
+    plan = _formatted(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "MapInPandas" not in plan and "EvalPython" not in plan, plan
+    # every exchange is keyed on fp (+ the pair groupBy) — the text
+    # itself never re-shuffles
+    ex = [
+        line
+        for line in plan.splitlines()
+        if "Arguments: hashpartitioning" in line
+    ]
+    assert ex and all("fp#" in line or "id_a" in line for line in ex), ex
