@@ -618,14 +618,36 @@ def _fit_gbt_full_rounds(
         tree = GTree(splits=splits, leaf_values=leaf_values, leaf_counts=leaf_n)
         trees.append(tree)
 
-        leaf_col = _node_col(splits, depth, xcols)
+        # materialize the leaf id ONCE, then map leaf -> value off the
+        # tiny __leaf column: chaining the whens directly on the node
+        # cascade duplicates the ~900-term path expression once PER
+        # LEAF (~115k expression nodes at depth 7), and every
+        # downstream action re-analyzes/codegens it (the arithmetic is
+        # unchanged; the local-path identity tests pin the values)
+        cur = cur.withColumn("__leaf", _node_col(splits, depth, xcols))
         val = F.lit(0)
         for lf, v in leaf_values.items():
-            val = F.when(leaf_col == F.lit(lf), F.lit(v)).otherwise(val)
+            val = F.when(F.col("__leaf") == F.lit(lf), F.lit(v)).otherwise(val)
         pred = pred + val
         cur = cur.withColumn("__p", pred)
+        # sever lineage EVERY round, and BEFORE the MAE aggregate:
+        # leaving the when-cascades stacked makes each downstream job
+        # re-analyze and re-codegen a projection that grows with the
+        # leaf map (measured: the whole fit is analysis/codegen-bound,
+        # not data-bound — the __leaf materialization above plus
+        # aggregating off the checkpointed frame took a depth-7
+        # distributed round from ~21s to ~6s; the residual is the 7
+        # per-level histogram jobs plus the one cascade evaluation the
+        # checkpoint itself must run). The early-stop decision needs
+        # this round's val MAE, so the checkpoint runs unconditionally
+        # for r < n_rounds — a stop wastes exactly one final
+        # checkpoint of the model-sized hourly frame.
+        if r < n_rounds:
+            cur = cur.localCheckpoint(eager=True)
+            pred = F.col("__p")
         # fold this round's |y - pred| into the MAE history: one
-        # model-sized aggregate per round (map-side partials, <=3 groups)
+        # model-sized aggregate per round (map-side partials, <=3
+        # groups) over the materialized frame
         err = (
             cur.groupBy("split")
             .agg(
@@ -641,20 +663,11 @@ def _fit_gbt_full_rounds(
         v = mae.get(("val", r))
         if v is not None and (best_val is None or v < best_val):
             best_val, best_round = v, r
-        stop = (
+        if (
             patience is not None
             and v is not None
             and r - best_round >= patience
-        )
-        # sever lineage EVERY round: leaving the when-cascades stacked
-        # makes each of the next round's histogram jobs re-analyze and
-        # re-codegen a projection that grows with r (measured: the whole
-        # fit is analysis/codegen-bound, not data-bound). The
-        # checkpointed frame is the hourly fit frame — model-sized.
-        if r < n_rounds and not stop:
-            cur = cur.localCheckpoint(eager=True)
-            pred = F.col("__p")
-        if stop:
+        ):
             break
 
     return GbtFullModel(base=base, depth=depth, trees=trees), mae
