@@ -696,3 +696,209 @@ def count_min_probe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("err_bound"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Histogram quantile sketch: the quantile member of the sketch family
+# ---------------------------------------------------------------------------
+
+_HQ_W = 64  # cents per bin
+_HQ_B = 1024  # bins; covers values up to 655.35 CHF, outliers clamp
+_HQ_QS = ((50, 2), (90, 10), (99, 100))  # (percentile, denominator of 1-q)
+
+
+@register(
+    "quantile_sketch_by_type",
+    f"""
+WITH v AS (
+  SELECT event_type,
+         greatest(least(CAST(round(value * 100) AS BIGINT), {_HQ_W * _HQ_B - 1}), 0) AS vc
+  FROM events
+),
+hist AS (
+  SELECT event_type, vc // {_HQ_W} AS bin, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM v GROUP BY 1, 2
+),
+cum AS (
+  SELECT event_type, bin, cnt,
+         SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+         SUM(cnt) OVER (PARTITION BY event_type) AS n
+  FROM hist
+),
+ranked AS (
+  SELECT event_type, vc,
+         row_number() OVER (PARTITION BY event_type ORDER BY vc) AS rk,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM v
+),
+{", ".join(
+    f'''e{p} AS (
+  SELECT event_type, MIN(bin * {_HQ_W} + {_HQ_W - 1}) AS est_p{p}_c
+  FROM cum WHERE cum >= CAST(ceil(n * {p} / 100.0) AS BIGINT) GROUP BY 1
+),
+x{p} AS (
+  SELECT event_type, CAST(MIN(vc) AS BIGINT) AS exact_p{p}_c
+  FROM ranked WHERE rk = CAST(ceil(n * {p} / 100.0) AS BIGINT) GROUP BY 1
+)''' for p, _ in _HQ_QS)}
+SELECT n.event_type, CAST(n.n AS BIGINT) AS n,
+       {", ".join(
+           f"e{p}.est_p{p}_c, x{p}.exact_p{p}_c, "
+           f"CAST(e{p}.est_p{p}_c - x{p}.exact_p{p}_c AS BIGINT) AS err_p{p}_c"
+           for p, _ in _HQ_QS)},
+       CAST({_HQ_W} AS BIGINT) AS bin_width_c
+FROM (SELECT event_type, MAX(n) AS n FROM cum GROUP BY 1) n
+{" ".join(
+    f"JOIN e{p} ON e{p}.event_type = n.event_type "
+    f"JOIN x{p} ON x{p}.event_type = n.event_type" for p, _ in _HQ_QS)}
+""",
+    doc="Histogram quantile sketch — the quantile member of the "
+    "engine's sketch family (cardinality: HLL/linear counting, "
+    "frequency: Count-Min, membership: bloom, heavy hitters: "
+    "Misra-Gries, quantiles: THIS): per event type a fixed 1024-bin "
+    "integer-cents histogram whose counters are SUM-mergeable across "
+    "partitions/shards/days, quantile estimate = upper bound of the "
+    "first bin where the cumulative count reaches ceil(q*n). The "
+    "estimate NEVER undershoots and overshoots by < bin width (64 "
+    "cents) — both certified in the hashed output, which carries the "
+    "exact rank statistic (the corpus-sort answer the sketch replaces "
+    "at 100 TB) next to each estimate plus their difference. Unlike "
+    "GK/t-digest the state is merge-ORDER-INDEPENDENT (integer SUMs), "
+    "which is what makes it engine-portable AND replay-analyzable; "
+    "the cumulative pass runs over <=1024 rows per type.",
+    tags=("sketch", "agg", "window"),
+)
+def quantile_sketch_by_type_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type",
+        F.expr(
+            f"greatest(least(CAST(round(value * 100) AS BIGINT), "
+            f"{_HQ_W * _HQ_B - 1}), 0)"
+        ).alias("vc"),
+    ).persist()
+    hist = v.groupBy(
+        "event_type", F.expr(f"vc div {_HQ_W}").alias("bin")
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    w_cum = Window.partitionBy("event_type").orderBy("bin")
+    w_all = Window.partitionBy("event_type")
+    cum = hist.select(
+        "event_type",
+        "bin",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+    w_rk = Window.partitionBy("event_type").orderBy("vc")
+    ranked = v.select(
+        "event_type",
+        "vc",
+        F.row_number().over(w_rk).alias("rk"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    )
+    out = cum.groupBy("event_type").agg(F.max("n").cast("long").alias("n"))
+    for p, _ in _HQ_QS:
+        k = F.expr(f"CAST(ceil(n * {p} / 100.0) AS BIGINT)")
+        est = (
+            cum.filter(F.col("cum") >= k)
+            .groupBy("event_type")
+            .agg(
+                F.min(F.expr(f"bin * {_HQ_W} + {_HQ_W - 1}")).alias(
+                    f"est_p{p}_c"
+                )
+            )
+        )
+        exact = (
+            ranked.filter(F.col("rk") == k)
+            .groupBy("event_type")
+            .agg(F.min("vc").cast("long").alias(f"exact_p{p}_c"))
+        )
+        out = out.join(est, "event_type").join(exact, "event_type")
+    sel = ["event_type", "n"]
+    for p, _ in _HQ_QS:
+        sel += [
+            f"est_p{p}_c",
+            f"exact_p{p}_c",
+            (F.col(f"est_p{p}_c") - F.col(f"exact_p{p}_c"))
+            .cast("long")
+            .alias(f"err_p{p}_c"),
+        ]
+    return out.select(*sel, F.lit(_HQ_W).cast("long").alias("bin_width_c"))
+
+
+@register(
+    "quantile_sketch_lean",
+    f"""
+WITH v AS (
+  SELECT event_type,
+         greatest(least(CAST(round(value * 100) AS BIGINT), {_HQ_W * _HQ_B - 1}), 0) AS vc
+  FROM events
+),
+hist AS (
+  SELECT event_type, vc // {_HQ_W} AS bin, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM v GROUP BY 1, 2
+),
+cum AS (
+  SELECT event_type, bin, cnt,
+         SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+         SUM(cnt) OVER (PARTITION BY event_type) AS n
+  FROM hist
+),
+{", ".join(
+    f'''e{p} AS (
+  SELECT event_type, MIN(bin * {_HQ_W} + {_HQ_W - 1}) AS est_p{p}_c
+  FROM cum WHERE cum >= CAST(ceil(n * {p} / 100.0) AS BIGINT) GROUP BY 1
+)''' for p, _ in _HQ_QS)}
+SELECT n.event_type, CAST(n.n AS BIGINT) AS n,
+       {", ".join(f"e{p}.est_p{p}_c" for p, _ in _HQ_QS)},
+       CAST({_HQ_W} AS BIGINT) AS bin_width_c
+FROM (SELECT event_type, MAX(n) AS n FROM cum GROUP BY 1) n
+{" ".join(f"JOIN e{p} ON e{p}.event_type = n.event_type" for p, _ in _HQ_QS)}
+""",
+    doc="Production half of quantile_sketch_by_type: histogram fold + "
+    "cumulative pass + estimates ONLY — the per-type corpus sort that "
+    "computes the audit's exact rank statistic is gone, so the one "
+    "corpus-width stage left is the map-side-combined (type, bin) "
+    "histogram fold (<= types x 1024 groups). Estimates are the same "
+    "expressions as the audited twin's est_* columns (the audit/"
+    "production split of bloom_shingle_prefilter_lean and "
+    "hll_union_lean applied to quantiles).",
+    tags=("sketch", "agg", "window"),
+)
+def quantile_sketch_lean_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type",
+        F.expr(
+            f"greatest(least(CAST(round(value * 100) AS BIGINT), "
+            f"{_HQ_W * _HQ_B - 1}), 0)"
+        ).alias("vc"),
+    )
+    hist = v.groupBy(
+        "event_type", F.expr(f"vc div {_HQ_W}").alias("bin")
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    w_cum = Window.partitionBy("event_type").orderBy("bin")
+    w_all = Window.partitionBy("event_type")
+    cum = hist.select(
+        "event_type",
+        "bin",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("n"),
+    ).persist()
+    out = cum.groupBy("event_type").agg(F.max("n").cast("long").alias("n"))
+    for p, _ in _HQ_QS:
+        k = F.expr(f"CAST(ceil(n * {p} / 100.0) AS BIGINT)")
+        est = (
+            cum.filter(F.col("cum") >= k)
+            .groupBy("event_type")
+            .agg(
+                F.min(F.expr(f"bin * {_HQ_W} + {_HQ_W - 1}")).alias(
+                    f"est_p{p}_c"
+                )
+            )
+        )
+        out = out.join(est, "event_type")
+    return out.select(
+        "event_type",
+        "n",
+        *[f"est_p{p}_c" for p, _ in _HQ_QS],
+        F.lit(_HQ_W).cast("long").alias("bin_width_c"),
+    )

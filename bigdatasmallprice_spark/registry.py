@@ -77,13 +77,13 @@ DRIVER_CAP = 50
 
 DRIVER_ORDER: list[str] = [
     # r6 rotation (VERDICT r5 ask #4): the one red/never-verified query
-    # first, then this round's 3 new queries, then ALL 22 single-row
+    # first, then this round's 4 new queries, then ALL 22 single-row
     # queries (the 13 r5 sit-outs finally get their second row + the 9
-    # r5-firsts), then the 24 oldest double-greens. 1 + 3 + 22 + 24 =
-    # 50 — no SINGLE sits out this round (the one sit-out,
-    # embedding_neardup, already holds two green rows r2+r3); after r6
-    # every query registered before this round has >= 2 green rows
-    # (the ratchet the ledger has promised since r4).
+    # r5-firsts), then the 23 oldest double-greens. 1 + 4 + 22 + 23 =
+    # 50 — no SINGLE sits out this round (both sit-outs already hold
+    # two green rows); after r6 every query registered before this
+    # round has >= 2 green rows (the ratchet the ledger has promised
+    # since r4).
     # -- red in r5 (output-encoding defect, fixed: weights leave both
     #    engines as exact BIGINT micro-units) — the only registered
     #    query without a green external row; its filter twin follows so
@@ -94,6 +94,7 @@ DRIVER_ORDER: list[str] = [
     "hll_union_lean",
     "image_neardup_phash",
     "winnow_neardup_pairs",
+    "quantile_sketch_by_type",
     # -- the 13 r5 sit-outs (single green row from r1-r4)
     "train_gbt_model",
     "union_by_name",
@@ -140,12 +141,13 @@ DRIVER_ORDER: list[str] = [
     # -- oldest double-greens, next tier (last green r3)
     "ann_cosine_topk",
     "ann_ivf_topk",
-    "ann_lsh_topk",
     "asof_last_purchase",
     "bpe_token_stats",
-    # embedding_neardup (double-green r2+r3) sits out — its banded twin
-    # embedding_neardup_banded carries the same machinery with an r4+r5
-    # pair of rows. r5's 13-single sit-out rationale and earlier
+    # Two double-greens sit out: embedding_neardup (r2+r3; its banded
+    # twin embedding_neardup_banded carries the machinery with r4+r5
+    # rows) and ann_lsh_topk (r2+r3; the LSH bucket-join machinery
+    # also runs inside embedding_neardup_banded and ann_index_upsert,
+    # both r4+r5 green). r5's 13-single sit-out rationale and earlier
     # rounds' rotations live in git history.
 ]
 

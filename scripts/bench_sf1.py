@@ -66,6 +66,9 @@ QUERIES = [
     "hll_union_distinct",
     "hll_union_lean",
     "image_neardup_phash",
+    "winnow_neardup_pairs",
+    "quantile_sketch_by_type",
+    "quantile_sketch_lean",
 ]
 
 

@@ -100,3 +100,64 @@ def test_hll_union_lean_matches_audited_estimates(spark):
         for r in all_queries()["hll_union_lean"].fn(spark, SF).collect()
     }
     assert lean == full
+
+
+def test_quantile_sketch_bound_and_mergeability(spark):
+    """The histogram quantile sketch's guarantee: the estimate never
+    undershoots the exact rank statistic and overshoots by less than
+    one bin width — for every type and every percentile. Merge-order
+    independence: the per-(type, bin) counters folded from two disjoint
+    halves SUM to exactly the full-corpus histogram (integer sums
+    commute), the property GK / t-digest summaries lack and the reason
+    this sketch is engine-portable and replay-analyzable."""
+    from pyspark.sql import functions as F
+
+    from bigdatasmallprice_spark.queries.core import table
+    from bigdatasmallprice_spark.queries.sketchq import _HQ_B, _HQ_W
+
+    rows = all_queries()["quantile_sketch_by_type"].fn(spark, SF).collect()
+    assert len(rows) == 5
+    for r in rows:
+        for p in (50, 90, 99):
+            err = r[f"err_p{p}_c"]
+            assert 0 <= err < r.bin_width_c, (r.event_type, p, err)
+
+    ev = table(spark, SF, "events")
+
+    def hist(df):
+        return {
+            (r.event_type, r.bin): r.cnt
+            for r in df.select(
+                "event_type",
+                F.expr(
+                    f"greatest(least(CAST(round(value * 100) AS BIGINT), "
+                    f"{_HQ_W * _HQ_B - 1}), 0) div {_HQ_W}"
+                ).alias("bin"),
+            )
+            .groupBy("event_type", "bin")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        }
+
+    full = hist(ev)
+    h1 = hist(ev.filter("event_id % 2 = 0"))
+    h2 = hist(ev.filter("event_id % 2 = 1"))
+    merged = dict(h1)
+    for k, v in h2.items():
+        merged[k] = merged.get(k, 0) + v
+    assert merged == full
+
+
+def test_quantile_sketch_lean_matches_audited_estimates(spark):
+    """The audit-free variant's estimates must be IDENTICAL to the
+    audited twin's est_* columns — same histogram, same cumulative
+    rule, minus the corpus sort (the bloom/hll lean-split property)."""
+    full = {
+        r.event_type: (r.n, r.est_p50_c, r.est_p90_c, r.est_p99_c)
+        for r in all_queries()["quantile_sketch_by_type"].fn(spark, SF).collect()
+    }
+    lean = {
+        r.event_type: (r.n, r.est_p50_c, r.est_p90_c, r.est_p99_c)
+        for r in all_queries()["quantile_sketch_lean"].fn(spark, SF).collect()
+    }
+    assert lean == full
