@@ -865,16 +865,31 @@ FROM (SELECT event_type, MAX(n) AS n FROM cum GROUP BY 1) n
 )
 def quantile_sketch_lean_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
+    hist = quantile_hist(ev)
+    return quantile_estimates_from_hist(hist)
+
+
+def quantile_hist(
+    ev: DataFrame, type_col: str = "event_type", value_col: str = "value"
+) -> DataFrame:
+    """The SUM-mergeable sketch state: (event_type, bin, cnt) — the
+    partial the streaming twin folds into persisted state."""
     v = ev.select(
-        "event_type",
+        F.col(type_col).alias("event_type"),
         F.expr(
-            f"greatest(least(CAST(round(value * 100) AS BIGINT), "
+            f"greatest(least(CAST(round({value_col} * 100) AS BIGINT), "
             f"{_HQ_W * _HQ_B - 1}), 0)"
         ).alias("vc"),
     )
-    hist = v.groupBy(
+    return v.groupBy(
         "event_type", F.expr(f"vc div {_HQ_W}").alias("bin")
     ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+
+
+def quantile_estimates_from_hist(hist: DataFrame) -> DataFrame:
+    """(event_type, bin, cnt) -> per-type estimates — the readback
+    shared by the lean query and the streaming state (the cumulative
+    pass runs over <= 1024 rows per type)."""
     w_cum = Window.partitionBy("event_type").orderBy("bin")
     w_all = Window.partitionBy("event_type")
     cum = hist.select(

@@ -1274,3 +1274,69 @@ def test_streaming_zorder_table_equals_batch_union(spark, tmp_path):
     manifest = read_state_manifest(st)
     assert manifest["config"]["x_sql"] == x_sql
     assert manifest["max_batch_id"] >= 1
+
+
+def test_streaming_quantile_sketch_equals_batch_and_replay_safe(spark, tmp_path):
+    """Two availableNow deliveries SUM-fold their (type, bin) counts
+    into the persisted quantile-sketch histogram; the folded state is
+    INTEGER-IDENTICAL to the batch fold over all data, so the state
+    readback's estimates equal the lean batch query's on the union.
+    The SUM fold is not idempotent: replaying a delivered batch id
+    must change nothing."""
+    from pyspark.sql import functions as F
+
+    from bigdatasmallprice_spark.queries.core import table as _table
+    from bigdatasmallprice_spark.queries.sketchq import quantile_hist
+    from bigdatasmallprice_spark.registry import all_queries as _aq
+    from bigdatasmallprice_spark.streaming.quantile_stream import (
+        quantile_stream,
+        read_quantile_estimates,
+        read_quantile_hist,
+        update_quantile_hist,
+    )
+
+    ev = _table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "event_type", "value"
+    )
+    chunk1, chunk2 = ev.filter("event_id % 2 = 0"), ev.filter("event_id % 2 = 1")
+    src = str(tmp_path / "ev")
+    state, ckpt = str(tmp_path / "qh"), str(tmp_path / "qhckpt")
+    chunk1.write.parquet(src)
+
+    def run():
+        stream = spark.readStream.schema(ev.schema).parquet(src)
+        q = quantile_stream(spark, stream, state, ckpt).start()
+        q.awaitTermination(120)
+
+    run()
+    chunk2.write.mode("append").parquet(src)
+    run()
+
+    streamed = {
+        (r.event_type, r.bin): r.cnt
+        for r in read_quantile_hist(spark, state).collect()
+    }
+    batch = {
+        (r.event_type, r.bin): r.cnt for r in quantile_hist(ev).collect()
+    }
+    assert streamed == batch
+
+    # replay protection
+    update_quantile_hist(spark, state, chunk1, batch_id=0)
+    assert {
+        (r.event_type, r.bin): r.cnt
+        for r in read_quantile_hist(spark, state).collect()
+    } == batch
+
+    # estimates from state == the lean batch query over the same data
+    got = {
+        r.event_type: tuple(r)
+        for r in read_quantile_estimates(spark, state).collect()
+    }
+    want = {
+        r.event_type: tuple(r)
+        for r in _aq()["quantile_sketch_lean"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    }
+    assert got == want
