@@ -1211,3 +1211,127 @@ def ann_index_upsert_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("max_new_id"), F.lit(-1).cast("long")).alias("max_new_id"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization: FAISS-style compressed ANN (codebooks + ADC)
+# ---------------------------------------------------------------------------
+
+
+def _o_pq_sql() -> str:
+    from bigdatasmallprice_spark.operators.similarity import (
+        KMEANS_SCALE,
+        PQ_DSUB,
+        PQ_ITERS,
+        PQ_K,
+        PQ_M,
+    )
+
+    d = PQ_DSUB
+    dist = (
+        f"list_sum(list_transform(range(1, {d + 1}), "
+        "i -> (x.xu[i] - c.cu[i]) * (x.xu[i] - c.cu[i])))"
+    )
+    parts = [
+        "WITH xf AS (SELECT vec_id AS id, "
+        f"list_transform(embedding, e -> CAST(round({KMEANS_SCALE} * CAST(e AS DOUBLE)) AS BIGINT)) AS xu "
+        "FROM embeddings)"
+    ]
+    for s in range(PQ_M):
+        off = s * d
+        parts.append(
+            f", x{s} AS (SELECT id, xu[{off + 1}:{off + d}] AS xu FROM xf)"
+        )
+        parts.append(
+            f", c{s}_0 AS (SELECT id AS cid, xu AS cu FROM x{s} WHERE id < {PQ_K})"
+        )
+        for it in range(1, PQ_ITERS + 1):
+            parts.append(
+                f", a{s}_{it} AS (SELECT id, cid, xu FROM ("
+                f"SELECT x.id, c.cid, x.xu, "
+                f"row_number() OVER (PARTITION BY x.id ORDER BY {dist}, c.cid) AS rn "
+                f"FROM x{s} x, c{s}_{it - 1} c) WHERE rn = 1)"
+            )
+            parts.append(
+                f", u{s}_{it} AS (SELECT cid, dim, "
+                f"CAST(floor(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cu_e "
+                f"FROM (SELECT cid, unnest(xu) AS v, unnest(range(0, {d})) AS dim FROM a{s}_{it}) "
+                f"GROUP BY 1, 2)"
+            )
+            parts.append(
+                f", c{s}_{it} AS (SELECT cid, list(cu_e ORDER BY dim) AS cu FROM u{s}_{it} GROUP BY cid)"
+            )
+        # encode with the FINAL (post-update) codebooks
+        parts.append(
+            f", e{s} AS (SELECT id, {s} AS sub, cid AS code FROM ("
+            f"SELECT x.id, c.cid, "
+            f"row_number() OVER (PARTITION BY x.id ORDER BY {dist}, c.cid) AS rn "
+            f"FROM x{s} x, c{s}_{PQ_ITERS} c) WHERE rn = 1)"
+        )
+        parts.append(
+            f", lut{s} AS (SELECT x.id AS pid, {s} AS sub, c.cid AS code, {dist} AS dd "
+            f"FROM x{s} x, c{s}_{PQ_ITERS} c WHERE x.id < 10)"
+        )
+    ec = " UNION ALL ".join(f"SELECT * FROM e{s}" for s in range(PQ_M))
+    lutl = " UNION ALL ".join(f"SELECT * FROM lut{s}" for s in range(PQ_M))
+    parts.append(f", ec AS ({ec}), lutl AS ({lutl})")
+    parts.append(
+        ", adc AS (SELECT l.pid, e.id AS vid, CAST(SUM(l.dd) AS BIGINT) AS adc_dist "
+        "FROM ec e JOIN lutl l ON l.sub = e.sub AND l.code = e.code "
+        "WHERE e.id != l.pid GROUP BY 1, 2)"
+    )
+    from bigdatasmallprice_spark.operators.similarity import (
+        PQ_SHORTLIST_FACTOR,
+    )
+
+    shortlist = PQ_SHORTLIST_FACTOR * 5
+    parts.append(
+        ", short AS (SELECT pid, vid, adc_dist FROM ("
+        "SELECT pid, vid, adc_dist, "
+        "row_number() OVER (PARTITION BY pid ORDER BY adc_dist, vid) AS adc_rank "
+        f"FROM adc) WHERE adc_rank <= {shortlist})"
+    )
+    parts.append(
+        ", ex AS (SELECT r.pid, r.vid, r.adc_dist, "
+        "CAST(list_sum(list_transform(range(1, 65), "
+        "i -> (p.xu[i] - v.xu[i]) * (p.xu[i] - v.xu[i]))) AS BIGINT) AS exact_dist "
+        "FROM short r JOIN xf p ON p.id = r.pid JOIN xf v ON v.id = r.vid)"
+    )
+    parts.append(
+        " SELECT pid AS probe_id, CAST(rank AS BIGINT) AS rank, vid AS vec_id, "
+        "adc_dist, exact_dist FROM ("
+        "SELECT pid, vid, adc_dist, exact_dist, "
+        "row_number() OVER (PARTITION BY pid ORDER BY exact_dist, vid) AS rank "
+        "FROM ex) WHERE rank <= 5"
+    )
+    return "".join(parts)
+
+
+@register(
+    "ann_pq_topk",
+    _o_pq_sql(),
+    doc="Product quantization ANN (Jegou, Douze & Schmid 2011 — the "
+    "FAISS IVF-PQ compression half, deployed in its standard "
+    "shortlist-then-re-rank shape): the 64-dim embedding splits into "
+    "8 subspaces, each trained into a 16-centroid codebook by the "
+    "SAME exact-integer Lloyd fit as the IVF coarse quantizer; "
+    "vectors encode as 8 x 4-bit codes (128x smaller than the raw "
+    "micro-unit vectors); queries scan CODES with a per-probe "
+    "asymmetric-distance lookup table (one broadcast, one lookup-sum "
+    "per vector per subspace — never a 64-dim arithmetic pass over "
+    "the corpus), the ADC top-8k shortlist is re-ranked by EXACT "
+    "integer squared L2, and the exact top-k returns with both "
+    "distances — the driver hashes the real quantization error. Fit, "
+    "encode, LUT, shortlist and re-rank replay bit-identically in the "
+    "oracle (integer micro-units, cid/vid tie-breaks). These "
+    "embeddings are synthetic near-iid — PQ's hardest case — so the "
+    "measured shortlist recall (0.76, tests/test_operators.py) is the "
+    "FLOOR of what structured real-world embeddings give.",
+    tags=("similarity", "ann", "train", "join"),
+)
+def ann_pq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdatasmallprice_spark.operators.similarity import pq_adc_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 10)
+    return pq_adc_topk(probes, emb, k_top=5)

@@ -77,10 +77,10 @@ DRIVER_CAP = 50
 
 DRIVER_ORDER: list[str] = [
     # r6 rotation (VERDICT r5 ask #4): the one red/never-verified query
-    # first, then this round's 4 new queries, then ALL 22 single-row
+    # first, then this round's 6 new queries, then ALL 22 single-row
     # queries (the 13 r5 sit-outs finally get their second row + the 9
-    # r5-firsts), then the 23 oldest double-greens. 1 + 4 + 22 + 23 =
-    # 50 — no SINGLE sits out this round (both sit-outs already hold
+    # r5-firsts), then the 21 oldest double-greens. 1 + 6 + 22 + 21 =
+    # 50 — no SINGLE sits out this round (all sit-outs already hold
     # two green rows); after r6 every query registered before this
     # round has >= 2 green rows (the ratchet the ledger has promised
     # since r4).
@@ -95,6 +95,8 @@ DRIVER_ORDER: list[str] = [
     "image_neardup_phash",
     "winnow_neardup_pairs",
     "quantile_sketch_by_type",
+    "quantile_sketch_lean",
+    "ann_pq_topk",
     # -- the 13 r5 sit-outs (single green row from r1-r4)
     "train_gbt_model",
     "union_by_name",
@@ -139,16 +141,18 @@ DRIVER_ORDER: list[str] = [
     "training_features",
     "upsert_idempotency",
     # -- oldest double-greens, next tier (last green r3)
-    "ann_cosine_topk",
     "ann_ivf_topk",
     "asof_last_purchase",
-    "bpe_token_stats",
-    # Two double-greens sit out: embedding_neardup (r2+r3; its banded
+    # Four double-greens sit out: embedding_neardup (r2+r3; its banded
     # twin embedding_neardup_banded carries the machinery with r4+r5
-    # rows) and ann_lsh_topk (r2+r3; the LSH bucket-join machinery
-    # also runs inside embedding_neardup_banded and ann_index_upsert,
-    # both r4+r5 green). r5's 13-single sit-out rationale and earlier
-    # rounds' rotations live in git history.
+    # rows), ann_lsh_topk (r2+r3; the LSH bucket-join machinery also
+    # runs inside embedding_neardup_banded and ann_index_upsert, both
+    # r4+r5 green), ann_cosine_topk (r2+r3; the brute-force cosine
+    # kernel also runs inside ann_cosine_topk_np and ann_recall_eval,
+    # both r3+r4 green), and bpe_token_stats (r2+r3; the BPE apply
+    # machinery also runs inside bpe_train_merges, green r2+r3+r4).
+    # r5's 13-single sit-out rationale and earlier rounds' rotations
+    # live in git history.
 ]
 
 

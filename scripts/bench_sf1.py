@@ -69,6 +69,7 @@ QUERIES = [
     "winnow_neardup_pairs",
     "quantile_sketch_by_type",
     "quantile_sketch_lean",
+    "ann_pq_topk",
 ]
 
 
