@@ -159,11 +159,16 @@ def update_zorder_table(
     )
     # untouched files enter the new version as hardlinks: incremental
     # in IO, still crash-atomic (the manifest flip publishes a complete
-    # directory or nothing). Name them outside Spark's part-* pattern
-    # ordering clashes by keeping their original basenames prefixed.
+    # directory or nothing). Linked names are rebuilt from a CONTENT
+    # DIGEST of the original basename, not by prefixing it — prefixing
+    # would grow the name by one "part-linked-" layer per surviving
+    # batch, unbounded over a long stream.
+    import hashlib
+
     linked = 0
     for i, src in enumerate(sorted(untouched)):
-        dst = os.path.join(vdir, f"part-linked-{i:05d}-{os.path.basename(src)}")
+        tag = hashlib.md5(os.path.basename(src).encode()).hexdigest()[:16]
+        dst = os.path.join(vdir, f"part-linked-{i:05d}-{tag}.parquet")
         os.link(src, dst)
         linked += 1
     publish_state(state_path, version, batch_id, config=config)

@@ -244,3 +244,40 @@ def test_incremental_zorder_config_is_pinned(spark, tmp_path):
     update_zorder_table(spark, st, ev, x_sql, y_sql, bits=8, batch_id=0)
     with _pytest.raises(ValueError, match="different parameters"):
         update_zorder_table(spark, st, ev, x_sql, y_sql, bits=6, batch_id=1)
+
+
+def test_incremental_zorder_filenames_stay_bounded(spark, tmp_path):
+    """A file that survives MANY batches gets re-hardlinked every
+    version; its name must be rebuilt from a digest each time, not
+    prefixed (prefixing grows the name one layer per batch — unbounded
+    over a long stream)."""
+    import os
+
+    from bigdatasmallprice_spark.streaming.zorder_stream import (
+        resolve_state_dir,
+        update_zorder_table,
+    )
+
+    ev = table(spark, SF, "events").select(
+        "event_id",
+        F.expr("unix_micros(ts)").alias("us"),
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("vc"),
+    )
+    x_sql = f"greatest(least((us - {_BASE_US}) div {_XB_US}, 255), 0)"
+    y_sql = "greatest(least(vc div 256, 255), 0)"
+    st = str(tmp_path / "ztab")
+    update_zorder_table(
+        spark, st, ev.filter("vc < 20000"), x_sql, y_sql,
+        rows_per_file=64, batch_id=0,
+    )
+    # five narrow late batches, each touching only the high-value range
+    for i in range(1, 6):
+        b = ev.filter(f"vc >= {20000 + i}").limit(3)
+        update_zorder_table(
+            spark, st, b, x_sql, y_sql, rows_per_file=64, batch_id=i
+        )
+    names = [
+        os.path.basename(f)
+        for f in glob.glob(resolve_state_dir(st) + "/part-*.parquet")
+    ]
+    assert names and max(len(n) for n in names) < 120, sorted(names, key=len)[-1]
