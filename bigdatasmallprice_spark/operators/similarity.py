@@ -932,9 +932,18 @@ def pq_codebooks(
     (sub, cid, dim, cu_e, n_assigned). At 100 TB the fit runs on a
     hash sample; encode touches the full corpus once."""
     sv = _pq_scaled_long(df, id_col, vec_col).persist()
+    # init = the PQ_K smallest ids' subvectors (the house seed rule).
+    # Resolved by an explicit top-k rather than `id < PQ_K` so a
+    # corpus whose ids don't start at 0 still seeds K centroids —
+    # identical on 0-based corpora, so the oracle keeps `id < K`.
+    seed_ids = [
+        r["id"]
+        for r in sv.select("id").distinct().orderBy("id").limit(PQ_K).collect()
+    ]
+    seed_rank = {v: i for i, v in enumerate(sorted(seed_ids))}
     cent_rows = [
-        (r["sub"], r["id"], r["xu"])
-        for r in sv.filter(F.col("id") < PQ_K).collect()
+        (r["sub"], seed_rank[r["id"]], r["xu"])
+        for r in sv.filter(F.col("id").isin(seed_ids)).collect()
     ]
     per_dim = None
     for _ in range(PQ_ITERS):
@@ -1049,12 +1058,16 @@ def pq_adc_topk(
         "pid", "id", "adc_dist", F.row_number().over(w_adc).alias("adc_rank")
     ).filter(F.col("adc_rank") <= PQ_SHORTLIST_FACTOR * k_top)
 
-    # exact re-rank of the shortlist only (O(k) rows per probe)
-    xs = with_scaled_units(
+    # exact re-rank of the shortlist only (O(k) rows per probe). The
+    # probe vectors come from the PROBES frame, not a corpus lookup by
+    # id — probes need not be corpus members (a corpus-side lookup
+    # would silently drop external query vectors from the re-rank)
+    pv = with_scaled_units(
+        probes.select(id_col, vec_col), vec_col=vec_col, id_col=id_col
+    ).select(F.col("id").alias("pid"), F.col("xu").alias("pu"))
+    cv = with_scaled_units(
         corpus.select(id_col, vec_col), vec_col=vec_col, id_col=id_col
-    )
-    pv = xs.select(F.col("id").alias("pid"), F.col("xu").alias("pu"))
-    cv = xs.select("id", F.col("xu").alias("vu"))
+    ).select("id", F.col("xu").alias("vu"))
     exact = (
         shortlist.join(pv, "pid")
         .join(cv, "id")

@@ -1532,3 +1532,23 @@ def test_pq_shortlist_recall_and_rerank_exactness(spark):
         assert lst == sorted(lst, key=lambda t: (t[1], t[2]))
         hits += len({t[2] for t in lst} & true5[pid])
     assert hits / 50 >= 0.7, hits / 50
+
+
+def test_pq_supports_external_probes(spark):
+    """Probes need not be corpus members: a query vector absent from
+    the indexed corpus must still get a full exact-re-ranked top-k
+    (the re-rank reads probe vectors from the PROBES frame, never a
+    corpus lookup by id)."""
+    from pyspark.sql import functions as F
+
+    from bigdatasmallprice_spark.operators.similarity import pq_adc_topk
+
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    corpus = emb.filter("vec_id >= 20")  # probes NOT in the corpus
+    probes = emb.filter("vec_id < 3").select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    rows = pq_adc_topk(probes, corpus, k_top=5).collect()
+    assert len(rows) == 15, len(rows)  # 3 probes x full top-5
+    assert all(r.exact_dist >= 0 and r.vec_id >= 20 for r in rows)
