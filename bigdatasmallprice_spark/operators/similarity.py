@@ -655,8 +655,21 @@ def _lloyd(scaled: DataFrame, k: int, iters: int, final_update: bool):
     per_dim is None when the last update was skipped AND iters == 1."""
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
-    cent = scaled.filter(F.col("id") < k).select(
-        F.col("id").alias("cid"), F.col("xu").alias("cu")
+    # seed = the k smallest ids, resolved explicitly (same latent
+    # assumption fix as pq_codebooks: `id < k` seeds fewer than k
+    # centroids on an id-shifted corpus; identical on 0-based ids, so
+    # the oracle chains keep `id < k`). cid = rank among the seeds.
+    seed_ids = [
+        r["id"]
+        for r in scaled.select("id").distinct().orderBy("id").limit(k).collect()
+    ]
+    seed_rank = {v: i for i, v in enumerate(sorted(seed_ids))}
+    rank_expr = F.create_map(
+        *[F.lit(x) for pair in seed_rank.items() for x in pair]
+    )
+    cent = scaled.filter(F.col("id").isin(seed_ids)).select(
+        rank_expr[F.col("id")].cast("long").alias("cid"),
+        F.col("xu").alias("cu"),
     )
     assigned = per_dim = None
     for it in range(1, iters + 1):

@@ -1552,3 +1552,19 @@ def test_pq_supports_external_probes(spark):
     rows = pq_adc_topk(probes, corpus, k_top=5).collect()
     assert len(rows) == 15, len(rows)  # 3 probes x full top-5
     assert all(r.exact_dist >= 0 and r.vec_id >= 20 for r in rows)
+
+
+def test_kmeans_seeds_k_centroids_on_shifted_ids(spark):
+    """`id < k` seeding breaks on corpora whose ids don't start at 0;
+    the fit must seed exactly k centroids from the k SMALLEST ids."""
+    from pyspark.sql import functions as F
+
+    from bigdatasmallprice_spark.operators.similarity import kmeans_fit_scaled
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select((F.col("vec_id") + 5_000).alias("vec_id"), "embedding")
+        .limit(100)
+    )
+    out = kmeans_fit_scaled(emb, k=8, iters=1)
+    assert out.select("cid").distinct().count() == 8
