@@ -659,9 +659,12 @@ def _lloyd(scaled: DataFrame, k: int, iters: int, final_update: bool):
     # assumption fix as pq_codebooks: `id < k` seeds fewer than k
     # centroids on an id-shifted corpus; identical on 0-based ids, so
     # the oracle chains keep `id < k`). cid = rank among the seeds.
+    # no distinct(): _lloyd's contract is one row per id, and
+    # orderBy+limit alone compiles to TakeOrderedAndProject (map-side
+    # partial top-k, no shuffle) where a distinct would force a
+    # corpus-wide hash-aggregate exchange on every fit
     seed_ids = [
-        r["id"]
-        for r in scaled.select("id").distinct().orderBy("id").limit(k).collect()
+        r["id"] for r in scaled.select("id").orderBy("id").limit(k).collect()
     ]
     seed_rank = {v: i for i, v in enumerate(sorted(seed_ids))}
     rank_expr = F.create_map(
@@ -932,6 +935,18 @@ def _pq_assign_grouped(
     return sv.mapInPandas(assign, schema)
 
 
+def _codebook_arrays(per_dim: DataFrame) -> DataFrame:
+    """(sub, cid, dim, cu_e) long form -> (sub, cid, cu array) — the
+    single readback all three PQ stages (fit loop, encode, ADC LUT)
+    share, so a codebook-layout change cannot silently diverge them."""
+    return per_dim.groupBy("sub", "cid").agg(
+        F.expr(
+            "transform(sort_array(collect_list(struct(dim, cu_e))), "
+            "s -> s.cu_e)"
+        ).alias("cu")
+    )
+
+
 def pq_codebooks(
     df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:
@@ -976,14 +991,7 @@ def pq_codebooks(
         )
         cent_rows = [
             (r["sub"], r["cid"], r["cu"])
-            for r in per_dim.groupBy("sub", "cid")
-            .agg(
-                F.expr(
-                    "transform(sort_array(collect_list(struct(dim, cu_e))), "
-                    "s -> s.cu_e)"
-                ).alias("cu")
-            )
-            .collect()
+            for r in _codebook_arrays(per_dim).collect()
         ]
     sv.unpersist()
     return per_dim.select(
@@ -1003,14 +1011,7 @@ def pq_encode(
     the compressed index ADC scans."""
     cent_rows = [
         (r["sub"], r["cid"], r["cu"])
-        for r in codebooks.groupBy("sub", "cid")
-        .agg(
-            F.expr(
-                "transform(sort_array(collect_list(struct(dim, cu_e))), "
-                "s -> s.cu_e)"
-            ).alias("cu")
-        )
-        .collect()
+        for r in _codebook_arrays(codebooks).collect()
     ]
     return _pq_assign_grouped(_pq_scaled_long(df, id_col, vec_col), cent_rows)
 
@@ -1041,12 +1042,7 @@ def pq_adc_topk(
     # the lookup table in ONE pass: exploded probe subvectors join the
     # broadcast codebook arrays on their subspace — n_probes * M * K
     # rows, model-sized
-    cent = codebooks.groupBy("sub", "cid").agg(
-        F.expr(
-            "transform(sort_array(collect_list(struct(dim, cu_e))), "
-            "s -> s.cu_e)"
-        ).alias("cu")
-    )
+    cent = _codebook_arrays(codebooks)
     ps = _pq_scaled_long(probes, id_col, vec_col).select(
         F.col("id").alias("pid"), "sub", F.col("xu").alias("pu")
     )

@@ -768,25 +768,15 @@ FROM (SELECT event_type, MAX(n) AS n FROM cum GROUP BY 1) n
     tags=("sketch", "agg", "window"),
 )
 def quantile_sketch_by_type_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # composed from the SHARED helpers (quantile_hist /
+    # quantile_estimates_from_hist — the same folds the lean twin and
+    # the streaming readback run), plus the exact-rank audit join; the
+    # estimate expressions exist in exactly one place per engine
     ev = table(spark, sf_dir, "events")
-    v = ev.select(
-        "event_type",
-        F.expr(
-            f"greatest(least(CAST(round(value * 100) AS BIGINT), "
-            f"{_HQ_W * _HQ_B - 1}), 0)"
-        ).alias("vc"),
-    ).persist()
-    hist = v.groupBy(
-        "event_type", F.expr(f"vc div {_HQ_W}").alias("bin")
-    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-    w_cum = Window.partitionBy("event_type").orderBy("bin")
+    v = _clamped_values(ev).persist()
+    out = quantile_estimates_from_hist(quantile_hist_from_values(v))
+
     w_all = Window.partitionBy("event_type")
-    cum = hist.select(
-        "event_type",
-        "bin",
-        F.sum("cnt").over(w_cum).alias("cum"),
-        F.sum("cnt").over(w_all).alias("n"),
-    )
     w_rk = Window.partitionBy("event_type").orderBy("vc")
     ranked = v.select(
         "event_type",
@@ -794,24 +784,14 @@ def quantile_sketch_by_type_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w_rk).alias("rk"),
         F.count(F.lit(1)).over(w_all).alias("n"),
     )
-    out = cum.groupBy("event_type").agg(F.max("n").cast("long").alias("n"))
     for p, _ in _HQ_QS:
         k = F.expr(f"CAST(ceil(n * {p} / 100.0) AS BIGINT)")
-        est = (
-            cum.filter(F.col("cum") >= k)
-            .groupBy("event_type")
-            .agg(
-                F.min(F.expr(f"bin * {_HQ_W} + {_HQ_W - 1}")).alias(
-                    f"est_p{p}_c"
-                )
-            )
-        )
         exact = (
             ranked.filter(F.col("rk") == k)
             .groupBy("event_type")
             .agg(F.min("vc").cast("long").alias(f"exact_p{p}_c"))
         )
-        out = out.join(est, "event_type").join(exact, "event_type")
+        out = out.join(exact, "event_type")
     sel = ["event_type", "n"]
     for p, _ in _HQ_QS:
         sel += [
@@ -821,7 +801,7 @@ def quantile_sketch_by_type_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias(f"err_p{p}_c"),
         ]
-    return out.select(*sel, F.lit(_HQ_W).cast("long").alias("bin_width_c"))
+    return out.select(*sel, "bin_width_c")
 
 
 @register(
@@ -869,21 +849,33 @@ def quantile_sketch_lean_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantile_estimates_from_hist(hist)
 
 
-def quantile_hist(
+def _clamped_values(
     ev: DataFrame, type_col: str = "event_type", value_col: str = "value"
 ) -> DataFrame:
-    """The SUM-mergeable sketch state: (event_type, bin, cnt) — the
-    partial the streaming twin folds into persisted state."""
-    v = ev.select(
+    """(event_type, vc): values as clamped integer cents — the shared
+    input of the histogram fold AND the audited twin's exact-rank
+    pass."""
+    return ev.select(
         F.col(type_col).alias("event_type"),
         F.expr(
             f"greatest(least(CAST(round({value_col} * 100) AS BIGINT), "
             f"{_HQ_W * _HQ_B - 1}), 0)"
         ).alias("vc"),
     )
+
+
+def quantile_hist_from_values(v: DataFrame) -> DataFrame:
     return v.groupBy(
         "event_type", F.expr(f"vc div {_HQ_W}").alias("bin")
     ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+
+
+def quantile_hist(
+    ev: DataFrame, type_col: str = "event_type", value_col: str = "value"
+) -> DataFrame:
+    """The SUM-mergeable sketch state: (event_type, bin, cnt) — the
+    partial the streaming twin folds into persisted state."""
+    return quantile_hist_from_values(_clamped_values(ev, type_col, value_col))
 
 
 def quantile_estimates_from_hist(hist: DataFrame) -> DataFrame:

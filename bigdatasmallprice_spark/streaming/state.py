@@ -166,3 +166,24 @@ def versioned_already_applied(state_path: str, batch_id: int | None) -> bool:
 def next_state_version(state_path: str) -> int:
     manifest = read_state_manifest(state_path)
     return 0 if manifest is None else manifest["version"] + 1
+
+
+def advance_watermark(state_path: str, batch_id: int) -> None:
+    """Bump ONLY the replay watermark, keeping the current version dir
+    and config untouched. For folds where a batch produced no state
+    change (an empty delivery): re-publishing the same version would
+    collapse publish_state's keep-set to one directory and GC the
+    genuinely-previous version a full fold-cycle early — exactly the
+    reader-grace window publish_state exists to protect."""
+    manifest = read_state_manifest(state_path)
+    if manifest is None:
+        return
+    if batch_id <= manifest.get("max_batch_id", -1):
+        return
+    manifest = dict(manifest)
+    manifest["max_batch_id"] = batch_id
+    p = _manifest_path(state_path)
+    tmp = p + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    os.replace(tmp, p)

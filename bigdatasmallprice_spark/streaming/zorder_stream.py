@@ -16,15 +16,22 @@ touch:
 1. compute the delta's z-values (pure codegen bit-interleave);
 2. read the current version's per-file ``__z`` footer stats (a
    file-count-sized metadata pass, like any OPTIMIZE planner);
-3. affected = files whose [min_z, max_z] contains at least one delta
-   z (one tiny aggregate over the delta); rows of untouched files are
-   never read;
-4. write a NEW version directory: affected files + delta re-range-
-   partitioned on ``__z`` (each rewritten file sized to
-   ``rows_per_file``), untouched files HARDLINKED in (zero data copy);
+3. segment the z-axis into INTERVALS — each file's range plus the
+   gaps between/around them — and count delta rows per interval with
+   ONE aggregate; rows of untouched files are never read;
+4. write a NEW version directory: each HIT file-interval rewrites as
+   its own unit (its rows + its delta rows, confined to its span),
+   each hit gap-interval becomes new files confined to that gap,
+   untouched files HARDLINK in (zero data copy). Per-interval
+   confinement keeps all file ranges PAIRWISE DISJOINT forever — the
+   invariant footer pruning and future ownership decisions rely on
+   (folding gap rows into an affected rewrite would mint files
+   spanning across untouched files' ranges);
 5. atomically flip the manifest (``publish_state``). Appends are not
    idempotent, so the replay watermark guards at-least-once retries —
-   same contract as the Count-Min stream.
+   same contract as the Count-Min stream. An empty delivery advances
+   only the watermark (re-publishing the same version would GC the
+   previous version dir out from under a concurrent reader).
 
 Unlike ``zorder_write`` (which drops the z column — pure layout
 metadata), the maintained table PERSISTS ``__z``: it is the bookkeeping
@@ -57,10 +64,10 @@ from bigdatasmallprice_spark.streaming.state import (
 ZCOL = "__z"
 
 
-def _file_z_ranges(state_dir: str) -> list[tuple[str, int, int]]:
-    """(path, min_z, max_z) per parquet file from footer statistics —
-    the OPTIMIZE planner's metadata pass (file-count-sized, no data
-    read)."""
+def _file_z_ranges(state_dir: str) -> list[tuple[str, int, int, int]]:
+    """(path, min_z, max_z, num_rows) per parquet file from footer
+    statistics — the OPTIMIZE planner's metadata pass (file-count-
+    sized, no data read; num_rows sizes the rewrite without a scan)."""
     import glob
 
     import pyarrow.parquet as pq
@@ -76,7 +83,7 @@ def _file_z_ranges(state_dir: str) -> list[tuple[str, int, int]]:
             lo = st.min if lo is None else min(lo, st.min)
             hi = st.max if hi is None else max(hi, st.max)
         if lo is not None:
-            out.append((f, int(lo), int(hi)))
+            out.append((f, int(lo), int(hi), int(md.num_rows)))
     return out
 
 
@@ -101,62 +108,103 @@ def update_zorder_table(
 
     delta = batch.withColumn(
         ZCOL, zvalue_col(F.expr(x_sql), F.expr(y_sql), bits)
-    )
-    n_delta = delta.count()
+    ).persist()
     cur = resolve_state_dir(state_path)
+    ranges = sorted(
+        _file_z_ranges(cur) if cur is not None else [], key=lambda r: r[1]
+    )
+    # the per-file ownership below needs pairwise-disjoint ranges —
+    # the invariant this function maintains (and a one-shot
+    # zorder-style write produces). A corrupted/foreign layout falls
+    # back to one full rewrite, which restores it.
+    disjoint = all(
+        ranges[i][2] < ranges[i + 1][1] for i in range(len(ranges) - 1)
+    )
+    if not disjoint:
+        ranges = []
+
+    # Segment the z-axis into INTERVALS — each existing file's range
+    # plus the gaps between/around them — so every delta row belongs
+    # to exactly ONE interval. Rows in a file's range rewrite that
+    # file; rows in a gap become new files CONFINED to that gap. This
+    # is what keeps all file ranges pairwise disjoint forever: folding
+    # gap rows into an affected rewrite (or writing all gap rows as
+    # one unit) would mint files spanning across untouched files'
+    # ranges, silently decaying footer pruning toward the unclustered
+    # scan and misclassifying future batches.
+    intervals: list[tuple[str | None, int, int, int]] = []  # (path|None, lo, hi, nrows)
+    prev_hi = None
+    for path, lo, hi, nrows in ranges:
+        gap_lo = 0 if prev_hi is None else prev_hi + 1
+        if gap_lo <= lo - 1:
+            intervals.append((None, gap_lo, lo - 1, 0))
+        intervals.append((path, lo, hi, nrows))
+        prev_hi = hi
+    tail_lo = 0 if prev_hi is None else prev_hi + 1
+    intervals.append((None, tail_lo, 1 << 62, 0))
+
+    # ONE aggregate over the delta: total rows + per-interval hit
+    # counts (intervals partition the z-axis, so each row counts once)
+    counts = delta.agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[
+            F.sum((F.col(ZCOL).between(lo, hi)).cast("long")).alias(f"f{i}")
+            for i, (_, lo, hi, _) in enumerate(intervals)
+        ],
+    ).collect()[0]
+    n_delta = counts["__n"]
     if n_delta == 0:
-        # nothing to fold — advance only the replay watermark (keep the
-        # current version dir; an empty batch must not mint an empty
-        # file or rewrite anything)
-        if cur is not None and batch_id is not None:
+        # nothing to fold — advance ONLY the replay watermark.
+        # Re-publishing the current version would collapse the GC
+        # keep-set to one directory and delete the genuinely-previous
+        # version a reader may still be scanning (publish_state's
+        # reader-grace contract).
+        delta.unpersist()
+        if batch_id is not None:
             from bigdatasmallprice_spark.streaming.state import (
-                read_state_manifest,
+                advance_watermark,
             )
 
-            manifest = read_state_manifest(state_path)
-            if manifest is not None:
-                publish_state(
-                    state_path, manifest["version"], batch_id, config=config
-                )
+            advance_watermark(state_path, batch_id)
         return {"rewritten": 0, "linked": 0, "empty_batch": True}
-    ranges = _file_z_ranges(cur) if cur is not None else []
 
-    if ranges:
-        # one tiny aggregate over the delta decides ownership: which
-        # existing files' z-ranges receive at least one new row
-        hit_flags = delta.agg(
-            *[
-                F.max(
-                    (F.col(ZCOL).between(lo, hi)).cast("int")
-                ).alias(f"f{i}")
-                for i, (_, lo, hi) in enumerate(ranges)
-            ]
-        ).collect()[0]
-        affected = [
-            path
-            for i, (path, _, _) in enumerate(ranges)
-            if hit_flags[f"f{i}"] == 1
-        ]
-    else:
-        affected = []
-    untouched = [p for p, _, _ in ranges if p not in set(affected)]
-
-    to_write = delta
-    n_rows = n_delta
-    if affected:
-        prev = spark.read.parquet(*affected)
-        to_write = prev.unionByName(delta.select(*prev.columns))
-        n_rows = to_write.count()
-    n_files = max(1, -(-n_rows // rows_per_file))
+    hits = [(counts[f"f{i}"] or 0) for i in range(len(intervals))]
+    untouched = [
+        path
+        for i, (path, _, _, _) in enumerate(intervals)
+        if path is not None and hits[i] == 0
+    ]
 
     version = next_state_version(state_path)
     vdir = state_version_dir(state_path, version)
-    (
-        to_write.repartitionByRange(n_files, ZCOL)
-        .sortWithinPartitions(ZCOL)
-        .write.mode("overwrite")
-        .parquet(vdir)
-    )
+
+    # Row counts come from footers + the hit aggregate — no data pass
+    # is spent on sizing.
+    def _write_unit(df: DataFrame, n_rows: int) -> int:
+        # nearest-rounding, not ceil: a unit at 1.05x the target must
+        # stay ONE file (ceil would double every unit that absorbed a
+        # few rows — file-count inflation on every narrow batch)
+        n_files = max(1, int(n_rows / rows_per_file + 0.5))
+        (
+            df.repartitionByRange(n_files, ZCOL)
+            .sortWithinPartitions(ZCOL)
+            .write.mode("append")
+            .parquet(vdir)
+        )
+        return n_files
+
+    written = 0
+    rewritten = 0
+    for i, (path, lo, hi, nrows) in enumerate(intervals):
+        if hits[i] == 0:
+            continue
+        unit = delta.filter(F.col(ZCOL).between(lo, hi))
+        if path is not None:
+            prev = spark.read.parquet(path)
+            unit = prev.unionByName(unit.select(*prev.columns))
+            rewritten += 1
+        written += _write_unit(unit, nrows + hits[i])
+
     # untouched files enter the new version as hardlinks: incremental
     # in IO, still crash-atomic (the manifest flip publishes a complete
     # directory or nothing). Linked names are rebuilt from a CONTENT
@@ -171,11 +219,12 @@ def update_zorder_table(
         dst = os.path.join(vdir, f"part-linked-{i:05d}-{tag}.parquet")
         os.link(src, dst)
         linked += 1
+    delta.unpersist()
     publish_state(state_path, version, batch_id, config=config)
     return {
-        "rewritten": len(affected),
+        "rewritten": rewritten,
         "linked": linked,
-        "files_after": linked + n_files,
+        "files_after": linked + written,
     }
 
 

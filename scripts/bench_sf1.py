@@ -94,6 +94,13 @@ def main() -> None:
     # artifact like any run) — lets a round re-measure its additions
     # without re-timing the whole list
     wanted = sys.argv[1:] or QUERIES
+    unknown = [n for n in wanted if n not in specs]
+    if unknown:
+        raise SystemExit(
+            f"not registered queries: {unknown} — valid names are the "
+            "registry's (training_features_stitched is a special case "
+            "measured only by the no-args full run)"
+        )
     fns = {n: specs[n].fn for n in wanted}
     if not sys.argv[1:]:
         fns["training_features_stitched"] = training_features_stitched

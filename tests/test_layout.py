@@ -184,13 +184,23 @@ def test_incremental_zorder_maintenance_preserves_pruning(spark, tmp_path):
 
     # the narrow batch rewrote exactly the one owning file
     assert results[2]["rewritten"] == 1, results[2]
-    assert results[2]["linked"] == 15, results[2]
+    assert results[2]["linked"] == 14, results[2]
     shared = sum(
         1
         for f in glob.glob(resolve_state_dir(st) + "/part-*.parquet")
         if os.stat(f).st_ino in inodes_v1
     )
-    assert shared == 15, shared
+    assert shared == 14, shared
+
+    # the structural invariant per-interval rewriting exists for: all
+    # file z-ranges stay PAIRWISE DISJOINT after any fold sequence
+    # (gap rows confined to their gap, file rows to their range)
+    from bigdatasmallprice_spark.streaming.zorder_stream import (
+        zorder_table_stats,
+    )
+
+    rngs = sorted((lo, hi) for _, lo, hi, _ in zorder_table_stats(st))
+    assert all(rngs[i][1] < rngs[i + 1][0] for i in range(len(rngs) - 1)), rngs
 
     # replay of an applied id: watermark-guarded no-op
     r = update_zorder_table(
@@ -220,6 +230,7 @@ def test_incremental_zorder_maintenance_preserves_pruning(spark, tmp_path):
     n_incr = _files_overlapping(incr, box)
     n_oneshot = _files_overlapping(oneshot, box)
     n_linear = _files_overlapping(linear, box)
+    assert len(incr) == len(oneshot) == 16  # no file-count inflation
     assert n_incr == n_oneshot == 5, (n_incr, n_oneshot)
     assert n_incr < n_linear, (n_incr, n_linear)
 
