@@ -1340,3 +1340,65 @@ def test_streaming_quantile_sketch_equals_batch_and_replay_safe(spark, tmp_path)
         .collect()
     }
     assert got == want
+
+
+def test_streaming_winnow_dedup_equals_batch(spark, tmp_path):
+    """Two availableNow deliveries through the incremental winnowing
+    gate: the union of all emitted pairs (within-batch + new-vs-state)
+    must EQUAL the batch winnow_pairs over all documents — with
+    identical n_shared — on this hub-free corpus; the folded
+    fingerprint state must equal the batch fingerprints; a replayed
+    batch id must emit nothing new (pair appends are not idempotent)."""
+    import glob as _glob
+
+    from bigdatasmallprice_spark.operators.dedup import (
+        winnow_fingerprints,
+        winnow_pairs,
+    )
+    from bigdatasmallprice_spark.streaming.winnow_stream import (
+        read_winnow_state,
+        update_winnow_state,
+        winnow_stream,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    chunk1, chunk2 = docs.filter("doc_id % 2 = 0"), docs.filter("doc_id % 2 = 1")
+    src = str(tmp_path / "docs")
+    state, ckpt = str(tmp_path / "wst"), str(tmp_path / "wckpt")
+    verdicts = str(tmp_path / "pairs")
+    chunk1.write.parquet(src)
+
+    def run():
+        stream = spark.readStream.schema(docs.schema).parquet(src)
+        q = winnow_stream(spark, stream, state, ckpt, verdicts).start()
+        q.awaitTermination(120)
+
+    run()
+    chunk2.write.mode("append").parquet(src)
+    run()
+
+    got = {
+        (r.id_a, r.id_b): r.n_shared
+        for r in spark.read.parquet(verdicts).collect()
+    }
+    want = {
+        (r.id_a, r.id_b): r.n_shared
+        for r in winnow_pairs(winnow_fingerprints(docs), min_shared=4).collect()
+    }
+    assert got == want
+    assert len(got) > 0  # the corpus's planted near-dups are found
+
+    streamed_state = {
+        (r.doc_id, r.fp) for r in read_winnow_state(spark, state).collect()
+    }
+    batch_fps = {
+        (r.doc_id, r.fp) for r in winnow_fingerprints(docs).collect()
+    }
+    assert streamed_state == batch_fps
+
+    # replay protection: same batch id -> no new pair files
+    n_files = len(_glob.glob(verdicts + "/part-*.parquet"))
+    update_winnow_state(spark, state, chunk1, verdicts, batch_id=0)
+    assert len(_glob.glob(verdicts + "/part-*.parquet")) == n_files
