@@ -1,10 +1,15 @@
-"""Probabilistic-sketch queries: HyperLogLog distinct counting and
-Count-Min frequency estimation, both with in-query exact audits.
+"""Probabilistic-sketch queries: HyperLogLog distinct counting,
+Count-Min frequency estimation, and binned-histogram quantiles — each
+with an in-query exact audit (and audit-free production twins where
+the audit carries the only corpus-sized surface).
 
-These complete the sketch family started by ``cardinality_sketch``
-(linear counting) and ``operators/sketches.py`` (Misra-Gries heavy
-hitters): the three standard mergeable summaries a 100 TB curation
-pipeline maintains instead of corpus-wide distinct/groupBy shuffles.
+Together with ``cardinality_sketch`` (linear counting),
+``operators/sketches.py`` (Misra-Gries heavy hitters) and the bloom
+membership bitmap, these are the standard mergeable summaries a
+100 TB curation pipeline maintains instead of corpus-wide
+distinct/sort/groupBy shuffles — one per question class: how many
+distinct (HLL), how often (CMS), have we seen it (bloom), what's hot
+(MG), where do values sit (the quantile histogram).
 
 - **HyperLogLog** (Flajolet et al. 2007): per-source distinct-word
   estimate from a fixed 2^8-register state (p=8 — see the sizing note
