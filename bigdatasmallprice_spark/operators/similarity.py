@@ -1062,15 +1062,53 @@ def pq_adc_topk(
         .agg(F.sum("d").cast("long").alias("adc_dist"))
         .filter(F.col("id") != F.col("pid"))
     )
+    return _adc_shortlist_rerank(adc, probes, corpus, k_top, id_col, vec_col)
+
+
+def _pq_probe_lut(
+    probes: DataFrame,
+    codebooks: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(pid, sub, code, d): the ADC lookup table in ONE pass — exploded
+    probe subvectors join the broadcast codebook arrays on their
+    subspace; n_probes * M * K rows, model-sized."""
+    cent = _codebook_arrays(codebooks)
+    ps = _pq_scaled_long(probes, id_col, vec_col).select(
+        F.col("id").alias("pid"), "sub", F.col("xu").alias("pu")
+    )
+    return ps.join(F.broadcast(cent), "sub").select(
+        "pid",
+        "sub",
+        F.col("cid").alias("code"),
+        F.expr(
+            "aggregate(zip_with(pu, cu, (a, b) -> (a - b) * (a - b)), "
+            "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+        ).alias("d"),
+    )
+
+
+def _adc_shortlist_rerank(
+    adc: DataFrame,
+    probes: DataFrame,
+    corpus: DataFrame,
+    k_top: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Shared PQ tail: ADC top-``PQ_SHORTLIST_FACTOR * k_top``
+    shortlist, exact-int re-rank, exact top-``k_top`` with both
+    distances. Probe vectors come from the PROBES frame, not a corpus
+    lookup by id — probes need not be corpus members (a corpus-side
+    lookup would silently drop external query vectors)."""
+    from pyspark.sql import Window
+
     w_adc = Window.partitionBy("pid").orderBy("adc_dist", "id")
     shortlist = adc.select(
         "pid", "id", "adc_dist", F.row_number().over(w_adc).alias("adc_rank")
     ).filter(F.col("adc_rank") <= PQ_SHORTLIST_FACTOR * k_top)
 
-    # exact re-rank of the shortlist only (O(k) rows per probe). The
-    # probe vectors come from the PROBES frame, not a corpus lookup by
-    # id — probes need not be corpus members (a corpus-side lookup
-    # would silently drop external query vectors from the re-rank)
     pv = with_scaled_units(
         probes.select(id_col, vec_col), vec_col=vec_col, id_col=id_col
     ).select(F.col("id").alias("pid"), F.col("xu").alias("pu"))
@@ -1108,3 +1146,72 @@ def pq_adc_topk(
             "exact_dist",
         )
     )
+
+
+def ivfpq_topk(
+    probes: DataFrame,
+    corpus: DataFrame,
+    k_top: int = 5,
+    nprobe: int = 2,
+    coarse_k: int = 8,
+    coarse_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The COMPOSED FAISS index shape (IVFADC, Jegou 2011 sec. V):
+    an exact-integer Lloyd coarse quantizer partitions the corpus into
+    ``coarse_k`` cells, vectors carry PQ codes, and a query (1) picks
+    its ``nprobe`` nearest cells by exact distance to the coarse
+    centroids, (2) runs the ADC lookup ONLY over codes in those cells
+    — the corpus-side work drops to ~nprobe/coarse_k of the code scan,
+    the piece plain PQ lacks — then (3) shortlists and exact-re-ranks
+    as usual. At 100 TB: cell assignment is part of encode (once),
+    the per-query scan touches a cell-pruned code table, and both
+    prunings compose with the 128x PQ compression."""
+    coarse = kmeans_fit_scaled(
+        corpus, k=coarse_k, iters=coarse_iters, id_col=id_col, vec_col=vec_col
+    )
+    cent = centroid_arrays(coarse)
+    cells = assign_cells(
+        with_scaled_units(
+            corpus.select(id_col, vec_col), vec_col=vec_col, id_col=id_col
+        ),
+        cent,
+    ).select("id", F.col("cid").alias("cell"))
+
+    codebooks = pq_codebooks(corpus, id_col, vec_col).persist()
+    codes = pq_encode(corpus, codebooks, id_col, vec_col)
+    lut = _pq_probe_lut(probes, codebooks, id_col, vec_col)
+
+    # probe cells: exact int distance to the (model-sized, broadcast)
+    # coarse centroids, nprobe nearest, cid tie-break
+    from pyspark.sql import Window
+
+    ps = with_scaled_units(
+        probes.select(id_col, vec_col), vec_col=vec_col, id_col=id_col
+    ).select(F.col("id").alias("pid"), F.col("xu").alias("pu"))
+    w_cell = Window.partitionBy("pid").orderBy("cd", "cell")
+    pcells = (
+        ps.crossJoin(F.broadcast(cent.select(F.col("cid").alias("cell"), "cu")))
+        .select(
+            "pid",
+            "cell",
+            F.expr(
+                "aggregate(zip_with(pu, cu, (a, b) -> (a - b) * (a - b)), "
+                "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+            ).alias("cd"),
+        )
+        .select("pid", "cell", F.row_number().over(w_cell).alias("crn"))
+        .filter(F.col("crn") <= nprobe)
+        .select("pid", "cell")
+    )
+
+    adc = (
+        codes.join(cells, "id")
+        .join(F.broadcast(pcells), "cell")
+        .join(F.broadcast(lut), ["pid", "sub", "code"])
+        .groupBy("pid", "id")
+        .agg(F.sum("d").cast("long").alias("adc_dist"))
+        .filter(F.col("id") != F.col("pid"))
+    )
+    return _adc_shortlist_rerank(adc, probes, corpus, k_top, id_col, vec_col)

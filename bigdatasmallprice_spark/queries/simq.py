@@ -1218,7 +1218,11 @@ def ann_index_upsert_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _o_pq_sql() -> str:
+def _o_pq_common() -> str:
+    """The PQ CTE chain every PQ-family oracle shares — scaled vectors
+    (xf), per-subspace Lloyd codebooks, corpus codes (ec), probe LUT
+    (lutl) — WITHOUT the leading WITH, so composed oracles (IVF-PQ)
+    can prepend their own CTEs."""
     from bigdatasmallprice_spark.operators.similarity import (
         KMEANS_SCALE,
         PQ_DSUB,
@@ -1233,7 +1237,7 @@ def _o_pq_sql() -> str:
         "i -> (x.xu[i] - c.cu[i]) * (x.xu[i] - c.cu[i])))"
     )
     parts = [
-        "WITH xf AS (SELECT vec_id AS id, "
+        "xf AS (SELECT vec_id AS id, "
         f"list_transform(embedding, e -> CAST(round({KMEANS_SCALE} * CAST(e AS DOUBLE)) AS BIGINT)) AS xu "
         "FROM embeddings)"
     ]
@@ -1275,36 +1279,41 @@ def _o_pq_sql() -> str:
     ec = " UNION ALL ".join(f"SELECT * FROM e{s}" for s in range(PQ_M))
     lutl = " UNION ALL ".join(f"SELECT * FROM lut{s}" for s in range(PQ_M))
     parts.append(f", ec AS ({ec}), lutl AS ({lutl})")
-    parts.append(
-        ", adc AS (SELECT l.pid, e.id AS vid, CAST(SUM(l.dd) AS BIGINT) AS adc_dist "
-        "FROM ec e JOIN lutl l ON l.sub = e.sub AND l.code = e.code "
-        "WHERE e.id != l.pid GROUP BY 1, 2)"
-    )
+    return "".join(parts)
+
+
+def _o_pq_tail() -> str:
+    """ADC-shortlist -> exact-re-rank tail shared by the PQ oracles:
+    expects an ``adc(pid, vid, adc_dist)`` CTE upstream."""
     from bigdatasmallprice_spark.operators.similarity import (
         PQ_SHORTLIST_FACTOR,
     )
 
     shortlist = PQ_SHORTLIST_FACTOR * 5
-    parts.append(
+    return (
         ", short AS (SELECT pid, vid, adc_dist FROM ("
         "SELECT pid, vid, adc_dist, "
         "row_number() OVER (PARTITION BY pid ORDER BY adc_dist, vid) AS adc_rank "
         f"FROM adc) WHERE adc_rank <= {shortlist})"
-    )
-    parts.append(
         ", ex AS (SELECT r.pid, r.vid, r.adc_dist, "
         "CAST(list_sum(list_transform(range(1, 65), "
         "i -> (p.xu[i] - v.xu[i]) * (p.xu[i] - v.xu[i]))) AS BIGINT) AS exact_dist "
         "FROM short r JOIN xf p ON p.id = r.pid JOIN xf v ON v.id = r.vid)"
-    )
-    parts.append(
         " SELECT pid AS probe_id, CAST(rank AS BIGINT) AS rank, vid AS vec_id, "
         "adc_dist, exact_dist FROM ("
         "SELECT pid, vid, adc_dist, exact_dist, "
         "row_number() OVER (PARTITION BY pid ORDER BY exact_dist, vid) AS rank "
         "FROM ex) WHERE rank <= 5"
     )
-    return "".join(parts)
+
+
+def _o_pq_sql() -> str:
+    adc = (
+        ", adc AS (SELECT l.pid, e.id AS vid, CAST(SUM(l.dd) AS BIGINT) AS adc_dist "
+        "FROM ec e JOIN lutl l ON l.sub = e.sub AND l.code = e.code "
+        "WHERE e.id != l.pid GROUP BY 1, 2)"
+    )
+    return "WITH " + _o_pq_common() + adc + _o_pq_tail()
 
 
 @register(
@@ -1335,3 +1344,60 @@ def ann_pq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") < 10)
     return pq_adc_topk(probes, emb, k_top=5)
+
+
+def _o_ivfpq_sql() -> str:
+    dist64 = (
+        "list_sum(list_transform(range(1, 65), "
+        "i -> (x.xu[i] - c.cu[i]) * (x.xu[i] - c.cu[i])))"
+    )
+    return f"""
+WITH km AS ({_o_kmeans_sql(_KM_K, _KM_ITERS)}),
+cc AS (SELECT cid AS cell, list(cu_e ORDER BY dim) AS cu FROM km GROUP BY cid),
+{_o_pq_common()},
+ac AS (
+  SELECT id, cell FROM (
+    SELECT x.id, c.cell,
+           row_number() OVER (PARTITION BY x.id ORDER BY {dist64}, c.cell) AS rn
+    FROM xf x, cc c) WHERE rn = 1
+),
+pcells AS (
+  SELECT pid, cell FROM (
+    SELECT x.id AS pid, c.cell,
+           row_number() OVER (PARTITION BY x.id ORDER BY {dist64}, c.cell) AS rn
+    FROM xf x, cc c WHERE x.id < 10) WHERE rn <= 2
+),
+adc AS (
+  SELECT l.pid, e.id AS vid, CAST(SUM(l.dd) AS BIGINT) AS adc_dist
+  FROM ec e
+  JOIN ac ON ac.id = e.id
+  JOIN pcells p ON p.cell = ac.cell
+  JOIN lutl l ON l.sub = e.sub AND l.code = e.code AND l.pid = p.pid
+  WHERE e.id != l.pid GROUP BY 1, 2
+){_o_pq_tail()}"""
+
+
+@register(
+    "ann_ivfpq_topk",
+    _o_ivfpq_sql(),
+    doc="The COMPOSED FAISS index (IVFADC, Jegou 2011 sec. V): the "
+    "exact-integer Lloyd coarse quantizer partitions the corpus into "
+    "8 cells, vectors carry the 8x4-bit PQ codes, and a query probes "
+    "its nprobe=2 nearest cells BEFORE the ADC lookup — so the "
+    "per-query code scan touches ~nprobe/k of the corpus, composing "
+    "cell pruning with the 128x code compression (the two halves the "
+    "engine previously demonstrated separately as ann_ivf_trained and "
+    "ann_pq_topk). Shortlist + exact-integer re-rank as in plain PQ, "
+    "both distances hashed. The oracle chains the unrolled coarse "
+    "k-means, the 8 per-subspace codebook fits, cell assignment, cell "
+    "probing, the restricted ADC, and the re-rank into ONE statement — "
+    "training and search of the full index replay externally.",
+    tags=("similarity", "ann", "train", "join"),
+)
+def ann_ivfpq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdatasmallprice_spark.operators.similarity import ivfpq_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 10)
+    return ivfpq_topk(probes, emb, k_top=5, nprobe=2, coarse_k=_KM_K,
+                      coarse_iters=_KM_ITERS)

@@ -77,9 +77,9 @@ DRIVER_CAP = 50
 
 DRIVER_ORDER: list[str] = [
     # r6 rotation (VERDICT r5 ask #4): the one red/never-verified query
-    # first, then this round's 6 new queries, then ALL 22 single-row
+    # first, then this round's 7 new queries, then ALL 22 single-row
     # queries (the 13 r5 sit-outs finally get their second row + the 9
-    # r5-firsts), then the 21 oldest double-greens. 1 + 6 + 22 + 21 =
+    # r5-firsts), then the 20 oldest double-greens. 1 + 7 + 22 + 20 =
     # 50 — no SINGLE sits out this round (all sit-outs already hold
     # two green rows); after r6 every query registered before this
     # round has >= 2 green rows (the ratchet the ledger has promised
@@ -97,6 +97,7 @@ DRIVER_ORDER: list[str] = [
     "quantile_sketch_by_type",
     "quantile_sketch_lean",
     "ann_pq_topk",
+    "ann_ivfpq_topk",
     # -- the 13 r5 sit-outs (single green row from r1-r4)
     "train_gbt_model",
     "union_by_name",
@@ -141,9 +142,10 @@ DRIVER_ORDER: list[str] = [
     "training_features",
     "upsert_idempotency",
     # -- oldest double-greens, next tier (last green r3)
-    "ann_ivf_topk",
     "asof_last_purchase",
-    # Four double-greens sit out: embedding_neardup (r2+r3; its banded
+    # Five double-greens sit out: ann_ivf_topk (r2+r3; fixed-centroid
+    # IVF probing also runs inside ann_ivf_trained, r3+r4 green, and
+    # the new composed ann_ivfpq_topk), embedding_neardup (r2+r3; its banded
     # twin embedding_neardup_banded carries the machinery with r4+r5
     # rows), ann_lsh_topk (r2+r3; the LSH bucket-join machinery also
     # runs inside embedding_neardup_banded and ann_index_upsert, both

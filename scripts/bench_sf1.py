@@ -70,6 +70,7 @@ QUERIES = [
     "quantile_sketch_by_type",
     "quantile_sketch_lean",
     "ann_pq_topk",
+    "ann_ivfpq_topk",
 ]
 
 
