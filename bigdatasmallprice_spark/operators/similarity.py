@@ -1034,27 +1034,12 @@ def pq_adc_topk(
     codes only — at 100 TB that is the entire point: the fat vectors
     are touched once at encode time and for O(k) shortlist rows per
     probe, never per-vector per-query."""
-    from pyspark.sql import Window
-
-    codebooks = pq_codebooks(corpus, id_col, vec_col).persist()
+    # no persist: pq_codebooks returns a localCheckpoint'ed frame —
+    # already materialized, and a persist here would leak session
+    # cache on every call (nothing unpersists it)
+    codebooks = pq_codebooks(corpus, id_col, vec_col)
     codes = pq_encode(corpus, codebooks, id_col, vec_col)
-
-    # the lookup table in ONE pass: exploded probe subvectors join the
-    # broadcast codebook arrays on their subspace — n_probes * M * K
-    # rows, model-sized
-    cent = _codebook_arrays(codebooks)
-    ps = _pq_scaled_long(probes, id_col, vec_col).select(
-        F.col("id").alias("pid"), "sub", F.col("xu").alias("pu")
-    )
-    lut = ps.join(F.broadcast(cent), "sub").select(
-        "pid",
-        "sub",
-        F.col("cid").alias("code"),
-        F.expr(
-            "aggregate(zip_with(pu, cu, (a, b) -> (a - b) * (a - b)), "
-            "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
-        ).alias("d"),
-    )
+    lut = _pq_probe_lut(probes, codebooks, id_col, vec_col)
 
     adc = (
         codes.join(F.broadcast(lut), ["sub", "code"])
@@ -1179,7 +1164,7 @@ def ivfpq_topk(
         cent,
     ).select("id", F.col("cid").alias("cell"))
 
-    codebooks = pq_codebooks(corpus, id_col, vec_col).persist()
+    codebooks = pq_codebooks(corpus, id_col, vec_col)  # checkpointed
     codes = pq_encode(corpus, codebooks, id_col, vec_col)
     lut = _pq_probe_lut(probes, codebooks, id_col, vec_col)
 

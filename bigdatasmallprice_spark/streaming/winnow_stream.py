@@ -16,9 +16,11 @@ Per micro-batch:
    at least one fingerprint with it,
 3. also pairs the batch against ITSELF (within-batch near-dups),
 4. appends the pair verdicts to the sink and folds the batch's
-   fingerprints into the state (versioned crash-atomic swap; the fold
-   is a set union — idempotent per doc — but pair emission is not, so
-   the replay watermark guards retried batches).
+   fingerprints into the state (versioned crash-atomic swap). Two
+   replay layers: the batch-id watermark skips RETRIED batches, and a
+   per-doc anti-join against the state skips documents RE-DELIVERED
+   under a new batch id (first-writer-wins, the LSH stream's rule) —
+   so a doc folds and pairs exactly once however often it arrives.
 
 Hub semantics: the boilerplate cap (WINNOW_HUB_MAX) is applied against
 the state AS OF each fold — a fingerprint can emit pairs before its
@@ -90,12 +92,22 @@ def update_winnow_state(
     if versioned_already_applied(state_path, batch_id):
         return
     validate_state_config(state_path, config)
-    new_fps = winnow_fingerprints(batch).persist()
     state_dir = resolve_state_dir(state_path)
     if state_dir is not None:
         old = spark.read.schema(W_STATE_SCHEMA).parquet(state_dir)
     else:
         old = spark.createDataFrame([], W_STATE_SCHEMA)
+    # first-writer-wins, like the LSH stream's anti-join: a document
+    # re-delivered in a LATER batch (at-least-once source under a new
+    # batch id, so the watermark does not guard it) must fold and pair
+    # exactly once — a bag union would double its fingerprints in the
+    # state, double every n_shared it participates in (spurious pairs
+    # past min_shared) and double-count it in the hub filter
+    new_fps = (
+        winnow_fingerprints(batch)
+        .join(old.select("doc_id").distinct(), "doc_id", "left_anti")
+        .persist()
+    )
 
     # cross pairs (new vs seen): half-open by construction — id_seen is
     # never re-paired with another seen doc here (those pairs were

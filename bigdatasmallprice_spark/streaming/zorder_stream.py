@@ -106,8 +106,12 @@ def update_zorder_table(
     if versioned_already_applied(state_path, batch_id):
         return {"rewritten": 0, "linked": 0, "skipped_replay": True}
 
+    # NULL z (a NULL layout input) saturates to bucket 0 like the
+    # documented clamp semantics — dropping the row would be silent
+    # data loss (every interval's `between` is NULL for it)
     delta = batch.withColumn(
-        ZCOL, zvalue_col(F.expr(x_sql), F.expr(y_sql), bits)
+        ZCOL,
+        F.coalesce(zvalue_col(F.expr(x_sql), F.expr(y_sql), bits), F.lit(0)),
     ).persist()
     cur = resolve_state_dir(state_path)
     ranges = sorted(
@@ -116,11 +120,17 @@ def update_zorder_table(
     # the per-file ownership below needs pairwise-disjoint ranges —
     # the invariant this function maintains (and a one-shot
     # zorder-style write produces). A corrupted/foreign layout falls
-    # back to one full rewrite, which restores it.
+    # back to one full rewrite — ALL existing files become a single
+    # rewrite unit (emptying `ranges` alone would publish a version
+    # holding only the delta and lose the table)
     disjoint = all(
         ranges[i][2] < ranges[i + 1][1] for i in range(len(ranges) - 1)
     )
+    full_rewrite_paths: list[str] = []
+    full_rewrite_rows = 0
     if not disjoint:
+        full_rewrite_paths = [p for p, _, _, _ in ranges]
+        full_rewrite_rows = sum(n for _, _, _, n in ranges)
         ranges = []
 
     # Segment the z-axis into INTERVALS — each existing file's range
@@ -135,12 +145,15 @@ def update_zorder_table(
     intervals: list[tuple[str | None, int, int, int]] = []  # (path|None, lo, hi, nrows)
     prev_hi = None
     for path, lo, hi, nrows in ranges:
-        gap_lo = 0 if prev_hi is None else prev_hi + 1
+        # leading gap opens at -2^62, not 0: a caller whose layout
+        # expressions are unclamped can produce negative z, and those
+        # rows must land in a gap file, never vanish
+        gap_lo = -(1 << 62) if prev_hi is None else prev_hi + 1
         if gap_lo <= lo - 1:
             intervals.append((None, gap_lo, lo - 1, 0))
         intervals.append((path, lo, hi, nrows))
         prev_hi = hi
-    tail_lo = 0 if prev_hi is None else prev_hi + 1
+    tail_lo = -(1 << 62) if prev_hi is None else prev_hi + 1
     intervals.append((None, tail_lo, 1 << 62, 0))
 
     # ONE aggregate over the delta: total rows + per-interval hit
@@ -195,15 +208,23 @@ def update_zorder_table(
 
     written = 0
     rewritten = 0
-    for i, (path, lo, hi, nrows) in enumerate(intervals):
-        if hits[i] == 0:
-            continue
-        unit = delta.filter(F.col(ZCOL).between(lo, hi))
-        if path is not None:
-            prev = spark.read.parquet(path)
-            unit = prev.unionByName(unit.select(*prev.columns))
-            rewritten += 1
-        written += _write_unit(unit, nrows + hits[i])
+    if full_rewrite_paths:
+        # non-disjoint fallback: every existing file + the whole delta
+        # becomes one rewrite — restores the disjointness invariant
+        unit = spark.read.parquet(*full_rewrite_paths)
+        unit = unit.unionByName(delta.select(*unit.columns))
+        written += _write_unit(unit, full_rewrite_rows + n_delta)
+        rewritten = len(full_rewrite_paths)
+    else:
+        for i, (path, lo, hi, nrows) in enumerate(intervals):
+            if hits[i] == 0:
+                continue
+            unit = delta.filter(F.col(ZCOL).between(lo, hi))
+            if path is not None:
+                prev = spark.read.parquet(path)
+                unit = prev.unionByName(unit.select(*prev.columns))
+                rewritten += 1
+            written += _write_unit(unit, nrows + hits[i])
 
     # untouched files enter the new version as hardlinks: incremental
     # in IO, still crash-atomic (the manifest flip publishes a complete

@@ -292,3 +292,67 @@ def test_incremental_zorder_filenames_stay_bounded(spark, tmp_path):
         for f in glob.glob(resolve_state_dir(st) + "/part-*.parquet")
     ]
     assert names and max(len(n) for n in names) < 120, sorted(names, key=len)[-1]
+
+
+def test_incremental_zorder_keeps_null_z_and_foreign_layouts(spark, tmp_path):
+    """Two loss modes the interval logic must not have: (a) a delta
+    row whose layout inputs are NULL (its z saturates to bucket 0 and
+    the row lands in a file — never silently dropped); (b) folding
+    into a NON-disjoint foreign layout (e.g. a plain-append directory)
+    triggers a full rewrite that keeps every existing row and restores
+    the disjointness invariant."""
+    import os
+
+    from bigdatasmallprice_spark.streaming.zorder_stream import (
+        ZCOL,
+        read_zorder_table,
+        resolve_state_dir,
+        update_zorder_table,
+        zorder_table_stats,
+    )
+
+    # (a) NULL layout input
+    st = str(tmp_path / "ztab")
+    rows = spark.createDataFrame(
+        [(1, 10, 20), (2, None, 5), (3, 200, 300)], "id long, a long, b long"
+    )
+    update_zorder_table(
+        spark, st, rows, "greatest(least(a, 255), 0)",
+        "greatest(least(b, 255), 0)", rows_per_file=64, batch_id=0,
+    )
+    got = sorted(r.id for r in read_zorder_table(spark, st).collect())
+    assert got == [1, 2, 3], got
+
+    # (b) non-disjoint foreign layout: hand-build a state version with
+    # overlapping z-ranges, then fold a batch into it
+    from bigdatasmallprice_spark.streaming.state import (
+        publish_state,
+        state_version_dir,
+    )
+
+    st2 = str(tmp_path / "ztab2")
+    vdir = state_version_dir(st2, 0)
+    spark.createDataFrame(
+        [(10, 5), (11, 50)], f"id long, {ZCOL} long"
+    ).coalesce(1).write.parquet(vdir)
+    spark.createDataFrame(
+        [(12, 30), (13, 80)], f"id long, {ZCOL} long"
+    ).coalesce(1).write.mode("append").parquet(vdir)  # ranges overlap
+    publish_state(
+        st2, 0, 0,
+        config={"x_sql": "greatest(least(a, 255), 0)",
+                "y_sql": "greatest(least(b, 255), 0)", "bits": 8},
+    )
+    rngs = sorted((lo, hi) for _, lo, hi, _ in zorder_table_stats(st2))
+    assert any(rngs[i][1] >= rngs[i + 1][0] for i in range(len(rngs) - 1))
+
+    batch = spark.createDataFrame([(14, 3, 4)], "id long, a long, b long")
+    r = update_zorder_table(
+        spark, st2, batch, "greatest(least(a, 255), 0)",
+        "greatest(least(b, 255), 0)", rows_per_file=64, batch_id=1,
+    )
+    assert r["rewritten"] == 2, r  # both foreign files rewritten
+    got2 = sorted(r.id for r in read_zorder_table(spark, st2).collect())
+    assert got2 == [10, 11, 12, 13, 14], got2  # nothing lost
+    rngs2 = sorted((lo, hi) for _, lo, hi, _ in zorder_table_stats(st2))
+    assert all(rngs2[i][1] < rngs2[i + 1][0] for i in range(len(rngs2) - 1))

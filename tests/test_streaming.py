@@ -1402,3 +1402,45 @@ def test_streaming_winnow_dedup_equals_batch(spark, tmp_path):
     n_files = len(_glob.glob(verdicts + "/part-*.parquet"))
     update_winnow_state(spark, state, chunk1, verdicts, batch_id=0)
     assert len(_glob.glob(verdicts + "/part-*.parquet")) == n_files
+
+
+def test_winnow_stream_redelivered_doc_folds_once(spark, tmp_path):
+    """A document RE-DELIVERED under a NEW batch id (at-least-once
+    source; the replay watermark does not apply) must fold and pair
+    exactly once: the state keeps one fingerprint set for it and the
+    verdict sink gains no rows from the redelivery."""
+    import glob as _glob
+
+    from bigdatasmallprice_spark.operators.dedup import winnow_fingerprints
+    from bigdatasmallprice_spark.streaming.winnow_stream import (
+        read_winnow_state,
+        update_winnow_state,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    ).filter("doc_id < 60")
+    state = str(tmp_path / "wst")
+    verdicts = str(tmp_path / "pairs")
+    update_winnow_state(spark, state, docs, verdicts, batch_id=0)
+    state_before = sorted(
+        (r.doc_id, r.fp) for r in read_winnow_state(spark, state).collect()
+    )
+    pair_files = len(_glob.glob(verdicts + "/part-*.parquet"))
+    pairs_before = sorted(
+        map(tuple, spark.read.parquet(verdicts).collect())
+    ) if pair_files else []
+
+    # redeliver a subset under a NEW batch id
+    update_winnow_state(
+        spark, state, docs.filter("doc_id < 20"), verdicts, batch_id=1
+    )
+    state_after = sorted(
+        (r.doc_id, r.fp) for r in read_winnow_state(spark, state).collect()
+    )
+    assert state_after == state_before  # no duplicate fingerprints
+    pairs_after = sorted(map(tuple, spark.read.parquet(verdicts).collect()))
+    assert pairs_after == pairs_before  # no duplicate/spurious pairs
+    assert state_before == sorted(
+        (r.doc_id, r.fp) for r in winnow_fingerprints(docs).collect()
+    )
