@@ -998,17 +998,10 @@ def _distill_train_oracle() -> str:
         o_distill_chain_sql,
     )
 
-    # Weights leave the query as exact integer MICRO-UNITS (the same
-    # in-engine round-to-BIGINT the per-row loss_micro terms already
-    # use): SQL round at scale 0 is half-away-from-zero in both engines
-    # and decided purely by the binary double vs the .5 boundary, so it
-    # is engine-portable where emitting round(w, 6) DOUBLES was not
-    # (Python banker's round vs SQL round diverge, and iteration 1's
-    # -0.0 hash-canonicalizes engine-dependently). r5's one red row.
-    micros = ", ".join(
-        f"CAST(round(1000000.0 * w{j}) AS BIGINT) AS w{j}_micro"
-        for j in range(5)
-    )
+    # The weights ARE BIGINT micro-units natively now — the whole
+    # trajectory is integer arithmetic (operators/distill.py), so the
+    # output needs no re-encoding and no engine float op ever runs.
+    micros = ", ".join(f"w{j} AS w{j}_micro" for j in range(5))
     rows = "\nUNION ALL\n".join(
         f"SELECT CAST({t} AS BIGINT) AS iter, {micros}, "
         f"loss_micro, n FROM w{t}"
@@ -1023,18 +1016,19 @@ def _distill_train_oracle() -> str:
     doc="Distill the quality heuristic into a trained linear classifier "
     "(CCNet / FineWeb-Edu pattern: expensive labeler on a slice, cheap "
     "model everywhere): 16 class-weighted GD iterations over the "
-    "doc_id%4 training slice, rational-sigmoid link (exp-free, so both "
-    "engines run bit-identical IEEE doubles), per-row gradient and "
-    "loss contributions rounded to integer micro-units and summed as "
-    "exact BIGINTs (order-independent — the linreg MAPE-gate trick). "
-    "Output is the convergence table: per iteration the updated "
-    "weights (as exact BIGINT micro-units, rounded IN-ENGINE by the "
-    "same SQL round both engines share — never as engine-formatted "
-    "doubles) and the pre-update training loss. Each iteration is ONE "
-    "map-side-combined global aggregate over a persisted slim feature "
-    "frame — model-sized driver state, T passes, no collect of data "
-    "rows, unchanged at 100 TB. The oracle replays the identical CTE "
-    "chain. See operators/distill.py.",
+    "doc_id%4 training slice. The ENTIRE trajectory is exact BIGINT "
+    "fixed-point arithmetic — integer features, integer rational "
+    "sigmoid, explicitly-rounded integer divisions, exact-integer "
+    "gradient sums (split by class so the class weight multiplies the "
+    "sums once), integer weight updates — so NO engine float op is "
+    "ever replayed and no DuckDB/Spark build can diverge (FMA, libm, "
+    "round-half conventions all have nothing to act on). Output is the "
+    "convergence table: per iteration the updated micro-unit weights "
+    "and the pre-update class-weighted training loss. Each iteration "
+    "is ONE map-side-combined global aggregate over a persisted slim "
+    "feature frame — model-sized driver state, T passes, no collect of "
+    "data rows, unchanged at 100 TB. The oracle replays the identical "
+    "integer CTE chain. See operators/distill.py.",
     tags=("text", "ml", "curation"),
 )
 def quality_classifier_train_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1051,44 +1045,31 @@ def quality_classifier_train_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = [
         (h["iter"], *h["w"], h["loss_micro"], h["n"]) for h in history
     ]
-    raw = spark.createDataFrame(
+    return spark.createDataFrame(
         rows,
-        "iter long, w0 double, w1 double, w2 double, w3 double, "
-        "w4 double, loss_micro long, n long",
-    )
-    # micro-unit encoding happens IN Spark SQL so both engines run the
-    # same round() on the same IEEE doubles (see _distill_train_oracle)
-    return raw.selectExpr(
-        "iter",
-        *[
-            f"CAST(round(1000000.0 * w{j}) AS BIGINT) AS w{j}_micro"
-            for j in range(5)
-        ],
-        "loss_micro",
-        "n",
+        "iter long, w0_micro long, w1_micro long, w2_micro long, "
+        "w3_micro long, w4_micro long, loss_micro long, n long",
     )
 
 
 def _distill_filter_oracle() -> str:
     from bigdatasmallprice_spark.operators.distill import (
         DISTILL_ITERS,
-        P_EXPR,
-        Z_TMPL,
         o_distill_chain_sql,
+        o_score_keep_expr,
     )
 
-    z = Z_TMPL.format(w0="w0", w1="w1", w2="w2", w3="w3", w4="w4")
+    keep = o_score_keep_expr()
     return f"""WITH {o_distill_chain_sql()},
 scored AS (
-  SELECT source, y, {z} AS z FROM feat, w{DISTILL_ITERS}
-),
-sp AS (SELECT source, y, {P_EXPR} AS p FROM scored)
+  SELECT source, ym, {keep} AS keep FROM feat, w{DISTILL_ITERS}
+)
 SELECT source,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
-       CAST(SUM(CASE WHEN p >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_model_keep,
-       CAST(SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_heuristic_keep,
-       CAST(SUM(CASE WHEN (p >= 0.5) = (y = 1.0) THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
-FROM sp GROUP BY 1
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_model_keep,
+       CAST(SUM(CASE WHEN ym = 1000 THEN 1 ELSE 0 END) AS BIGINT) AS n_heuristic_keep,
+       CAST(SUM(CASE WHEN keep = (ym = 1000) THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+FROM scored GROUP BY 1
 """
 
 
@@ -1096,23 +1077,22 @@ FROM sp GROUP BY 1
     "quality_classifier_filter",
     _distill_filter_oracle(),
     doc="Apply the distilled quality classifier corpus-wide: re-run the "
-    "16-iteration class-weighted fit on the doc_id%4 slice (same "
-    "bit-exact trajectory "
-    "as quality_classifier_train), then score EVERY document with the "
-    "final weights as one literal codegen expression — the "
-    "filter-at-scan-speed half of the distillation pattern. Per source: "
-    "doc count, model keeps (p >= 0.5), teacher-heuristic keeps, and "
-    "model-teacher agreement (the distillation fidelity metric, "
-    "computed on train AND held-out docs alike). Scoring shuffles "
-    "nothing but the per-source aggregate.",
+    "16-iteration class-weighted all-integer fit on the doc_id%4 slice "
+    "(same bit-exact trajectory as quality_classifier_train), then "
+    "score EVERY document with the final micro-unit weights as one "
+    "literal pure-integer codegen expression — the filter-at-scan-speed "
+    "half of the distillation pattern. Per source: doc count, model "
+    "keeps (p_milli >= 500), teacher-heuristic keeps, and model-teacher "
+    "agreement (the distillation fidelity metric, computed on train AND "
+    "held-out docs alike). Scoring shuffles nothing but the per-source "
+    "aggregate.",
     tags=("text", "ml", "curation"),
 )
 def quality_classifier_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdatasmallprice_spark.operators.distill import (
-        P_EXPR,
-        Z_TMPL,
         fit_quality_classifier,
         quality_features,
+        score_keep_expr,
     )
 
     docs = table(spark, sf_dir, "documents")
@@ -1121,23 +1101,21 @@ def quality_classifier_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         history = fit_quality_classifier(feats)
     finally:
         feats.unpersist()
-    w = history[-1]["w"]
-    z = Z_TMPL.format(
-        w0=repr(w[0]), w1=repr(w[1]), w2=repr(w[2]), w3=repr(w[3]),
-        w4=repr(w[4]),
-    )
+    keep = score_keep_expr(history[-1]["w"])
     scored = quality_features(docs).selectExpr(
-        "source", "y", f"{z} AS z"
-    ).selectExpr("source", "y", f"{P_EXPR} AS p")
+        "source", "ym", f"{keep} AS keep"
+    )
     return scored.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum(F.when(F.col("p") >= 0.5, 1).otherwise(0))
+        F.sum(F.when(F.col("keep"), 1).otherwise(0))
         .cast("long")
         .alias("n_model_keep"),
-        F.sum(F.when(F.col("y") == 1.0, 1).otherwise(0))
+        F.sum(F.when(F.col("ym") == 1000, 1).otherwise(0))
         .cast("long")
         .alias("n_heuristic_keep"),
-        F.sum(F.when((F.col("p") >= 0.5) == (F.col("y") == 1.0), 1).otherwise(0))
+        F.sum(
+            F.when(F.col("keep") == (F.col("ym") == 1000), 1).otherwise(0)
+        )
         .cast("long")
         .alias("n_agree"),
     )

@@ -1,5 +1,6 @@
 """Classifier distillation (operators/distill.py): convergence,
-held-out fidelity, determinism, and the model-sized-aggregate shape."""
+held-out fidelity, determinism, all-integer trajectory invariants, and
+the model-sized-aggregate shape."""
 
 from __future__ import annotations
 
@@ -8,10 +9,11 @@ from pyspark.sql import functions as F
 from bigdatasmallprice_spark.catalog import load_table
 from bigdatasmallprice_spark.operators.distill import (
     DISTILL_ITERS,
-    P_EXPR,
-    Z_TMPL,
+    SCALE,
     fit_quality_classifier,
     quality_features,
+    rdiv_py,
+    score_keep_expr,
 )
 
 SF = "/root/testdata/sf0.001"
@@ -33,10 +35,14 @@ def test_loss_decreases_and_history_shape(spark):
     # fall substantially from the w=0 start and end at its minimum
     assert losses[-1] == min(losses), losses
     assert losses[-1] < losses[0] * 0.7, losses
-    # iteration 1 starts from w=0 => p=0.5 everywhere => every keep
-    # contributes exactly 250000 micro-units; rejects contribute the
-    # class-weighted quarter (same rounding both engines)
-    assert losses[0] >= hist[0]["n"] * 250000
+    # iteration 1 starts from w=0 => z=0 exactly => p_milli=500 on
+    # every row => e=±500 => per-row loss term is exactly 250000
+    # micro-units; the class-weighted fold is therefore closed-form
+    h0 = hist[0]
+    expected = h0["npos"] * 250000 + rdiv_py(
+        h0["cwm"] * h0["nneg"] * 250000, SCALE
+    )
+    assert losses[0] == expected, (losses[0], expected)
 
 
 def test_heldout_discrimination(spark):
@@ -47,24 +53,18 @@ def test_heldout_discrimination(spark):
     feats = _feats(spark).persist()
     try:
         hist = fit_quality_classifier(feats)
-        w = hist[-1]["w"]
-        z = Z_TMPL.format(
-            w0=repr(w[0]), w1=repr(w[1]), w2=repr(w[2]), w3=repr(w[3]),
-            w4=repr(w[4]),
-        )
-        ev = (
-            feats.filter("NOT train")
-            .selectExpr("y", f"{z} AS z")
-            .selectExpr("y", f"{P_EXPR} AS p")
+        keep = score_keep_expr(hist[-1]["w"])
+        ev = feats.filter("NOT train").selectExpr(
+            "ym", f"{keep} AS keep"
         )
         row = ev.agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(
-                F.when((F.col("p") >= 0.5) == (F.col("y") == 1.0), 1).otherwise(0)
+                F.when(F.col("keep") == (F.col("ym") == 1000), 1).otherwise(0)
             ).alias("correct"),
-            F.sum(F.when(F.col("y") == 1.0, 1).otherwise(0)).alias("pos"),
+            F.sum(F.when(F.col("ym") == 1000, 1).otherwise(0)).alias("pos"),
             F.sum(
-                F.when((F.col("y") == 0.0) & (F.col("p") < 0.5), 1).otherwise(0)
+                F.when((F.col("ym") == 0) & (~F.col("keep")), 1).otherwise(0)
             ).alias("true_neg"),
         ).collect()[0]
     finally:
@@ -89,14 +89,32 @@ def test_fit_is_deterministic(spark):
         h2 = fit_quality_classifier(feats)
     finally:
         feats.unpersist()
-    # exact-integer gradient sums + driver-side float updates: the
+    # exact-integer gradient sums + integer driver-side updates: the
     # trajectories must be BIT-equal run-to-run (no float-accumulation
-    # order dependence)
+    # order dependence — there are no floats at all)
     assert h1 == h2
 
 
+def test_trajectory_is_all_integer(spark):
+    """Every number the fit holds or emits is a Python int — the
+    invariant that makes the trajectory engine-build-proof."""
+    feats = _feats(spark).persist()
+    try:
+        hist = fit_quality_classifier(feats, iters=3)
+    finally:
+        feats.unpersist()
+    for h in hist:
+        assert all(type(wj) is int for wj in h["w"]), h
+        assert type(h["loss_micro"]) is int
+        assert type(h["cwm"]) is int
+    # and the feature frame itself is all-BIGINT (plus the bool mask)
+    types = dict(feats.dtypes)
+    for c in ("x1m", "x2m", "x3m", "x4m", "ym"):
+        assert types[c] == "bigint", types
+
+
 def test_each_iteration_is_one_model_sized_row(spark):
-    # the per-iteration aggregate returns exactly one 6-number row
+    # the per-iteration aggregate returns exactly one 13-number row
     # regardless of corpus size: driver state stays model-sized
     feats = _feats(spark).persist()
     try:
