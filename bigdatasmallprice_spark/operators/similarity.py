@@ -842,8 +842,8 @@ def covariance_moments_vectorized(
 # compressed ANN path. The 64-dim embedding splits into PQ_M subspaces;
 # each subspace gets its own PQ_K-centroid codebook (the SAME exact-int
 # Lloyd fit as the IVF coarse quantizer, run on the sliced vectors), a
-# vector encodes as PQ_M small codes (here 4 x 3 bits vs 64 x 64-bit
-# ints — the ~170x memory cut is the point at 100 TB), and a query
+# vector encodes as PQ_M small codes (here 8 x 4 bits vs 64 x 64-bit
+# ints — the ~128x memory cut is the point at 100 TB), and a query
 # scans CODES with an asymmetric-distance lookup table (ADC): dist ~=
 # sum over subspaces of ||probe_sub - codebook[code]||^2, one table
 # lookup per subspace instead of a 64-dim arithmetic pass per vector.
@@ -864,17 +864,13 @@ PQ_ITERS = 2  # Lloyd rounds per codebook (matches kmeans_centroids)
 PQ_SHORTLIST_FACTOR = 8
 
 
-def _pq_scaled_long(
-    df: DataFrame, id_col: str, vec_col: str
-) -> DataFrame:
-    """(id, sub, xu): the corpus exploded into PQ_M micro-unit
-    subvector rows. ONE scaling pass, one explode — the grouped form
-    that lets all PQ_M codebooks train in the SAME Lloyd loop (a
-    per-subspace fit loop would run PQ_M sequential barrier chains;
-    grouping by subspace keys turns every stage into one job)."""
-    scaled = with_scaled_units(
-        df.select(id_col, vec_col), vec_col=vec_col, id_col=id_col
-    )
+def _pq_subs_long(scaled: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
+    """(id, xu64[, carry...]) -> (id[, carry...], sub, xu): the frame
+    exploded into PQ_M micro-unit subvector rows. ONE explode — the
+    grouped form that lets all PQ_M codebooks train in the SAME Lloyd
+    loop (a per-subspace fit loop would run PQ_M sequential barrier
+    chains; grouping by subspace keys turns every stage into one job).
+    Works on any already-scaled frame — raw vectors OR residuals."""
     subs = F.array(
         *[
             F.expr(f"slice(xu, {s * PQ_DSUB + 1}, {PQ_DSUB})")
@@ -882,8 +878,18 @@ def _pq_scaled_long(
         ]
     )
     return scaled.select(
-        "id", F.posexplode(subs).alias("sub", "xu")
+        "id", *carry, F.posexplode(subs).alias("sub", "xu")
     ).withColumn("sub", F.col("sub").cast("long"))
+
+
+def _pq_scaled_long(
+    df: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """(id, sub, xu): scale to micro-units then explode (one pass)."""
+    scaled = with_scaled_units(
+        df.select(id_col, vec_col), vec_col=vec_col, id_col=id_col
+    )
+    return _pq_subs_long(scaled)
 
 
 def _pq_assign_grouped(
@@ -947,11 +953,11 @@ def _codebook_arrays(per_dim: DataFrame) -> DataFrame:
     )
 
 
-def pq_codebooks(
-    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
-) -> DataFrame:
-    """Train ALL PQ_M codebooks in one grouped Lloyd loop: init = the
-    PQ_K smallest ids' subvectors per subspace (same rule as the IVF
+def pq_codebooks_xu(scaled: DataFrame) -> DataFrame:
+    """Train ALL PQ_M codebooks in one grouped Lloyd loop over an
+    ALREADY-scaled (id, xu) frame — raw micro-unit vectors for plain
+    PQ, coarse-quantizer residuals for IVFADC. Init = the PQ_K
+    smallest ids' subvectors per subspace (same rule as the IVF
     quantizer), then per round ONE grouped assign (Arrow map) and ONE
     (sub, cid, dim) groupBy update — PQ_M * PQ_K * PQ_DSUB groups,
     model-sized. Exactly the per-subspace Lloyd math (assignments are
@@ -959,7 +965,7 @@ def pq_codebooks(
     barrier chains into one. Long-form output
     (sub, cid, dim, cu_e, n_assigned). At 100 TB the fit runs on a
     hash sample; encode touches the full corpus once."""
-    sv = _pq_scaled_long(df, id_col, vec_col).persist()
+    sv = _pq_subs_long(scaled).persist()
     # init = the PQ_K smallest ids' subvectors (the house seed rule).
     # Resolved by an explicit top-k rather than `id < PQ_K` so a
     # corpus whose ids don't start at 0 still seeds K centroids —
@@ -999,21 +1005,42 @@ def pq_codebooks(
     )
 
 
+def pq_codebooks(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """pq_codebooks_xu over the micro-unit scaling of a raw frame."""
+    return pq_codebooks_xu(
+        with_scaled_units(
+            df.select(id_col, vec_col), vec_col=vec_col, id_col=id_col
+        )
+    )
+
+
+def pq_encode_xu(scaled: DataFrame, codebooks: DataFrame) -> DataFrame:
+    """Already-scaled (id, xu) frame -> (id, sub, code): nearest
+    codebook centroid per subspace (exact integer squared L2, cid
+    tie-break) — ONE grouped Arrow map over the exploded subvectors,
+    no shuffle; the output is the compressed index ADC scans."""
+    cent_rows = [
+        (r["sub"], r["cid"], r["cu"])
+        for r in _codebook_arrays(codebooks).collect()
+    ]
+    return _pq_assign_grouped(_pq_subs_long(scaled), cent_rows)
+
+
 def pq_encode(
     df: DataFrame,
     codebooks: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Corpus -> (id, sub, code): nearest codebook centroid per
-    subspace (exact integer squared L2, cid tie-break) — ONE grouped
-    Arrow map over the exploded subvectors, no shuffle; the output is
-    the compressed index ADC scans."""
-    cent_rows = [
-        (r["sub"], r["cid"], r["cu"])
-        for r in _codebook_arrays(codebooks).collect()
-    ]
-    return _pq_assign_grouped(_pq_scaled_long(df, id_col, vec_col), cent_rows)
+    """pq_encode_xu over the micro-unit scaling of a raw frame."""
+    return pq_encode_xu(
+        with_scaled_units(
+            df.select(id_col, vec_col), vec_col=vec_col, id_col=id_col
+        ),
+        codebooks,
+    )
 
 
 def pq_adc_topk(
@@ -1065,6 +1092,29 @@ def _pq_probe_lut(
     )
     return ps.join(F.broadcast(cent), "sub").select(
         "pid",
+        "sub",
+        F.col("cid").alias("code"),
+        F.expr(
+            "aggregate(zip_with(pu, cu, (a, b) -> (a - b) * (a - b)), "
+            "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+        ).alias("d"),
+    )
+
+
+def _pq_residual_lut(rq: DataFrame, codebooks: DataFrame) -> DataFrame:
+    """(pid, cell, sub, code, d): the IVFADC lookup table — one row per
+    (probe, PROBED CELL, subspace, code), distances from the probe's
+    residual IN THAT CELL to the residual codebook centroids.
+    n_probes * nprobe * M * K rows, model-sized, broadcast."""
+    cent = _codebook_arrays(codebooks)
+    ps = _pq_subs_long(
+        rq.select(F.col("pid").alias("id"), "cell", "xu"), carry=("cell",)
+    ).select(
+        F.col("id").alias("pid"), "cell", "sub", F.col("xu").alias("pu")
+    )
+    return ps.join(F.broadcast(cent), "sub").select(
+        "pid",
+        "cell",
         "sub",
         F.col("cid").alias("code"),
         F.expr(
@@ -1143,30 +1193,42 @@ def ivfpq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """The COMPOSED FAISS index shape (IVFADC, Jegou 2011 sec. V):
-    an exact-integer Lloyd coarse quantizer partitions the corpus into
-    ``coarse_k`` cells, vectors carry PQ codes, and a query (1) picks
-    its ``nprobe`` nearest cells by exact distance to the coarse
-    centroids, (2) runs the ADC lookup ONLY over codes in those cells
-    — the corpus-side work drops to ~nprobe/coarse_k of the code scan,
-    the piece plain PQ lacks — then (3) shortlists and exact-re-ranks
-    as usual. At 100 TB: cell assignment is part of encode (once),
-    the per-query scan touches a cell-pruned code table, and both
-    prunings compose with the 128x PQ compression."""
+    """The COMPOSED FAISS index (true IVFADC, Jegou 2011 sec. V — with
+    RESIDUAL encoding): an exact-integer Lloyd coarse quantizer
+    partitions the corpus into ``coarse_k`` cells; each vector is PQ-
+    encoded as its RESIDUAL x - centroid(cell(x)) — the residual
+    distribution concentrates near zero, so the 8x16 codebooks spend
+    their resolution on the fine structure the coarse quantizer left,
+    which is where IVFADC's accuracy gain over plain PQ lives. A query
+    (1) picks its ``nprobe`` nearest cells by exact distance to the
+    coarse centroids, (2) forms its OWN residual per probed cell and
+    runs the ADC lookup ONLY over codes in those cells — since both
+    residuals subtract the SAME centroid, sum-of-subspace residual
+    distances approximate the true ||x - q||^2 — then (3) shortlists
+    and exact-re-ranks on the raw vectors as usual. The corpus-side
+    work drops to ~nprobe/coarse_k of the code scan; the LUT grows to
+    one table per (probe, probed cell) — still model-sized, broadcast.
+    At 100 TB: cell assignment + residual encode happen once, the
+    per-query scan touches a cell-pruned code table, and cell pruning
+    composes with the 128x code compression."""
     coarse = kmeans_fit_scaled(
         corpus, k=coarse_k, iters=coarse_iters, id_col=id_col, vec_col=vec_col
     )
     cent = centroid_arrays(coarse)
-    cells = assign_cells(
-        with_scaled_units(
-            corpus.select(id_col, vec_col), vec_col=vec_col, id_col=id_col
-        ),
-        cent,
-    ).select("id", F.col("cid").alias("cell"))
+    xs = with_scaled_units(
+        corpus.select(id_col, vec_col), vec_col=vec_col, id_col=id_col
+    )
+    cells = assign_cells(xs, cent).select("id", F.col("cid").alias("cell"))
+    ccell = F.broadcast(cent.select(F.col("cid").alias("cell"), "cu"))
 
-    codebooks = pq_codebooks(corpus, id_col, vec_col)  # checkpointed
-    codes = pq_encode(corpus, codebooks, id_col, vec_col)
-    lut = _pq_probe_lut(probes, codebooks, id_col, vec_col)
+    # residual frame: x - centroid(cell(x)), exact micro-unit integers
+    rx = (
+        xs.join(cells, "id")
+        .join(ccell, "cell")
+        .select("id", F.expr("zip_with(xu, cu, (a, b) -> a - b)").alias("xu"))
+    )
+    codebooks = pq_codebooks_xu(rx)  # checkpointed
+    codes = pq_encode_xu(rx, codebooks)
 
     # probe cells: exact int distance to the (model-sized, broadcast)
     # coarse centroids, nprobe nearest, cid tie-break
@@ -1177,7 +1239,7 @@ def ivfpq_topk(
     ).select(F.col("id").alias("pid"), F.col("xu").alias("pu"))
     w_cell = Window.partitionBy("pid").orderBy("cd", "cell")
     pcells = (
-        ps.crossJoin(F.broadcast(cent.select(F.col("cid").alias("cell"), "cu")))
+        ps.crossJoin(ccell)
         .select(
             "pid",
             "cell",
@@ -1191,10 +1253,23 @@ def ivfpq_topk(
         .select("pid", "cell")
     )
 
+    # per-(probe, probed cell) residuals -> the IVFADC lookup table
+    rq = (
+        ps.join(F.broadcast(pcells), "pid")
+        .join(ccell, "cell")
+        .select(
+            "pid",
+            "cell",
+            F.expr("zip_with(pu, cu, (a, b) -> a - b)").alias("xu"),
+        )
+    )
+    lut = _pq_residual_lut(rq, codebooks)
+
+    # the LUT only has rows for probed (pid, cell) pairs, so the
+    # (cell, sub, code) equi-join IS the cell pruning
     adc = (
         codes.join(cells, "id")
-        .join(F.broadcast(pcells), "cell")
-        .join(F.broadcast(lut), ["pid", "sub", "code"])
+        .join(F.broadcast(lut), ["cell", "sub", "code"])
         .groupBy("pid", "id")
         .agg(F.sum("d").cast("long").alias("adc_dist"))
         .filter(F.col("id") != F.col("pid"))
