@@ -517,14 +517,19 @@ def ahash_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(_hash, "doc_id long, ahash long")
 
 
-def ahash_near_pairs(
-    df: DataFrame, id_col: str = "doc_id", max_hamming: int = 3
+def hamming_near_pairs(
+    df: DataFrame,
+    sig_col: str,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
 ) -> DataFrame:
-    """Near-dup image pairs by Hamming distance with chunk blocking:
-    the 63-bit signature splits into 4 chunks (16+16+16+15 bits); any
-    pair within Hamming<=3 shares at least one exact chunk
-    (pigeonhole), so the join is an equi-join on (chunk_idx, value) —
-    never all-pairs. Mirrors simhash_near_pairs."""
+    """Near-dup pairs by Hamming distance on a 63-bit signature column
+    with chunk blocking: the signature splits into 4 chunks
+    (16+16+16+15 bits); any pair within Hamming<=3 shares at least one
+    exact chunk (pigeonhole), so the join is an equi-join on
+    (chunk_idx, value) — never all-pairs. Mirrors simhash_near_pairs;
+    shared by the image (aHash) and audio (band-energy fingerprint)
+    dedup paths."""
     from pyspark.sql import functions as F
 
     chunks = F.array(
@@ -532,15 +537,15 @@ def ahash_near_pairs(
             F.struct(
                 F.lit(i).alias("ci"),
                 (
-                    F.expr(f"ahash div {1 << (AHASH_CHUNK_BITS * i)}")
+                    F.expr(f"{sig_col} div {1 << (AHASH_CHUNK_BITS * i)}")
                     % (1 << AHASH_CHUNK_BITS)
                 ).alias("cv"),
             )
             for i in range(AHASH_CHUNKS)
         ]
     )
-    ex = df.select(id_col, "ahash", F.explode(chunks).alias("c")).select(
-        id_col, "ahash", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv")
+    ex = df.select(id_col, sig_col, F.explode(chunks).alias("c")).select(
+        id_col, sig_col, F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv")
     )
     a, b = ex.alias("a"), ex.alias("b")
     cand = (
@@ -553,8 +558,8 @@ def ahash_near_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.ahash").alias("h_a"),
-            F.col("b.ahash").alias("h_b"),
+            F.col(f"a.{sig_col}").alias("h_a"),
+            F.col(f"b.{sig_col}").alias("h_b"),
         )
         .distinct()
     )
@@ -562,6 +567,167 @@ def ahash_near_pairs(
         cand.withColumn("hamming", F.expr("bit_count(h_a ^ h_b)").cast("long"))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+    )
+
+
+def ahash_near_pairs(
+    df: DataFrame, id_col: str = "doc_id", max_hamming: int = 3
+) -> DataFrame:
+    """Image near-dup pairs: the chunk-blocked Hamming join over the
+    63-bit aHash column."""
+    return hamming_near_pairs(
+        df, sig_col="ahash", id_col=id_col, max_hamming=max_hamming
+    )
+
+
+# ---------------------------------------------------------------------------
+# Audio near-dup fingerprinting: the third dedup modality. A clip's
+# signature is its BAND-ENERGY ENVELOPE — 16 time windows x 4 polyphase
+# bands (samples i with i%4 == b inside the window, a crude integer
+# band split), each cell's energy = sum of |sample|, bit j set iff
+# 64 * e_j >= total energy (the divisionless mean comparison the image
+# aHash uses). 63 bits -> signed-BIGINT-safe; Hamming<=3 pairs via the
+# SAME 4-chunk pigeonhole equi-join. Everything downstream of the real
+# WAV decode is exact integer arithmetic, so an oracle can replay the
+# fingerprint in closed form from the synthetic sample function without
+# touching bytes — certifying the encode -> binary -> decode ->
+# signature path byte-exactly (the multimodal_wav_stats proof pattern,
+# upgraded from stats to signatures).
+
+AFP_WINDOWS = 16
+AFP_BANDS = 4
+AFP_CELLS = AFP_WINDOWS * AFP_BANDS  # 64
+AFP_BITS = AFP_CELLS - 1  # 63: signed-BIGINT-safe signature
+AFP_SAMPLES_PER_CELL = 16
+AFP_WINDOW_SAMPLES = AFP_BANDS * AFP_SAMPLES_PER_CELL  # 64
+AFP_CLIP_SAMPLES = AFP_WINDOWS * AFP_WINDOW_SAMPLES  # 1024 (~0.13s @ 8kHz)
+AFP_GROUP = 4  # near-dup synth: clips per base-profile group
+# amplitude levels of the synthetic near-dup corpus: every cell is
+# exactly LO or HI and cells 0/63 are pinned LO/HI, so the clip's mean
+# cell energy is STRICTLY between the two levels — every fingerprint
+# bit is unambiguous and a retouch flips exactly its own bit (member m
+# sits at Hamming m from the base, pair (m1 < m2) at exactly m2 - m1)
+_AFP_LO, _AFP_HI = 500, 3000
+# base-profile bit mix: md5 of "a:g:j" (first hex nibble, mod 2) — the
+# repo-standard engine-portable hash; the "a:" prefix decorrelates the
+# audio corpus from the image corpus' md5("g:j") patterns
+_AFP_MIX_TMPL = (
+    "('0x' || substr(md5('a:' || CAST({g} AS VARCHAR) || ':' || "
+    "CAST({j} AS VARCHAR)), 1, 1))::BIGINT % 2 = 1"
+)
+
+
+def _afp_base_level(g: int, j: int) -> int:
+    """Deterministic two-level base amplitude for group ``g``, cell
+    ``j``: cell 0 pinned LO and cell 63 pinned HI keep every clip's
+    mean strictly inside (LO, HI)."""
+    if j == 0:
+        return _AFP_LO
+    if j == AFP_CELLS - 1:
+        return _AFP_HI
+    mixed = int(hashlib.md5(f"a:{g}:{j}".encode()).hexdigest()[0], 16) % 2
+    return _AFP_HI if mixed == 1 else _AFP_LO
+
+
+def synth_neardup_samples(doc_id: int):
+    """Near-duplicate synthetic clip: the group base amplitude profile
+    with member m's retouched cells flipped LO<->HI (same retouch
+    positions as the image corpus — hash-visible cells 1..62 only).
+    Sample i belongs to cell (i // 64) * 4 + i % 4 (window, polyphase
+    band); within a cell the waveform is a +A/-A square wave on that
+    band's sample train, so sum(|s|) over the cell is EXACTLY 16 * A."""
+    import numpy as np
+
+    d = int(doc_id)
+    g, m = d // AFP_GROUP, d % AFP_GROUP
+    touched = set(neardup_retouch_positions(g, m))
+    i = np.arange(AFP_CLIP_SAMPLES, dtype="int64")
+    cell = (i // AFP_WINDOW_SAMPLES) * AFP_BANDS + i % AFP_BANDS
+    levels = np.array(
+        [
+            _AFP_LO + _AFP_HI - _afp_base_level(g, j)
+            if j in touched
+            else _afp_base_level(g, j)
+            for j in range(AFP_CELLS)
+        ],
+        dtype="int64",
+    )
+    sign = 1 - 2 * ((i // AFP_BANDS) % 2)  # band-train square wave
+    return (levels[cell] * sign).astype("<i2")
+
+
+def synthesize_neardup_wav(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic near-dup clip per document as a REAL RIFF/WAVE
+    payload in an opaque ``binary`` column (Arrow-batched encode)."""
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids.values,
+                    "payload": [
+                        encode_wav(synth_neardup_samples(d)) for d in ids
+                    ],
+                }
+            )
+
+    return docs.select(id_col).mapInPandas(_synth, "doc_id long, payload binary")
+
+
+def audio_fingerprint_of_samples(samples) -> int:
+    """The 63-bit band-energy fingerprint of a decoded int16 clip:
+    cell energies (sum of |s| per window x band), bit j of cell j for
+    j < 63 via the divisionless mean comparison. Cell 63 still feeds
+    the mean, it just contributes no bit."""
+    import numpy as np
+
+    s = np.abs(np.asarray(samples, dtype="int64"))
+    assert len(s) == AFP_CLIP_SAMPLES, "fixed-length clips only"
+    e = (
+        s.reshape(AFP_WINDOWS, AFP_SAMPLES_PER_CELL, AFP_BANDS)
+        .sum(axis=1)
+        .reshape(AFP_CELLS)
+    )
+    total = int(e.sum())
+    h = 0
+    for j in range(AFP_BITS):
+        if AFP_CELLS * int(e[j]) >= total:
+            h |= 1 << j
+    return h
+
+
+def audio_fingerprint_features(media: DataFrame) -> DataFrame:
+    """REAL byte path: decode each WAV payload (container parse + PCM
+    frame read), band-energy the sample grid, emit the 63-bit
+    fingerprint — one Arrow batch loop. At 100 TB this is the only
+    per-byte stage; everything downstream is a signature-keyed
+    equi-join."""
+    import numpy as np
+
+    def _fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for d, p in zip(pdf["doc_id"].astype("int64"), pdf["payload"]):
+                with wave.open(io.BytesIO(bytes(p)), "rb") as w:
+                    assert w.getsampwidth() == 2 and w.getnchannels() == 1
+                    raw = w.readframes(w.getnframes())
+                s = np.frombuffer(raw, dtype="<i2")
+                out.append(
+                    {"doc_id": int(d), "afp": audio_fingerprint_of_samples(s)}
+                )
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(_fp, "doc_id long, afp long")
+
+
+def audio_near_pairs(
+    df: DataFrame, id_col: str = "doc_id", max_hamming: int = 3
+) -> DataFrame:
+    """Audio near-dup pairs: the chunk-blocked Hamming join over the
+    63-bit band-energy fingerprint column."""
+    return hamming_near_pairs(
+        df, sig_col="afp", id_col=id_col, max_hamming=max_hamming
     )
 
 

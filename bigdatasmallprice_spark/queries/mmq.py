@@ -340,3 +340,109 @@ def image_neardup_phash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Arrow stages run twice (caller releases via released_caches)
     sigs = ahash_features(media).persist()
     return ahash_near_pairs(sigs)
+
+
+def _afp_oracle() -> str:
+    from bigdatasmallprice_spark.operators.multimodal import (
+        _AFP_HI,
+        _AFP_LO,
+        _AFP_MIX_TMPL,
+        AFP_BITS,
+        AFP_CELLS,
+        AFP_GROUP,
+        AFP_SAMPLES_PER_CELL,
+        AHASH_CHUNK_BITS,
+    )
+
+    mix = _AFP_MIX_TMPL.format(g="g", j="j")
+    flip = _AFP_LO + _AFP_HI
+    # member m retouches (g*7 + k*17) % 62 + 1 for k < m (m <= 3) —
+    # the same hash-visible positions as the image corpus
+    touched = " OR ".join(
+        f"(m > {k} AND j = (g * 7 + {k * 17}) % 62 + 1)" for k in range(3)
+    )
+    cw = 1 << AHASH_CHUNK_BITS
+    chunk_rows = "\n  UNION ALL ".join(
+        f"SELECT doc_id, afp, {i} AS ci, "
+        f"(afp // {1 << (AHASH_CHUNK_BITS * i)}) % {cw} AS cv FROM hh"
+        for i in range(4)
+    )
+    return f"""
+WITH cells AS (
+  SELECT doc_id, doc_id // {AFP_GROUP} AS g, doc_id % {AFP_GROUP} AS m,
+         unnest(range({AFP_CELLS})) AS j
+  FROM documents
+),
+base AS (
+  SELECT doc_id, g, m, j,
+         CASE WHEN j = 0 THEN {_AFP_LO}
+              WHEN j = {AFP_CELLS - 1} THEN {_AFP_HI}
+              WHEN {mix} THEN {_AFP_HI} ELSE {_AFP_LO} END AS bv
+  FROM cells
+),
+eng AS (
+  -- cell energy: 16 samples of a +A/-A square wave -> sum|s| = 16*A
+  SELECT doc_id, j,
+         {AFP_SAMPLES_PER_CELL} *
+         (CASE WHEN {touched} THEN {flip} - bv ELSE bv END) AS e
+  FROM base
+),
+wt AS (SELECT doc_id, j, e, SUM(e) OVER (PARTITION BY doc_id) AS tot FROM eng),
+hh AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN j < {AFP_BITS} AND {AFP_CELLS} * e >= tot
+                       THEN (1::BIGINT << CAST(j AS INT)) ELSE 0 END)
+              AS BIGINT) AS afp
+  FROM wt GROUP BY 1
+),
+chunks AS (
+  {chunk_rows}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                  a.afp AS h_a, b.afp AS h_b
+  FROM chunks a JOIN chunks b
+    ON a.ci = b.ci AND a.cv = b.cv AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(h_a, h_b)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(h_a, h_b)) <= 3
+"""
+
+
+@register(
+    "audio_neardup_fingerprint",
+    _afp_oracle(),
+    doc="Acoustic-fingerprint audio near-dup detection (the band-energy "
+    "envelope family — Haitsma-Kalker-style sign bits reduced to "
+    "time-domain polyphase bands, no FFT needed for exactness): "
+    "synthesize a near-dup corpus of REAL RIFF/WAVE clips (groups of 4 "
+    "sharing a base amplitude profile, member m retouching m cells), "
+    "REALLY decode the bytes (stdlib wave container parse + PCM frame "
+    "read), integrate |sample| over 16 windows x 4 polyphase bands, "
+    "build the 63-bit fingerprint with a divisionless mean comparison, "
+    "then find Hamming<=3 pairs via 16-bit-chunk blocking — the "
+    "SimHash/aHash pigeonhole equi-join, never all-pairs. The oracle "
+    "replays energies/fingerprint/blocking in closed form from the "
+    "synthetic sample function WITHOUT touching bytes: a hash match "
+    "certifies the whole encode -> binary column -> decode -> "
+    "signature path byte-exactly. At 100 TB the per-byte work is one "
+    "Arrow pass; candidates stay near-linear (65k bucket values per "
+    "chunk). COMPLETES the dedup family across all four modalities: "
+    "text (MinHash/SimHash/span/winnow), embedding (LSH/IVF/SemDeDup), "
+    "image (aHash), audio (this).",
+    tags=("multimodal", "dedup", "join", "udf"),
+)
+def audio_neardup_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdatasmallprice_spark.operators.multimodal import (
+        audio_fingerprint_features,
+        audio_near_pairs,
+        synthesize_neardup_wav,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    media = synthesize_neardup_wav(docs)
+    # persist the tiny (doc_id, afp) frame: both sides of the blocking
+    # self-join reuse it; without it the WAV encode+decode Arrow stages
+    # run twice (caller releases via released_caches)
+    sigs = audio_fingerprint_features(media).persist()
+    return audio_near_pairs(sigs)

@@ -260,7 +260,8 @@ def test_ahash_neardup_structure_is_exact(spark):
     )
     pairs = {(r.id_a, r.id_b): r.hamming for r in rows}
     # 500 docs -> 125 full groups of 4 -> 750 intra-group pairs; the
-    # LCG base mix makes cross-group collisions impossible in range
+    # md5 base mix (_AHASH_MIX_TMPL) keeps cross-group base distances
+    # ~31 bits, so no cross-group pair lands inside the threshold
     intra = {(a, b): h for (a, b), h in pairs.items() if a // 4 == b // 4}
     assert len(intra) == 750, len(intra)
     for (a, b), h in intra.items():
@@ -293,3 +294,89 @@ def test_ahash_real_byte_path_matches_closed_form(spark):
             luma_of(r, g, b) for row in synth_neardup_pixels(d) for (r, g, b) in row
         ]
         assert got[d] == ahash_of_lumas(lumas), d
+
+
+def test_audio_fingerprint_neardup_structure_is_exact(spark):
+    """Audio twin of the aHash structure test: member m sits at
+    Hamming m from the group base (retouched cells flip LO<->HI
+    amplitudes; cells 0/63 pinned so no bit is mean-ambiguous), so
+    every intra-group pair (m1 < m2) appears with hamming == m2 - m1,
+    found by the 4-chunk pigeonhole blocking."""
+    from bigdatasmallprice_spark.registry import all_queries
+
+    rows = (
+        all_queries()["audio_neardup_fingerprint"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    )
+    pairs = {(r.id_a, r.id_b): r.hamming for r in rows}
+    intra = {(a, b): h for (a, b), h in pairs.items() if a // 4 == b // 4}
+    assert len(intra) == 750, len(intra)
+    for (a, b), h in intra.items():
+        assert h == (b % 4) - (a % 4), (a, b, h)
+    # the "a:"-prefixed md5 mix keeps cross-group distances far above
+    # the threshold on this corpus
+    assert len(pairs) == len(intra), set(pairs) - set(intra)
+
+
+def test_audio_fingerprint_real_byte_path_matches_closed_form(spark):
+    """The Spark signature comes from DECODING real WAV bytes; the
+    closed form predicts it from the synth sample function. Equality
+    certifies the encode -> binary -> decode -> band-energy ->
+    fingerprint path byte-exactly."""
+    from bigdatasmallprice_spark.operators.multimodal import (
+        audio_fingerprint_features,
+        audio_fingerprint_of_samples,
+        synth_neardup_samples,
+        synthesize_neardup_wav,
+    )
+
+    docs = spark.range(40).selectExpr("id AS doc_id")
+    got = {
+        r.doc_id: r.afp
+        for r in audio_fingerprint_features(synthesize_neardup_wav(docs)).collect()
+    }
+    for d in range(40):
+        assert got[d] == audio_fingerprint_of_samples(synth_neardup_samples(d)), d
+
+
+def test_audio_fingerprint_cell_energy_is_exact():
+    """The polyphase band layout really integrates 16 samples per
+    (window, band) cell: sum|s| over cell j is exactly 16 * level_j,
+    and a clip is byte-stable through the real WAV round-trip."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from bigdatasmallprice_spark.operators.multimodal import (
+        _afp_base_level,
+        AFP_BANDS,
+        AFP_CELLS,
+        AFP_SAMPLES_PER_CELL,
+        AFP_WINDOW_SAMPLES,
+        encode_wav,
+        synth_neardup_samples,
+    )
+
+    for d in (0, 7, 123):
+        s = synth_neardup_samples(d)
+        i = np.arange(len(s))
+        cell = (i // AFP_WINDOW_SAMPLES) * AFP_BANDS + i % AFP_BANDS
+        for j in range(AFP_CELLS):
+            e = int(np.abs(s[cell == j].astype("int64")).sum())
+            g, m = d // 4, d % 4
+            level = _afp_base_level(g, j)
+            from bigdatasmallprice_spark.operators.multimodal import (
+                _AFP_HI,
+                _AFP_LO,
+                neardup_retouch_positions,
+            )
+
+            if j in set(neardup_retouch_positions(g, m)):
+                level = _AFP_LO + _AFP_HI - level
+            assert e == AFP_SAMPLES_PER_CELL * level, (d, j)
+        # real container round-trip returns the identical PCM
+        with wave.open(io.BytesIO(encode_wav(s)), "rb") as w:
+            raw = w.readframes(w.getnframes())
+        assert np.array_equal(np.frombuffer(raw, dtype="<i2"), s)
