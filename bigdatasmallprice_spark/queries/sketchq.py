@@ -886,7 +886,11 @@ def quantile_hist(
 def quantile_estimates_from_hist(hist: DataFrame) -> DataFrame:
     """(event_type, bin, cnt) -> per-type estimates — the readback
     shared by the lean query and the streaming state (the cumulative
-    pass runs over <= 1024 rows per type)."""
+    pass runs over <= 1024 rows per type). ONE aggregate over the
+    windowed frame: each per-quantile estimate is a conditional MIN
+    (smallest bin whose cumulative count reaches the rank), so no
+    per-quantile join, no persist — nothing for a long-lived streaming
+    caller to leak."""
     w_cum = Window.partitionBy("event_type").orderBy("bin")
     w_all = Window.partitionBy("event_type")
     cum = hist.select(
@@ -894,21 +898,19 @@ def quantile_estimates_from_hist(hist: DataFrame) -> DataFrame:
         "bin",
         F.sum("cnt").over(w_cum).alias("cum"),
         F.sum("cnt").over(w_all).alias("n"),
-    ).persist()
-    out = cum.groupBy("event_type").agg(F.max("n").cast("long").alias("n"))
-    for p, _ in _HQ_QS:
-        k = F.expr(f"CAST(ceil(n * {p} / 100.0) AS BIGINT)")
-        est = (
-            cum.filter(F.col("cum") >= k)
-            .groupBy("event_type")
-            .agg(
-                F.min(F.expr(f"bin * {_HQ_W} + {_HQ_W - 1}")).alias(
-                    f"est_p{p}_c"
-                )
+    )
+    ests = [
+        F.min(
+            F.when(
+                F.col("cum") >= F.expr(f"CAST(ceil(n * {p} / 100.0) AS BIGINT)"),
+                F.expr(f"bin * {_HQ_W} + {_HQ_W - 1}"),
             )
-        )
-        out = out.join(est, "event_type")
-    return out.select(
+        ).alias(f"est_p{p}_c")
+        for p, _ in _HQ_QS
+    ]
+    return cum.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n"), *ests
+    ).select(
         "event_type",
         "n",
         *[f"est_p{p}_c" for p, _ in _HQ_QS],

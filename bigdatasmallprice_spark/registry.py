@@ -76,85 +76,80 @@ def all_queries() -> dict[str, QuerySpec]:
 DRIVER_CAP = 50
 
 DRIVER_ORDER: list[str] = [
-    # r6 rotation (VERDICT r5 ask #4): the one red/never-verified query
-    # first, then this round's 7 new queries, then ALL 22 single-row
-    # queries (the 13 r5 sit-outs finally get their second row + the 9
-    # r5-firsts), then the 20 oldest double-greens. 1 + 7 + 22 + 20 =
-    # 50 — no SINGLE sits out this round (all sit-outs already hold
-    # two green rows); after r6 every query registered before this
-    # round has >= 2 green rows (the ratchet the ledger has promised
-    # since r4).
-    # -- red in r5 (output-encoding defect, fixed: weights leave both
-    #    engines as exact BIGINT micro-units) — the only registered
-    #    query without a green external row; its filter twin follows so
-    #    the shared fit is certified in the same round
+    # r7 rotation (VERDICT r6 asks #1/#3): the never-green query first
+    # (now re-derived as an ALL-INTEGER trajectory), its filter twin
+    # (same fit — the trajectory CHANGED this round, so its green must
+    # be re-earned), the new r7 query, this round's changed/refactored
+    # queries, the remaining r6-firsts (second rows), then the 40
+    # stalest double-greens (everything whose last green is r3, plus
+    # the alphabetical head of the r4 tier). 2 + 8 + 40 = 50. After a
+    # green r7, minimum evidence across ALL pre-r7 queries is 2 rows —
+    # the ratchet completes.
+    # -- red r5+r6 (now zero replayed float ops: BIGINT micro-unit
+    #    weights, integer rational sigmoid, explicitly-rounded integer
+    #    divisions — no engine build can diverge); filter twin shares
+    #    the fit
     "quality_classifier_train",
     "quality_classifier_filter",
-    # -- new in r6, never driver-verified
+    # -- new in r7: audio band-energy fingerprint dedup
+    "audio_neardup_fingerprint",
+    # -- changed in r7: residual encoding (true IVFADC); PQ fit/encode
+    #    refactored underneath both
+    "ann_ivfpq_topk",
+    "ann_pq_topk",
+    # -- changed in r7: estimate readback is now one aggregate
+    "quantile_sketch_by_type",
+    "quantile_sketch_lean",
+    # -- r6-firsts, second rows
     "hll_union_lean",
     "image_neardup_phash",
     "winnow_neardup_pairs",
-    "quantile_sketch_by_type",
-    "quantile_sketch_lean",
-    "ann_pq_topk",
-    "ann_ivfpq_topk",
-    # -- the 13 r5 sit-outs (single green row from r1-r4)
-    "train_gbt_model",
-    "union_by_name",
-    "filtered_counts",
-    "traffic_light",
-    "ngram_jaccard_pairs",
-    "chart_downsample",
-    "daily_mean_deviation",
-    "minhash_signatures",
-    "value_distribution",
-    "value_deciles",
-    "value_trend_regression",
-    "twap_hourly",
-    "value_quantiles_by_type",
-    # -- first green in r5 (second row ratchets stability)
-    "hll_distinct",
-    "count_min_probe",
-    "zorder_pruning",
-    "hll_union_distinct",
-    "dedup_rewrite",
-    "dedup_rewrite_hashed",
-    "train_gbt_load",
-    "bloom_shingle_prefilter_lean",
-    # -- oldest double-greens (last green r2): third row refresh
-    "chrono_split_summary",
-    "corpus_curation_summary",
-    "dedup_exact",
-    "error_monitor",
-    "freshness_gate",
-    "hourly_pivot",
-    "hourly_rollup",
-    "minhash_lsh_pairs",
-    "model_score",
-    "neardup_clusters",
-    "net_load_features",
-    "net_position",
-    "pricing_summary",
-    "row_explorer_page",
-    "simhash_pairs",
-    "table_stats",
-    "tariff_breakdown",
-    "training_features",
-    "upsert_idempotency",
-    # -- oldest double-greens, next tier (last green r3)
-    "asof_last_purchase",
-    # Five double-greens sit out: ann_ivf_topk (r2+r3; fixed-centroid
-    # IVF probing also runs inside ann_ivf_trained, r3+r4 green, and
-    # the new composed ann_ivfpq_topk), embedding_neardup (r2+r3; its banded
-    # twin embedding_neardup_banded carries the machinery with r4+r5
-    # rows), ann_lsh_topk (r2+r3; the LSH bucket-join machinery also
-    # runs inside embedding_neardup_banded and ann_index_upsert, both
-    # r4+r5 green), ann_cosine_topk (r2+r3; the brute-force cosine
-    # kernel also runs inside ann_cosine_topk_np and ann_recall_eval,
-    # both r3+r4 green), and bpe_token_stats (r2+r3; the BPE apply
-    # machinery also runs inside bpe_train_merges, green r2+r3+r4).
-    # r5's 13-single sit-out rationale and earlier rounds' rotations
-    # live in git history.
+    # -- stalest double-greens: last green r3
+    "ann_cosine_topk",
+    "ann_ivf_topk",
+    "ann_lsh_topk",
+    "bpe_token_stats",
+    "embedding_neardup",
+    "json_props_stats",
+    "label_centroids",
+    "lang_id",
+    "latest_event_per_user",
+    "mixture_sampling_plan",
+    "multimodal_wav_stats",
+    "peak_hour_spend",
+    "pii_scrub",
+    "quality_filter",
+    "session_stats",
+    "text_stats",
+    "tfidf_terms",
+    "top_days_per_type",
+    # -- next-stalest: last green r4 (alphabetical head; the tail —
+    #    password_hash_audit through warc_ingest_stats — sits out with
+    #    >= 2 greens each and rotates in next round)
+    "ann_cosine_topk_np",
+    "ann_ivf_trained",
+    "ann_label_precision",
+    "ann_quantized_topk",
+    "ann_recall_eval",
+    "benchmark_decontamination",
+    "bow_cosine_pairs",
+    "bpe_train_merges",
+    "cross_source_contamination",
+    "curation_funnel",
+    "dedup_incremental",
+    "doc_length_histogram",
+    "embedding_covariance",
+    "embedding_neardup_np",
+    "embedding_norms",
+    "hybrid_search_rrf",
+    "kanon_release",
+    "kmeans_centroids",
+    "line_dedup",
+    "multimodal_bmp_resize",
+    "ngram_lm_score",
+    "pack_sequences",
+    # Every sit-out holds >= 2 green rows (COVERAGE.json is the
+    # ledger); earlier rounds' rotation rationales live in git history.
 ]
 
 

@@ -71,6 +71,9 @@ QUERIES = [
     "quantile_sketch_lean",
     "ann_pq_topk",
     "ann_ivfpq_topk",
+    # round-7 addition: the fourth dedup modality (chunk-blocked
+    # Hamming equi-join over WAV band-energy fingerprints)
+    "audio_neardup_fingerprint",
 ]
 
 

@@ -580,6 +580,24 @@ def test_image_neardup_blocking_is_equi_join_not_cartesian(spark):
     assert plan.count("MapInPandas") >= 2  # BMP synth + decode/hash stages
 
 
+def test_audio_neardup_blocking_is_equi_join_not_cartesian(spark):
+    """The acoustic-fingerprint pair search must be the blocked
+    equi-join on (chunk_idx, chunk_value) — no cartesian product
+    anywhere — and the per-byte work exactly two Arrow stages (WAV
+    synth + decode/fingerprint), both upstream of the persisted
+    signature frame. Twin of the image guard above."""
+    from bigdatasmallprice_spark.registry import all_queries
+
+    spark.catalog.clearCache()  # see the hll_union_lean guard's note
+    df = all_queries()["audio_neardup_fingerprint"].fn(spark, SF)
+    plan = _formatted(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan, plan
+    assert "bit_count" in plan, plan
+    assert plan.count("MapInPandas") >= 2  # WAV synth + decode/fp stages
+
+
 def test_winnow_fingerprints_are_codegen_and_pair_join_is_equi(spark):
     """Fingerprint selection must be pure codegen over token arrays (no
     Python stage, no shuffle before the (doc, fp) explode) and the pair
