@@ -3,6 +3,7 @@
 from bigdatasmallprice_spark.queries import (  # noqa: F401
     curationq,
     dedupq,
+    graphq,
     layoutq,
     mlq,
     mmq,

@@ -1,0 +1,78 @@
+"""Graph queries: exact-integer PageRank over co-occurrence graphs.
+
+The LLM-data-pipeline angle: graph centrality over co-occurrence is
+how production curation stacks rank sources/domains (Common Crawl host
+ranking), pick canonical documents inside dup clusters, and drive
+recsys-style retrieval (Pixie). The engine's instance ranks suppliers
+on the order-co-purchase graph; the machinery (weighted directed PR,
+dangling mass, damped teleport, all-BIGINT trajectory) is general.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdatasmallprice_spark.queries.core import table
+from bigdatasmallprice_spark.registry import register
+
+
+def _pagerank_oracle() -> str:
+    from bigdatasmallprice_spark.operators.pagerank import (
+        PR_ITERS,
+        o_pagerank_chain_sql,
+    )
+
+    return f"""WITH {o_pagerank_chain_sql()}
+SELECT r.node AS s_suppkey, r.r AS rank_micro,
+       CAST(COALESCE(ow.wout, 0) AS BIGINT) AS w_out,
+       CAST(row_number() OVER (ORDER BY r.r DESC, r.node) AS BIGINT) AS pos
+FROM r{PR_ITERS} r LEFT JOIN ow ON ow.src = r.node
+"""
+
+
+@register(
+    "pagerank_copurchase",
+    _pagerank_oracle(),
+    doc="Weighted PageRank over the supplier co-purchase graph (the "
+    "Pixie/host-ranking pattern: rank entities by the stationary "
+    "distribution of a damped random walk on a co-occurrence graph): "
+    "edges a->b weighted by distinct orders containing lineitems from "
+    "both suppliers (one distinct projection + one order-keyed "
+    "self-join — output bounded by the sum of per-order squares), then "
+    "12 damped iterations (d=0.85) with proper DANGLING-mass "
+    "redistribution. The ENTIRE trajectory is exact BIGINT micro-units "
+    "with explicitly-rounded integer divisions (the all-integer house "
+    "discipline of the distillation fit / kmeans / GBT), so the "
+    "oracle's unrolled CTE chain replays the fit bit-identically on "
+    "any engine build. Per iteration: ONE edge join + ONE groupBy "
+    "shuffle plus a scalar dangling aggregate — the canonical "
+    "distributed-PR plan, unchanged at 100 TB; rank frames are "
+    "localCheckpoint'ed to cut the 12-deep lineage. Output: every "
+    "supplier's final rank, out-weight, and total-ordered position.",
+    tags=("graph", "train", "join"),
+)
+def pagerank_copurchase_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from bigdatasmallprice_spark.operators.pagerank import (
+        copurchase_edges,
+        pagerank_fit,
+    )
+
+    li = table(spark, sf_dir, "lineitem")
+    sup = table(spark, sf_dir, "supplier")
+    nodes = sup.select(F.col("s_suppkey").alias("node"))
+    edges = copurchase_edges(li)
+    outw = edges.groupBy("src").agg(F.sum("w").cast("long").alias("wout"))
+    ranks = pagerank_fit(nodes, edges)
+    w = Window.orderBy(F.col("rank_micro").desc(), F.col("s_suppkey"))
+    return (
+        ranks.join(outw.withColumnRenamed("src", "node"), "node", "left")
+        .select(
+            F.col("node").alias("s_suppkey"),
+            F.col("r").alias("rank_micro"),
+            F.coalesce(F.col("wout"), F.lit(0).cast("long")).alias("w_out"),
+        )
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+    )

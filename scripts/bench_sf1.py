@@ -71,9 +71,12 @@ QUERIES = [
     "quantile_sketch_lean",
     "ann_pq_topk",
     "ann_ivfpq_topk",
-    # round-7 addition: the fourth dedup modality (chunk-blocked
-    # Hamming equi-join over WAV band-energy fingerprints)
+    # round-7 additions: the fourth dedup modality (chunk-blocked
+    # Hamming equi-join over WAV band-energy fingerprints) and the
+    # iterative graph surface (one edge-join shuffle per iteration —
+    # must stay ~linear in the edge list)
     "audio_neardup_fingerprint",
+    "pagerank_copurchase",
 ]
 
 
