@@ -1,0 +1,186 @@
+"""Streaming incremental audio near-dup gate: the signature-state twin
+of ``audio_neardup_fingerprint`` (queries/mmq.py) and the fourth
+member of the incremental near-dup family (exact md5 dedup,
+MinHash+LSH verify, winnowing fingerprints, and now the band-energy
+acoustic fingerprint — the gate that keeps a 100 TB AUDIO corpus
+dedup'd as clips arrive).
+
+Per micro-batch:
+
+1. decode + fingerprint ONLY the batch's clips
+   (audio_fingerprint_features — one Arrow pass over the delivery's
+   bytes; corpus payloads are never re-read),
+2. chunk-block the batch's 63-bit signatures against the persisted
+   signature table: the 4-chunk pigeonhole guarantees any pair within
+   Hamming<=3 shares an exact 16-bit chunk, so new-vs-seen candidates
+   come from an equi-join on (chunk_idx, value), never all-pairs,
+3. also pairs the batch against ITSELF (within-batch near-dups),
+4. appends pair verdicts to the sink and folds the batch's signatures
+   into the state (versioned crash-atomic swap). Two replay layers:
+   the batch-id watermark skips RETRIED batches, and a per-doc
+   anti-join against the state skips clips RE-DELIVERED under a new
+   batch id (first-writer-wins) — a clip folds and pairs exactly once
+   however often it arrives.
+
+Unlike the winnowing gate there is NO frequency-dependent cap in the
+pair rule, so the incremental pair set EQUALS the batch operator's
+EXACTLY on every corpus (proven over time-split deliveries in
+tests/test_streaming.py) — not just hub-free ones.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdatasmallprice_spark.operators.multimodal import (
+    AHASH_CHUNK_BITS,
+    AHASH_CHUNKS,
+    audio_fingerprint_features,
+    audio_near_pairs,
+)
+
+A_STATE_SCHEMA = "doc_id long, afp long"
+
+
+def _chunked(sigs: DataFrame, id_out: str) -> DataFrame:
+    """(doc_id, afp) -> (id_out, afp, ci, cv): the 4-chunk explosion
+    both sides of the blocked join share."""
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("ci"),
+                (
+                    F.expr(f"afp div {1 << (AHASH_CHUNK_BITS * i)}")
+                    % (1 << AHASH_CHUNK_BITS)
+                ).alias("cv"),
+            )
+            for i in range(AHASH_CHUNKS)
+        ]
+    )
+    return sigs.select("doc_id", "afp", F.explode(chunks).alias("c")).select(
+        F.col("doc_id").alias(id_out),
+        F.col("afp").alias(f"h_{id_out}"),
+        F.col("c.ci").alias("ci"),
+        F.col("c.cv").alias("cv"),
+    )
+
+
+def _pairs_between(
+    new_sigs: DataFrame, old_sigs: DataFrame, max_hamming: int
+) -> DataFrame:
+    """(id_new, id_seen, hamming): chunk-blocked Hamming join of the
+    batch's signatures against the state table."""
+    a = _chunked(new_sigs, "id_new")
+    b = _chunked(old_sigs, "id_seen")
+    cand = (
+        a.join(b, ["ci", "cv"])
+        .filter(F.col("id_new") != F.col("id_seen"))
+        .select("id_new", "id_seen", "h_id_new", "h_id_seen")
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.expr("bit_count(h_id_new ^ h_id_seen)").cast("long")
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_new", "id_seen", "hamming")
+    )
+
+
+def update_audio_state(
+    spark: SparkSession,
+    state_path: str,
+    batch: DataFrame,
+    verdict_path: str,
+    max_hamming: int = 3,
+    batch_id: int | None = None,
+) -> None:
+    """foreachBatch body: emit the batch's near-dup pairs (vs state +
+    within batch), then fold its signatures into the state."""
+    from bigdatasmallprice_spark.streaming.state import (
+        next_state_version,
+        publish_state,
+        resolve_state_dir,
+        state_version_dir,
+        validate_state_config,
+        versioned_already_applied,
+    )
+
+    config = {"max_hamming": max_hamming}
+    if versioned_already_applied(state_path, batch_id):
+        return
+    validate_state_config(state_path, config)
+    state_dir = resolve_state_dir(state_path)
+    if state_dir is not None:
+        old = spark.read.schema(A_STATE_SCHEMA).parquet(state_dir)
+    else:
+        old = spark.createDataFrame([], A_STATE_SCHEMA)
+    # first-writer-wins: a clip re-delivered in a LATER batch (new
+    # batch id, so the watermark does not guard it) must fold and pair
+    # exactly once — a bag union would duplicate its signature in the
+    # state and re-emit its pairs on every redelivery
+    new_sigs = (
+        audio_fingerprint_features(batch)
+        .join(old.select("doc_id").distinct(), "doc_id", "left_anti")
+        .persist()
+    )
+
+    # cross pairs (new vs seen): half-open by construction — id_seen
+    # is never re-paired with another seen clip here (those pairs were
+    # emitted when IT was new). Within-batch pairs use the symmetric
+    # id < id form of the batch operator.
+    cross = _pairs_between(new_sigs, old, max_hamming).select(
+        F.least("id_new", "id_seen").alias("id_a"),
+        F.greatest("id_new", "id_seen").alias("id_b"),
+        "hamming",
+    )
+    within = audio_near_pairs(new_sigs, max_hamming=max_hamming)
+    cross.unionByName(within).write.mode("append").parquet(verdict_path)
+
+    merged = old.unionByName(new_sigs.select("doc_id", "afp"))
+    version = next_state_version(state_path)
+    merged.write.mode("overwrite").parquet(
+        state_version_dir(state_path, version)
+    )
+    new_sigs.unpersist()
+    publish_state(state_path, version, batch_id, config=config)
+
+
+def read_audio_state(spark: SparkSession, state_path: str) -> DataFrame:
+    from bigdatasmallprice_spark.streaming.state import resolve_state_dir
+
+    state_dir = resolve_state_dir(state_path)
+    if state_dir is None:
+        raise FileNotFoundError(f"no audio signature state at {state_path}")
+    return spark.read.schema(A_STATE_SCHEMA).parquet(state_dir)
+
+
+def audio_stream(
+    spark: SparkSession,
+    source: DataFrame,
+    state_path: str,
+    checkpoint: str,
+    verdict_path: str,
+    max_hamming: int = 3,
+):
+    """Wire a (doc_id, payload) WAV stream into the incremental audio
+    near-dup gate (availableNow): restart-safe via the stream
+    checkpoint + the replay watermark (pair appends are not
+    idempotent)."""
+
+    def _batch_fn(batch: DataFrame, bid: int) -> None:
+        update_audio_state(
+            spark,
+            state_path,
+            batch,
+            verdict_path,
+            max_hamming=max_hamming,
+            batch_id=bid,
+        )
+
+    return (
+        source.writeStream.foreachBatch(_batch_fn)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )

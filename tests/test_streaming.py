@@ -1444,3 +1444,113 @@ def test_winnow_stream_redelivered_doc_folds_once(spark, tmp_path):
     assert state_before == sorted(
         (r.doc_id, r.fp) for r in winnow_fingerprints(docs).collect()
     )
+
+
+def test_streaming_audio_dedup_equals_batch_exactly(spark, tmp_path):
+    """Two availableNow deliveries through the incremental audio gate:
+    the union of all emitted pairs (within-batch + new-vs-state) must
+    EQUAL the batch audio_near_pairs over all clips — with identical
+    hamming — on EVERY corpus (the Hamming rule has no frequency-
+    dependent cap, unlike winnowing's hub cap); the folded signature
+    state must equal the batch signatures; a replayed batch id must
+    emit nothing new (pair appends are not idempotent)."""
+    import glob as _glob
+
+    from bigdatasmallprice_spark.operators.multimodal import (
+        audio_fingerprint_features,
+        audio_near_pairs,
+        synthesize_neardup_wav,
+    )
+    from bigdatasmallprice_spark.streaming.audio_stream import (
+        audio_stream,
+        read_audio_state,
+        update_audio_state,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id")
+    media = synthesize_neardup_wav(docs)
+    # interleaved split: group members land in DIFFERENT deliveries,
+    # so cross (new-vs-state) pairs genuinely exercise the state join
+    chunk1 = synthesize_neardup_wav(docs.filter("doc_id % 2 = 0"))
+    chunk2 = synthesize_neardup_wav(docs.filter("doc_id % 2 = 1"))
+    src = str(tmp_path / "clips")
+    state, ckpt = str(tmp_path / "ast"), str(tmp_path / "ackpt")
+    verdicts = str(tmp_path / "apairs")
+    chunk1.write.parquet(src)
+
+    def run():
+        stream = spark.readStream.schema("doc_id long, payload binary").parquet(src)
+        q = audio_stream(spark, stream, state, ckpt, verdicts).start()
+        q.awaitTermination(120)
+
+    run()
+    chunk2.write.mode("append").parquet(src)
+    run()
+
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in spark.read.parquet(verdicts).collect()
+    }
+    sigs = audio_fingerprint_features(media).persist()
+    try:
+        want = {
+            (r.id_a, r.id_b): r.hamming for r in audio_near_pairs(sigs).collect()
+        }
+        batch_sigs = {(r.doc_id, r.afp) for r in sigs.collect()}
+    finally:
+        sigs.unpersist()
+    assert got == want
+    assert len(got) > 0  # the planted near-dup groups are found
+
+    streamed_state = {
+        (r.doc_id, r.afp) for r in read_audio_state(spark, state).collect()
+    }
+    assert streamed_state == batch_sigs
+
+    # replay protection: same batch id -> no new pair files
+    n_files = len(_glob.glob(verdicts + "/part-*.parquet"))
+    update_audio_state(spark, state, chunk1, verdicts, batch_id=0)
+    assert len(_glob.glob(verdicts + "/part-*.parquet")) == n_files
+
+
+def test_audio_stream_redelivered_clip_folds_once(spark, tmp_path):
+    """A clip RE-DELIVERED under a NEW batch id (at-least-once source;
+    the replay watermark does not apply) must fold and pair exactly
+    once: one signature in the state, no new verdict rows."""
+    import glob as _glob
+
+    from bigdatasmallprice_spark.operators.multimodal import (
+        synthesize_neardup_wav,
+    )
+    from bigdatasmallprice_spark.streaming.audio_stream import (
+        read_audio_state,
+        update_audio_state,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id").filter("doc_id < 60")
+    media = synthesize_neardup_wav(docs)
+    state = str(tmp_path / "ast")
+    verdicts = str(tmp_path / "apairs")
+    update_audio_state(spark, state, media, verdicts, batch_id=0)
+    state_before = sorted(
+        (r.doc_id, r.afp) for r in read_audio_state(spark, state).collect()
+    )
+    pairs_before = sorted(map(tuple, spark.read.parquet(verdicts).collect()))
+
+    update_audio_state(
+        spark,
+        state,
+        synthesize_neardup_wav(docs.filter("doc_id < 20")),
+        verdicts,
+        batch_id=1,
+    )
+    assert sorted(
+        (r.doc_id, r.afp) for r in read_audio_state(spark, state).collect()
+    ) == state_before
+    assert sorted(map(tuple, spark.read.parquet(verdicts).collect())) == pairs_before
+    n_files = len(_glob.glob(verdicts + "/part-*.parquet"))
+    assert n_files >= 1
