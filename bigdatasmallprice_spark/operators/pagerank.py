@@ -57,17 +57,26 @@ PR_TELEPORT = (100 - PR_DAMP_NUM) * PR_SCALE // 100  # exact: 150000
 def copurchase_edges(lineitem: DataFrame) -> DataFrame:
     """(src, dst, w): suppliers a->b weighted by the number of distinct
     orders containing lineitems from both (a != b; both directions
-    emitted by the self-join). The distinct projection first keeps the
-    join per-order-set-sized."""
-    lo = lineitem.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sk")
-    ).distinct()
-    a, b = lo.alias("a"), lo.alias("b")
-    return (
-        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.sk") != F.col("b.sk")))
-        .groupBy(F.col("a.sk").alias("src"), F.col("b.sk").alias("dst"))
-        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    emitted). ONE groupBy collects each order's distinct supplier set,
+    pairs explode map-side, then one (src, dst) count — two shuffles
+    total where a distinct + self-join + count plan pays three; the
+    pair explosion is bounded by the sum of per-order set squares (the
+    SemDeDup bound), identical to what the join would output."""
+    sets = lineitem.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.collect_set("l_suppkey").alias("sks")
     )
+    pairs = sets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(sks, a -> "
+                "transform(filter(sks, b -> b != a), "
+                "b -> struct(a AS src, b AS dst))))"
+            )
+        ).alias("p")
+    )
+    return pairs.groupBy(
+        F.col("p.src").alias("src"), F.col("p.dst").alias("dst")
+    ).agg(F.count(F.lit(1)).cast("long").alias("w"))
 
 
 def pagerank_fit(
@@ -126,6 +135,141 @@ def pagerank_fit(
     e.unpersist()
     dang.unpersist()
     return ranks
+
+
+PPR_MASS = 1_000_000_000  # per-seed walk mass (nano-units of 1.0)
+PPR_TELEPORT = (100 - PR_DAMP_NUM) * PPR_MASS // 100  # exact: 150000000
+PPR_ITERS = 12
+
+
+def ppr_fit(
+    nodes: DataFrame,
+    edges: DataFrame,
+    seeds: DataFrame,
+    iters: int = PPR_ITERS,
+) -> DataFrame:
+    """Personalized PageRank, ALL seeds batched in one frame: ranks are
+    (seed, node, r) and every iteration is ONE edge join + ONE
+    (seed, dst) groupBy for every seed at once — S seeds cost one
+    shuffle, not S sequential walks. Teleport AND dangling mass return
+    to the walk's own seed (the PPR rule):
+
+        r'_v = pdiv(85 * (in_v + [v = seed] * D_seed), 100)
+               + [v = seed] * 150000000
+
+    — same all-integer discipline as pagerank_fit, per-seed mass
+    PPR_MASS nano-units."""
+    op = SPARK_DIV
+    outw = edges.groupBy("src").agg(F.sum("w").cast("long").alias("wout"))
+    e = edges.join(outw, "src").persist()
+    dang = nodes.join(
+        outw.select(F.col("src").alias("node")), "node", "left_anti"
+    ).persist()
+    has_dangling = dang.limit(1).count() > 0
+    ckpt_every = 3
+    base = nodes.crossJoin(F.broadcast(seeds))
+    ranks = base.selectExpr(
+        "seed",
+        "node",
+        f"CAST(CASE WHEN node = seed THEN {PPR_MASS} ELSE 0 END AS BIGINT) AS r",
+    ).localCheckpoint(eager=True)
+    for it in range(1, iters + 1):
+        inc = (
+            e.join(ranks.withColumnRenamed("node", "src"), "src")
+            .select(
+                "seed",
+                "dst",
+                F.expr(f"CAST({pdiv('r * w', 'wout', op)} AS BIGINT)").alias("c"),
+            )
+            .groupBy("seed", "dst")
+            .agg(F.sum("c").cast("long").alias("inr"))
+        )
+        cur = base.join(
+            inc.withColumnRenamed("dst", "node"), ["seed", "node"], "left"
+        )
+        if has_dangling:
+            # per-seed dangling mass returns to the walk's own seed
+            dm = (
+                dang.join(ranks, "node")
+                .groupBy("seed")
+                .agg(F.sum("r").cast("long").alias("dmass"))
+            )
+            cur = cur.join(F.broadcast(dm), "seed", "left")
+            dterm = (
+                "(CASE WHEN node = seed "
+                "THEN coalesce(dmass, CAST(0 AS BIGINT)) ELSE 0 END)"
+            )
+        else:
+            # the dangling SET is static and empty: the whole term is a
+            # constant 0 — no join, no per-round aggregate
+            dterm = "0"
+        upd = pdiv(
+            f"{PR_DAMP_NUM} * (coalesce(inr, CAST(0 AS BIGINT)) + {dterm})",
+            "100",
+            op,
+        )
+        ranks = cur.selectExpr(
+            "seed",
+            "node",
+            f"CAST({upd} + (CASE WHEN node = seed THEN {PPR_TELEPORT} "
+            f"ELSE 0 END) AS BIGINT) AS r",
+        )
+        if it % ckpt_every == 0 or it == iters:
+            ranks = ranks.localCheckpoint(eager=True)
+    e.unpersist()
+    dang.unpersist()
+    return ranks
+
+
+def o_ppr_chain_sql(iters: int = PPR_ITERS, n_seeds: int = 3) -> str:
+    """DuckDB CTE chain replaying the identical multi-seed PPR over
+    the supplier co-purchase graph; seeds = the n_seeds smallest
+    supplier keys. Ends with r{iters}(seed, node, r)."""
+    op = DUCK_DIV
+    parts = [
+        f"""lo AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem),
+e0 AS MATERIALIZED (
+  SELECT a.sk AS src, b.sk AS dst, CAST(COUNT(*) AS BIGINT) AS w
+  FROM lo a JOIN lo b ON a.ok = b.ok AND a.sk <> b.sk GROUP BY 1, 2
+),
+ow AS MATERIALIZED (SELECT src, CAST(SUM(w) AS BIGINT) AS wout FROM e0 GROUP BY 1),
+nodes AS MATERIALIZED (SELECT s_suppkey AS node FROM supplier),
+seeds AS MATERIALIZED (
+  SELECT s_suppkey AS seed FROM supplier ORDER BY 1 LIMIT {n_seeds}
+),
+r0 AS MATERIALIZED (
+  SELECT seed, node,
+         CAST(CASE WHEN node = seed THEN {PPR_MASS} ELSE 0 END AS BIGINT) AS r
+  FROM nodes, seeds
+)"""
+    ]
+    for t in range(1, iters + 1):
+        share = pdiv("r.r * e0.w", "ow.wout", op)
+        upd = pdiv(
+            f"{PR_DAMP_NUM} * (COALESCE(c{t}.inr, CAST(0 AS BIGINT)) "
+            f"+ (CASE WHEN b.node = b.seed "
+            f"THEN COALESCE(d{t}.dmass, CAST(0 AS BIGINT)) ELSE 0 END))",
+            "100",
+            op,
+        )
+        parts.append(f"""d{t} AS (
+  SELECT r.seed, CAST(COALESCE(SUM(r.r), 0) AS BIGINT) AS dmass
+  FROM r{t - 1} r LEFT JOIN ow ON ow.src = r.node WHERE ow.src IS NULL
+  GROUP BY 1
+),
+c{t} AS (
+  SELECT r.seed, e0.dst AS node, CAST(SUM({share}) AS BIGINT) AS inr
+  FROM e0 JOIN r{t - 1} r ON r.node = e0.src JOIN ow ON ow.src = e0.src
+  GROUP BY 1, 2
+),
+r{t} AS MATERIALIZED (
+  SELECT b.seed, b.node,
+         CAST({upd} + (CASE WHEN b.node = b.seed THEN {PPR_TELEPORT} ELSE 0 END) AS BIGINT) AS r
+  FROM (SELECT seed, node FROM nodes, seeds) b
+  LEFT JOIN c{t} ON c{t}.seed = b.seed AND c{t}.node = b.node
+  LEFT JOIN d{t} ON d{t}.seed = b.seed
+)""")
+    return ",\n".join(parts)
 
 
 def o_pagerank_chain_sql(iters: int = PR_ITERS) -> str:

@@ -76,3 +76,71 @@ def pagerank_copurchase_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("pos", F.row_number().over(w).cast("long"))
     )
+
+
+_PPR_SEEDS = 3
+_PPR_TOPK = 10
+
+
+def _ppr_oracle() -> str:
+    from bigdatasmallprice_spark.operators.pagerank import (
+        PPR_ITERS,
+        o_ppr_chain_sql,
+    )
+
+    return f"""WITH {o_ppr_chain_sql(n_seeds=_PPR_SEEDS)}
+SELECT seed, node AS s_suppkey, r AS rank_nano,
+       CAST(pos AS BIGINT) AS pos
+FROM (
+  SELECT seed, node, r,
+         row_number() OVER (PARTITION BY seed ORDER BY r DESC, node) AS pos
+  FROM r{PPR_ITERS} WHERE node <> seed
+) WHERE pos <= {_PPR_TOPK}
+"""
+
+
+@register(
+    "ppr_related_suppliers",
+    _ppr_oracle(),
+    doc="Personalized PageRank (the Pixie retrieval pattern: 'entities "
+    "related to X' = the stationary distribution of a damped walk that "
+    "teleports back to X): for the 3 smallest supplier keys as seeds, "
+    "12 damped iterations where teleport AND dangling mass return to "
+    "the walk's own seed, ALL seeds batched in one (seed, node) frame "
+    "— S seeds cost one edge-join + one (seed, dst) groupBy shuffle "
+    "per iteration, not S sequential walks (the multi-query batching "
+    "that matters when a retrieval tier runs thousands of walks). Same "
+    "all-integer discipline as pagerank_copurchase (BIGINT nano-unit "
+    "mass, explicitly-rounded integer divisions), so the oracle's "
+    "unrolled per-seed CTE chain replays bit-identically. Output: each "
+    "seed's top-10 related suppliers (seed excluded), total-ordered.",
+    tags=("graph", "train", "join"),
+)
+def ppr_related_suppliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from bigdatasmallprice_spark.operators.pagerank import (
+        copurchase_edges,
+        ppr_fit,
+    )
+
+    li = table(spark, sf_dir, "lineitem")
+    sup = table(spark, sf_dir, "supplier")
+    nodes = sup.select(F.col("s_suppkey").alias("node"))
+    seeds = (
+        sup.select(F.col("s_suppkey").alias("seed"))
+        .orderBy("seed")
+        .limit(_PPR_SEEDS)
+    )
+    ranks = ppr_fit(nodes, copurchase_edges(li), seeds)
+    w = Window.partitionBy("seed").orderBy(F.col("r").desc(), F.col("node"))
+    return (
+        ranks.filter(F.col("node") != F.col("seed"))
+        .select(
+            "seed",
+            F.col("node").alias("s_suppkey"),
+            F.col("r").alias("rank_nano"),
+            F.row_number().over(w).cast("long").alias("pos"),
+        )
+        .filter(F.col("pos") <= _PPR_TOPK)
+    )

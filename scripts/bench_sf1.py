@@ -77,6 +77,7 @@ QUERIES = [
     # must stay ~linear in the edge list)
     "audio_neardup_fingerprint",
     "pagerank_copurchase",
+    "ppr_related_suppliers",
 ]
 
 

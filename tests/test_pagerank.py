@@ -107,3 +107,58 @@ def test_fit_is_deterministic_and_all_integer(spark):
     # mass conservation up to per-node pdiv rounding
     n = len(a)
     assert abs(sum(r for _, r in a) - n * PR_SCALE) <= n * PR_ITERS
+
+
+def test_ppr_two_node_cycle_matches_closed_form(spark):
+    """Seed A on A <-> B (+ dangling C): replicate the exact integer
+    recursion in Python — teleport and dangling mass return to A."""
+    from bigdatasmallprice_spark.operators.pagerank import (
+        PPR_MASS,
+        PPR_TELEPORT,
+        ppr_fit,
+    )
+
+    nodes = _nodes(spark, [0, 1, 2])
+    edges = _edges(spark, [(0, 1, 1), (1, 0, 1)])
+    seeds = spark.createDataFrame([(0,)], "seed long")
+    iters = 5
+    got = {
+        r.node: r.r for r in ppr_fit(nodes, edges, seeds, iters=iters).collect()
+    }
+
+    r = {0: PPR_MASS, 1: 0, 2: 0}
+    for _ in range(iters):
+        inr = {0: pdiv_py(r[1] * 1, 1), 1: pdiv_py(r[0] * 1, 1), 2: 0}
+        dmass = r[2]
+        r = {
+            v: pdiv_py(
+                PR_DAMP_NUM * (inr[v] + (dmass if v == 0 else 0)), 100
+            )
+            + (PPR_TELEPORT if v == 0 else 0)
+            for v in r
+        }
+    assert got == r, (got, r)
+    # node 2 is unreachable from seed 0 -> exactly zero mass
+    assert got[2] == 0
+
+
+def test_ppr_ranks_direct_neighbors_above_two_hop(spark):
+    """Path graph 0-1-2-3 seeded at 0: node 1 (direct) must outrank
+    node 2 (two hops), which outranks node 3; batching three seeds in
+    one frame returns each walk's own distribution."""
+    from bigdatasmallprice_spark.operators.pagerank import ppr_fit
+
+    nodes = _nodes(spark, [0, 1, 2, 3])
+    und = [(0, 1), (1, 2), (2, 3)]
+    edges = _edges(spark, [(a, b, 1) for a, b in und] + [(b, a, 1) for a, b in und])
+    seeds = spark.createDataFrame([(0,), (1,), (3,)], "seed long")
+    got = {}
+    for r in ppr_fit(nodes, edges, seeds).collect():
+        got.setdefault(r.seed, {})[r.node] = r.r
+    assert set(got) == {0, 1, 3}
+    assert got[0][1] > got[0][2] > got[0][3]
+    assert got[3][2] > got[3][1] > got[3][0]
+    # symmetric seeds 0 and 3 see mirror-image distributions
+    assert got[0][1] == got[3][2] and got[0][2] == got[3][1]
+    # every walk keeps most mass near its own seed
+    assert all(rs[s] == max(rs.values()) for s, rs in got.items())
