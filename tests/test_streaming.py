@@ -1554,3 +1554,83 @@ def test_audio_stream_redelivered_clip_folds_once(spark, tmp_path):
     assert sorted(map(tuple, spark.read.parquet(verdicts).collect())) == pairs_before
     n_files = len(_glob.glob(verdicts + "/part-*.parquet"))
     assert n_files >= 1
+
+
+def test_streaming_graph_pagerank_equals_batch_across_split_orders(spark, tmp_path):
+    """Orders SLICED ACROSS deliveries (split by linenumber parity, so
+    most orders span both batches): the membership state's set-union
+    fold must still yield EXACTLY the batch query's ranks on read —
+    the cross pairs between an order's early and late lineitems are
+    derivable only from the folded relation, never from either batch
+    alone (the reason edge weights themselves are not the state)."""
+    from bigdatasmallprice_spark.registry import all_queries
+    from bigdatasmallprice_spark.streaming.graph_stream import (
+        graph_stream,
+        read_pagerank,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    li = spark.read.parquet(f"{sf}/lineitem.parquet").select(
+        "l_orderkey", "l_suppkey", "l_linenumber"
+    )
+    chunk1 = li.filter("l_linenumber % 2 = 0").drop("l_linenumber")
+    chunk2 = li.filter("l_linenumber % 2 = 1").drop("l_linenumber")
+    # sanity: the split really slices orders across deliveries
+    both = chunk1.select("l_orderkey").intersect(chunk2.select("l_orderkey"))
+    assert both.count() > 0
+
+    src = str(tmp_path / "li")
+    state, ckpt = str(tmp_path / "gst"), str(tmp_path / "gckpt")
+    chunk1.write.parquet(src)
+
+    def run():
+        stream = spark.readStream.schema(
+            "l_orderkey long, l_suppkey long"
+        ).parquet(src)
+        q = graph_stream(spark, stream, state, ckpt).start()
+        q.awaitTermination(120)
+
+    run()
+    chunk2.write.mode("append").parquet(src)
+    run()
+
+    sup = spark.read.parquet(f"{sf}/supplier.parquet")
+    nodes = sup.selectExpr("s_suppkey AS node")
+    got = sorted(
+        map(tuple, read_pagerank(spark, state, nodes).collect())
+    )
+    want = sorted(
+        (r.s_suppkey, r.rank_micro)
+        for r in all_queries()["pagerank_copurchase"].fn(spark, sf).collect()
+    )
+    assert got == want
+    assert len(got) == sup.count()
+
+
+def test_graph_state_fold_is_idempotent_under_redelivery(spark, tmp_path):
+    """Set union is idempotent: re-delivering rows under a NEW batch id
+    (at-least-once source — the watermark does not guard it) leaves
+    the membership state EXACTLY unchanged; a replayed batch id skips
+    the fold via the watermark."""
+    from bigdatasmallprice_spark.streaming.graph_stream import (
+        read_graph_state,
+        update_graph_state,
+    )
+    from bigdatasmallprice_spark.streaming.state import read_state_manifest
+
+    li = spark.read.parquet(
+        "/root/testdata/sf0.001/lineitem.parquet"
+    ).select("l_orderkey", "l_suppkey").filter("l_orderkey < 200")
+    state = str(tmp_path / "gst")
+    update_graph_state(spark, state, li, batch_id=0)
+    before = sorted((r.ok, r.sk) for r in read_graph_state(spark, state).collect())
+
+    # new batch id, duplicate rows -> state unchanged (set semantics)
+    update_graph_state(spark, state, li.limit(50), batch_id=1)
+    after = sorted((r.ok, r.sk) for r in read_graph_state(spark, state).collect())
+    assert after == before
+
+    # replayed batch id -> the fold is skipped, manifest version stays
+    v = read_state_manifest(state)["version"]
+    update_graph_state(spark, state, li, batch_id=1)
+    assert read_state_manifest(state)["version"] == v
