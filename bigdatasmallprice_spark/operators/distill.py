@@ -71,9 +71,12 @@ spelling, parameterized below.
 Overflow audit (BIGINT max 9.2e18): |x_j| <= 1e8, |z_c| <= 1e8,
 dzh <= 1.01e8, dzh^2 <= 1.03e16, |e| <= 1000, per-row d_j numerator
 <= 1e3*1e3*1e8 = 1e14 (*2 in pdiv), cw*rdiv(gneg,n)*4 <= 1e8*1e8*4 =
-4e16, loss fold cw*lneg <= 1e8 * n*1e6 — safe to n ~ 9e4 billion-row
-corpora per the clamps; at extreme row counts switch the loss fold to
-a mean. n itself only enters as a divisor.
+4e16. The tightest bound is the reported LOSS fold: lneg <= nneg*1e6
+and cwm ~= npos*1e6/nneg make cwm*lneg ~= npos*1e12, so the oracle's
+BIGINT fold holds through ~9 MILLION positive docs in the training
+slice (equivalently nneg ~9e4 at the full CW_CLAMP) — far past every
+tested sf; past that, switch the reported loss to the mean form (a
+documented spec change; the weight trajectory itself is unaffected). n itself only enters as a divisor.
 
 Scale shape: the feature frame is a 7-slim-column projection of the
 corpus, persisted once; each GD iteration is ONE map-side-combined
@@ -314,14 +317,21 @@ def fit_quality_classifier(
     return history
 
 
-def score_keep_expr(w: list[int]) -> str:
-    """Spark boolean expr: does the integer model keep this row of the
-    feature frame? keep <=> p_mil >= 500."""
-    op = SPARK_DIV
-    z = z_expr([str(wj) for wj in w], op)
+def keep_expr_for(wrefs: list[str], op: str) -> str:
+    """Boolean scoring expr (keep <=> p_mil >= 500) for either engine:
+    the ONE definition of the clamp/sigmoid scoring chain, shared by
+    the Spark literal-codegen path and the oracle's column-ref path so
+    a sigmoid/clamp change cannot desynchronize them."""
+    z = z_expr(wrefs, op)
     zc = f"least(greatest({z}, -{Z_CLAMP}), {Z_CLAMP})"
     dzh = f"({SCALE} + abs({zc}))"
     return f"(500 + {rdiv(f'({zc}) * 500', dzh, op)}) >= 500"
+
+
+def score_keep_expr(w: list[int]) -> str:
+    """Spark boolean expr: does the integer model keep this row of the
+    feature frame?"""
+    return keep_expr_for([str(wj) for wj in w], SPARK_DIV)
 
 
 def o_distill_chain_sql(iters: int = DISTILL_ITERS) -> str:
@@ -417,8 +427,4 @@ w{t} AS MATERIALIZED (
 def o_score_keep_expr(t: int = DISTILL_ITERS) -> str:
     """DuckDB boolean expr scoring the feat frame against w{t}'s
     columns (join feat, w{t} first)."""
-    op = DUCK_DIV
-    z = z_expr([f"w{j}" for j in range(N_FEATURES)], op)
-    zc = f"least(greatest({z}, -{Z_CLAMP}), {Z_CLAMP})"
-    dzh = f"({SCALE} + abs({zc}))"
-    return f"(500 + {rdiv(f'({zc}) * 500', dzh, op)}) >= 500"
+    return keep_expr_for([f"w{j}" for j in range(N_FEATURES)], DUCK_DIV)

@@ -517,6 +517,33 @@ def ahash_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(_hash, "doc_id long, ahash long")
 
 
+def signature_chunks(
+    df: DataFrame, sig_col: str, id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, sig) -> (id, sig, ci, cv): the 4-chunk (16+16+16+15 bit)
+    explosion of a 63-bit signature — the ONE definition of the chunk
+    layout, shared by the batch blocked join below and the streaming
+    gates' new-vs-state join (streaming/audio_stream.py) so the
+    pigeonhole geometry cannot silently diverge between them."""
+    from pyspark.sql import functions as F
+
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("ci"),
+                (
+                    F.expr(f"{sig_col} div {1 << (AHASH_CHUNK_BITS * i)}")
+                    % (1 << AHASH_CHUNK_BITS)
+                ).alias("cv"),
+            )
+            for i in range(AHASH_CHUNKS)
+        ]
+    )
+    return df.select(id_col, sig_col, F.explode(chunks).alias("c")).select(
+        id_col, sig_col, F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv")
+    )
+
+
 def hamming_near_pairs(
     df: DataFrame,
     sig_col: str,
@@ -532,21 +559,7 @@ def hamming_near_pairs(
     dedup paths."""
     from pyspark.sql import functions as F
 
-    chunks = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("ci"),
-                (
-                    F.expr(f"{sig_col} div {1 << (AHASH_CHUNK_BITS * i)}")
-                    % (1 << AHASH_CHUNK_BITS)
-                ).alias("cv"),
-            )
-            for i in range(AHASH_CHUNKS)
-        ]
-    )
-    ex = df.select(id_col, sig_col, F.explode(chunks).alias("c")).select(
-        id_col, sig_col, F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv")
-    )
+    ex = signature_chunks(df, sig_col, id_col)
     a, b = ex.alias("a"), ex.alias("b")
     cand = (
         a.join(

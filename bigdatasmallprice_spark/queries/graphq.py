@@ -63,7 +63,11 @@ def pagerank_copurchase_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     sup = table(spark, sf_dir, "supplier")
     nodes = sup.select(F.col("s_suppkey").alias("node"))
-    edges = copurchase_edges(li)
+    # persist: the edge pipeline (groupBy + pair explode + count over
+    # lineitem) feeds the fit's dangling probe, its per-iteration join
+    # frame AND the final w_out join — without the cache it would run
+    # three times (caller releases via released_caches)
+    edges = copurchase_edges(li).persist()
     outw = edges.groupBy("src").agg(F.sum("w").cast("long").alias("wout"))
     ranks = pagerank_fit(nodes, edges)
     w = Window.orderBy(F.col("rank_micro").desc(), F.col("s_suppkey"))
@@ -132,7 +136,10 @@ def ppr_related_suppliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("seed")
         .limit(_PPR_SEEDS)
     )
-    ranks = ppr_fit(nodes, copurchase_edges(li), seeds)
+    # persist: same triple-evaluation of the edge pipeline as in
+    # pagerank_copurchase_q (caller releases via released_caches)
+    edges = copurchase_edges(li).persist()
+    ranks = ppr_fit(nodes, edges, seeds)
     w = Window.partitionBy("seed").orderBy(F.col("r").desc(), F.col("node"))
     return (
         ranks.filter(F.col("node") != F.col("seed"))

@@ -15,7 +15,7 @@ Per micro-batch:
    Hamming<=3 shares an exact 16-bit chunk, so new-vs-seen candidates
    come from an equi-join on (chunk_idx, value), never all-pairs,
 3. also pairs the batch against ITSELF (within-batch near-dups),
-4. appends pair verdicts to the sink and folds the batch's signatures
+4. writes pair verdicts into a per-version sink partition (overwrite — retry-idempotent) and folds the batch's signatures
    into the state (versioned crash-atomic swap). Two replay layers:
    the batch-id watermark skips RETRIED batches, and a per-doc
    anti-join against the state skips clips RE-DELIVERED under a new
@@ -34,35 +34,23 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bigdatasmallprice_spark.operators.multimodal import (
-    AHASH_CHUNK_BITS,
-    AHASH_CHUNKS,
     audio_fingerprint_features,
     audio_near_pairs,
+    signature_chunks,
 )
 
 A_STATE_SCHEMA = "doc_id long, afp long"
 
 
 def _chunked(sigs: DataFrame, id_out: str) -> DataFrame:
-    """(doc_id, afp) -> (id_out, afp, ci, cv): the 4-chunk explosion
-    both sides of the blocked join share."""
-    chunks = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("ci"),
-                (
-                    F.expr(f"afp div {1 << (AHASH_CHUNK_BITS * i)}")
-                    % (1 << AHASH_CHUNK_BITS)
-                ).alias("cv"),
-            )
-            for i in range(AHASH_CHUNKS)
-        ]
-    )
-    return sigs.select("doc_id", "afp", F.explode(chunks).alias("c")).select(
+    """(doc_id, afp) -> (id_out, h_{id_out}, ci, cv): the shared chunk
+    explosion (operators/multimodal.py::signature_chunks — one source
+    of truth for the pigeonhole geometry), renamed per join side."""
+    return signature_chunks(sigs, "afp").select(
         F.col("doc_id").alias(id_out),
         F.col("afp").alias(f"h_{id_out}"),
-        F.col("c.ci").alias("ci"),
-        F.col("c.cv").alias("cv"),
+        "ci",
+        "cv",
     )
 
 
@@ -119,9 +107,13 @@ def update_audio_state(
     # first-writer-wins: a clip re-delivered in a LATER batch (new
     # batch id, so the watermark does not guard it) must fold and pair
     # exactly once — a bag union would duplicate its signature in the
-    # state and re-emit its pairs on every redelivery
+    # state and re-emit its pairs on every redelivery. The .distinct()
+    # additionally collapses duplicates WITHIN one batch (an
+    # at-least-once source can land the same clip twice in a single
+    # availableNow delivery).
     new_sigs = (
         audio_fingerprint_features(batch)
+        .distinct()
         .join(old.select("doc_id").distinct(), "doc_id", "left_anti")
         .persist()
     )
@@ -136,10 +128,17 @@ def update_audio_state(
         "hamming",
     )
     within = audio_near_pairs(new_sigs, max_hamming=max_hamming)
-    cross.unionByName(within).write.mode("append").parquet(verdict_path)
+    # verdicts land in a per-version subdirectory with OVERWRITE: a
+    # crash between this write and publish_state makes the retry
+    # recompute the same version number (the manifest did not move) and
+    # replace — not re-append — the pair set, closing the
+    # duplicate-verdict window a flat append would leave open
+    version = next_state_version(state_path)
+    cross.unionByName(within).write.mode("overwrite").parquet(
+        f"{verdict_path}/batch={version}"
+    )
 
     merged = old.unionByName(new_sigs.select("doc_id", "afp"))
-    version = next_state_version(state_path)
     merged.write.mode("overwrite").parquet(
         state_version_dir(state_path, version)
     )

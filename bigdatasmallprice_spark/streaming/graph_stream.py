@@ -90,7 +90,9 @@ def read_pagerank(
         F.col("ok").alias("l_orderkey"), F.col("sk").alias("l_suppkey")
     )
     edges = copurchase_edges(membership)
-    return pagerank_fit(nodes, edges, iters=iters or PR_ITERS)
+    return pagerank_fit(
+        nodes, edges, iters=iters if iters is not None else PR_ITERS
+    )
 
 
 def graph_stream(

@@ -15,7 +15,7 @@ Per micro-batch:
    >= k+w-1 = 8 tokens with ANY seen document is guaranteed to share
    at least one fingerprint with it,
 3. also pairs the batch against ITSELF (within-batch near-dups),
-4. appends the pair verdicts to the sink and folds the batch's
+4. writes pair verdicts into a per-version sink partition (overwrite — retry-idempotent) and folds the batch's
    fingerprints into the state (versioned crash-atomic swap). Two
    replay layers: the batch-id watermark skips RETRIED batches, and a
    per-doc anti-join against the state skips documents RE-DELIVERED
@@ -121,10 +121,17 @@ def update_winnow_state(
     from bigdatasmallprice_spark.operators.dedup import winnow_pairs
 
     within = winnow_pairs(new_fps, min_shared=min_shared, hub_max=hub_max)
-    cross.unionByName(within).write.mode("append").parquet(verdict_path)
+    # verdicts land in a per-version subdirectory with OVERWRITE: a
+    # crash between this write and publish_state makes the retry
+    # recompute the same version number (the manifest did not move) and
+    # replace — not re-append — the pair set, closing the
+    # duplicate-verdict window a flat append would leave open
+    version = next_state_version(state_path)
+    cross.unionByName(within).write.mode("overwrite").parquet(
+        f"{verdict_path}/batch={version}"
+    )
 
     merged = old.unionByName(new_fps.select("doc_id", "fp"))
-    version = next_state_version(state_path)
     merged.write.mode("overwrite").parquet(
         state_version_dir(state_path, version)
     )

@@ -1399,9 +1399,9 @@ def test_streaming_winnow_dedup_equals_batch(spark, tmp_path):
     assert streamed_state == batch_fps
 
     # replay protection: same batch id -> no new pair files
-    n_files = len(_glob.glob(verdicts + "/part-*.parquet"))
+    n_files = len(_glob.glob(verdicts + "/batch=*/part-*.parquet"))
     update_winnow_state(spark, state, chunk1, verdicts, batch_id=0)
-    assert len(_glob.glob(verdicts + "/part-*.parquet")) == n_files
+    assert len(_glob.glob(verdicts + "/batch=*/part-*.parquet")) == n_files
 
 
 def test_winnow_stream_redelivered_doc_folds_once(spark, tmp_path):
@@ -1426,7 +1426,7 @@ def test_winnow_stream_redelivered_doc_folds_once(spark, tmp_path):
     state_before = sorted(
         (r.doc_id, r.fp) for r in read_winnow_state(spark, state).collect()
     )
-    pair_files = len(_glob.glob(verdicts + "/part-*.parquet"))
+    pair_files = len(_glob.glob(verdicts + "/batch=*/part-*.parquet"))
     pairs_before = sorted(
         map(tuple, spark.read.parquet(verdicts).collect())
     ) if pair_files else []
@@ -1510,9 +1510,9 @@ def test_streaming_audio_dedup_equals_batch_exactly(spark, tmp_path):
     assert streamed_state == batch_sigs
 
     # replay protection: same batch id -> no new pair files
-    n_files = len(_glob.glob(verdicts + "/part-*.parquet"))
+    n_files = len(_glob.glob(verdicts + "/batch=*/part-*.parquet"))
     update_audio_state(spark, state, chunk1, verdicts, batch_id=0)
-    assert len(_glob.glob(verdicts + "/part-*.parquet")) == n_files
+    assert len(_glob.glob(verdicts + "/batch=*/part-*.parquet")) == n_files
 
 
 def test_audio_stream_redelivered_clip_folds_once(spark, tmp_path):
@@ -1552,7 +1552,7 @@ def test_audio_stream_redelivered_clip_folds_once(spark, tmp_path):
         (r.doc_id, r.afp) for r in read_audio_state(spark, state).collect()
     ) == state_before
     assert sorted(map(tuple, spark.read.parquet(verdicts).collect())) == pairs_before
-    n_files = len(_glob.glob(verdicts + "/part-*.parquet"))
+    n_files = len(_glob.glob(verdicts + "/batch=*/part-*.parquet"))
     assert n_files >= 1
 
 
