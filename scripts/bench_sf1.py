@@ -78,6 +78,7 @@ QUERIES = [
     "audio_neardup_fingerprint",
     "pagerank_copurchase",
     "ppr_related_suppliers",
+    "triangle_counts",
 ]
 
 
