@@ -120,6 +120,39 @@ FROM (
     "seed's top-10 related suppliers (seed excluded), total-ordered.",
     tags=("graph", "train", "join"),
 )
+def ppr_related_suppliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from bigdatasmallprice_spark.operators.pagerank import (
+        copurchase_edges,
+        ppr_fit,
+    )
+
+    li = table(spark, sf_dir, "lineitem")
+    sup = table(spark, sf_dir, "supplier")
+    nodes = sup.select(F.col("s_suppkey").alias("node"))
+    seeds = (
+        sup.select(F.col("s_suppkey").alias("seed"))
+        .orderBy("seed")
+        .limit(_PPR_SEEDS)
+    )
+    # persist: same triple-evaluation of the edge pipeline as in
+    # pagerank_copurchase_q (caller releases via released_caches)
+    edges = copurchase_edges(li).persist()
+    ranks = ppr_fit(nodes, edges, seeds)
+    w = Window.partitionBy("seed").orderBy(F.col("r").desc(), F.col("node"))
+    return (
+        ranks.filter(F.col("node") != F.col("seed"))
+        .select(
+            "seed",
+            F.col("node").alias("s_suppkey"),
+            F.col("r").alias("rank_nano"),
+            F.row_number().over(w).cast("long").alias("pos"),
+        )
+        .filter(F.col("pos") <= _PPR_TOPK)
+    )
+
+
 def _triangles_oracle() -> str:
     from bigdatasmallprice_spark.operators.triangles import O_TRIANGLES_SQL
 
@@ -170,36 +203,3 @@ def triangle_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     sup = table(spark, sf_dir, "supplier")
     nodes = sup.select(F.col("s_suppkey").alias("node"))
     return triangle_counts(topk_edges(copurchase_edges(li)), nodes)
-
-
-def ppr_related_suppliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
-    from bigdatasmallprice_spark.operators.pagerank import (
-        copurchase_edges,
-        ppr_fit,
-    )
-
-    li = table(spark, sf_dir, "lineitem")
-    sup = table(spark, sf_dir, "supplier")
-    nodes = sup.select(F.col("s_suppkey").alias("node"))
-    seeds = (
-        sup.select(F.col("s_suppkey").alias("seed"))
-        .orderBy("seed")
-        .limit(_PPR_SEEDS)
-    )
-    # persist: same triple-evaluation of the edge pipeline as in
-    # pagerank_copurchase_q (caller releases via released_caches)
-    edges = copurchase_edges(li).persist()
-    ranks = ppr_fit(nodes, edges, seeds)
-    w = Window.partitionBy("seed").orderBy(F.col("r").desc(), F.col("node"))
-    return (
-        ranks.filter(F.col("node") != F.col("seed"))
-        .select(
-            "seed",
-            F.col("node").alias("s_suppkey"),
-            F.col("r").alias("rank_nano"),
-            F.row_number().over(w).cast("long").alias("pos"),
-        )
-        .filter(F.col("pos") <= _PPR_TOPK)
-    )
