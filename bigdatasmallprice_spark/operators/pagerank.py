@@ -221,18 +221,44 @@ def ppr_fit(
     return ranks
 
 
-def o_ppr_chain_sql(iters: int = PPR_ITERS, n_seeds: int = 3) -> str:
+def o_ppr_chain_sql(
+    iters: int = PPR_ITERS, n_seeds: int = 3, sparsify_topk: int | None = None
+) -> str:
     """DuckDB CTE chain replaying the identical multi-seed PPR over
     the supplier co-purchase graph; seeds = the n_seeds smallest
-    supplier keys. Ends with r{iters}(seed, node, r)."""
+    supplier keys. ``sparsify_topk`` walks the per-node top-k
+    strongest-tie graph (operators/triangles.py::topk_edges — the
+    Pixie deployment shape) instead of the raw near-complete one.
+    Ends with r{iters}(seed, node, r)."""
     op = DUCK_DIV
+    edge_src = "e0"
+    sparsify = ""
+    if sparsify_topk is not None:
+        edge_src = "es"
+        sparsify = f""",
+kept AS (
+  SELECT src, dst, w FROM (
+    SELECT src, dst, w,
+           row_number() OVER (PARTITION BY src ORDER BY w DESC, dst) AS rn
+    FROM e0
+  ) WHERE rn <= {sparsify_topk}
+),
+undw AS (
+  SELECT least(src, dst) AS u, greatest(src, dst) AS v,
+         CAST(MAX(w) AS BIGINT) AS w
+  FROM kept GROUP BY 1, 2
+),
+es AS MATERIALIZED (
+  SELECT u AS src, v AS dst, w FROM undw
+  UNION ALL SELECT v AS src, u AS dst, w FROM undw
+)"""
     parts = [
         f"""lo AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem),
 e0 AS MATERIALIZED (
   SELECT a.sk AS src, b.sk AS dst, CAST(COUNT(*) AS BIGINT) AS w
   FROM lo a JOIN lo b ON a.ok = b.ok AND a.sk <> b.sk GROUP BY 1, 2
-),
-ow AS MATERIALIZED (SELECT src, CAST(SUM(w) AS BIGINT) AS wout FROM e0 GROUP BY 1),
+){sparsify},
+ow AS MATERIALIZED (SELECT src, CAST(SUM(w) AS BIGINT) AS wout FROM {edge_src} GROUP BY 1),
 nodes AS MATERIALIZED (SELECT s_suppkey AS node FROM supplier),
 seeds AS MATERIALIZED (
   SELECT s_suppkey AS seed FROM supplier ORDER BY 1 LIMIT {n_seeds}
@@ -244,7 +270,7 @@ r0 AS MATERIALIZED (
 )"""
     ]
     for t in range(1, iters + 1):
-        share = pdiv("r.r * e0.w", "ow.wout", op)
+        share = pdiv(f"r.r * {edge_src}.w", "ow.wout", op)
         upd = pdiv(
             f"{PR_DAMP_NUM} * (COALESCE(c{t}.inr, CAST(0 AS BIGINT)) "
             f"+ (CASE WHEN b.node = b.seed "
@@ -258,8 +284,8 @@ r0 AS MATERIALIZED (
   GROUP BY 1
 ),
 c{t} AS (
-  SELECT r.seed, e0.dst AS node, CAST(SUM({share}) AS BIGINT) AS inr
-  FROM e0 JOIN r{t - 1} r ON r.node = e0.src JOIN ow ON ow.src = e0.src
+  SELECT r.seed, {edge_src}.dst AS node, CAST(SUM({share}) AS BIGINT) AS inr
+  FROM {edge_src} JOIN r{t - 1} r ON r.node = {edge_src}.src JOIN ow ON ow.src = {edge_src}.src
   GROUP BY 1, 2
 ),
 r{t} AS MATERIALIZED (

@@ -91,8 +91,9 @@ def _ppr_oracle() -> str:
         PPR_ITERS,
         o_ppr_chain_sql,
     )
+    from bigdatasmallprice_spark.operators.triangles import TOPK_TIES
 
-    return f"""WITH {o_ppr_chain_sql(n_seeds=_PPR_SEEDS)}
+    return f"""WITH {o_ppr_chain_sql(n_seeds=_PPR_SEEDS, sparsify_topk=TOPK_TIES)}
 SELECT seed, node AS s_suppkey, r AS rank_nano,
        CAST(pos AS BIGINT) AS pos
 FROM (
@@ -108,7 +109,11 @@ FROM (
     _ppr_oracle(),
     doc="Personalized PageRank (the Pixie retrieval pattern: 'entities "
     "related to X' = the stationary distribution of a damped walk that "
-    "teleports back to X): for the 3 smallest supplier keys as seeds, "
+    "teleports back to X — and, as in Pixie's deployment, the walk "
+    "runs on the PRUNED top-k strongest-tie graph, not the raw "
+    "near-complete co-occurrence graph: each node keeps its 10 "
+    "strongest ties, bounding the per-iteration edge join at n*k "
+    "forever): for the 3 smallest supplier keys as seeds, "
     "12 damped iterations where teleport AND dangling mass return to "
     "the walk's own seed, ALL seeds batched in one (seed, node) frame "
     "— S seeds cost one edge-join + one (seed, dst) groupBy shuffle "
@@ -136,9 +141,11 @@ def ppr_related_suppliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("seed")
         .limit(_PPR_SEEDS)
     )
+    from bigdatasmallprice_spark.operators.triangles import topk_edges
+
     # persist: same triple-evaluation of the edge pipeline as in
     # pagerank_copurchase_q (caller releases via released_caches)
-    edges = copurchase_edges(li).persist()
+    edges = topk_edges(copurchase_edges(li)).persist()
     ranks = ppr_fit(nodes, edges, seeds)
     w = Window.partitionBy("seed").orderBy(F.col("r").desc(), F.col("node"))
     return (
