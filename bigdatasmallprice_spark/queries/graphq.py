@@ -210,3 +210,53 @@ def triangle_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     sup = table(spark, sf_dir, "supplier")
     nodes = sup.select(F.col("s_suppkey").alias("node"))
     return triangle_counts(topk_edges(copurchase_edges(li)), nodes)
+
+
+def _walks_oracle() -> str:
+    from bigdatasmallprice_spark.operators.walks import (
+        SKIPGRAM_WINDOW,
+        o_walk_chain_sql,
+    )
+
+    return f"""WITH {o_walk_chain_sql()}
+SELECT a.node AS center, b.node AS context, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM walks a JOIN walks b
+  ON a.start = b.start AND a.w = b.w AND a.step <> b.step
+ AND abs(a.step - b.step) <= {SKIPGRAM_WINDOW}
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "randomwalk_skipgram_pairs",
+    _walks_oracle(),
+    doc="Deterministic random-walk corpus + skip-gram pair extraction — "
+    "the DeepWalk/node2vec DATA-PREP stage (graph embeddings train on "
+    "(center, context) pairs harvested from truncated walks, exactly "
+    "as word2vec trains on text windows). 4 walks of length 8 from "
+    "every supplier over the top-10 strongest-tie co-purchase graph; "
+    "each step picks the next neighbor by an md5-slice hash of "
+    "(start, walk, step, node) mod degree — the engine-portable "
+    "seeded-RNG stand-in, so the 'random' corpus is bit-reproducible "
+    "and the oracle replays every step of every walk. Output: exact "
+    "ordered within-window-2 pair counts (the positive-pair training "
+    "corpus). Scale shape: each step is ONE equi-join of the W*n walk "
+    "frontier against the n*k neighbor index; the pair stage is a "
+    "walk-keyed self-join bounded by W*n*L*window. Dead ends truncate "
+    "their walk (standard).",
+    tags=("graph", "train", "join", "curation"),
+)
+def randomwalk_skipgram_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdatasmallprice_spark.operators.pagerank import copurchase_edges
+    from bigdatasmallprice_spark.operators.triangles import topk_edges
+    from bigdatasmallprice_spark.operators.walks import (
+        random_walks,
+        skipgram_pairs,
+    )
+
+    li = table(spark, sf_dir, "lineitem")
+    sup = table(spark, sf_dir, "supplier")
+    nodes = sup.select(F.col("s_suppkey").alias("node"))
+    edges = topk_edges(copurchase_edges(li)).persist()
+    walks = random_walks(edges, nodes).persist()
+    return skipgram_pairs(walks)

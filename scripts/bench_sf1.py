@@ -79,6 +79,7 @@ QUERIES = [
     "pagerank_copurchase",
     "ppr_related_suppliers",
     "triangle_counts",
+    "randomwalk_skipgram_pairs",
 ]
 
 
