@@ -260,3 +260,58 @@ def randomwalk_skipgram_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = topk_edges(copurchase_edges(li)).persist()
     walks = random_walks(edges, nodes).persist()
     return skipgram_pairs(walks)
+
+
+def _lpa_oracle() -> str:
+    from bigdatasmallprice_spark.operators.lpa import LPA_ITERS, o_lpa_chain_sql
+
+    last = 2 * LPA_ITERS  # parity half-steps
+    return f"""WITH {o_lpa_chain_sql()}
+SELECT l.node AS s_suppkey, l.label AS community,
+       cs.n AS community_size
+FROM l{last} l
+JOIN (SELECT label, CAST(COUNT(*) AS BIGINT) AS n FROM l{last} GROUP BY 1) cs
+  ON cs.label = l.label
+"""
+
+
+@register(
+    "lpa_communities",
+    _lpa_oracle(),
+    doc="Weighted label propagation (Raghavan et al. 2007) over the "
+    "top-10 strongest-tie supplier co-purchase graph — community "
+    "detection as a replayable iterative dataflow. Vanilla LPA is "
+    "famously nondeterministic (random update order, random "
+    "tie-breaks, and fully-synchronous updates oscillate on bipartite "
+    "structure); this one is engine-replayable: SEMI-SYNCHRONOUS "
+    "parity-colored half-steps (even ids update, then odd ids — the "
+    "standard oscillation fix), ties break on the SMALLEST label, and "
+    "each node's own label participates at weight 1. 4 rounds (8 "
+    "half-steps), all integer (labels are node ids, scores BIGINT "
+    "weight sums). Per half-step ONE edge-label join + ONE "
+    "(node, label) aggregate + ONE argmax window — the canonical distributed LPA plan; the "
+    "oracle unrolls identical rounds. Output: every supplier's "
+    "community id (its community's smallest-anchored label) and "
+    "community size. Completes the graph-analytics family: global "
+    "centrality (PageRank), retrieval (PPR), cohesion (triangles), "
+    "embedding data-prep (walks), and community structure (this).",
+    tags=("graph", "join"),
+)
+def lpa_communities_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdatasmallprice_spark.operators.lpa import lpa_fit
+    from bigdatasmallprice_spark.operators.pagerank import copurchase_edges
+    from bigdatasmallprice_spark.operators.triangles import topk_edges
+
+    li = table(spark, sf_dir, "lineitem")
+    sup = table(spark, sf_dir, "supplier")
+    nodes = sup.select(F.col("s_suppkey").alias("node"))
+    edges = topk_edges(copurchase_edges(li)).persist()
+    labels = lpa_fit(nodes, edges).persist()
+    sizes = labels.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("community_size")
+    )
+    return labels.join(sizes, "label").select(
+        F.col("node").alias("s_suppkey"),
+        F.col("label").alias("community"),
+        "community_size",
+    )

@@ -80,6 +80,7 @@ QUERIES = [
     "ppr_related_suppliers",
     "triangle_counts",
     "randomwalk_skipgram_pairs",
+    "lpa_communities",
 ]
 
 
