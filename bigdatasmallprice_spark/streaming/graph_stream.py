@@ -95,6 +95,29 @@ def read_pagerank(
     )
 
 
+def read_skipgram_pairs(
+    spark: SparkSession, state_path: str, nodes: DataFrame
+) -> DataFrame:
+    """(center, context, cnt) over everything folded so far — the
+    membership state run through the exact batch walk pipeline
+    (top-k sparsify -> deterministic walks -> skip-gram pairs), so the
+    streaming corpus equals the batch corpus by construction. One
+    graph state serves BOTH readbacks: centrality (read_pagerank) and
+    the embedding pair corpus (this)."""
+    from bigdatasmallprice_spark.operators.pagerank import copurchase_edges
+    from bigdatasmallprice_spark.operators.triangles import topk_edges
+    from bigdatasmallprice_spark.operators.walks import (
+        random_walks,
+        skipgram_pairs,
+    )
+
+    membership = read_graph_state(spark, state_path).select(
+        F.col("ok").alias("l_orderkey"), F.col("sk").alias("l_suppkey")
+    )
+    edges = topk_edges(copurchase_edges(membership))
+    return skipgram_pairs(random_walks(edges, nodes))
+
+
 def graph_stream(
     spark: SparkSession,
     source: DataFrame,

@@ -1634,3 +1634,39 @@ def test_graph_state_fold_is_idempotent_under_redelivery(spark, tmp_path):
     v = read_state_manifest(state)["version"]
     update_graph_state(spark, state, li, batch_id=1)
     assert read_state_manifest(state)["version"] == v
+
+
+def test_streaming_graph_state_serves_walk_corpus_readback(spark, tmp_path):
+    """The same membership state that serves PageRank readbacks must
+    yield the EXACT batch skip-gram pair corpus — orders sliced across
+    deliveries and all (the walks are deterministic functions of the
+    folded graph)."""
+    from bigdatasmallprice_spark.registry import all_queries
+    from bigdatasmallprice_spark.streaming.graph_stream import (
+        read_skipgram_pairs,
+        update_graph_state,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    li = spark.read.parquet(f"{sf}/lineitem.parquet").select(
+        "l_orderkey", "l_suppkey", "l_linenumber"
+    )
+    state = str(tmp_path / "gst")
+    update_graph_state(
+        spark, state, li.filter("l_linenumber % 2 = 0"), batch_id=0
+    )
+    update_graph_state(
+        spark, state, li.filter("l_linenumber % 2 = 1"), batch_id=1
+    )
+    sup = spark.read.parquet(f"{sf}/supplier.parquet")
+    nodes = sup.selectExpr("s_suppkey AS node")
+    got = sorted(
+        map(tuple, read_skipgram_pairs(spark, state, nodes).collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            all_queries()["randomwalk_skipgram_pairs"].fn(spark, sf).collect(),
+        )
+    )
+    assert got == want and len(got) > 0
