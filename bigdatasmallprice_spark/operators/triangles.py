@@ -74,8 +74,14 @@ def triangle_counts(edges: DataFrame, nodes: DataFrame) -> DataFrame:
     (node, degree, n_tri, n_wedges) for every node in ``nodes``
     (isolated nodes included with zeros). n_wedges = deg*(deg-1)/2 is
     the local clustering denominator, kept as an exact integer next to
-    n_tri instead of a float ratio."""
-    und = undirected_edges(edges).persist()
+    n_tri instead of a float ratio.
+
+    The edge and oriented-edge frames are localCheckpoint'ed rather
+    than persisted: each is referenced 2-3 times downstream (degrees,
+    ranking, wedges x2, the closing join), and a lazy cache leaves the
+    full upstream pipeline embedded per reference in the static plan —
+    checkpointing truncates it to the materialized frame."""
+    und = undirected_edges(edges).localCheckpoint(eager=True)
     deg = (
         und.select(F.col("u").alias("node"))
         .unionByName(und.select(F.col("v").alias("node")))
@@ -107,7 +113,7 @@ def triangle_counts(edges: DataFrame, nodes: DataFrame) -> DataFrame:
             .otherwise(F.col("u"))
             .alias("b"),
         )
-    ).persist()
+    ).localCheckpoint(eager=True)
     # wedges between out-neighbors of the same (lowest-ranked) apex;
     # b < c by NODE ID normalizes the closing-edge key to match und
     w1 = oe.select(F.col("a"), F.col("b").alias("b"))
@@ -135,8 +141,6 @@ def triangle_counts(edges: DataFrame, nodes: DataFrame) -> DataFrame:
             ).alias("n_wedges"),
         )
     )
-    und.unpersist()
-    oe.unpersist()
     return out
 
 

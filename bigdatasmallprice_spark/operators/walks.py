@@ -95,9 +95,13 @@ def random_walks(
                 F.col("dst").alias("node"),
             )
         )
-        # cut the growing join lineage mid-walk (the PageRank cadence)
-        if (t + 1) % 3 == 0:
-            nxt = nxt.localCheckpoint(eager=True)
+        # checkpoint EVERY step: the step frame is referenced twice
+        # (the walks union AND the next frontier), and the pair stage
+        # self-joins the union — an unchecked chain re-embeds every
+        # prefix per reference, exploding the static plan (1.4k
+        # Exchange nodes measured) while the frontier itself is only
+        # W*n rows — eager materialization is the cheap side
+        nxt = nxt.localCheckpoint(eager=True)
         frames.append(nxt)
         frontier = nxt
     out = frames[0]
