@@ -1230,3 +1230,76 @@ def eval_split_clean_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def eval_split_clean_hashed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _eval_split_df(spark, sf_dir, hashed=True)
+
+
+# ---------------------------------------------------------------------------
+# deterministic weighted sampling: token-budget document subsampling
+# ---------------------------------------------------------------------------
+
+_TBS_K = 20  # docs kept per source
+_TBS_SCALE = 1_000_000
+
+
+@register(
+    "token_budget_sample",
+    f"""
+WITH d AS (
+  SELECT doc_id, source, {o_n_tokens('text')} AS n_tok,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h
+  FROM documents
+),
+p AS (
+  SELECT doc_id, source, n_tok,
+         CAST((h * {_TBS_SCALE}) // n_tok AS BIGINT) AS priority
+  FROM d
+),
+r AS (
+  SELECT doc_id, source, n_tok, priority,
+         CAST(row_number() OVER (PARTITION BY source
+                                 ORDER BY priority, doc_id) AS BIGINT) AS rk
+  FROM p
+)
+SELECT source, rk, doc_id, n_tok, priority FROM r WHERE rk <= {_TBS_K}
+""",
+    doc="Deterministic weighted document sampling — the token-budget "
+    "subsample (keeping documents with probability proportional to "
+    "their TOKEN COUNT approximates sampling uniformly over tokens, "
+    "the budget a training run actually spends): per document a "
+    "hash-priority u/w key — md5-slice hash divided by the integer "
+    "token weight, the integer-exact cousin of the A-ES exponential "
+    "key (heavier docs get stochastically smaller priorities) — and "
+    "per source the k=20 smallest priorities win (doc_id tie-break). "
+    "The priority is PURE INTEGER ((h * 1e6) div n_tok), the hash is "
+    "the repo-standard engine-portable md5 slice, so the sample is "
+    "bit-reproducible and the oracle replays it exactly. At 100 TB "
+    "this is one scan + one per-source top-k (partial top-k "
+    "map-side) — no shuffle of the losers, no RNG state, and the "
+    "sample is STABLE under re-runs and engine upgrades (the property "
+    "seeded RNG sampling does not give across engines).",
+    tags=("curation", "sample"),
+)
+def token_budget_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "source",
+        n_tokens(F.col("text")).alias("n_tok"),
+        F.expr(
+            "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) "
+            "AS BIGINT)"
+        ).alias("h"),
+    )
+    p = d.select(
+        "doc_id",
+        "source",
+        "n_tok",
+        F.expr(f"(h * {_TBS_SCALE}) DIV n_tok").alias("priority"),
+    )
+    w = Window.partitionBy("source").orderBy("priority", "doc_id")
+    return (
+        p.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= _TBS_K)
+        .select("source", "rk", "doc_id", "n_tok", "priority")
+    )

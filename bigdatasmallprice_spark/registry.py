@@ -79,10 +79,10 @@ DRIVER_ORDER: list[str] = [
     # r7 rotation (VERDICT r6 asks #1/#3): the never-green query first
     # (now re-derived as an ALL-INTEGER trajectory), its filter twin
     # (same fit — the trajectory CHANGED this round, so its green must
-    # be re-earned), the six new r7 queries, this round's changed/
+    # be re-earned), the seven new r7 queries, this round's changed/
     # refactored queries, the remaining r6-firsts (second rows), then
-    # the 35 stalest double-greens (everything whose last green is r3,
-    # plus the alphabetical head of the r4 tier). 2 + 13 + 35 = 50. After a
+    # the 34 stalest double-greens (everything whose last green is r3,
+    # plus the alphabetical head of the r4 tier). 2 + 14 + 34 = 50. After a
     # green r7, minimum evidence across ALL pre-r7 queries is 2 rows —
     # the ratchet completes.
     # -- red r5+r6 (now zero replayed float ops: BIGINT micro-unit
@@ -93,13 +93,14 @@ DRIVER_ORDER: list[str] = [
     "quality_classifier_filter",
     # -- new in r7: audio band-energy fingerprint dedup; exact-integer
     #    weighted PageRank with dangling-mass handling + its
-    #    personalized (multi-seed) variant; degree-ordered triangle counting; the deterministic DeepWalk skip-gram pair corpus; semi-synchronous weighted LPA communities
+    #    personalized (multi-seed) variant; degree-ordered triangle counting; the deterministic DeepWalk skip-gram pair corpus; semi-synchronous weighted LPA communities; deterministic token-budget weighted sampling
     "audio_neardup_fingerprint",
     "pagerank_copurchase",
     "ppr_related_suppliers",
     "triangle_counts",
     "randomwalk_skipgram_pairs",
     "lpa_communities",
+    "token_budget_sample",
     # -- changed in r7: residual encoding (true IVFADC); PQ fit/encode
     #    refactored underneath both
     "ann_ivfpq_topk",
@@ -149,7 +150,6 @@ DRIVER_ORDER: list[str] = [
     "embedding_neardup_np",
     "embedding_norms",
     "hybrid_search_rrf",
-    "kanon_release",
     # Every sit-out holds >= 2 green rows (COVERAGE.json is the
     # ledger); earlier rounds' rotation rationales live in git history.
 ]

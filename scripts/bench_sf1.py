@@ -81,6 +81,7 @@ QUERIES = [
     "triangle_counts",
     "randomwalk_skipgram_pairs",
     "lpa_communities",
+    "token_budget_sample",
 ]
 
 

@@ -248,3 +248,43 @@ def test_winnowing_no_fingerprint_below_guarantee(spark):
     )
     fps = winnow_fingerprints(docs)
     assert winnow_pairs(fps, min_shared=1, hub_max=64).count() == 0
+
+
+def test_token_budget_sample_is_weighted_and_deterministic(spark):
+    """The u/w priority rule must (a) replay exactly in Python from
+    the hash and weight (bit-reproducibility — the whole point), and
+    (b) actually bias the sample toward long documents: the sampled
+    docs' mean token count exceeds the corpus mean."""
+    import hashlib
+
+    from bigdatasmallprice_spark.registry import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    rows = all_queries()["token_budget_sample"].fn(spark, sf).collect()
+    assert len(rows) > 0
+    # per-source exactly k rows, ranks 1..k
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    for src, rs in by_src.items():
+        assert sorted(x.rk for x in rs) == list(range(1, len(rs) + 1))
+        assert len(rs) == 20
+    # closed-form priority replay
+    for r in rows:
+        h = int(hashlib.md5(str(r.doc_id).encode()).hexdigest()[:8], 16)
+        assert r.priority == (h * 1_000_000) // r.n_tok, r
+    # weighting bias: sampled mean length > corpus mean length
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    from bigdatasmallprice_spark.functions.texts import n_tokens
+    from pyspark.sql import functions as F
+
+    corpus_mean = (
+        docs.select(n_tokens(F.col("text")).alias("nt"))
+        .agg(F.avg("nt"))
+        .collect()[0][0]
+    )
+    sample_mean = sum(r.n_tok for r in rows) / len(rows)
+    assert sample_mean > corpus_mean, (sample_mean, corpus_mean)
+    # determinism
+    again = all_queries()["token_budget_sample"].fn(spark, sf).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
