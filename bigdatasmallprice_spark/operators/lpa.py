@@ -26,8 +26,9 @@ graphs). Everything is integer (labels are node ids, scores BIGINT
 weight sums), so the DuckDB oracle unrolls the identical half-steps.
 Per half-step: ONE edge-label join + ONE (node, label) weight
 aggregate + ONE argmax window — the canonical distributed LPA plan;
-label frames are localCheckpoint'ed every few half-steps (the
-PageRank cadence). Like the other walk-family consumers, communities
+the node-sized label frame is localCheckpoint'ed EVERY half-step
+(it is referenced three times by the next one — an unchecked union
+chain re-evaluates its history per reference; measured 2x slower). Like the other walk-family consumers, communities
 are detected on the TOP-K strongest-tie graph (the co-occurrence
 graph saturates toward complete at scale, where LPA degenerates to
 one giant community).
@@ -49,14 +50,17 @@ def lpa_fit(
     rounds over a symmetric (src, dst, w) edge list."""
     from pyspark.sql import Window
 
-    e = edges.persist()
+    # checkpoint our OWN copy of the edge frame (it feeds every
+    # half-step): persist()/unpersist() here would silently evict a
+    # cache entry the CALLER created on the same plan — Spark's cache
+    # manager keys on the logical plan, not the DataFrame object
+    e = edges.localCheckpoint(eager=True)
     labels = nodes.select(
         "node", F.col("node").alias("label")
     ).localCheckpoint(eager=True)
     w_pick = Window.partitionBy("node").orderBy(
         F.col("score").desc(), F.col("label")
     )
-    half = 0
     for _ in range(iters):
         for parity in (0, 1):
             # only the updating parity class needs scores this
@@ -93,8 +97,6 @@ def lpa_fit(
                 .unionByName(cand)
                 .localCheckpoint(eager=True)
             )
-            half += 1
-    e.unpersist()
     return labels
 
 
@@ -102,31 +104,14 @@ def o_lpa_chain_sql(iters: int = LPA_ITERS, topk: int | None = None) -> str:
     """DuckDB CTE chain replaying the identical semi-synchronous
     half-steps over the top-k sparsified supplier co-purchase graph.
     Ends with l{2 * iters}(node, label)."""
-    from bigdatasmallprice_spark.operators.triangles import TOPK_TIES
+    from bigdatasmallprice_spark.operators.triangles import (
+        TOPK_TIES,
+        o_topk_edges_sql,
+    )
 
     k = TOPK_TIES if topk is None else topk
     parts = [
-        f"""lo AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem),
-e0 AS (
-  SELECT a.sk AS src, b.sk AS dst, CAST(COUNT(*) AS BIGINT) AS w
-  FROM lo a JOIN lo b ON a.ok = b.ok AND a.sk <> b.sk GROUP BY 1, 2
-),
-kept AS (
-  SELECT src, dst, w FROM (
-    SELECT src, dst, w,
-           row_number() OVER (PARTITION BY src ORDER BY w DESC, dst) AS rn
-    FROM e0
-  ) WHERE rn <= {k}
-),
-undw AS (
-  SELECT least(src, dst) AS u, greatest(src, dst) AS v,
-         CAST(MAX(w) AS BIGINT) AS w
-  FROM kept GROUP BY 1, 2
-),
-es AS MATERIALIZED (
-  SELECT u AS src, v AS dst, w FROM undw
-  UNION ALL SELECT v AS src, u AS dst, w FROM undw
-),
+        f"""{o_topk_edges_sql(k)},
 nodes AS MATERIALIZED (SELECT s_suppkey AS node FROM supplier),
 l0 AS MATERIALIZED (SELECT node, node AS label FROM nodes)"""
     ]

@@ -231,33 +231,22 @@ def o_ppr_chain_sql(
     Pixie deployment shape) instead of the raw near-complete one.
     Ends with r{iters}(seed, node, r)."""
     op = DUCK_DIV
-    edge_src = "e0"
-    sparsify = ""
     if sparsify_topk is not None:
+        from bigdatasmallprice_spark.operators.triangles import (
+            o_topk_edges_sql,
+        )
+
         edge_src = "es"
-        sparsify = f""",
-kept AS (
-  SELECT src, dst, w FROM (
-    SELECT src, dst, w,
-           row_number() OVER (PARTITION BY src ORDER BY w DESC, dst) AS rn
-    FROM e0
-  ) WHERE rn <= {sparsify_topk}
-),
-undw AS (
-  SELECT least(src, dst) AS u, greatest(src, dst) AS v,
-         CAST(MAX(w) AS BIGINT) AS w
-  FROM kept GROUP BY 1, 2
-),
-es AS MATERIALIZED (
-  SELECT u AS src, v AS dst, w FROM undw
-  UNION ALL SELECT v AS src, u AS dst, w FROM undw
-)"""
-    parts = [
-        f"""lo AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem),
+        edges_cte = o_topk_edges_sql(sparsify_topk)
+    else:
+        edge_src = "e0"
+        edges_cte = """lo AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem),
 e0 AS MATERIALIZED (
   SELECT a.sk AS src, b.sk AS dst, CAST(COUNT(*) AS BIGINT) AS w
   FROM lo a JOIN lo b ON a.ok = b.ok AND a.sk <> b.sk GROUP BY 1, 2
-){sparsify},
+)"""
+    parts = [
+        f"""{edges_cte},
 ow AS MATERIALIZED (SELECT src, CAST(SUM(w) AS BIGINT) AS wout FROM {edge_src} GROUP BY 1),
 nodes AS MATERIALIZED (SELECT s_suppkey AS node FROM supplier),
 seeds AS MATERIALIZED (

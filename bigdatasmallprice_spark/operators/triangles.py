@@ -144,23 +144,39 @@ def triangle_counts(edges: DataFrame, nodes: DataFrame) -> DataFrame:
     return out
 
 
-O_TRIANGLES_SQL = f"""
-lo AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem),
+def o_topk_edges_sql(k: int = TOPK_TIES) -> str:
+    """The ONE definition of the top-k sparsified supplier co-purchase
+    graph as oracle CTE text — shared by the triangle, LPA, walk and
+    PPR oracles so the sparsification rule cannot drift between them.
+    Defines: lo, e0 (directed, weighted), kept (per-node top-k by
+    weight desc / neighbor-id), undw (undirected, MAX weight), es
+    (re-symmetrized, MATERIALIZED)."""
+    return f"""lo AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem),
 e0 AS (
   SELECT a.sk AS src, b.sk AS dst, CAST(COUNT(*) AS BIGINT) AS w
   FROM lo a JOIN lo b ON a.ok = b.ok AND a.sk <> b.sk GROUP BY 1, 2
 ),
 kept AS (
-  -- per-node top-{TOPK_TIES} strongest ties (weight desc, neighbor id)
-  SELECT src, dst FROM (
-    SELECT src, dst,
+  SELECT src, dst, w FROM (
+    SELECT src, dst, w,
            row_number() OVER (PARTITION BY src ORDER BY w DESC, dst) AS rn
     FROM e0
-  ) WHERE rn <= {TOPK_TIES}
+  ) WHERE rn <= {k}
 ),
-und AS MATERIALIZED (
-  SELECT least(src, dst) AS u, greatest(src, dst) AS v FROM kept GROUP BY 1, 2
+undw AS (
+  SELECT least(src, dst) AS u, greatest(src, dst) AS v,
+         CAST(MAX(w) AS BIGINT) AS w
+  FROM kept GROUP BY 1, 2
 ),
+es AS MATERIALIZED (
+  SELECT u AS src, v AS dst, w FROM undw
+  UNION ALL SELECT v AS src, u AS dst, w FROM undw
+)"""
+
+
+O_TRIANGLES_SQL = f"""
+{o_topk_edges_sql()},
+und AS MATERIALIZED (SELECT u, v FROM undw),
 deg AS MATERIALIZED (
   SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
     SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und

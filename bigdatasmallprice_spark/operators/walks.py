@@ -107,6 +107,12 @@ def random_walks(
     out = frames[0]
     for f in frames[1:]:
         out = out.unionByName(f)
+    # every step frame is checkpointed, so the internal caches are
+    # dead weight the moment the loop ends — release them (a streaming
+    # readback calling this repeatedly must not accumulate cache
+    # entries)
+    nb.unpersist()
+    deg.unpersist()
     return out
 
 
@@ -140,26 +146,14 @@ def o_walk_chain_sql(
     """DuckDB CTE chain replaying the identical deterministic walks
     over the (optionally top-k sparsified) supplier co-purchase graph.
     Ends with ``walks(start, w, step, node)``."""
-    from bigdatasmallprice_spark.operators.triangles import TOPK_TIES
+    from bigdatasmallprice_spark.operators.triangles import (
+        TOPK_TIES,
+        o_topk_edges_sql,
+    )
 
     k = TOPK_TIES if topk is None else topk
     parts = [
-        f"""lo AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem),
-e0 AS (
-  SELECT a.sk AS src, b.sk AS dst, CAST(COUNT(*) AS BIGINT) AS w
-  FROM lo a JOIN lo b ON a.ok = b.ok AND a.sk <> b.sk GROUP BY 1, 2
-),
-kept AS (
-  SELECT src, dst FROM (
-    SELECT src, dst,
-           row_number() OVER (PARTITION BY src ORDER BY w DESC, dst) AS rn
-    FROM e0
-  ) WHERE rn <= {k}
-),
-undw AS (SELECT least(src, dst) AS u, greatest(src, dst) AS v FROM kept GROUP BY 1, 2),
-es AS MATERIALIZED (
-  SELECT u AS src, v AS dst FROM undw UNION ALL SELECT v AS src, u AS dst FROM undw
-),
+        f"""{o_topk_edges_sql(k)},
 nb AS MATERIALIZED (
   SELECT src, CAST(row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS BIGINT) AS idx, dst
   FROM es

@@ -305,7 +305,8 @@ def lpa_communities_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     sup = table(spark, sf_dir, "supplier")
     nodes = sup.select(F.col("s_suppkey").alias("node"))
-    edges = topk_edges(copurchase_edges(li)).persist()
+    # lpa_fit checkpoints its own copy of the edge frame internally
+    edges = topk_edges(copurchase_edges(li))
     labels = lpa_fit(nodes, edges).persist()
     sizes = labels.groupBy("label").agg(
         F.count(F.lit(1)).cast("long").alias("community_size")

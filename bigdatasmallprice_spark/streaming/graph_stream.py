@@ -114,7 +114,12 @@ def read_skipgram_pairs(
     membership = read_graph_state(spark, state_path).select(
         F.col("ok").alias("l_orderkey"), F.col("sk").alias("l_suppkey")
     )
-    edges = topk_edges(copurchase_edges(membership))
+    # checkpoint: random_walks evaluates the edge frame twice (its
+    # neighbor index and its degree table) — the batch query persists
+    # for the same reason; a checkpoint self-cleans across readbacks
+    edges = topk_edges(copurchase_edges(membership)).localCheckpoint(
+        eager=True
+    )
     return skipgram_pairs(random_walks(edges, nodes))
 
 
