@@ -618,3 +618,26 @@ def test_winnow_fingerprints_are_codegen_and_pair_join_is_equi(spark):
         if "Arguments: hashpartitioning" in line
     ]
     assert ex and all("fp#" in line or "id_a" in line for line in ex), ex
+
+
+def test_graph_family_joins_are_equi_not_cartesian(spark):
+    """The graph kernels must never plan a corpus-scale cartesian:
+    pagerank (edge-rank joins), triangle_counts (oriented wedge +
+    closing equi-joins), randomwalk (frontier-vs-neighbor-index
+    equi-joins) and lpa (edge-label equi-joins) all join by hash.
+    (ppr_related_suppliers is exempt here: its nodes x 3-seed
+    broadcast expansion is a documented constant-width cross join.)"""
+    from bigdatasmallprice_spark.registry import all_queries
+
+    spark.catalog.clearCache()
+    for name in (
+        "pagerank_copurchase",
+        "triangle_counts",
+        "randomwalk_skipgram_pairs",
+        "lpa_communities",
+    ):
+        df = all_queries()[name].fn(spark, SF)
+        plan = _formatted(df)
+        assert "CartesianProduct" not in plan, (name, plan)
+        assert "BroadcastNestedLoopJoin" not in plan, (name, plan)
+        assert "MapInPandas" not in plan and "EvalPython" not in plan, name
