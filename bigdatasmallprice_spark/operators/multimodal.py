@@ -594,7 +594,8 @@ def ahash_near_pairs(
 
 
 # ---------------------------------------------------------------------------
-# Audio near-dup fingerprinting: the third dedup modality. A clip's
+# Audio near-dup fingerprinting: the fourth dedup modality (after
+# text, embedding and image). A clip's
 # signature is its BAND-ENERGY ENVELOPE — 16 time windows x 4 polyphase
 # bands (samples i with i%4 == b inside the window, a crude integer
 # band split), each cell's energy = sum of |sample|, bit j set iff

@@ -92,6 +92,13 @@ def pagerank_fit(
         outw.select(F.col("src").alias("node")), "node", "left_anti"
     ).persist()
     n = nodes.count()
+    if n == 0:
+        # degenerate input: no nodes means no mass to distribute; the
+        # per-iteration pdiv by n would raise, so return the (empty)
+        # ranks frame instead of tripping ZeroDivisionError
+        e.unpersist()
+        dang.unpersist()
+        return nodes.select("node", F.lit(PR_SCALE).cast("long").alias("r"))
     # the dangling SET is static across iterations; when it is empty
     # (every node has out-edges — the common co-occurrence-graph case)
     # the per-iteration dangling aggregate is a constant 0 and its 12

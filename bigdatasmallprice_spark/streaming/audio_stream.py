@@ -87,6 +87,7 @@ def update_audio_state(
     """foreachBatch body: emit the batch's near-dup pairs (vs state +
     within batch), then fold its signatures into the state."""
     from bigdatasmallprice_spark.streaming.state import (
+        check_verdict_sink_layout,
         next_state_version,
         publish_state,
         resolve_state_dir,
@@ -96,6 +97,7 @@ def update_audio_state(
     )
 
     config = {"max_hamming": max_hamming}
+    check_verdict_sink_layout(verdict_path)
     if versioned_already_applied(state_path, batch_id):
         return
     validate_state_config(state_path, config)

@@ -168,6 +168,35 @@ def next_state_version(state_path: str) -> int:
     return 0 if manifest is None else manifest["version"] + 1
 
 
+def check_verdict_sink_layout(verdict_path: str) -> None:
+    """Refuse a LEGACY flat verdict sink (root-level part files).
+
+    The per-version ``batch=N/`` verdict layout (winnow_stream,
+    audio_stream) and a pre-existing flat appended sink cannot coexist:
+    Spark's partition discovery rejects a directory that mixes
+    root-level data files with partition subdirectories, and a silent
+    mix would surface only at read time. Verdict sinks are paired with
+    the stream's checkpoint + state — a fresh checkpoint means a fresh
+    sink. Fail fast with a clear message instead."""
+    if not os.path.isdir(verdict_path):
+        return
+    flat = [
+        f
+        for f in os.listdir(verdict_path)
+        if f.startswith("part-")
+        and os.path.isfile(os.path.join(verdict_path, f))
+    ]
+    if flat:
+        raise ValueError(
+            f"verdict sink {verdict_path!r} holds a legacy flat layout "
+            f"({len(flat)} root-level part files); the per-version "
+            "batch=N/ layout cannot be mixed into it. Start a fresh "
+            "verdict directory alongside the fresh checkpoint/state "
+            "(verdict sinks are paired with the checkpoint), or move "
+            "the old part files into a batch=-1/ subdirectory."
+        )
+
+
 def advance_watermark(state_path: str, batch_id: int) -> None:
     """Bump ONLY the replay watermark, keeping the current version dir
     and config untouched. For folds where a batch produced no state

@@ -80,6 +80,7 @@ def update_winnow_state(
     """foreachBatch body: emit the batch's near-dup pairs (vs state +
     within batch), then fold its fingerprints into the state."""
     from bigdatasmallprice_spark.streaming.state import (
+        check_verdict_sink_layout,
         next_state_version,
         publish_state,
         resolve_state_dir,
@@ -89,6 +90,7 @@ def update_winnow_state(
     )
 
     config = {"min_shared": min_shared, "hub_max": hub_max}
+    check_verdict_sink_layout(verdict_path)
     if versioned_already_applied(state_path, batch_id):
         return
     validate_state_config(state_path, config)

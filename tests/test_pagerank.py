@@ -162,3 +162,15 @@ def test_ppr_ranks_direct_neighbors_above_two_hop(spark):
     assert got[0][1] == got[3][2] and got[0][2] == got[3][1]
     # every walk keeps most mass near its own seed
     assert all(rs[s] == max(rs.values()) for s, rs in got.items())
+
+
+def test_empty_graph_returns_empty_ranks(spark):
+    """Zero nodes must not trip the pdiv-by-n ZeroDivisionError (r7
+    advice): the fit returns an empty (node, r) frame."""
+    out = pagerank_fit(
+        _nodes(spark, []),
+        _edges(spark, []),
+        iters=3,
+    )
+    assert out.columns == ["node", "r"]
+    assert out.count() == 0

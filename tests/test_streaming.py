@@ -1670,3 +1670,27 @@ def test_streaming_graph_state_serves_walk_corpus_readback(spark, tmp_path):
         )
     )
     assert got == want and len(got) > 0
+
+
+def test_legacy_flat_verdict_sink_is_refused(spark, tmp_path):
+    """A pre-existing FLAT verdict sink (root-level part files from a
+    hypothetical older release) cannot be mixed with the per-version
+    batch=N/ layout — Spark's partition discovery rejects the mix at
+    read time. The fold must fail fast with a clear message instead
+    (r7 advice)."""
+    import pytest as _pytest
+
+    from bigdatasmallprice_spark.streaming.winnow_stream import (
+        update_winnow_state,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text").filter("doc_id < 10")
+    state = str(tmp_path / "wst")
+    verdicts = tmp_path / "pairs"
+    verdicts.mkdir()
+    # simulate the legacy flat layout: a root-level part file
+    (verdicts / "part-00000-legacy.snappy.parquet").write_bytes(b"")
+    with _pytest.raises(ValueError, match="legacy flat layout"):
+        update_winnow_state(spark, state, docs, str(verdicts), batch_id=0)
