@@ -262,6 +262,77 @@ def randomwalk_skipgram_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skipgram_pairs(walks)
 
 
+def _sgns_oracle() -> str:
+    from bigdatasmallprice_spark.operators.sgns import (
+        SGNS_ITERS,
+        o_sgns_chain_sql,
+    )
+
+    return f"""WITH {o_sgns_chain_sql()}
+SELECT node AS s_suppkey, dim, u AS u_micro, v AS v_micro
+FROM emb{SGNS_ITERS}
+"""
+
+
+@register(
+    "node_embedding_train",
+    _sgns_oracle(),
+    doc="SGNS node-embedding fit (word2vec's skip-gram-with-negative-"
+    "sampling objective trained on the DeepWalk walk corpus — Perozzi "
+    "et al. 2014 / Mikolov et al. 2013): closes the loop "
+    "randomwalk_skipgram_pairs opens, producing the embedding table "
+    "the ANN stack can serve. The model state is a DATAFRAME "
+    "(node, dim, u, v) — data-sized, never collected — and every GD "
+    "iteration is one (pair x dim) equi-join frame, one pair groupBy "
+    "for the dot products, one join back for gradient rows, two "
+    "(node, dim) gradient aggregates, and one update join, with the "
+    "state localCheckpoint'ed per round (referenced twice — the "
+    "references-per-round cadence rule). Negatives are md5-slice "
+    "deterministic (2 per positive, endpoint collisions dropped), the "
+    "link is the integer rational sigmoid, and the ENTIRE trajectory "
+    "— init, dot products, gradients, clamped updates — is BIGINT "
+    "micro-units with explicitly-rounded integer divisions, so the "
+    "oracle's unrolled CTE chain replays the full fit bit-identically "
+    "on any engine build. Quality is pinned in tests: within-LPA-"
+    "community cosine exceeds cross-community cosine and top-1 "
+    "neighbor retrieval beats the community base rate. Output: the "
+    "final (supplier, dim) input/output embedding entries.",
+    tags=("graph", "train", "join", "curation"),
+)
+def node_embedding_train_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdatasmallprice_spark.operators.pagerank import copurchase_edges
+    from bigdatasmallprice_spark.operators.sgns import (
+        sgns_fit,
+        sgns_init,
+        sgns_training_pairs,
+    )
+    from bigdatasmallprice_spark.operators.triangles import topk_edges
+    from bigdatasmallprice_spark.operators.walks import (
+        random_walks,
+        skipgram_pairs,
+    )
+
+    li = table(spark, sf_dir, "lineitem")
+    sup = table(spark, sf_dir, "supplier")
+    nodes = sup.select(F.col("s_suppkey").alias("node"))
+    # persist: the edge pipeline feeds the walk generator's neighbor
+    # index AND degree frames (caller releases via released_caches)
+    edges = topk_edges(copurchase_edges(li)).persist()
+    walks = random_walks(edges, nodes).persist()
+    pairs = skipgram_pairs(walks)
+    n = nodes.count()  # model-sized scalar (PageRank's n)
+    # persist: scanned twice per GD iteration (z pass + gradient pass)
+    # plus the two static node-weight aggregates
+    train = sgns_training_pairs(pairs, nodes, n).persist()
+    emb = sgns_fit(train, sgns_init(nodes))
+    return emb.select(
+        F.col("node").alias("s_suppkey"),
+        "dim",
+        F.col("u").alias("u_micro"),
+        F.col("v").alias("v_micro"),
+    )
+
+
 def _lpa_oracle() -> str:
     from bigdatasmallprice_spark.operators.lpa import LPA_ITERS, o_lpa_chain_sql
 

@@ -641,3 +641,22 @@ def test_graph_family_joins_are_equi_not_cartesian(spark):
         assert "CartesianProduct" not in plan, (name, plan)
         assert "BroadcastNestedLoopJoin" not in plan, (name, plan)
         assert "MapInPandas" not in plan and "EvalPython" not in plan, name
+
+
+def test_sgns_fit_broadcasts_vocab_state_and_stays_equi(spark):
+    """node_embedding_train: the per-iteration joins of the pair corpus
+    against the vocabulary-sized model frame must be BROADCAST hash
+    joins (localCheckpoint stats are opaque to AQE, so the hint is
+    explicit — sgns_fit(broadcast_state=True)), the gradient fold one
+    hash aggregate, and nothing cartesian or Python-staged. The final
+    plan only shows the LAST iteration (earlier ones are materialized
+    checkpoints), which is exactly the repeating unit."""
+    from bigdatasmallprice_spark.registry import all_queries
+
+    spark.catalog.clearCache()
+    df = all_queries()["node_embedding_train"].fn(spark, SF)
+    plan = _formatted(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "MapInPandas" not in plan and "EvalPython" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
