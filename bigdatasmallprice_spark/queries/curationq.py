@@ -1279,27 +1279,63 @@ SELECT source, rk, doc_id, n_tok, priority FROM r WHERE rk <= {_TBS_K}
     tags=("curation", "sample"),
 )
 def token_budget_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path (VERDICT r7 ask #5): the naive plan ranks EVERY doc
+    inside a per-source window — correct, but with few sources each
+    window partition is corpus-scale and skewed at 100 TB. Prefilter
+    first with an EXACT histogram-band threshold (the quantile-sketch
+    pattern, operators/topk.py's approx cousin made superset-exact):
+    one map-combined (source, priority-band) count aggregate (~4096
+    bands), per source the smallest band whose cumulative count
+    reaches k (every true top-k row lies in a band <= it, by
+    construction — no approximation in the RESULT), broadcast the
+    tiny threshold table, and rank only the ~k survivors. Three scans
+    of the slim persisted projection replace the corpus-wide sort;
+    results are identical to the plain window (A/B at sf1 in
+    BASELINE.md) and the oracle keeps the exact one-window SQL."""
     from pyspark.sql import Window
 
     docs = table(spark, sf_dir, "documents")
-    d = docs.select(
+    # slim projection: scanned by the max, the histogram, and the
+    # survivor rank — persist (caller releases via released_caches)
+    p = docs.selectExpr(
         "doc_id",
         "source",
-        n_tokens(F.col("text")).alias("n_tok"),
-        F.expr(
-            "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) "
-            "AS BIGINT)"
-        ).alias("h"),
+        "CAST(length(text) - length(replace(text, ' ', '')) + 1 "
+        "AS BIGINT) AS n_tok",
+    ).selectExpr(
+        "doc_id", "source", "n_tok",
+        "(CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) "
+        f"AS BIGINT) * {_TBS_SCALE}) DIV n_tok AS priority",
+    ).persist()
+    mx = p.agg(F.max("priority").alias("m")).collect()[0].m
+    bw = max((mx or 0) // 4096, 1) + 1  # band width: <= 4096 bands
+    hist = (
+        p.groupBy("source", F.expr(f"priority DIV {bw}").alias("band"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
-    p = d.select(
-        "doc_id",
-        "source",
-        "n_tok",
-        F.expr(f"(h * {_TBS_SCALE}) DIV n_tok").alias("priority"),
+    cum = Window.partitionBy("source").orderBy("band").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    thr = (
+        hist.withColumn("cum", F.sum("n").over(cum))
+        .groupBy("source")
+        .agg(
+            F.min(F.when(F.col("cum") >= _TBS_K, F.col("band"))).alias(
+                "thr_band"
+            ),
+            F.max("band").alias("max_band"),
+        )
+        .select(
+            "source",
+            F.coalesce("thr_band", "max_band").alias("thr_band"),
+        )
+    )
+    surv = p.join(F.broadcast(thr), "source").filter(
+        F.expr(f"priority DIV {bw}") <= F.col("thr_band")
     )
     w = Window.partitionBy("source").orderBy("priority", "doc_id")
     return (
-        p.withColumn("rk", F.row_number().over(w).cast("long"))
+        surv.withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= _TBS_K)
         .select("source", "rk", "doc_id", "n_tok", "priority")
     )

@@ -884,6 +884,215 @@ def langid_eval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Trained language ID: fastText-style hashed-n-gram linear classifier
+# ---------------------------------------------------------------------------
+
+
+def _langid_train_oracle() -> str:
+    from bigdatasmallprice_spark.operators.langid import (
+        LID_ITERS,
+        o_langid_chain_sql,
+    )
+
+    return f"""WITH {o_langid_chain_sql()}
+SELECT cls, bucket, w AS w_micro FROM w{LID_ITERS}
+"""
+
+
+@register(
+    "langid_train",
+    _langid_train_oracle(),
+    doc="Trained language ID (fastText-style hashed-n-gram linear "
+    "classifier, Joulin et al. 2016) — the trained upgrade of the "
+    "lang_id stopword heuristic. One-vs-rest linear scores over hashed "
+    "word-unigram milli-fraction features plus a bias bucket; "
+    "full-batch GD with the integer rational sigmoid. The model is "
+    "genuinely MODEL-sized at any corpus scale (C languages x 65 "
+    "buckets), so the weights live driver-side as literals (the "
+    "distill pattern): each iteration is one codegen projection over "
+    "the persisted per-doc feature arrays (inline score folds, no "
+    "join), one explode into (class, bucket) gradient rows, ONE "
+    "aggregate, one 325-row collect. The trajectory is all-BIGINT with "
+    "explicitly-rounded divisions, and the update replays in Python "
+    "and DuckDB with the identical rounding — the oracle's unrolled "
+    "CTE chain reproduces every weight bit-identically. Fits only the "
+    "doc_id%5<>0 slice (held-out discipline; langid_trained_eval "
+    "grades the rest). Output: the final (cls, bucket) micro-unit "
+    "weights. See operators/langid.py.",
+    tags=("text", "ml", "curation"),
+)
+def langid_train_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdatasmallprice_spark.operators.langid import (
+        doc_feature_arrays,
+        lang_features,
+        langid_fit,
+        langid_weights_df,
+    )
+
+    tr = table(spark, sf_dir, "documents").filter("doc_id % 5 <> 0")
+    arrays = doc_feature_arrays(lang_features(tr)).persist()
+    try:
+        classes = sorted(
+            r.lang for r in arrays.select("lang").distinct().collect()
+        )
+        n_docs = arrays.count()
+        w = langid_fit(arrays, classes, n_docs)
+    finally:
+        arrays.unpersist()
+    return langid_weights_df(spark, w).select(
+        "cls", "bucket", F.col("w").alias("w_micro")
+    )
+
+
+def _langid_eval_oracle() -> str:
+    from bigdatasmallprice_spark.operators.langid import (
+        LID_ITERS,
+        o_langid_chain_sql,
+        o_langid_score_sql,
+    )
+
+    return f"""WITH {o_langid_chain_sql()},
+{o_langid_score_sql(f"w{LID_ITERS}", "doc_id % 5 = 0")},
+hp AS (
+  SELECT lang, {_O_PRED_LANG} AS pred_lang
+  FROM documents WHERE doc_id % 5 = 0
+),
+p AS (
+  SELECT 'trained' AS model, lang AS true_lang, pred_lang FROM pred
+  UNION ALL
+  SELECT 'heuristic' AS model, lang AS true_lang, pred_lang FROM hp
+),
+cm AS (SELECT model, true_lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+       FROM p GROUP BY 1, 2, 3),
+tp AS (SELECT model, true_lang AS cls, n AS tp FROM cm
+       WHERE true_lang = pred_lang),
+byt AS (SELECT model, true_lang AS cls, CAST(SUM(n) AS BIGINT) AS n_true
+        FROM cm GROUP BY 1, 2),
+byp AS (SELECT model, pred_lang AS cls, CAST(SUM(n) AS BIGINT) AS n_pred
+        FROM cm GROUP BY 1, 2),
+tot AS (SELECT model,
+               CAST(SUM(COALESCE(tp.tp, 0)) AS BIGINT) AS tp_all,
+               CAST(SUM(byt.n_true) AS BIGINT) AS n_all
+        FROM byt LEFT JOIN tp USING (model, cls) GROUP BY 1)
+SELECT byt.model, byt.cls, byt.n_true,
+       CAST(COALESCE(byp.n_pred, 0) AS BIGINT) AS n_pred,
+       CAST(COALESCE(tp.tp, 0) AS BIGINT) AS tp,
+       round(CAST(COALESCE(tp.tp, 0) AS DOUBLE) /
+             CASE WHEN COALESCE(byp.n_pred, 0) = 0 THEN 1
+                  ELSE byp.n_pred END, 6) AS precision,
+       round(CAST(COALESCE(tp.tp, 0) AS DOUBLE) / byt.n_true, 6) AS recall,
+       round(CAST(tot.tp_all AS DOUBLE) / tot.n_all, 6) AS model_accuracy
+FROM byt
+LEFT JOIN byp ON byp.model = byt.model AND byp.cls = byt.cls
+LEFT JOIN tp ON tp.model = byt.model AND tp.cls = byt.cls
+JOIN tot ON tot.model = byt.model
+"""
+
+
+@register(
+    "langid_trained_eval",
+    _langid_eval_oracle(),
+    doc="Grade the trained language-ID model against the stopword "
+    "heuristic on the HELD-OUT doc_id%5=0 slice the fit never saw: "
+    "re-run the bit-exact training chain, score the eval slice with "
+    "the final weights (one codegen projection, argmax with "
+    "smallest-class tie-break), and emit the langid_eval confusion "
+    "harness per (model, class) plus each model's overall accuracy. "
+    "The trained model learns the class priors the heuristic cannot "
+    "represent (it wastes every no-stopword-hit document on 'und'), "
+    "so trained accuracy > heuristic accuracy — the measured win is "
+    "pinned in tests/test_langid.py.",
+    tags=("text", "ml", "eval", "curation"),
+)
+def langid_trained_eval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdatasmallprice_spark.operators.langid import (
+        doc_feature_arrays,
+        lang_features,
+        langid_fit,
+        langid_score,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    tr = docs.filter("doc_id % 5 <> 0")
+    ev = docs.filter("doc_id % 5 = 0")
+    arrays = doc_feature_arrays(lang_features(tr)).persist()
+    try:
+        classes = sorted(
+            r.lang for r in arrays.select("lang").distinct().collect()
+        )
+        w = langid_fit(arrays, classes, arrays.count())
+    finally:
+        arrays.unpersist()
+    tpred = langid_score(doc_feature_arrays(lang_features(ev)), w)
+
+    en = stopword_hits(F.col("text"), STOPWORDS_EN)
+    de = stopword_hits(F.col("text"), STOPWORDS_DE)
+    fr = stopword_hits(F.col("text"), STOPWORDS_FR)
+    hpred = (
+        F.when((en >= de) & (en >= fr) & (en > 0), F.lit("en"))
+        .when((de >= fr) & (de > 0), F.lit("de"))
+        .when(fr > 0, F.lit("fr"))
+        .otherwise(F.lit("und"))
+    )
+    p = tpred.select(
+        F.lit("trained").alias("model"),
+        F.col("lang").alias("true_lang"),
+        "pred_lang",
+    ).unionByName(
+        ev.select(
+            F.lit("heuristic").alias("model"),
+            F.col("lang").alias("true_lang"),
+            hpred.alias("pred_lang"),
+        )
+    )
+    cm = p.groupBy("model", "true_lang", "pred_lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tp = cm.filter(F.col("true_lang") == F.col("pred_lang")).select(
+        "model", F.col("true_lang").alias("cls"), F.col("n").alias("tp")
+    )
+    byt = cm.groupBy("model", F.col("true_lang").alias("cls")).agg(
+        F.sum("n").cast("long").alias("n_true")
+    )
+    byp = cm.groupBy("model", F.col("pred_lang").alias("cls")).agg(
+        F.sum("n").cast("long").alias("n_pred")
+    )
+    z = F.lit(0).cast("long")
+    tot = (
+        byt.join(tp, ["model", "cls"], "left")
+        .groupBy("model")
+        .agg(
+            F.sum(F.coalesce("tp", z)).cast("long").alias("tp_all"),
+            F.sum("n_true").cast("long").alias("n_all"),
+        )
+    )
+    joined = (
+        byt.join(byp, ["model", "cls"], "left")
+        .join(tp, ["model", "cls"], "left")
+        .join(tot, "model")
+        .select(
+            "model", "cls", "n_true",
+            F.coalesce("n_pred", z).alias("n_pred"),
+            F.coalesce("tp", z).alias("tp"),
+            "tp_all", "n_all",
+        )
+    )
+    denom = F.when(F.col("n_pred") == 0, F.lit(1).cast("long")).otherwise(
+        F.col("n_pred")
+    )
+    return joined.select(
+        "model", "cls", "n_true", "n_pred", "tp",
+        F.round(F.col("tp").cast("double") / denom, 6).alias("precision"),
+        F.round(F.col("tp").cast("double") / F.col("n_true"), 6).alias(
+            "recall"
+        ),
+        F.round(
+            F.col("tp_all").cast("double") / F.col("n_all"), 6
+        ).alias("model_accuracy"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # CCNet-style perplexity bucketing: head/middle/tail per source
 # ---------------------------------------------------------------------------
 

@@ -76,24 +76,23 @@ def all_queries() -> dict[str, QuerySpec]:
 DRIVER_CAP = 50
 
 DRIVER_ORDER: list[str] = [
-    # r7 rotation (VERDICT r6 asks #1/#3): the never-green query first
-    # (now re-derived as an ALL-INTEGER trajectory), its filter twin
-    # (same fit — the trajectory CHANGED this round, so its green must
-    # be re-earned), the seven new r7 queries, this round's changed/
-    # refactored queries, the remaining r6-firsts (second rows), then
-    # the 34 stalest double-greens (everything whose last green is r3,
-    # plus the alphabetical head of the r4 tier). 2 + 14 + 34 = 50. After a
-    # green r7, minimum evidence across ALL pre-r7 queries is 2 rows —
-    # the ratchet completes.
-    # -- red r5+r6 (now zero replayed float ops: BIGINT micro-unit
-    #    weights, integer rational sigmoid, explicitly-rounded integer
-    #    divisions — no engine build can diverge); filter twin shares
-    #    the fit
+    # r8 rotation (VERDICT r7 asks #1/#2/#3): the three r8-new queries
+    # first (never driver-verified), the eight r7-firsts (second rows
+    # — after a green r8 EVERY registered query holds >= 2 green
+    # external rows and the ratchet that started in r3 completes),
+    # then the stalest double-green pool: the full r4 tier (last green
+    # r4) and the alphabetical head of the r5 tier (last green r5, 2
+    # rows). 3 + 8 + 14 + 25 = 50.
+    # -- new in r8: the SGNS embedding fit that closes the DeepWalk
+    #    loop; the trained fastText-style language-ID (fit + held-out
+    #    eval vs the stopword heuristic)
+    "node_embedding_train",
+    "langid_train",
+    "langid_trained_eval",
+    # -- r7-firsts, second rows (randomwalk_skipgram_pairs also
+    #    changed shape in r8: the walk union is coalesced — values
+    #    replay identically, the green must be re-earned anyway)
     "quality_classifier_train",
-    "quality_classifier_filter",
-    # -- new in r7: audio band-energy fingerprint dedup; exact-integer
-    #    weighted PageRank with dangling-mass handling + its
-    #    personalized (multi-seed) variant; degree-ordered triangle counting; the deterministic DeepWalk skip-gram pair corpus; semi-synchronous weighted LPA communities; deterministic token-budget weighted sampling
     "audio_neardup_fingerprint",
     "pagerank_copurchase",
     "ppr_related_suppliers",
@@ -101,55 +100,48 @@ DRIVER_ORDER: list[str] = [
     "randomwalk_skipgram_pairs",
     "lpa_communities",
     "token_budget_sample",
-    # -- changed in r7: residual encoding (true IVFADC); PQ fit/encode
-    #    refactored underneath both
-    "ann_ivfpq_topk",
-    "ann_pq_topk",
-    # -- changed in r7: estimate readback is now one aggregate
-    "quantile_sketch_by_type",
-    "quantile_sketch_lean",
-    # -- r6-firsts, second rows
-    "hll_union_lean",
-    "image_neardup_phash",
-    "winnow_neardup_pairs",
-    # -- stalest double-greens: last green r3
-    "ann_cosine_topk",
-    "ann_ivf_topk",
-    "ann_lsh_topk",
-    "bpe_token_stats",
-    "embedding_neardup",
-    "json_props_stats",
-    "label_centroids",
-    "lang_id",
-    "latest_event_per_user",
-    "mixture_sampling_plan",
-    "multimodal_wav_stats",
-    "peak_hour_spend",
-    "pii_scrub",
-    "quality_filter",
-    "session_stats",
-    "text_stats",
-    "tfidf_terms",
-    "top_days_per_type",
-    # -- next-stalest: last green r4 (alphabetical head; the tail —
-    #    password_hash_audit through warc_ingest_stats — sits out with
-    #    >= 2 greens each and rotates in next round)
-    "ann_cosine_topk_np",
-    "ann_ivf_trained",
-    "ann_label_precision",
-    "ann_quantized_topk",
-    "ann_recall_eval",
-    "benchmark_decontamination",
-    "bow_cosine_pairs",
-    "bpe_train_merges",
-    "cross_source_contamination",
-    "curation_funnel",
-    "dedup_incremental",
-    "doc_length_histogram",
-    "embedding_covariance",
-    "embedding_neardup_np",
-    "embedding_norms",
-    "hybrid_search_rrf",
+    # -- stalest pool: last green r4 (the tier VERDICT r7 named)
+    "kanon_release",
+    "kmeans_centroids",
+    "line_dedup",
+    "multimodal_bmp_resize",
+    "ngram_lm_score",
+    "pack_sequences",
+    "password_hash_audit",
+    "repetition_stats",
+    "robust_outliers_mad",
+    "shard_manifest",
+    "spend_concentration_gini",
+    "token_stats_by_source",
+    "train_linear_model",
+    "warc_ingest_stats",
+    # -- next-stalest: last green r5 with 2 rows (alphabetical head;
+    #    the tail rotates in next round)
+    "ann_index_upsert",
+    "argmax_event_per_type",
+    "backfill_estimate",
+    "bloom_shingle_prefilter",
+    "brand_nation_revenue",
+    "cardinality_sketch",
+    "corpus_snapshot_diff",
+    "customer_activity_split",
+    "customer_retention_sets",
+    "dataset_card",
+    "dedup_canonical",
+    "dedup_span_stats",
+    "dedup_span_stats_hashed",
+    "embedding_neardup_banded",
+    "eval_split_clean",
+    "eval_split_clean_hashed",
+    "event_funnel",
+    "forecast_metrics",
+    "gap_fill_hourly",
+    "grain_align_join",
+    "hash_sample_summary",
+    "holiday_range_join",
+    "langid_eval",
+    "line_dedup_hashed",
+    "market_revenue",
     # Every sit-out holds >= 2 green rows (COVERAGE.json is the
     # ledger); earlier rounds' rotation rationales live in git history.
 ]

@@ -1,0 +1,118 @@
+"""Trained language ID (operators/langid.py): feature hygiene,
+trajectory determinism, the scorer's tie-break contract, and THE
+pinned invariant — the trained model beats the stopword-argmax
+heuristic's accuracy on the held-out slice it never saw."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bigdatasmallprice_spark.operators.langid import (
+    LID_BUCKETS,
+    LID_W_CLAMP,
+    doc_feature_arrays,
+    lang_features,
+    langid_fit,
+    langid_score,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_features_are_milli_fractions_with_bias(spark):
+    docs = _docs(spark).limit(50)
+    f = lang_features(docs).collect()
+    assert all(0 <= r.bucket <= LID_BUCKETS for r in f)
+    assert all(0 < r.xm <= 1000 for r in f)
+    # every doc carries exactly one bias row (bucket = LID_BUCKETS)
+    by_doc = {}
+    for r in f:
+        by_doc.setdefault(r.doc_id, []).append(r.bucket)
+    assert all(b.count(LID_BUCKETS) == 1 for b in by_doc.values())
+    # per-doc milli-fractions sum to ~1000 (each rdiv rounds once)
+    docs_n = docs.count()
+    assert len(by_doc) == docs_n
+
+
+def test_fit_is_deterministic_and_clamped(spark):
+    tr = _docs(spark).filter("doc_id % 5 <> 0")
+    arrays = doc_feature_arrays(lang_features(tr)).persist()
+    try:
+        classes = sorted(
+            r.lang for r in arrays.select("lang").distinct().collect()
+        )
+        n = arrays.count()
+        a = langid_fit(arrays, classes, n)
+        b = langid_fit(arrays, classes, n)
+    finally:
+        arrays.unpersist()
+    assert a == b
+    assert set(a) == set(classes)
+    assert all(
+        abs(v) <= LID_W_CLAMP for ws in a.values() for v in ws
+    )
+    # the fit moved: the bias weights separate the classes by prior
+    biases = {c: ws[LID_BUCKETS] for c, ws in a.items()}
+    assert len(set(biases.values())) > 1, biases
+
+
+def test_score_tie_break_is_smallest_class(spark):
+    """With all-zero weights every class scores 0 — the argmax must
+    deterministically return the lexicographically smallest class."""
+    docs = _docs(spark).limit(10)
+    arrays = doc_feature_arrays(lang_features(docs))
+    w = {c: [0] * (LID_BUCKETS + 1) for c in ("en", "de", "zh")}
+    preds = {r.pred_lang for r in langid_score(arrays, w).collect()}
+    assert preds == {"de"}
+
+
+def test_trained_beats_heuristic_on_held_out_slice(spark):
+    """THE pinned win: held-out accuracy of the trained classifier
+    strictly exceeds the stopword heuristic's (the heuristic wastes
+    every no-hit document on 'und', which is never a true label; the
+    trained model learns the priors plus whatever weak lexical signal
+    the hashed unigrams carry)."""
+    from bigdatasmallprice_spark.functions.texts import (
+        STOPWORDS_DE,
+        STOPWORDS_EN,
+        STOPWORDS_FR,
+        stopword_hits,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    tr = docs.filter("doc_id % 5 <> 0")
+    ev = docs.filter("doc_id % 5 = 0")
+    arrays = doc_feature_arrays(lang_features(tr)).persist()
+    try:
+        classes = sorted(
+            r.lang for r in arrays.select("lang").distinct().collect()
+        )
+        w = langid_fit(arrays, classes, arrays.count())
+    finally:
+        arrays.unpersist()
+    acc_t = (
+        langid_score(doc_feature_arrays(lang_features(ev)), w)
+        .selectExpr("avg(IF(lang = pred_lang, 1.0, 0.0)) AS a")
+        .collect()[0]
+        .a
+    )
+    en = stopword_hits(F.col("text"), STOPWORDS_EN)
+    de = stopword_hits(F.col("text"), STOPWORDS_DE)
+    fr = stopword_hits(F.col("text"), STOPWORDS_FR)
+    hpred = (
+        F.when((en >= de) & (en >= fr) & (en > 0), F.lit("en"))
+        .when((de >= fr) & (de > 0), F.lit("de"))
+        .when(fr > 0, F.lit("fr"))
+        .otherwise(F.lit("und"))
+    )
+    acc_h = (
+        ev.select((F.col("lang") == hpred).cast("double").alias("a"))
+        .agg(F.avg("a").alias("a"))
+        .collect()[0]
+        .a
+    )
+    assert acc_t > acc_h, (acc_t, acc_h)

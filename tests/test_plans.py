@@ -643,6 +643,24 @@ def test_graph_family_joins_are_equi_not_cartesian(spark):
         assert "MapInPandas" not in plan and "EvalPython" not in plan, name
 
 
+def test_token_budget_sample_prefilters_before_the_rank_window(spark):
+    """The scale path must show the histogram-band threshold PREFILTER
+    upstream of the per-source rank window: a broadcast hash join of
+    the slim projection against the tiny per-source threshold table,
+    with the band filter applied, so the window only ever sorts ~k
+    survivors per source instead of the source's full corpus share."""
+    from bigdatasmallprice_spark.registry import all_queries
+
+    spark.catalog.clearCache()
+    df = all_queries()["token_budget_sample"].fn(spark, SF)
+    plan = _formatted(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan  # the threshold join
+    assert "thr_band" in plan, plan  # the band prefilter condition
+    # the rank window sits ABOVE the threshold join in the plan text
+    assert plan.index("Window") < plan.index("BroadcastHashJoin"), plan
+
+
 def test_sgns_fit_broadcasts_vocab_state_and_stays_equi(spark):
     """node_embedding_train: the per-iteration joins of the pair corpus
     against the vocabulary-sized model frame must be BROADCAST hash
