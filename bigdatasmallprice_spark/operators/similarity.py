@@ -863,6 +863,16 @@ PQ_ITERS = 2  # Lloyd rounds per codebook (matches kmeans_centroids)
 # real-world embeddings do substantially better.
 PQ_SHORTLIST_FACTOR = 8
 
+# IVFADC operating point — from the measured r8 frontier (BASELINE.md,
+# recall@5 over 50 probes at sf0.01 vs scanned corpus fraction):
+# 16 cells / nprobe=4 / shortlist 16k reads the SAME ~25% of the code
+# table as the old 8/2/8k point but returns 0.708 vs 0.528 — it
+# MATCHES plain PQ's full-scan recall at a quarter of the scan. The
+# wider shortlist costs only O(k) more exact re-rank rows per probe.
+IVFPQ_CELLS = 16
+IVFPQ_NPROBE = 4
+IVFPQ_SHORTLIST_FACTOR = 16
+
 
 def _pq_subs_long(scaled: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
     """(id, xu64[, carry...]) -> (id[, carry...], sub, xu): the frame
@@ -1131,18 +1141,21 @@ def _adc_shortlist_rerank(
     k_top: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    shortlist_factor: int | None = None,
 ) -> DataFrame:
-    """Shared PQ tail: ADC top-``PQ_SHORTLIST_FACTOR * k_top``
-    shortlist, exact-int re-rank, exact top-``k_top`` with both
-    distances. Probe vectors come from the PROBES frame, not a corpus
-    lookup by id — probes need not be corpus members (a corpus-side
-    lookup would silently drop external query vectors)."""
+    """Shared PQ tail: ADC top-``shortlist_factor * k_top`` shortlist
+    (default ``PQ_SHORTLIST_FACTOR``; IVFADC passes its wider
+    ``IVFPQ_SHORTLIST_FACTOR``), exact-int re-rank, exact top-``k_top``
+    with both distances. Probe vectors come from the PROBES frame, not
+    a corpus lookup by id — probes need not be corpus members (a
+    corpus-side lookup would silently drop external query vectors)."""
     from pyspark.sql import Window
 
+    slf = PQ_SHORTLIST_FACTOR if shortlist_factor is None else shortlist_factor
     w_adc = Window.partitionBy("pid").orderBy("adc_dist", "id")
     shortlist = adc.select(
         "pid", "id", "adc_dist", F.row_number().over(w_adc).alias("adc_rank")
-    ).filter(F.col("adc_rank") <= PQ_SHORTLIST_FACTOR * k_top)
+    ).filter(F.col("adc_rank") <= slf * k_top)
 
     pv = with_scaled_units(
         probes.select(id_col, vec_col), vec_col=vec_col, id_col=id_col
@@ -1187,8 +1200,8 @@ def ivfpq_topk(
     probes: DataFrame,
     corpus: DataFrame,
     k_top: int = 5,
-    nprobe: int = 2,
-    coarse_k: int = 8,
+    nprobe: int = IVFPQ_NPROBE,
+    coarse_k: int = IVFPQ_CELLS,
     coarse_iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -1274,4 +1287,7 @@ def ivfpq_topk(
         .agg(F.sum("d").cast("long").alias("adc_dist"))
         .filter(F.col("id") != F.col("pid"))
     )
-    return _adc_shortlist_rerank(adc, probes, corpus, k_top, id_col, vec_col)
+    return _adc_shortlist_rerank(
+        adc, probes, corpus, k_top, id_col, vec_col,
+        shortlist_factor=IVFPQ_SHORTLIST_FACTOR,
+    )

@@ -1298,14 +1298,19 @@ def _o_pq_common(src: str = "xf", probe_cte: str | None = None) -> str:
     return "".join(parts)
 
 
-def _o_pq_tail() -> str:
+def _o_pq_tail(shortlist_factor: int | None = None) -> str:
     """ADC-shortlist -> exact-re-rank tail shared by the PQ oracles:
-    expects an ``adc(pid, vid, adc_dist)`` CTE upstream."""
+    expects an ``adc(pid, vid, adc_dist)`` CTE upstream.
+    ``shortlist_factor`` defaults to plain PQ's; the IVFADC oracle
+    passes its wider one (same split as the operators)."""
     from bigdatasmallprice_spark.operators.similarity import (
         PQ_SHORTLIST_FACTOR,
     )
 
-    shortlist = PQ_SHORTLIST_FACTOR * 5
+    slf = (
+        PQ_SHORTLIST_FACTOR if shortlist_factor is None else shortlist_factor
+    )
+    shortlist = slf * 5
     return (
         ", short AS (SELECT pid, vid, adc_dist FROM ("
         "SELECT pid, vid, adc_dist, "
@@ -1363,7 +1368,12 @@ def ann_pq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _o_ivfpq_sql() -> str:
-    from bigdatasmallprice_spark.operators.similarity import KMEANS_SCALE
+    from bigdatasmallprice_spark.operators.similarity import (
+        IVFPQ_CELLS,
+        IVFPQ_NPROBE,
+        IVFPQ_SHORTLIST_FACTOR,
+        KMEANS_SCALE,
+    )
 
     dist64 = (
         "list_sum(list_transform(range(1, 65), "
@@ -1371,7 +1381,7 @@ def _o_ivfpq_sql() -> str:
     )
     sub64 = "list_transform(range(1, 65), i -> x.xu[i] - c.cu[i])"
     return f"""
-WITH km AS ({_o_kmeans_sql(_KM_K, _KM_ITERS)}),
+WITH km AS ({_o_kmeans_sql(IVFPQ_CELLS, _KM_ITERS)}),
 cc AS (SELECT cid AS cell, list(cu_e ORDER BY dim) AS cu FROM km GROUP BY cid),
 xf AS (SELECT vec_id AS id,
        list_transform(embedding, e -> CAST(round({KMEANS_SCALE} * CAST(e AS DOUBLE)) AS BIGINT)) AS xu
@@ -1391,7 +1401,7 @@ pcells AS (
   SELECT pid, cell FROM (
     SELECT x.id AS pid, c.cell,
            row_number() OVER (PARTITION BY x.id ORDER BY {dist64}, c.cell) AS rn
-    FROM xf x, cc c WHERE x.id < 10) WHERE rn <= 2
+    FROM xf x, cc c WHERE x.id < 10) WHERE rn <= {IVFPQ_NPROBE}
 ),
 rq AS (
   -- the probe's OWN residual per probed cell (same centroid as rx)
@@ -1407,7 +1417,7 @@ adc AS (
   JOIN ac ON ac.id = e.id
   JOIN lutl l ON l.sub = e.sub AND l.code = e.code AND l.cell = ac.cell
   WHERE e.id != l.pid GROUP BY 1, 2
-){_o_pq_tail()}"""
+){_o_pq_tail(IVFPQ_SHORTLIST_FACTOR)}"""
 
 
 @register(
@@ -1415,12 +1425,16 @@ adc AS (
     _o_ivfpq_sql(),
     doc="The COMPOSED FAISS index (true IVFADC, Jegou 2011 sec. V, "
     "WITH residual encoding): the exact-integer Lloyd coarse quantizer "
-    "partitions the corpus into 8 cells; each vector is PQ-encoded as "
+    "partitions the corpus into 16 cells; each vector is PQ-encoded as "
     "its RESIDUAL x - centroid(cell(x)), so the 8x4-bit codebooks "
     "spend their resolution on the fine structure the coarse quantizer "
-    "left — recall@5 0.82 vs 0.78 for raw-vector codes and 0.76 for "
-    "plain PQ on these near-iid synthetics. A query probes its "
-    "nprobe=2 nearest cells, forms its OWN residual per probed cell, "
+    "left. The 16-cell/nprobe=4/shortlist-16k operating point comes "
+    "from the measured r8 frontier (BASELINE.md): it scans the same "
+    "~25% of the code table as the old 8/2/8k point but lifts recall@5 "
+    "0.528 -> 0.708 over 50 probes (0.82 -> 0.90 over the test's 10) — "
+    "matching plain PQ's full-scan recall at a quarter of the scan. A "
+    "query probes its nprobe=4 nearest cells, forms its OWN residual "
+    "per probed cell, "
     "and runs the ADC lookup only over codes in those cells (both "
     "residuals subtract the SAME centroid, so summed residual "
     "subspace distances approximate the true ||x - q||^2) — the "
@@ -1439,5 +1453,6 @@ def ann_ivfpq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = table(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") < 10)
-    return ivfpq_topk(probes, emb, k_top=5, nprobe=2, coarse_k=_KM_K,
-                      coarse_iters=_KM_ITERS)
+    # nprobe/coarse_k/shortlist come from the operator's measured
+    # IVFPQ_* operating point (frontier in BASELINE.md)
+    return ivfpq_topk(probes, emb, k_top=5, coarse_iters=_KM_ITERS)

@@ -1573,11 +1573,11 @@ def test_kmeans_seeds_k_centroids_on_shifted_ids(spark):
 def test_ivfpq_recall_and_cell_pruning(spark):
     """The composed index must (a) return the exact top-5 OF ITS
     cell-pruned shortlist with true exact_dist values (spot-recomputed),
-    (b) BEAT the plain-PQ recall vs the TRUE exact top-5 — residual
-    encoding (true IVFADC) measures 0.82 against plain PQ's 0.76 and
-    raw-vector-coded IVF-PQ's 0.78 on these near-iid synthetics — and
-    (c) only ever return candidates from the probe's nprobe nearest
-    cells."""
+    (b) hold the r8 frontier operating point's recall — 16 cells /
+    nprobe=4 / shortlist 16k measures 0.90 over these 10 probes (0.708
+    over 50; the old 8/2/8k point read 0.82/0.528 at the SAME ~25%
+    scanned fraction — frontier table in BASELINE.md) — and (c) only
+    ever return candidates from the probe's nprobe nearest cells."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
@@ -1592,7 +1592,7 @@ def test_ivfpq_recall_and_cell_pruning(spark):
     sf = "/root/testdata/sf0.01"
     emb = spark.read.parquet(f"{sf}/embeddings.parquet")
     probes = emb.filter(F.col("vec_id") < 10)
-    rows = ivfpq_topk(probes, emb, k_top=5, nprobe=2).collect()
+    rows = ivfpq_topk(probes, emb, k_top=5).collect()
     assert len(rows) == 50
 
     xs = with_scaled_units(emb.select("vec_id", "embedding"))
@@ -1622,13 +1622,18 @@ def test_ivfpq_recall_and_cell_pruning(spark):
     got = {(r.probe_id, r.vec_id) for r in rows}
     for r in rows:
         assert r.exact_dist == dmap[(r.probe_id, r.vec_id)], r
-    # deterministic chain: 0.82 exactly; >= 0.8 keeps plain PQ's 0.76
-    # (and the raw-coded variant's 0.78) below the bar so a regression
-    # back to non-residual codes fails the test
-    assert len(got & true5) / 50 >= 0.8, len(got & true5) / 50
+    # deterministic chain: 0.90 exactly; the pin moves up to >= 0.85
+    # (the r6 ask's bar) — the old 8/2/8k point's 0.82 now FAILS, so a
+    # regression back to the dominated operating point is caught
+    assert len(got & true5) / 50 >= 0.85, len(got & true5) / 50
 
-    # every returned candidate lives in one of its probe's 2 cells
-    km = kmeans_fit_scaled(emb, k=8, iters=2)
+    # every returned candidate lives in one of its probe's nprobe cells
+    from bigdatasmallprice_spark.operators.similarity import (
+        IVFPQ_CELLS,
+        IVFPQ_NPROBE,
+    )
+
+    km = kmeans_fit_scaled(emb, k=IVFPQ_CELLS, iters=2)
     cent = centroid_arrays(km)
     cells = {
         r.id: r.cid for r in assign_cells(xs, cent).select("id", "cid").collect()
@@ -1645,7 +1650,11 @@ def test_ivfpq_recall_and_cell_pruning(spark):
     )
     wc = Window.partitionBy("pid").orderBy("cd", "cell")
     probe_cells = {}
-    for r in pc.withColumn("rn", F.row_number().over(wc)).filter("rn <= 2").collect():
+    for r in (
+        pc.withColumn("rn", F.row_number().over(wc))
+        .filter(f"rn <= {IVFPQ_NPROBE}")
+        .collect()
+    ):
         probe_cells.setdefault(r.pid, set()).add(r.cell)
     for r in rows:
         assert cells[r.vec_id] in probe_cells[r.probe_id], r
