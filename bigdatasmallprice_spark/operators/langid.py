@@ -70,7 +70,11 @@ from bigdatasmallprice_spark.operators.sgns import (
 )
 
 LID_BUCKETS = 64  # word-unigram hash buckets; bucket LID_BUCKETS = bias
-LID_ITERS = 6
+# trajectory length from MEASURED convergence (BASELINE.md r8):
+# held-out accuracy is 0.410 at EVERY length from 2 to 6 iterations —
+# the class priors (the signal this corpus carries) separate in the
+# first round, so 3 keeps one confirmation round beyond convergence
+LID_ITERS = 3
 LID_LR = 4
 LID_W_CLAMP = 2_000_000  # weights clamped to +/-2.0
 
