@@ -123,6 +123,41 @@ def read_skipgram_pairs(
     return skipgram_pairs(random_walks(edges, nodes))
 
 
+def read_node_embeddings(
+    spark: SparkSession,
+    state_path: str,
+    nodes: DataFrame,
+    iters: int | None = None,
+) -> DataFrame:
+    """(node, dim, u, v) over everything folded so far — the streamed
+    membership state run through the EXACT batch embedding pipeline
+    (read_skipgram_pairs' corpus -> deterministic negatives -> the
+    all-integer SGNS fit), so streaming embeddings equal the batch
+    query's bit-for-bit by construction. This completes the continuous
+    DeepWalk loop: the same graph state serves centrality
+    (read_pagerank), the training corpus (read_skipgram_pairs), and
+    the trained representation (this)."""
+    from bigdatasmallprice_spark.operators.sgns import (
+        SGNS_ITERS,
+        sgns_fit,
+        sgns_init,
+        sgns_training_pairs,
+    )
+
+    pairs = read_skipgram_pairs(spark, state_path, nodes)
+    n = nodes.count()  # model-sized scalar (the batch query's n)
+    # checkpoint: the training table is scanned once per GD iteration;
+    # the batch query persists for the same reason (self-cleans here)
+    train = sgns_training_pairs(pairs, nodes, n).localCheckpoint(
+        eager=True
+    )
+    return sgns_fit(
+        train,
+        sgns_init(nodes),
+        iters=iters if iters is not None else SGNS_ITERS,
+    )
+
+
 def graph_stream(
     spark: SparkSession,
     source: DataFrame,

@@ -1672,6 +1672,108 @@ def test_streaming_graph_state_serves_walk_corpus_readback(spark, tmp_path):
     assert got == want and len(got) > 0
 
 
+def test_streaming_graph_state_serves_embedding_readback(spark, tmp_path):
+    """The continuous DeepWalk loop end-to-end: the folded membership
+    state run through the exact batch SGNS pipeline must yield the
+    registered node_embedding_train query's output BIT-FOR-BIT —
+    orders sliced across deliveries and all (walks, negatives, init,
+    and the GD trajectory are deterministic functions of the folded
+    graph)."""
+    from bigdatasmallprice_spark.registry import all_queries
+    from bigdatasmallprice_spark.streaming.graph_stream import (
+        read_node_embeddings,
+        update_graph_state,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    li = spark.read.parquet(f"{sf}/lineitem.parquet").select(
+        "l_orderkey", "l_suppkey", "l_linenumber"
+    )
+    state = str(tmp_path / "gst")
+    update_graph_state(
+        spark, state, li.filter("l_linenumber % 2 = 0"), batch_id=0
+    )
+    update_graph_state(
+        spark, state, li.filter("l_linenumber % 2 = 1"), batch_id=1
+    )
+    sup = spark.read.parquet(f"{sf}/supplier.parquet")
+    nodes = sup.selectExpr("s_suppkey AS node")
+    got = sorted(
+        map(tuple, read_node_embeddings(spark, state, nodes).collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            all_queries()["node_embedding_train"]
+            .fn(spark, sf)
+            .selectExpr(
+                "s_suppkey AS node", "dim",
+                "u_micro AS u", "v_micro AS v",
+            )
+            .collect(),
+        )
+    )
+    assert got == want and len(got) > 0
+
+
+def _trained_langid_weights(spark, sf="/root/testdata/sf0.001"):
+    from bigdatasmallprice_spark.operators.langid import (
+        doc_feature_arrays,
+        lang_features,
+        langid_fit,
+    )
+
+    tr = spark.read.parquet(f"{sf}/documents.parquet").filter(
+        "doc_id % 5 <> 0"
+    )
+    arrays = doc_feature_arrays(lang_features(tr)).persist()
+    try:
+        classes = sorted(
+            r.lang for r in arrays.select("lang").distinct().collect()
+        )
+        return langid_fit(arrays, classes, arrays.count())
+    finally:
+        arrays.unpersist()
+
+
+def test_streaming_langmix_equals_batch_and_replay_safe(spark, tmp_path):
+    """The language-mix gate must (a) fold scored counts across sliced
+    deliveries into EXACTLY the batch scoring of the union, (b) skip a
+    replayed batch id (SUM is not idempotent), and (c) refuse to fold
+    counts produced by a DIFFERENT model."""
+    import pytest
+
+    from bigdatasmallprice_spark.streaming.langid_stream import (
+        langmix_counts,
+        read_langmix,
+        read_langmix_accuracy,
+        update_langmix_state,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    w = _trained_langid_weights(spark)
+    state = str(tmp_path / "lm")
+    update_langmix_state(spark, state, docs.filter("doc_id % 2 = 0"), w, batch_id=0)
+    update_langmix_state(spark, state, docs.filter("doc_id % 2 = 1"), w, batch_id=1)
+    got = sorted(map(tuple, read_langmix(spark, state).collect()))
+    want = sorted(map(tuple, langmix_counts(docs, w).collect()))
+    assert got == want and len(got) > 0
+
+    # replayed batch id: counters unchanged
+    update_langmix_state(spark, state, docs.filter("doc_id % 2 = 1"), w, batch_id=1)
+    assert sorted(map(tuple, read_langmix(spark, state).collect())) == want
+
+    # accuracy readback is consistent with the folded confusion counts
+    acc = {r.source: (r.n_docs, r.n_correct) for r in read_langmix_accuracy(spark, state).collect()}
+    assert sum(n for n, _ in acc.values()) == docs.count()
+
+    # a different model's counts must not fold into this state
+    w2 = {c: [v + 1 for v in ws] for c, ws in w.items()}
+    with pytest.raises(Exception, match="(?i)config|model|mismatch"):
+        update_langmix_state(spark, state, docs, w2, batch_id=2)
+
+
 def test_legacy_flat_verdict_sink_is_refused(spark, tmp_path):
     """A pre-existing FLAT verdict sink (root-level part files from a
     hypothetical older release) cannot be mixed with the per-version
