@@ -262,6 +262,56 @@ def randomwalk_skipgram_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skipgram_pairs(walks)
 
 
+def _n2v_oracle() -> str:
+    from bigdatasmallprice_spark.operators.node2vec import o_n2v_chain_sql
+    from bigdatasmallprice_spark.operators.walks import SKIPGRAM_WINDOW
+
+    return f"""WITH {o_n2v_chain_sql()}
+SELECT a.node AS center, b.node AS context, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM walks a JOIN walks b
+  ON a.start = b.start AND a.w = b.w AND a.step <> b.step
+ AND abs(a.step - b.step) <= {SKIPGRAM_WINDOW}
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "node2vec_walk_corpus",
+    _n2v_oracle(),
+    doc="node2vec biased walk corpus (Grover-Leskovec 2016) — the "
+    "second-order upgrade of randomwalk_skipgram_pairs: each step's "
+    "distribution depends on where the walk CAME FROM, with integer "
+    "bias numerators return:dist-1:dist-2 = 1:4:2 (p=4, q=2 — the "
+    "community-detection regime) over the top-10 co-purchase graph. "
+    "Deterministic and bit-replayable: the step choice is an md5-slice "
+    "hash mod the candidate set's total bias mass mapped through "
+    "cumulative intervals, and those intervals depend only on the "
+    "(prev, cur) edge pair, so they PRECOMPUTE once as a table bounded "
+    "by n*k^2 rows at any corpus size — each walk step is then ONE "
+    "hash equi-join plus an interval filter, no per-step window and "
+    "no per-step membership probe (the distance-1 adjacency test "
+    "folds into the table build as one left join). Step 1 has no "
+    "predecessor and takes the uniform DeepWalk choice under an "
+    "independent 'n2v:' key. Output: the same exact within-window-2 "
+    "pair counts shape as the DeepWalk corpus, so skipgram consumers "
+    "(the SGNS fit above all) take either corpus unchanged. The "
+    "oracle replays every interval of every step of every walk.",
+    tags=("graph", "train", "join", "curation"),
+)
+def node2vec_walk_corpus_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdatasmallprice_spark.operators.node2vec import node2vec_walks
+    from bigdatasmallprice_spark.operators.pagerank import copurchase_edges
+    from bigdatasmallprice_spark.operators.triangles import topk_edges
+    from bigdatasmallprice_spark.operators.walks import skipgram_pairs
+
+    li = table(spark, sf_dir, "lineitem")
+    sup = table(spark, sf_dir, "supplier")
+    nodes = sup.select(F.col("s_suppkey").alias("node"))
+    edges = topk_edges(copurchase_edges(li)).persist()
+    walks = node2vec_walks(edges, nodes).persist()
+    return skipgram_pairs(walks)
+
+
 def _sgns_oracle() -> str:
     from bigdatasmallprice_spark.operators.sgns import (
         SGNS_ITERS,

@@ -76,19 +76,21 @@ def all_queries() -> dict[str, QuerySpec]:
 DRIVER_CAP = 50
 
 DRIVER_ORDER: list[str] = [
-    # r8 rotation (VERDICT r7 asks #1/#2/#3): the three r8-new queries
+    # r8 rotation (VERDICT r7 asks #1/#2/#3): the four r8-new queries
     # first (never driver-verified), the eight r7-firsts (second rows
     # — after a green r8 EVERY registered query holds >= 2 green
     # external rows and the ratchet that started in r3 completes),
     # then the stalest double-green pool: the full r4 tier (last green
     # r4) and the alphabetical head of the r5 tier (last green r5, 2
-    # rows). 3 + 8 + 14 + 25 = 50.
+    # rows). 4 + 8 + 14 + 24 = 50.
     # -- new in r8: the SGNS embedding fit that closes the DeepWalk
     #    loop; the trained fastText-style language-ID (fit + held-out
-    #    eval vs the stopword heuristic)
+    #    eval vs the stopword heuristic); the node2vec biased walk
+    #    corpus (second-order upgrade of the DeepWalk corpus)
     "node_embedding_train",
     "langid_train",
     "langid_trained_eval",
+    "node2vec_walk_corpus",
     # -- r7-firsts, second rows (randomwalk_skipgram_pairs also
     #    changed shape in r8: the walk union is coalesced — values
     #    replay identically, the green must be re-earned anyway)
@@ -141,7 +143,6 @@ DRIVER_ORDER: list[str] = [
     "holiday_range_join",
     "langid_eval",
     "line_dedup_hashed",
-    "market_revenue",
     # Every sit-out holds >= 2 green rows (COVERAGE.json is the
     # ledger); earlier rounds' rotation rationales live in git history.
 ]

@@ -634,6 +634,7 @@ def test_graph_family_joins_are_equi_not_cartesian(spark):
         "pagerank_copurchase",
         "triangle_counts",
         "randomwalk_skipgram_pairs",
+        "node2vec_walk_corpus",
         "lpa_communities",
     ):
         df = all_queries()[name].fn(spark, SF)
