@@ -169,3 +169,32 @@ def test_quality_invariant_within_clique_beats_cross(spark):
         best = max((j for j in ids if j != i), key=lambda j: _cos(emb[i], emb[j]))
         hits += (i < 5) == (best < 5)
     assert hits > len(ids) / 2
+
+
+def test_trained_embeddings_serve_through_the_ann_stack(spark):
+    """The loop-closing claim made concrete: the (node, dim, u) output
+    of the fit pivots into the engine's standard embedding shape and
+    flows through the REAL ANN operator (brute_force_topk) unchanged —
+    and the retrieval it returns respects the planted communities for
+    a majority of query nodes."""
+    from bigdatasmallprice_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    nodes, train, ids = _two_clique_corpus(spark)
+    train = train.persist()
+    try:
+        fit = sgns_fit(train, sgns_init(nodes))
+    finally:
+        train.unpersist()
+    vecs = fit.groupBy("node").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(dim, u))), "
+            "s -> CAST(s.u AS DOUBLE) / 1e6)"
+        ).alias("embedding")
+    ).select(F.col("node").alias("vec_id"), "embedding")
+    top1 = brute_force_topk(vecs, vecs, k=1)
+    hits = sum(
+        (r.query_id < 5) == (r.cand_id < 5) for r in top1.collect()
+    )
+    assert hits > len(ids) / 2
