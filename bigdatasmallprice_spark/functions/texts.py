@@ -59,6 +59,22 @@ def o_stopword_hits(t: str, stopwords: tuple[str, ...]) -> str:
     return f"CAST(len(list_filter(string_split({t}, ' '), w -> w IN ({in_list}))) AS BIGINT)"
 
 
+def heuristic_lang_pred(text: Column) -> Column:
+    """The stopword-argmax language-ID heuristic as ONE expression —
+    the single Spark-side source of the rule (three query/test sites
+    consume it; `queries/textq.py::_O_PRED_LANG` is its oracle twin
+    and must track any change here)."""
+    en = stopword_hits(text, STOPWORDS_EN)
+    de = stopword_hits(text, STOPWORDS_DE)
+    fr = stopword_hits(text, STOPWORDS_FR)
+    return (
+        F.when((en >= de) & (en >= fr) & (en > 0), F.lit("en"))
+        .when((de >= fr) & (de > 0), F.lit("de"))
+        .when(fr > 0, F.lit("fr"))
+        .otherwise(F.lit("und"))
+    )
+
+
 def bag_fingerprint(text: Column) -> Column:
     """Content fingerprint: md5 over the lexicographically sorted set of
     tokens — invariant to token order and repetition (document

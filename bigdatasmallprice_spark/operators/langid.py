@@ -58,16 +58,13 @@ from pyspark.sql import functions as F
 from bigdatasmallprice_spark.operators.distill import (
     DUCK_DIV,
     SPARK_DIV,
+    ZC_EXPR,
+    dzsq_expr,
     pdiv,
+    pm_expr,
     rdiv,
 )
-from bigdatasmallprice_spark.operators.sgns import (
-    ZC_EXPR,
-    _duck_h,
-    _spark_h,
-    dzsq_expr,
-    pm_expr,
-)
+from bigdatasmallprice_spark.operators.sgns import _duck_h, _spark_h
 
 LID_BUCKETS = 64  # word-unigram hash buckets; bucket LID_BUCKETS = bias
 # trajectory length from MEASURED convergence (BASELINE.md r8):

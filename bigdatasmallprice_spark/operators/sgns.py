@@ -65,10 +65,12 @@ from pyspark.sql import functions as F
 
 from bigdatasmallprice_spark.operators.distill import (
     DUCK_DIV,
+    DZH,
     SCALE,
     SPARK_DIV,
-    Z_CLAMP,
-    pdiv,
+    ZC_EXPR,
+    dzsq_expr,
+    pm_expr,
     rdiv,
 )
 
@@ -95,21 +97,15 @@ def _duck_h(key: str) -> str:
 
 
 # --- shared per-iteration expression chain (op = engine div spelling) -------
-ZC_EXPR = f"least(greatest(z, -{Z_CLAMP}), {Z_CLAMP})"
-DZH = f"({SCALE} + abs(zc))"
+# the clamp/sigmoid chain (ZC_EXPR, DZH, dzsq_expr, pm_expr) is imported
+# from operators/distill.py — ONE source of truth for the trajectory-
+# critical rational-sigmoid expressions across the distill/sgns/langid
+# families (a tweak applied in one module must reach every engine pair)
 
 
 def z_expr(op: str) -> str:
     """Pair dot product in micro-units from the summed uc*vo column."""
     return rdiv("dot", str(SCALE), op)
-
-
-def dzsq_expr(op: str) -> str:
-    return pdiv(f"{DZH} * {DZH}", str(SCALE), op)
-
-
-def pm_expr(op: str) -> str:
-    return f"(500 + {rdiv('zc * 500', DZH, op)})"
 
 
 def du_expr(op: str) -> str:
@@ -170,6 +166,11 @@ def sgns_training_pairs(
     land on the ranked node index so the id space never matters."""
     from pyspark.sql import Window
 
+    # the pair corpus feeds BOTH the positives branch and the negative
+    # draw below — checkpoint our own reference once so the skip-gram
+    # self-join doesn't execute twice inside the union (localCheckpoint,
+    # never persist/unpersist, on what may be a caller-cached frame)
+    pairs = pairs.localCheckpoint(eager=True)
     pos = pairs.select(
         "center", F.col("context").alias("other"),
         F.lit(1000).cast("long").alias("ym"), "cnt",

@@ -1296,12 +1296,13 @@ def token_budget_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     # slim projection: scanned by the max, the histogram, and the
-    # survivor rank — persist (caller releases via released_caches)
-    p = docs.selectExpr(
+    # survivor rank — persist (caller releases via released_caches).
+    # n_tokens is the house tokenization helper — the oracle's
+    # o_n_tokens twin must stay byte-equivalent, so no inline copy.
+    p = docs.select(
         "doc_id",
         "source",
-        "CAST(length(text) - length(replace(text, ' ', '')) + 1 "
-        "AS BIGINT) AS n_tok",
+        n_tokens(F.col("text")).alias("n_tok"),
     ).selectExpr(
         "doc_id", "source", "n_tok",
         "(CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) "
@@ -1330,9 +1331,12 @@ def token_budget_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("thr_band", "max_band").alias("thr_band"),
         )
     )
-    surv = p.join(F.broadcast(thr), "source").filter(
-        F.expr(f"priority DIV {bw}") <= F.col("thr_band")
-    )
+    # eqNullSafe: a NULL source is a valid rank partition in the plain
+    # window and the oracle — a bare equi-join would silently drop it
+    thr = thr.withColumnRenamed("source", "thr_source")
+    surv = p.join(
+        F.broadcast(thr), p["source"].eqNullSafe(thr["thr_source"])
+    ).filter(F.expr(f"priority DIV {bw}") <= F.col("thr_band"))
     w = Window.partitionBy("source").orderBy("priority", "doc_id")
     return (
         surv.withColumn("rk", F.row_number().over(w).cast("long"))

@@ -371,8 +371,8 @@ def node_embedding_train_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     walks = random_walks(edges, nodes).persist()
     pairs = skipgram_pairs(walks)
     n = nodes.count()  # model-sized scalar (PageRank's n)
-    # persist: scanned twice per GD iteration (z pass + gradient pass)
-    # plus the two static node-weight aggregates
+    # persist: scanned once per GD iteration (the fused array-form
+    # iteration) plus the two static node-weight aggregates
     train = sgns_training_pairs(pairs, nodes, n).persist()
     emb = sgns_fit(train, sgns_init(nodes))
     return emb.select(

@@ -840,16 +840,10 @@ FROM byt LEFT JOIN byp ON byt.cls = byp.cls LEFT JOIN tp ON byt.cls = tp.cls
     tags=("text", "eval", "agg"),
 )
 def langid_eval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdatasmallprice_spark.functions.texts import heuristic_lang_pred
+
     docs = table(spark, sf_dir, "documents")
-    en = stopword_hits(F.col("text"), STOPWORDS_EN)
-    de = stopword_hits(F.col("text"), STOPWORDS_DE)
-    fr = stopword_hits(F.col("text"), STOPWORDS_FR)
-    pred = (
-        F.when((en >= de) & (en >= fr) & (en > 0), F.lit("en"))
-        .when((de >= fr) & (de > 0), F.lit("de"))
-        .when(fr > 0, F.lit("fr"))
-        .otherwise(F.lit("und"))
-    )
+    pred = heuristic_lang_pred(F.col("text"))
     p = docs.select(F.col("lang").alias("true_lang"), pred.alias("pred_lang"))
     cm = p.groupBy("true_lang", "pred_lang").agg(
         F.count(F.lit(1)).cast("long").alias("n")
@@ -1025,15 +1019,9 @@ def langid_trained_eval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         arrays.unpersist()
     tpred = langid_score(doc_feature_arrays(lang_features(ev)), w)
 
-    en = stopword_hits(F.col("text"), STOPWORDS_EN)
-    de = stopword_hits(F.col("text"), STOPWORDS_DE)
-    fr = stopword_hits(F.col("text"), STOPWORDS_FR)
-    hpred = (
-        F.when((en >= de) & (en >= fr) & (en > 0), F.lit("en"))
-        .when((de >= fr) & (de > 0), F.lit("de"))
-        .when(fr > 0, F.lit("fr"))
-        .otherwise(F.lit("und"))
-    )
+    from bigdatasmallprice_spark.functions.texts import heuristic_lang_pred
+
+    hpred = heuristic_lang_pred(F.col("text"))
     p = tpred.select(
         F.lit("trained").alias("model"),
         F.col("lang").alias("true_lang"),

@@ -114,7 +114,13 @@ def read_langmix_accuracy(spark: SparkSession, state_path: str) -> DataFrame:
     cm = read_langmix(spark, state_path)
     return cm.groupBy("source").agg(
         F.sum("n").cast("long").alias("n_docs"),
-        F.sum(F.when(F.col("lang") == F.col("pred_lang"), F.col("n")))
+        # coalesce: a fully drifted source (zero correct rows) must
+        # read n_correct = 0, not NULL — it is exactly the source the
+        # monitor exists to flag
+        F.coalesce(
+            F.sum(F.when(F.col("lang") == F.col("pred_lang"), F.col("n"))),
+            F.lit(0),
+        )
         .cast("long")
         .alias("n_correct"),
     )

@@ -47,15 +47,27 @@ def main() -> None:
         f"itself (scripts/refresh_bench.py), so message and file "
         f"cannot disagree."
     )
-    cmd = ["git", "-C", REPO, "commit", "-m", msg, "--", ARTIFACT]
     if "--commit" in sys.argv:
         subprocess.run(["git", "-C", REPO, "add", ARTIFACT], check=True)
-        subprocess.run(cmd, check=True)
+        diff = subprocess.run(
+            ["git", "-C", REPO, "diff", "--cached", "--quiet", "--", ARTIFACT]
+        )
+        if diff.returncode == 0:
+            print(f"artifact unchanged at {total}s / {nq} queries — nothing to commit")
+            return
+        subprocess.run(
+            ["git", "-C", REPO, "commit", "-m", msg, "--", ARTIFACT],
+            check=True,
+        )
     else:
+        import shlex
+
         print(f"total={total}s n_queries={nq}")
         print("commit with:")
         print("  git add BENCH_FULL_local.json")
-        print(f"  git commit -m {msg!r} -- BENCH_FULL_local.json")
+        print(
+            f"  git commit -m {shlex.quote(msg)} -- BENCH_FULL_local.json"
+        )
 
 
 if __name__ == "__main__":

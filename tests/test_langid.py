@@ -76,12 +76,7 @@ def test_trained_beats_heuristic_on_held_out_slice(spark):
     every no-hit document on 'und', which is never a true label; the
     trained model learns the priors plus whatever weak lexical signal
     the hashed unigrams carry)."""
-    from bigdatasmallprice_spark.functions.texts import (
-        STOPWORDS_DE,
-        STOPWORDS_EN,
-        STOPWORDS_FR,
-        stopword_hits,
-    )
+    from bigdatasmallprice_spark.functions.texts import heuristic_lang_pred
 
     docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
     tr = docs.filter("doc_id % 5 <> 0")
@@ -100,15 +95,7 @@ def test_trained_beats_heuristic_on_held_out_slice(spark):
         .collect()[0]
         .a
     )
-    en = stopword_hits(F.col("text"), STOPWORDS_EN)
-    de = stopword_hits(F.col("text"), STOPWORDS_DE)
-    fr = stopword_hits(F.col("text"), STOPWORDS_FR)
-    hpred = (
-        F.when((en >= de) & (en >= fr) & (en > 0), F.lit("en"))
-        .when((de >= fr) & (de > 0), F.lit("de"))
-        .when(fr > 0, F.lit("fr"))
-        .otherwise(F.lit("und"))
-    )
+    hpred = heuristic_lang_pred(F.col("text"))
     acc_h = (
         ev.select((F.col("lang") == hpred).cast("double").alias("a"))
         .agg(F.avg("a").alias("a"))
