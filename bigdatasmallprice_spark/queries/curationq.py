@@ -1343,3 +1343,67 @@ def token_budget_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _TBS_K)
         .select("source", "rk", "doc_id", "n_tok", "priority")
     )
+
+
+# ---------------------------------------------------------------------------
+# HTML boilerplate removal: the web-corpus extraction stage
+# ---------------------------------------------------------------------------
+
+
+def _bp_oracle() -> str:
+    from bigdatasmallprice_spark.operators.boilerplate import o_extract_sql
+
+    return f"""WITH {o_extract_sql()}
+SELECT e.doc_id,
+       e.n_lines,
+       e.n_kept,
+       CAST(length(e.extracted) AS BIGINT) AS extracted_chars,
+       CAST(CASE WHEN e.extracted = d.text THEN 1 ELSE 0 END AS BIGINT)
+         AS recovered,
+       md5(e.extracted) AS extracted_md5
+FROM ext e JOIN documents d ON d.doc_id = e.doc_id
+"""
+
+
+@register(
+    "html_extract_main",
+    _bp_oracle(),
+    doc="HTML boilerplate removal (the trafilatura/jusText/boilerpipe "
+    "slot — the FIRST stage of a web-crawl corpus, after WARC framing "
+    "and before scrub/dedup/quality): a deterministic md5-ornamented "
+    "page is synthesized per document (head/nav chrome whose visible "
+    "text is entirely anchors, the document text verbatim across two "
+    "<p> blocks, a related-links block, a link-farm footer) and the "
+    "extractor then works the markup for real — strip tags per line, "
+    "measure the anchor-text share, keep lines where anchors are "
+    "under half the visible text (Kohlschuetter 2010's strongest "
+    "single boilerplate feature), re-join. Because synthesis embeds "
+    "the text verbatim, correctness has a closed form the output "
+    "carries per row: recovered = 1 iff the extracted text equals "
+    "the original document EXACTLY (all rows at every sf — "
+    "recall AND precision in one bit; pinned in tests). One codegen "
+    "projection via array transforms — no shuffle, no UDF, no "
+    "explode; at 100 TB extraction costs the scan itself. The only "
+    "regexes are the dialect-portable subset (DuckDB needs the 'g' "
+    "flag — the pii_scrub precedent).",
+    tags=("curation", "text", "multimodal"),
+)
+def html_extract_main_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdatasmallprice_spark.operators.boilerplate import (
+        extract_main_text,
+        synthesize_html,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    ext = extract_main_text(synthesize_html(docs))
+    return ext.join(docs, "doc_id").select(
+        "doc_id",
+        "n_lines",
+        "n_kept",
+        F.length("extracted").cast("long").alias("extracted_chars"),
+        F.when(F.col("extracted") == F.col("text"), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("recovered"),
+        F.md5("extracted").alias("extracted_md5"),
+    )
