@@ -1316,3 +1316,123 @@ def quality_classifier_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_agree"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality-rule attrition report
+# ---------------------------------------------------------------------------
+
+# rule bounds, adapted to this corpus's scale (Gopher's own are for
+# web documents: 50..100k words etc.); every comparison is integer
+_GR_MIN_WORDS = 20
+_GR_MAX_WORDS = 200
+_GR_MIN_MWL = 3  # mean word length lower bound
+_GR_MAX_MWL = 10
+_GR_MIN_STOPS = 2  # Gopher's >= 2 stopword-evidence rule
+_GR_TTR_NUM = 3  # type-token ratio must be >= 3/10
+_GR_TTR_DEN = 10
+
+
+def _gr_flags_sql(nt: str, nu: str, sh: str, nc: str) -> list[str]:
+    """The four rule-failure flags as individual SQL expressions
+    (engine-neutral: pure integer comparisons over the house text
+    stats). ``nc`` is the non-space character count (word chars)."""
+    return [
+        f"CAST(CASE WHEN {nt} < {_GR_MIN_WORDS} OR {nt} > {_GR_MAX_WORDS} "
+        "THEN 1 ELSE 0 END AS BIGINT) AS f_wc",
+        f"CAST(CASE WHEN {nc} < {_GR_MIN_MWL} * {nt} "
+        f"OR {nc} > {_GR_MAX_MWL} * {nt} THEN 1 ELSE 0 END AS BIGINT) AS f_mwl",
+        f"CAST(CASE WHEN {sh} < {_GR_MIN_STOPS} THEN 1 ELSE 0 END AS BIGINT) AS f_stop",
+        f"CAST(CASE WHEN {_GR_TTR_DEN} * {nu} < {_GR_TTR_NUM} * {nt} "
+        "THEN 1 ELSE 0 END AS BIGINT) AS f_ttr",
+    ]
+
+
+def _gopher_oracle() -> str:
+    nc = "CAST(length(replace(text, ' ', '')) AS BIGINT)"
+    flags = ", ".join(_gr_flags_sql(_NT, _NU, _SH, nc))
+    return f"""
+WITH fl AS (SELECT {flags} FROM documents),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(f_wc) AS BIGINT) AS n_wc,
+         CAST(SUM(f_mwl) AS BIGINT) AS n_mwl,
+         CAST(SUM(f_stop) AS BIGINT) AS n_stop,
+         CAST(SUM(f_ttr) AS BIGINT) AS n_ttr,
+         CAST(SUM(CASE WHEN f_wc + f_mwl + f_stop + f_ttr > 0
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_any,
+         CAST(SUM(CASE WHEN f_wc + f_mwl + f_stop + f_ttr = 0
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+  FROM fl
+)
+SELECT 'word_count_bounds' AS rule, n_docs, n_wc AS n_fail FROM agg
+UNION ALL SELECT 'mean_word_length', n_docs, n_mwl FROM agg
+UNION ALL SELECT 'stopword_evidence', n_docs, n_stop FROM agg
+UNION ALL SELECT 'type_token_ratio', n_docs, n_ttr FROM agg
+UNION ALL SELECT 'any_rule', n_docs, n_any FROM agg
+UNION ALL SELECT 'all_pass', n_docs, n_pass FROM agg
+"""
+
+
+@register(
+    "gopher_rules_report",
+    _gopher_oracle(),
+    doc="Gopher-style quality-rule attrition report (Rae et al. 2021, "
+    "the rule family every web-corpus curation run reports before "
+    "model-based filtering): word-count bounds, mean-word-length "
+    "bounds, the >= 2 stopword-evidence rule, and a type-token-ratio "
+    "repetition floor — bounds adapted to this corpus's scale and "
+    "every comparison a pure integer inequality over the house text "
+    "stats (no floats anywhere). Output: one row per rule with its "
+    "exact failure count, plus the any-rule and all-pass funnel rows "
+    "(the attrition a curation report quotes). One corpus scan, one "
+    "global aggregate with conditional integer sums, six unpivoted "
+    "rows — at 100 TB the report costs the scan itself.",
+    tags=("text", "curation", "agg"),
+)
+def gopher_rules_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    t = F.col("text")
+    nc = "CAST(length(replace(text, ' ', '')) AS BIGINT)"
+    flags = _gr_flags_sql(
+        o_n_tokens("text").replace("length", "length"),
+        "n_uniq_x",
+        "stop_x",
+        nc,
+    )
+    fl = docs.select(
+        "text",
+        n_unique_tokens(t).alias("n_uniq_x"),
+        stopword_hits(t, STOPWORDS_EN).alias("stop_x"),
+    ).selectExpr(*flags)
+    agg = fl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("f_wc").cast("long").alias("n_wc"),
+        F.sum("f_mwl").cast("long").alias("n_mwl"),
+        F.sum("f_stop").cast("long").alias("n_stop"),
+        F.sum("f_ttr").cast("long").alias("n_ttr"),
+        F.sum(
+            F.expr(
+                "CASE WHEN f_wc + f_mwl + f_stop + f_ttr > 0 THEN 1 ELSE 0 END"
+            )
+        )
+        .cast("long")
+        .alias("n_any"),
+        F.sum(
+            F.expr(
+                "CASE WHEN f_wc + f_mwl + f_stop + f_ttr = 0 THEN 1 ELSE 0 END"
+            )
+        )
+        .cast("long")
+        .alias("n_pass"),
+    )
+    return agg.selectExpr(
+        "stack(6, "
+        "'word_count_bounds', n_docs, n_wc, "
+        "'mean_word_length', n_docs, n_mwl, "
+        "'stopword_evidence', n_docs, n_stop, "
+        "'type_token_ratio', n_docs, n_ttr, "
+        "'any_rule', n_docs, n_any, "
+        "'all_pass', n_docs, n_pass"
+        ") AS (rule, n_docs, n_fail)"
+    )

@@ -76,23 +76,25 @@ def all_queries() -> dict[str, QuerySpec]:
 DRIVER_CAP = 50
 
 DRIVER_ORDER: list[str] = [
-    # r8 rotation (VERDICT r7 asks #1/#2/#3): the five r8-new queries
+    # r8 rotation (VERDICT r7 asks #1/#2/#3): the six r8-new queries
     # first (never driver-verified), the eight r7-firsts (second rows
     # — after a green r8 EVERY registered query holds >= 2 green
     # external rows and the ratchet that started in r3 completes),
     # then the stalest double-green pool: the full r4 tier (last green
     # r4) and the alphabetical head of the r5 tier (last green r5, 2
-    # rows). 5 + 8 + 14 + 23 = 50.
+    # rows). 6 + 8 + 14 + 22 = 50.
     # -- new in r8: the SGNS embedding fit that closes the DeepWalk
     #    loop; the trained fastText-style language-ID (fit + held-out
     #    eval vs the stopword heuristic); the node2vec biased walk
     #    corpus (second-order upgrade of the DeepWalk corpus); HTML
-    #    boilerplate removal (the web-corpus extraction stage)
+    #    boilerplate removal (the web-corpus extraction stage); the
+    #    Gopher quality-rule attrition report
     "node_embedding_train",
     "langid_train",
     "langid_trained_eval",
     "node2vec_walk_corpus",
     "html_extract_main",
+    "gopher_rules_report",
     # -- r7-firsts, second rows (randomwalk_skipgram_pairs also
     #    changed shape in r8: the walk union is coalesced — values
     #    replay identically, the green must be re-earned anyway)
@@ -143,7 +145,6 @@ DRIVER_ORDER: list[str] = [
     "grain_align_join",
     "hash_sample_summary",
     "holiday_range_join",
-    "langid_eval",
     # Every sit-out holds >= 2 green rows (COVERAGE.json is the
     # ledger); earlier rounds' rotation rationales live in git history.
 ]
