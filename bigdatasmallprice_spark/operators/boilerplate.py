@@ -55,14 +55,23 @@ def _page_sql(spark: bool) -> str:
     else:
         c1 = f"array_to_string(({words})[1:{n} // 2], ' ')"
         c2 = f"array_to_string(({words})[{n} // 2 + 1:{n}], ' ')"
+    # A chunk whose tokens are all empty (leading/trailing/lone
+    # whitespace in the document) would render an empty <p> that the
+    # extractor's length > 0 filter drops, losing the whitespace and
+    # breaking the reconstructs-exactly closed form. Fold the FULL
+    # text into the first <p> in that case; the second <p> renders
+    # empty and is dropped harmlessly (extracted == text verbatim).
+    degenerate = f"(length({c1}) = 0 OR length({c2}) = 0)"
+    p1 = f"CASE WHEN {degenerate} THEN text ELSE {c1} END"
+    p2 = f"CASE WHEN {degenerate} THEN '' ELSE {c2} END"
     hs = [_h(f"'bp:' || CAST(doc_id AS {cast}) || ':{i}'", spark) for i in range(5)]
     return (
         "concat_ws(chr(10), "
         f"""'<head><title><a href="/">site ' || ({hs[0]}) || '</a></title></head>'"""
         """ || '<nav><a href="/h">home</a> <a href="/c">catalog</a>"""
         """ <a href="/a">about</a> <a href="/f">faq</a></nav>', """
-        f"'<p>' || {c1} || '</p>', "
-        f"'<p>' || {c2} || '</p>', "
+        f"'<p>' || {p1} || '</p>', "
+        f"'<p>' || {p2} || '</p>', "
         f"""'<div class="rel"><a href="/r1">more ' || ({hs[1]}) || '</a>"""
         f""" <a href="/r2">item ' || ({hs[2]}) || '</a>"""
         f""" <a href="/r3">also ' || ({hs[3]}) || '</a></div>', """
@@ -113,10 +122,6 @@ def extract_main_text(pages: DataFrame, html_col: str = "html") -> DataFrame:
     One codegen projection: explode-free via array transforms."""
     visible, link = _line_exprs(spark=True)
     lines = f"split({html_col}, chr(10))"
-    kept = (
-        f"filter(transform({lines}, ln -> {visible}), "
-        "v -> length(v) > 0)"
-    )
     # anchor-share filter needs BOTH the raw line (for link counting)
     # and its visible text: zip the two transforms, filter, project
     keep_pred = (

@@ -152,16 +152,28 @@ def z_expr(w: list[str], op: str) -> str:
     return f"(({w[0]}) + {rdiv(dot, str(SCALE), op)})"
 
 
-ZC_EXPR = f"least(greatest(z, -{Z_CLAMP}), {Z_CLAMP})"
-DZH = f"({SCALE} + abs(zc))"
+def zc_expr(z: str = "z") -> str:
+    """Clamped-score expression over a named column. Parameterized so
+    callers with suffixed column names (langid's per-class z{i}) build
+    the SQL directly instead of string-replacing rendered text."""
+    return f"least(greatest({z}, -{Z_CLAMP}), {Z_CLAMP})"
 
 
-def dzsq_expr(op: str) -> str:
-    return pdiv(f"{DZH} * {DZH}", str(SCALE), op)
+def dzh_expr(zc: str = "zc") -> str:
+    return f"({SCALE} + abs({zc}))"
 
 
-def pm_expr(op: str) -> str:
-    return f"(500 + {rdiv('zc * 500', DZH, op)})"
+ZC_EXPR = zc_expr()
+DZH = dzh_expr()
+
+
+def dzsq_expr(op: str, zc: str = "zc") -> str:
+    d = dzh_expr(zc)
+    return pdiv(f"{d} * {d}", str(SCALE), op)
+
+
+def pm_expr(op: str, zc: str = "zc") -> str:
+    return f"(500 + {rdiv(f'{zc} * 500', dzh_expr(zc), op)})"
 
 
 def d_term(j: int, op: str) -> str:

@@ -63,6 +63,7 @@ from bigdatasmallprice_spark.operators.distill import (
     pdiv,
     pm_expr,
     rdiv,
+    zc_expr,
 )
 from bigdatasmallprice_spark.operators.sgns import _duck_h, _spark_h
 
@@ -80,10 +81,12 @@ _SPARK_TOKS = "filter(split(text, ' '), w -> w <> '')"
 _DUCK_TOKS = "list_filter(string_split(text, ' '), w -> w <> '')"
 
 
-def grad_expr(op: str) -> str:
+def grad_expr(op: str, em: str = "em", dzsq: str = "dzsq") -> str:
     """Per-(doc, cls, bucket) gradient row in micro-units:
-    (p - y) * x_frac / (1+|z|)^2."""
-    return rdiv("em * xm * 1000000", "dzsq", op)
+    (p - y) * x_frac / (1+|z|)^2. ``em``/``dzsq`` name the error and
+    squared-denominator columns so per-class suffixed variants are
+    built directly (never by string-replacing rendered SQL)."""
+    return rdiv(f"{em} * xm * 1000000", dzsq, op)
 
 
 def upd_expr(op: str, nd: str) -> str:
@@ -209,14 +212,14 @@ def langid_fit(
         step2 = step1.selectExpr(
             "lang", "fa",
             *[
-                ZC_EXPR.replace("z", f"z{i}") + f" AS zc{i}"
+                zc_expr(f"z{i}") + f" AS zc{i}"
                 for i in range(len(classes))
             ],
         )
         em3 = []
         for i, cls in enumerate(classes):
-            pm = pm_expr(op).replace("zc", f"zc{i}")
-            dz = dzsq_expr(op).replace("zc", f"zc{i}")
+            pm = pm_expr(op, zc=f"zc{i}")
+            dz = dzsq_expr(op, zc=f"zc{i}")
             em3.append(f"({pm} - IF(lang = '{cls}', 1000, 0)) AS em{i}")
             em3.append(f"{dz} AS dzsq{i}")
         step3 = step2.selectExpr("fa", *em3)
@@ -225,9 +228,7 @@ def langid_fit(
         structs = ", ".join(
             "named_struct('ci', {i}, 'gr', CAST({g} AS BIGINT))".format(
                 i=i,
-                g=grad_expr(op)
-                .replace("em", f"em{i}")
-                .replace("dzsq", f"dzsq{i}"),
+                g=grad_expr(op, em=f"em{i}", dzsq=f"dzsq{i}"),
             )
             for i in range(len(classes))
         )

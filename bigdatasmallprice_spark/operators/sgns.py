@@ -123,10 +123,13 @@ def upd_expr(col: str, g: str, wt: str, op: str) -> str:
     return f"least(greatest({col} - {step}, -{EMB_CLAMP}), {EMB_CLAMP})"
 
 
-def _init_expr(side: str, h) -> str:
-    """md5-uniform init in +/-EMB_INIT micro-units for one side."""
+def _init_expr(side: str, h, node: str = "node", dim: str = "dim") -> str:
+    """md5-uniform init in +/-EMB_INIT micro-units for one side.
+    ``node``/``dim`` name the key columns so qualified references
+    (the oracle's d.node/d.dim) are built directly, never by
+    string-replacing rendered SQL."""
     key = (
-        f"'{side}:' || CAST(node AS VARCHAR) || ':' || CAST(dim AS VARCHAR)"
+        f"'{side}:' || CAST({node} AS VARCHAR) || ':' || CAST({dim} AS VARCHAR)"
     )
     return f"CAST({h(key)} % {2 * EMB_INIT + 1} - {EMB_INIT} AS BIGINT)"
 
@@ -420,8 +423,8 @@ won AS (SELECT other AS node, CAST(SUM(cnt) AS BIGINT) AS wtv
         FROM train GROUP BY 1),
 emb0 AS MATERIALIZED (
   SELECT d.node, d.dim,
-         {_init_expr("u", _duck_h).replace("node", "d.node").replace("dim", "d.dim")} AS u,
-         {_init_expr("v", _duck_h).replace("node", "d.node").replace("dim", "d.dim")} AS v,
+         {_init_expr("u", _duck_h, node="d.node", dim="d.dim")} AS u,
+         {_init_expr("v", _duck_h, node="d.node", dim="d.dim")} AS v,
          COALESCE(wcn.wtu, CAST(1 AS BIGINT)) AS wtu,
          COALESCE(won.wtv, CAST(1 AS BIGINT)) AS wtv
   FROM (SELECT node, CAST(ds.dim AS BIGINT) AS dim

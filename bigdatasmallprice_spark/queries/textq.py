@@ -1395,7 +1395,10 @@ def gopher_rules_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = F.col("text")
     nc = "CAST(length(replace(text, ' ', '')) AS BIGINT)"
     flags = _gr_flags_sql(
-        o_n_tokens("text").replace("length", "length"),
+        # o_n_tokens renders a deliberately dialect-neutral expression
+        # (shared verbatim with the oracle's _NT) — usable Spark-side
+        # as-is
+        o_n_tokens("text"),
         "n_uniq_x",
         "stop_x",
         nc,

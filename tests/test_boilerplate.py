@@ -57,6 +57,14 @@ def test_degenerate_documents_roundtrip(spark):
         "two words",
         "trailing space ",  # trailing separator survives the re-join
         "a b c d e f g",
+        # all-empty-token chunks (the degenerate split the CASE fold
+        # in _page_sql exists for): without it the empty <p> drops and
+        # the whitespace is lost
+        "a ",  # second chunk joins to '' — trailing space must survive
+        " a",  # first chunk joins to '' — leading space must survive
+        " ",  # lone separator: both chunks empty
+        "  ",  # two separators
+        "a  ",  # trailing double separator
     ]
     rt = _roundtrip(spark, cases)
     for i, t in enumerate(cases):
