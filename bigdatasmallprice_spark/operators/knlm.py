@@ -1,0 +1,193 @@
+"""Interpolated Kneser-Ney bigram LM — the CCNet-grade upgrade of the
+raw bigram-frequency scorer (``ngram_lm_score``).
+
+CCNet's quality stage filters web documents by the perplexity of a
+smoothed n-gram LM (Wenzek et al. 2020, building on KenLM's modified
+Kneser-Ney); the raw bigram mean the engine shipped first has no mass
+for unseen transitions, so a document of common words in a wrong order
+can score HIGHER than clean prose. Kneser-Ney fixes exactly that with
+two ideas (Kneser & Ney 1995, Chen & Goodman 1998):
+
+- absolute discounting: each observed bigram count yields D (=0.75)
+  of its mass to a back-off reserve, so P(w2|w1) =
+  max(c12 - D, 0)/c1 + lambda(w1) * P_cont(w2);
+- continuation probability: the back-off distribution is NOT unigram
+  frequency but P_cont(w2) = N1+(.w2) / N1+(..) — how many DISTINCT
+  contexts w2 follows, over total bigram types — so "Francisco"
+  (frequent, but only after "San") gets tiny back-off mass.
+
+House integer discipline: the whole score is exact BIGINT micro-units
+through the explicitly-rounded divisions (rdiv) both engines compute
+identically — no libm, no float summation. Quantization points are
+part of the spec (each rdiv is one documented rounding):
+
+    pc_micro(w2)  = rdiv(n_bwd * 1e6, T)            # continuation
+    lam_micro(w1) = rdiv(D_MILLI * n_fwd * 1000, c1)  # back-off weight
+    p1_micro      = rdiv(max(c12*1000 - D_MILLI, 0) * 1000, c1)
+    p2_micro      = rdiv(lam_micro * pc_micro, 1e6)
+    p_micro       = p1_micro + p2_micro   (pc_micro if w1 unseen as ctx)
+
+Every intermediate is bounded: n_fwd <= c1 keeps lam <= 750_000;
+products stay under 2^63 for corpora up to ~1e12 bigram tokens.
+
+Scale shape: the MODEL IS A TABLE (bigram types outgrow executor
+memory at 100 TB), so training is explode + two map-side-combined
+groupBys and scoring is shuffle equi-joins on the bigram / word keys;
+the only broadcast is the 1-row type-count scalar. Per-doc scores are
+one integer aggregate.
+
+Document quality direction (pinned in tests/test_knlm.py): the mean
+smoothed probability of clean documents exceeds that of token-sorted
+(order-destroyed) twins, and the clean/shuffled separation RATIO
+beats the raw bigram-frequency scorer's.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from bigdatasmallprice_spark.operators.distill import (
+    DUCK_DIV,
+    SPARK_DIV,
+    rdiv,
+)
+
+D_MILLI = 750  # absolute discount 0.75, milli-units
+MICRO = 1_000_000
+
+
+def doc_bigrams(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, w1, w2): one row per bigram OCCURRENCE, raw-split
+    tokenization (the ngram_lm_score convention, empties included)."""
+    return docs.selectExpr(
+        "doc_id", f"split({text_col}, ' ') AS t"
+    ).selectExpr(
+        "doc_id",
+        "explode(CASE WHEN size(t) >= 2 THEN "
+        "arrays_zip(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1)) "
+        "ELSE array() END) AS z",
+    ).selectExpr("doc_id", "z['0'] AS w1", "z['1'] AS w2")
+
+
+def kn_train(bg: DataFrame) -> dict[str, DataFrame]:
+    """The four model tables from a bigram-occurrence frame:
+    bc(w1,w2,c12), ctx(w1,c1,n_fwd), cont(w2,n_bwd), types(T) — all
+    exact integer counts, all map-side-combined aggregates."""
+    bc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("c12"))
+    ctx = bc.groupBy("w1").agg(
+        F.sum("c12").cast("long").alias("c1"),
+        F.count(F.lit(1)).cast("long").alias("n_fwd"),
+    )
+    cont = bc.groupBy("w2").agg(F.count(F.lit(1)).cast("long").alias("n_bwd"))
+    types = bc.agg(F.count(F.lit(1)).cast("long").alias("T"))
+    return {"bc": bc, "ctx": ctx, "cont": cont, "types": types}
+
+
+def _p_micro_expr(op: str) -> str:
+    """The smoothed per-bigram probability in micro-units over joined
+    columns c12 / c1 / n_fwd / n_bwd / T (any may be NULL for
+    out-of-model lookups)."""
+    pc = rdiv(f"coalesce(n_bwd, 0) * {MICRO}", "T", op)
+    lam = rdiv(f"{D_MILLI} * n_fwd * 1000", "c1", op)
+    p1 = rdiv(
+        f"greatest(coalesce(c12, 0) * 1000 - {D_MILLI}, 0) * 1000", "c1", op
+    )
+    return (
+        f"CAST(CASE WHEN c1 IS NULL THEN {pc} "
+        f"ELSE ({p1}) + ({rdiv(f'({lam}) * ({pc})', str(MICRO), op)}) "
+        "END AS BIGINT)"
+    )
+
+
+def _inv_expr(op: str, pm: str = "pm") -> str:
+    """Reciprocal probability in pico-per-micro units: rdiv(1e12, p),
+    with p floored at 1 micro so a zero-probability transition costs
+    the maximum 1e12 — the integer stand-in for log-scale penalty."""
+    return rdiv(str(10**12), f"greatest({pm}, 1)", op)
+
+
+def kn_score(bg: DataFrame, model: dict[str, DataFrame]) -> DataFrame:
+    """(doc_id, n_bigrams, p_sum_micro, avg_p_micro, hm_p_micro):
+    per-document smoothed-probability aggregates. ``avg_p_micro`` is
+    the arithmetic mean; ``hm_p_micro`` the HARMONIC mean — the
+    perplexity-flavored statistic (perplexity is the geometric mean of
+    1/p; the harmonic mean of p shares its heavy penalty for rare and
+    unseen transitions) kept in exact integers: hm = rdiv(n * 1e12,
+    sum(rdiv(1e12, max(p, 1)))). Left joins so out-of-model bigrams
+    (scoring held-out or perturbed text) fall through to the back-off
+    terms instead of dropping."""
+    scored = (
+        bg.join(model["bc"], ["w1", "w2"], "left")
+        .join(model["ctx"], "w1", "left")
+        .join(model["cont"], "w2", "left")
+        .crossJoin(F.broadcast(model["types"]))
+        .selectExpr("doc_id", f"{_p_micro_expr(SPARK_DIV)} AS pm")
+    )
+    op = SPARK_DIV
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("pm").cast("long").alias("p_sum_micro"),
+            F.sum(F.expr(_inv_expr(op))).cast("long").alias("__inv_sum"),
+        )
+        .selectExpr(
+            "doc_id",
+            "n_bigrams",
+            "p_sum_micro",
+            "round(CAST(p_sum_micro AS DOUBLE) / n_bigrams, 6) AS avg_p_micro",
+            f"CAST({rdiv('n_bigrams * ' + str(10**12), '__inv_sum', op)} "
+            "AS BIGINT) AS hm_p_micro",
+        )
+    )
+
+
+def o_kn_chain_sql(doc_source: str = "documents") -> str:
+    """DuckDB twin as CTE text ending in ``kn(doc_id, n_bigrams,
+    p_sum_micro, avg_p_micro)``: trains on and scores ``doc_source``
+    with the identical integer chain (zipped-unnest bigrams)."""
+    op = DUCK_DIV
+    return f"""toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM {doc_source}
+),
+bg AS (
+  SELECT doc_id,
+         unnest(t[1:len(t) - 1]) AS w1,
+         unnest(t[2:len(t)]) AS w2
+  FROM toks WHERE len(t) >= 2
+),
+bc AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM bg GROUP BY 1, 2
+),
+ctx AS (
+  SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+         CAST(COUNT(*) AS BIGINT) AS n_fwd
+  FROM bc GROUP BY 1
+),
+cont AS (
+  SELECT w2, CAST(COUNT(*) AS BIGINT) AS n_bwd FROM bc GROUP BY 1
+),
+types AS (SELECT CAST(COUNT(*) AS BIGINT) AS T FROM bc),
+pm AS (
+  SELECT bg.doc_id, {_p_micro_expr(op)} AS pm
+  FROM bg
+  LEFT JOIN bc   ON bc.w1 = bg.w1 AND bc.w2 = bg.w2
+  LEFT JOIN ctx  ON ctx.w1 = bg.w1
+  LEFT JOIN cont ON cont.w2 = bg.w2
+  CROSS JOIN types
+),
+kna AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         CAST(SUM(pm) AS BIGINT) AS p_sum_micro,
+         CAST(SUM({_inv_expr(op)}) AS BIGINT) AS inv_sum
+  FROM pm GROUP BY 1
+),
+kn AS (
+  SELECT doc_id, n_bigrams, p_sum_micro,
+         round(CAST(p_sum_micro AS DOUBLE) / n_bigrams, 6) AS avg_p_micro,
+         CAST({rdiv("n_bigrams * " + str(10**12), "inv_sum", op)} AS BIGINT)
+           AS hm_p_micro
+  FROM kna
+)"""

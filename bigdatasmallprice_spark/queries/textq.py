@@ -610,6 +610,49 @@ def ngram_lm_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Kneser-Ney smoothed LM: the CCNet-grade upgrade of ngram_lm_score
+# ---------------------------------------------------------------------------
+
+
+def _kn_oracle() -> str:
+    from bigdatasmallprice_spark.operators.knlm import o_kn_chain_sql
+
+    return f"""
+WITH {o_kn_chain_sql()}
+SELECT doc_id, n_bigrams, p_sum_micro, avg_p_micro, hm_p_micro FROM kn
+"""
+
+
+@register(
+    "ngram_lm_kn",
+    _kn_oracle(),
+    doc="Interpolated Kneser-Ney bigram LM (operators/knlm.py) — the "
+    "smoothed upgrade of ngram_lm_score toward CCNet's KenLM "
+    "perplexity filter (Wenzek 2020): absolute discounting (D=0.75) "
+    "plus the continuation-probability back-off, the whole score an "
+    "exact BIGINT micro-unit chain (house rdiv roundings, no libm) "
+    "the oracle replays bit-identically. The model is a TABLE "
+    "(bigram types outgrow executor memory at 100 TB): training is "
+    "two map-side-combined groupBys, scoring is shuffle equi-joins "
+    "on the bigram/word keys, and the only broadcast is the 1-row "
+    "type count. Pinned invariant (tests/test_knlm.py): clean "
+    "documents out-score token-sorted twins by a wider margin than "
+    "the raw bigram-frequency scorer gives.",
+    tags=("text", "join", "train", "quality"),
+)
+def ngram_lm_kn_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdatasmallprice_spark.operators.knlm import (
+        doc_bigrams,
+        kn_score,
+        kn_train,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    bg = doc_bigrams(docs).persist()
+    return kn_score(bg, kn_train(bg))
+
+
+# ---------------------------------------------------------------------------
 # BPE tokenizer training: the pair-frequency merge step as aggregation
 # ---------------------------------------------------------------------------
 

@@ -225,6 +225,63 @@ def training_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stitch_bucket_hours(hourly: DataFrame, start: int) -> int:
+    """Coarsen the stitch bucket width until EVERY slice the stitched
+    flagship windows over (price/click/error/all-hours) holds at least
+    its max lag (168 or 24 rows — which also covers the rolling k-1
+    requirements) in every non-final occupied bucket, so head repair
+    from one bucket back is always sufficient. One bucket-count-sized
+    collect per doubling over the persisted post-aggregation hourly
+    frame — ~1200 rows for a century of monthly buckets even at 100 TB
+    of raw events; terminates because a width spanning the whole range
+    leaves a single bucket (degenerating to the global-window task
+    count of 1, which sparse data needs anyway). Dense production data
+    keeps the starting width and its full parallelism."""
+    reqs = (("p", 168), ("c", 24), ("e", 168), ("a", 168))
+    bh = start
+    while True:
+        rows = (
+            hourly.groupBy(
+                F.floor(F.unix_timestamp(F.col("h")) / F.lit(bh * 3600)).alias("bk")
+            )
+            .agg(
+                F.sum(F.when(F.col("cnt") > 0, 1).otherwise(0)).alias("p"),
+                F.sum(F.when(F.col("clicks_n") > 0, 1).otherwise(0)).alias("c"),
+                F.sum(F.when(F.col("err_n") > 0, 1).otherwise(0)).alias("e"),
+                F.count(F.lit(1)).alias("a"),
+            )
+            .collect()
+        )
+        if len(rows) <= 1:
+            return bh
+        ok = True
+        for col, need in reqs:
+            occupied = [(r["bk"], r[col]) for r in rows if r[col] > 0]
+            if not occupied:
+                continue
+            last = max(bk for bk, _ in occupied)
+            if any(n < need for bk, n in occupied if bk != last):
+                ok = False
+                break
+        if ok:
+            return bh
+        bh *= 2
+
+
+@register(
+    "training_features_stitched",
+    _FLAGSHIP_ORACLE,
+    doc="The SCALE-SAFE flagship (SURVEY §7.3's declared hazard, closed): "
+    "bit-identical output to training_features with ZERO unpartitioned "
+    "windows — every lag / rolling mean runs inside coarse time buckets "
+    "in parallel and bucket heads are repaired from the previous "
+    "bucket's tail (partitioned_lag_stitch / partitioned_rolling_stitch). "
+    "Shares the flagship's oracle verbatim because the results are "
+    "bit-equal (also asserted at sf0.1 in tests/test_operators.py); the "
+    "plan guard in tests/test_plans.py proves no Window in the executed "
+    "plan lacks a partition spec.",
+    tags=("window", "join", "agg", "flagship", "scale"),
+)
 def training_features_stitched(
     spark: SparkSession, sf_dir: str, bucket_hours: int = 240
 ) -> DataFrame:
@@ -237,8 +294,10 @@ def training_features_stitched(
     version is asserted at sf0.1 in tests/test_operators.py; at 1000
     executors this plan runs ~n_buckets window tasks instead of one.
 
-    ``bucket_hours`` must be >= the largest window (168) plus expected
-    per-bucket gaps; the stitch operators validate that eagerly.
+    ``bucket_hours`` is the STARTING width; _stitch_bucket_hours
+    coarsens it (doubling) until every windowed slice satisfies the
+    one-bucket-back head-repair precondition, so the query is correct
+    at any hour density and keeps full parallelism on dense data.
     """
     from bigdatasmallprice_spark.operators.windows import (
         partitioned_lag_stitch,
@@ -248,7 +307,6 @@ def training_features_stitched(
     ev = events(spark, sf_dir)
     c = cents(F.col("value"))
     et = F.col("event_type")
-    bucket = F.floor(F.unix_timestamp(F.col("h")) / F.lit(bucket_hours * 3600))
 
     hourly = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("h")).agg(
         F.sum(F.when(et == "purchase", c)).alias("pc"),
@@ -261,6 +319,8 @@ def training_features_stitched(
         F.coalesce(F.sum(F.when(et == "error", c)), F.lit(0)).alias("err_all"),
     )
     hourly = hourly.persist()
+    bucket_hours = _stitch_bucket_hours(hourly, bucket_hours)
+    bucket = F.floor(F.unix_timestamp(F.col("h")) / F.lit(bucket_hours * 3600))
 
     price = F.col("pc").cast("double") / (F.lit(100.0) * F.col("cnt"))
     p = hourly.filter(F.col("cnt") > 0).withColumn("price", price)
@@ -272,10 +332,12 @@ def training_features_stitched(
     # materialized hourly-grain frame (post-aggregation: ~720 rows at
     # sf0.1, ~260k rows for 30 years even at 100 TB of raw events), the
     # same lineage discipline connected_components applies per round.
-    p = partitioned_lag_stitch(p, "price", [1, 24, 168], "h", bucket)
-    # validate bucket sizes ONCE per frame, on the strictest requirement
-    # (max lag 168 >= every rolling k-1 here); re-validating on every
-    # stitch call would re-run the growing plan each time
+    # _stitch_bucket_hours already validated EVERY slice at the chosen
+    # width (strictly covering each stitch's own precondition), so all
+    # stitch calls skip their per-call validation job
+    p = partitioned_lag_stitch(
+        p, "price", [1, 24, 168], "h", bucket, validate=False
+    )
     p = p.localCheckpoint()
     p = partitioned_rolling_stitch(
         p, "pc", 24, "h", bucket, "__ps24", "__pn24", validate=False
@@ -313,7 +375,9 @@ def training_features_stitched(
         hourly.filter(F.col("clicks_n") > 0)
         .select("h", F.col("clicks_n").alias("clicks"))
     )
-    cw = partitioned_lag_stitch(cw, "clicks", [24], "h", bucket).withColumnRenamed(
+    cw = partitioned_lag_stitch(
+        cw, "clicks", [24], "h", bucket, validate=False
+    ).withColumnRenamed(
         "clicks_lag_24", "clicks_lag_24h"
     )
 
@@ -322,13 +386,17 @@ def training_features_stitched(
         hourly.filter(F.col("err_n") > 0)
         .select("h", errgen.alias("errgen"))
     )
-    gw = partitioned_lag_stitch(gw, "errgen", [24, 168], "h", bucket).withColumnsRenamed(
+    gw = partitioned_lag_stitch(
+        gw, "errgen", [24, 168], "h", bucket, validate=False
+    ).withColumnsRenamed(
         {"errgen_lag_24": "errgen_lag_24h", "errgen_lag_168": "errgen_lag_168h"}
     )
 
     net = (F.col("buy_all") - F.col("err_all")).cast("double") / 100.0
     npw = hourly.select("h", net.alias("net_pos"))
-    npw = partitioned_lag_stitch(npw, "net_pos", [24, 168], "h", bucket).withColumnsRenamed(
+    npw = partitioned_lag_stitch(
+        npw, "net_pos", [24, 168], "h", bucket, validate=False
+    ).withColumnsRenamed(
         {"net_pos_lag_24": "net_pos_lag_24h", "net_pos_lag_168": "net_pos_lag_168h"}
     )
 

@@ -76,75 +76,70 @@ def all_queries() -> dict[str, QuerySpec]:
 DRIVER_CAP = 50
 
 DRIVER_ORDER: list[str] = [
-    # r8 rotation (VERDICT r7 asks #1/#2/#3): the six r8-new queries
-    # first (never driver-verified), the eight r7-firsts (second rows
-    # — after a green r8 EVERY registered query holds >= 2 green
-    # external rows and the ratchet that started in r3 completes),
-    # then the stalest double-green pool: the full r4 tier (last green
-    # r4) and the alphabetical head of the r5 tier (last green r5, 2
-    # rows). 6 + 8 + 14 + 22 = 50.
-    # -- new in r8: the SGNS embedding fit that closes the DeepWalk
-    #    loop; the trained fastText-style language-ID (fit + held-out
-    #    eval vs the stopword heuristic); the node2vec biased walk
-    #    corpus (second-order upgrade of the DeepWalk corpus); HTML
-    #    boilerplate removal (the web-corpus extraction stage); the
-    #    Gopher quality-rule attrition report
+    # r9 rotation (VERDICT r8 asks #1/#2): the never-driver-verified
+    # r9-new queries first, then the six r8-firsts for their second
+    # rows (everything else already holds >= 2 green external rows),
+    # then the 2-green tiers stalest-first — the r5-tier tail rotated
+    # out in r8 (last green r5) and as much of the r6 tier (last green
+    # r6) as fits under the cap.
+    # -- new in r9: the registered scale-safe flagship (SURVEY §7.3's
+    #    single-partition-window hazard closed with an external row)
+    #    and the Kneser-Ney smoothed LM (the CCNet-grade upgrade of
+    #    ngram_lm_score)
+    "training_features_stitched",
+    "ngram_lm_kn",
+    # -- r8-firsts, second rows
     "node_embedding_train",
     "langid_train",
     "langid_trained_eval",
     "node2vec_walk_corpus",
     "html_extract_main",
     "gopher_rules_report",
-    # -- r7-firsts, second rows (randomwalk_skipgram_pairs also
-    #    changed shape in r8: the walk union is coalesced — values
-    #    replay identically, the green must be re-earned anyway)
-    "quality_classifier_train",
-    "audio_neardup_fingerprint",
-    "pagerank_copurchase",
-    "ppr_related_suppliers",
-    "triangle_counts",
-    "randomwalk_skipgram_pairs",
-    "lpa_communities",
-    "token_budget_sample",
-    # -- stalest pool: last green r4 (the tier VERDICT r7 named)
-    "kanon_release",
-    "kmeans_centroids",
-    "line_dedup",
-    "multimodal_bmp_resize",
-    "ngram_lm_score",
-    "pack_sequences",
-    "password_hash_audit",
-    "repetition_stats",
-    "robust_outliers_mad",
-    "shard_manifest",
-    "spend_concentration_gini",
-    "token_stats_by_source",
-    "train_linear_model",
-    "warc_ingest_stats",
-    # -- next-stalest: last green r5 with 2 rows (alphabetical head;
-    #    the tail rotates in next round)
-    "ann_index_upsert",
-    "argmax_event_per_type",
-    "backfill_estimate",
-    "bloom_shingle_prefilter",
-    "brand_nation_revenue",
-    "cardinality_sketch",
-    "corpus_snapshot_diff",
-    "customer_activity_split",
-    "customer_retention_sets",
-    "dataset_card",
-    "dedup_canonical",
-    "dedup_span_stats",
-    "dedup_span_stats_hashed",
-    "embedding_neardup_banded",
-    "eval_split_clean",
-    "eval_split_clean_hashed",
-    "event_funnel",
-    "forecast_metrics",
-    "gap_fill_hourly",
-    "grain_align_join",
-    "hash_sample_summary",
-    "holiday_range_join",
+    # -- stalest 2-green pool: last green r5
+    "median_impute",
+    "price_history",
+    "sliding_hour_windows",
+    "stratified_sample_summary",
+    "market_revenue",
+    "top_users",
+    "revenue_grouping_sets",
+    "small_quantity_revenue",
+    "video_frame_sample",
+    "semantic_dedup",
+    "multimodal_png_stats",
+    "langid_eval",
+    "perplexity_buckets",
+    "rolling_backtest",
+    "scd2_history",
+    "user_spend_rank",
+    "line_dedup_hashed",
+    "train_gbt_full",
+    # -- next-stalest 2-green pool: last green r6 (head; what doesn't
+    #    fit under the cap rotates in next round)
+    "minhash_signatures",
+    "ngram_jaccard_pairs",
+    "value_distribution",
+    "union_by_name",
+    "filtered_counts",
+    "daily_mean_deviation",
+    "traffic_light",
+    "chart_downsample",
+    "twap_hourly",
+    "value_trend_regression",
+    "value_quantiles_by_type",
+    "value_deciles",
+    "train_gbt_model",
+    "hll_distinct",
+    "count_min_probe",
+    "zorder_pruning",
+    "hll_union_distinct",
+    "dedup_rewrite",
+    "dedup_rewrite_hashed",
+    "train_gbt_load",
+    "bloom_shingle_prefilter_lean",
+    "hll_union_lean",
+    "image_neardup_phash",
+    "winnow_neardup_pairs",
     # Every sit-out holds >= 2 green rows (COVERAGE.json is the
     # ledger); earlier rounds' rotation rationales live in git history.
 ]
