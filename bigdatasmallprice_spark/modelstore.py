@@ -260,3 +260,150 @@ def score_latest(
         .drop("b0c", "b1c", "b2c")
         .withColumn("model_version", F.lit(doc["version"]))
     )
+
+
+# ---------------------------------------------------------------------------
+# text-model serving: langid + quality classifier from the registry
+# ---------------------------------------------------------------------------
+# VERDICT r8 ask #5: the trained langid and quality-classifier fits are
+# oracle-paired REFIT queries (they must replay in DuckDB, so the
+# training chain runs inside the query). The DEPLOYMENT shape is
+# train-once / score-everywhere: persist the fitted integer weights as
+# a versioned artifact and score any frame from literals — the
+# predict_full_cents_column pattern applied to the text models. Each
+# artifact carries an md5 fingerprint of its canonical weight
+# serialization (the langid_stream manifest pin); loading verifies it,
+# so a tampered or torn artifact refuses to score rather than silently
+# misclassifying a corpus.
+
+
+def save_langid_model(
+    model_dir: str,
+    name: str,
+    w: dict[str, list[int]],
+    metrics: DataFrame | None = None,
+    version: str | None = None,
+) -> str:
+    """Persist trained language-ID weights (operators/langid.py::
+    langid_fit output: {cls: [w_bucket0..w_bias]} micro-units) as a
+    ``kind: "langid"`` artifact with a fingerprint pin."""
+    from bigdatasmallprice_spark.streaming.langid_stream import model_fingerprint
+
+    weights = {cls: [int(x) for x in ws] for cls, ws in sorted(w.items())}
+    return _write_artifact(
+        model_dir,
+        name,
+        version,
+        metrics,
+        {
+            "kind": "langid",
+            "weights": weights,
+            "fingerprint": model_fingerprint(weights),
+            "coefficients": [],
+        },
+    )
+
+
+def load_langid_weights(path: str) -> dict[str, list[int]]:
+    """Load + fingerprint-verify a langid artifact. Raises on kind
+    mismatch or fingerprint divergence (the langid_stream rule: counts
+    or scores from two different models must never mix silently)."""
+    from bigdatasmallprice_spark.streaming.langid_stream import model_fingerprint
+
+    doc = load_model(path)
+    if doc.get("kind") != "langid":
+        raise ValueError(f"{path} is not a langid artifact")
+    w = {cls: [int(x) for x in ws] for cls, ws in doc["weights"].items()}
+    if model_fingerprint(w) != doc.get("fingerprint"):
+        raise ValueError(
+            f"{path}: weight fingerprint mismatch — refusing to score "
+            "with tampered or corrupted weights"
+        )
+    return w
+
+
+def score_langid_latest(
+    docs: DataFrame, model_dir: str, name: str
+) -> DataFrame:
+    """(doc_id, lang, pred_lang): score a document frame with the
+    NEWEST persisted langid model — one codegen projection from
+    literal weights, no refit, no join. Proven equal to the in-query
+    refit path in tests/test_modelstore.py."""
+    from bigdatasmallprice_spark.operators.langid import (
+        doc_feature_arrays,
+        lang_features,
+        langid_score,
+    )
+
+    path = find_latest(model_dir, name)
+    if path is None:
+        raise FileNotFoundError(f"no artifact for model {name!r} in {model_dir}")
+    w = load_langid_weights(path)
+    return langid_score(doc_feature_arrays(lang_features(docs)), w)
+
+
+def save_quality_model(
+    model_dir: str,
+    name: str,
+    w: list[int],
+    metrics: DataFrame | None = None,
+    version: str | None = None,
+) -> str:
+    """Persist distilled quality-classifier weights (operators/
+    distill.py::fit_quality_classifier's final iteration, micro-units)
+    as a ``kind: "quality_linear"`` artifact with a fingerprint pin."""
+    from bigdatasmallprice_spark.streaming.langid_stream import model_fingerprint
+
+    weights = [int(x) for x in w]
+    return _write_artifact(
+        model_dir,
+        name,
+        version,
+        metrics,
+        {
+            "kind": "quality_linear",
+            "weights": weights,
+            "fingerprint": model_fingerprint({"_": weights}),
+            "coefficients": [],
+        },
+    )
+
+
+def load_quality_weights(path: str) -> list[int]:
+    """Load + fingerprint-verify a quality_linear artifact."""
+    from bigdatasmallprice_spark.streaming.langid_stream import model_fingerprint
+
+    doc = load_model(path)
+    if doc.get("kind") != "quality_linear":
+        raise ValueError(f"{path} is not a quality_linear artifact")
+    w = [int(x) for x in doc["weights"]]
+    if model_fingerprint({"_": w}) != doc.get("fingerprint"):
+        raise ValueError(
+            f"{path}: weight fingerprint mismatch — refusing to score "
+            "with tampered or corrupted weights"
+        )
+    return w
+
+
+def quality_keep_latest(
+    docs: DataFrame, model_dir: str, name: str
+) -> DataFrame:
+    """(doc_id, source, keep): filter verdict for every document from
+    the NEWEST persisted quality model — the filter-at-scan-speed
+    deployment path (one pure-integer codegen expression over the
+    feature projection; nothing shuffles)."""
+    from bigdatasmallprice_spark.operators.distill import (
+        quality_features,
+        score_keep_expr,
+    )
+
+    path = find_latest(model_dir, name)
+    if path is None:
+        raise FileNotFoundError(f"no artifact for model {name!r} in {model_dir}")
+    w = load_quality_weights(path)
+    feats = quality_features(docs, extra_cols=("doc_id",))
+    return feats.select(
+        "doc_id",
+        "source",
+        F.expr(score_keep_expr(w)).cast("boolean").alias("keep"),
+    )

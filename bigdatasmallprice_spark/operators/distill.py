@@ -236,10 +236,12 @@ def rdiv_py(a: int, b: int) -> int:
     return -pdiv_py(-a, b) if a < 0 else pdiv_py(a, b)
 
 
-def quality_features(docs: DataFrame) -> DataFrame:
+def quality_features(docs: DataFrame, extra_cols: tuple = ()) -> DataFrame:
     """Slim per-doc frame (source, train, x1m..x4m, ym — all exact
     BIGINTs) — the only corpus-width projection of the fit;
-    persist-worthy."""
+    persist-worthy. ``extra_cols`` passes identity columns (e.g.
+    doc_id) through for serving callers; the fit itself never needs
+    them."""
     from bigdatasmallprice_spark.functions.texts import (
         STOPWORDS_EN,
         n_tokens,
@@ -257,6 +259,7 @@ def quality_features(docs: DataFrame) -> DataFrame:
     )
     op = SPARK_DIV
     return base.selectExpr(
+        *extra_cols,
         "source",
         f"{TRAIN_PRED} AS train",
         f"{X1M_EXPR} AS x1m",
@@ -264,6 +267,7 @@ def quality_features(docs: DataFrame) -> DataFrame:
         f"{x3m_expr(op)} AS x3m",
         f"{YM_EXPR} AS ym",
     ).selectExpr(
+        *extra_cols,
         "source", "train", "x1m", "x2m", "x3m", f"{X4M_EXPR} AS x4m", "ym"
     )
 

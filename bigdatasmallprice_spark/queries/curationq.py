@@ -1407,3 +1407,107 @@ def html_extract_main_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("recovered"),
         F.md5("extracted").alias("extracted_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling: content-weighted selection toward a target
+# ---------------------------------------------------------------------------
+
+_DSIR_TARGET = "lang = 'en'"
+_DSIR_FRAC_DEN = 4  # keep the top quarter by importance weight
+
+
+def _dsir_oracle() -> str:
+    from bigdatasmallprice_spark.operators.dsir import o_dsir_chain_sql
+
+    return f"""
+WITH {o_dsir_chain_sql(_DSIR_TARGET)},
+rnk AS (
+  SELECT doc_id, lw_milli,
+         row_number() OVER (ORDER BY lw_milli DESC, doc_id) AS rk
+  FROM dw
+)
+SELECT doc_id, lw_milli,
+       CAST(CASE WHEN rk <= (SELECT COUNT(*) // {_DSIR_FRAC_DEN}
+                             FROM documents)
+                 THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM rnk
+"""
+
+
+@register(
+    "dsir_importance_sample",
+    _dsir_oracle(),
+    doc="DSIR-style importance resampling (Xie et al. 2023, "
+    "operators/dsir.py): every document gets an exact-integer "
+    "importance log-weight toward the TARGET distribution (here the "
+    "English slice) — hashed-unigram bag features (the langid "
+    "featurizer family under an independent hash key), add-one "
+    "smoothed target/raw log-ratios via the deterministic Mitchell "
+    "fixed-point log2 (integer part EXACT from the binary-string "
+    "length; no libm anywhere) — and the top quarter by (weight, "
+    "doc_id) is kept. The ratio table is model-sized (<= 256 rows, "
+    "broadcast); scoring is one doc-keyed integer aggregate. "
+    "Selection is EXACT top-k resolved through the integer "
+    "histogram-band threshold (the token_budget_sample scale "
+    "pattern): bands strictly above the boundary keep outright, ONE "
+    "band's rows are ever ranked (bounded by band granularity, never "
+    "the corpus), while the oracle replays the plain one-window SQL. "
+    "Differential property pinned in tests/test_dsir.py: the kept "
+    "documents' feature distribution is strictly closer (integer L1) "
+    "to the target's than the raw corpus's is.",
+    tags=("curation", "sample", "quality"),
+)
+def dsir_importance_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from bigdatasmallprice_spark.operators.dsir import (
+        dsir_features,
+        dsir_weights,
+        log_ratio_table,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    k = docs.count() // _DSIR_FRAC_DEN
+    feats = dsir_features(docs).persist()
+    w = dsir_weights(feats, log_ratio_table(feats, _DSIR_TARGET)).persist()
+
+    # integer histogram-band threshold: shift weights non-negative,
+    # band into <= 4096 buckets, resolve the exact boundary driver-side
+    # on the band-count-sized histogram
+    lo, hi = w.agg(F.min("lw_milli"), F.max("lw_milli")).collect()[0]
+    if lo is None:
+        return w.select("doc_id", "lw_milli", F.lit(0).cast("long").alias("keep"))
+    bw = max((hi - lo) // 4096, 1) + 1
+    wb = w.withColumn("band", F.expr(f"(lw_milli - {lo}) DIV {bw}"))
+    hist = sorted(
+        wb.groupBy("band").agg(F.count(F.lit(1)).alias("n")).collect(),
+        key=lambda r: -r.band,
+    )
+    above, bstar = 0, None
+    for r in hist:
+        if above + r.n >= k:
+            bstar = r.band
+            break
+        above += r.n
+    if bstar is None:  # k >= corpus: keep everything
+        return w.select("doc_id", "lw_milli", F.lit(1).cast("long").alias("keep"))
+    need = k - above
+    # rank ONLY the boundary band (its population is bounded by band
+    # granularity); everything strictly above keeps outright
+    bnd = wb.filter(F.col("band") == bstar)
+    rk = Window.partitionBy("band").orderBy(F.col("lw_milli").desc(), "doc_id")
+    bnd_keep = (
+        bnd.withColumn("rk", F.row_number().over(rk))
+        .filter(F.col("rk") <= need)
+        .select("doc_id", F.lit(1).alias("bk"))
+    )
+    return (
+        wb.join(F.broadcast(bnd_keep), "doc_id", "left")
+        .selectExpr(
+            "doc_id",
+            "lw_milli",
+            f"CAST(CASE WHEN band > {bstar} OR bk = 1 THEN 1 ELSE 0 END "
+            "AS BIGINT) AS keep",
+        )
+    )

@@ -84,10 +84,12 @@ DRIVER_ORDER: list[str] = [
     # r6) as fits under the cap.
     # -- new in r9: the registered scale-safe flagship (SURVEY §7.3's
     #    single-partition-window hazard closed with an external row)
-    #    and the Kneser-Ney smoothed LM (the CCNet-grade upgrade of
-    #    ngram_lm_score)
+    #    the Kneser-Ney smoothed LM (the CCNet-grade upgrade of
+    #    ngram_lm_score), and DSIR importance resampling (the
+    #    content-weighted member of the mixture/sampling surface)
     "training_features_stitched",
     "ngram_lm_kn",
+    "dsir_importance_sample",
     # -- r8-firsts, second rows
     "node_embedding_train",
     "langid_train",
@@ -139,7 +141,6 @@ DRIVER_ORDER: list[str] = [
     "bloom_shingle_prefilter_lean",
     "hll_union_lean",
     "image_neardup_phash",
-    "winnow_neardup_pairs",
     # Every sit-out holds >= 2 green rows (COVERAGE.json is the
     # ledger); earlier rounds' rotation rationales live in git history.
 ]
