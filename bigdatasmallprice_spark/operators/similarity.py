@@ -1291,3 +1291,82 @@ def ivfpq_topk(
         adc, probes, corpus, k_top, id_col, vec_col,
         shortlist_factor=IVFPQ_SHORTLIST_FACTOR,
     )
+
+
+def hard_triplets(
+    anchors: DataFrame,
+    corpus: DataFrame,
+    centroids: DataFrame,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """(anchor_id, pos_id, pos_sim, neg_id, neg_sim): metric-learning
+    triplet mining — per anchor the nearest SAME-label candidate (the
+    positive) and the nearest DIFFERENT-label candidate (the HARD
+    negative, the one that actually moves a contrastive loss) from the
+    anchor's IVF cell(s) only. Cell blocking bounds the candidate set
+    (an equi-join on the cell id, the semantic_dedup rule) instead of
+    the all-pairs corpus square; anchors broadcast. Similarities round
+    to 6 decimals before ranking with a cand_id tie-break, so the
+    mined triplets are reproducible across engines and partitionings.
+    Anchors whose cells hold no same-label or no different-label
+    candidate mine no triplet (inner join semantics)."""
+    a = with_ivf_cells(
+        anchors.select(
+            F.col(id_col).alias("anchor_id"),
+            F.col(vec_col).alias("qv"),
+            _norm(vec_col).alias("nq"),
+            F.col(label_col).alias("albl"),
+        ),
+        centroids,
+        "qv",
+        "nq",
+        "anchor_id",
+        nprobe=nprobe,
+    )
+    c = with_ivf_cells(
+        corpus.select(
+            F.col(id_col).alias("cand_id"),
+            F.col(vec_col).alias("cv"),
+            _norm(vec_col).alias("nc"),
+            F.col(label_col).alias("clbl"),
+        ),
+        centroids,
+        "cv",
+        "nc",
+        "cand_id",
+        nprobe=1,
+    )
+    scored = (
+        F.broadcast(a)
+        .join(c, "cell")
+        .filter(F.col("anchor_id") != F.col("cand_id"))
+        .withColumn("sim", F.round(cosine_prenormed("qv", "cv", "nq", "nc"), 6))
+        .select("anchor_id", "albl", "cand_id", "clbl", "sim")
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("sim").desc(), F.col("cand_id")
+    )
+    pos = (
+        scored.filter(F.col("albl") == F.col("clbl"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "anchor_id",
+            F.col("cand_id").alias("pos_id"),
+            F.col("sim").alias("pos_sim"),
+        )
+    )
+    neg = (
+        scored.filter(F.col("albl") != F.col("clbl"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "anchor_id",
+            F.col("cand_id").alias("neg_id"),
+            F.col("sim").alias("neg_sim"),
+        )
+    )
+    return pos.join(neg, "anchor_id")

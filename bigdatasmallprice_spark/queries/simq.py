@@ -1456,3 +1456,249 @@ def ann_ivfpq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # nprobe/coarse_k/shortlist come from the operator's measured
     # IVFPQ_* operating point (frontier in BASELINE.md)
     return ivfpq_topk(probes, emb, k_top=5, coarse_iters=_KM_ITERS)
+
+
+# ---------------------------------------------------------------------------
+# metric-learning data prep: hard-negative triplet mining
+# ---------------------------------------------------------------------------
+
+_TRIP_ANCHORS = 20
+_O_TRIP_CELLS = """
+  SELECT {idc}, {vecc}, {nrmc}, lbl, cid AS cell FROM (
+    SELECT t.*, c.cid,
+           row_number() OVER (
+             PARTITION BY t.{idc}
+             ORDER BY round({cos}, 6) DESC, c.cid
+           ) AS crn
+    FROM ({src}) t CROSS JOIN cent c
+  ) WHERE crn <= {nprobe}
+"""
+
+
+def _o_trip_cells(src: str, idc: str, vecc: str, nrmc: str, nprobe: int) -> str:
+    return _O_TRIP_CELLS.format(
+        src=src,
+        idc=idc,
+        vecc=vecc,
+        nrmc=nrmc,
+        nprobe=nprobe,
+        cos=_o_cosine_prenormed(f"t.{vecc}", "c.cvec", f"t.{nrmc}", "c.ncv"),
+    )
+
+
+@register(
+    "triplet_mining",
+    f"""
+WITH cent AS ({_O_CENT}),
+a AS ({_o_trip_cells(
+    f"SELECT vec_id AS anchor_id, embedding AS qv, {_O_NORM.format(a='embedding')} AS nq, label AS lbl FROM embeddings WHERE vec_id < {_TRIP_ANCHORS}",
+    'anchor_id', 'qv', 'nq', 1)}),
+c AS ({_o_trip_cells(
+    f"SELECT vec_id AS cand_id, embedding AS cv, {_O_NORM.format(a='embedding')} AS nc, label AS lbl FROM embeddings",
+    'cand_id', 'cv', 'nc', 1)}),
+s AS (
+  SELECT a.anchor_id, a.lbl AS albl, c.cand_id, c.lbl AS clbl,
+         round({_o_cosine_prenormed('a.qv', 'c.cv', 'a.nq', 'c.nc')}, 6) AS sim
+  FROM a JOIN c ON a.cell = c.cell AND a.anchor_id != c.cand_id
+),
+pos AS (
+  SELECT anchor_id, cand_id AS pos_id, sim AS pos_sim FROM (
+    SELECT anchor_id, cand_id, sim,
+           row_number() OVER (PARTITION BY anchor_id ORDER BY sim DESC, cand_id) AS rn
+    FROM s WHERE albl = clbl
+  ) WHERE rn = 1
+),
+neg AS (
+  SELECT anchor_id, cand_id AS neg_id, sim AS neg_sim FROM (
+    SELECT anchor_id, cand_id, sim,
+           row_number() OVER (PARTITION BY anchor_id ORDER BY sim DESC, cand_id) AS rn
+    FROM s WHERE albl != clbl
+  ) WHERE rn = 1
+)
+SELECT pos.anchor_id, pos_id, pos_sim, neg_id, neg_sim
+FROM pos JOIN neg ON pos.anchor_id = neg.anchor_id
+""",
+    doc="Hard-negative triplet mining — the DATA-PREP stage of "
+    "contrastive/metric-learning embedding training (FaceNet's "
+    "semi-hard mining, SimCSE/SBERT negative selection): per anchor "
+    "the nearest SAME-label candidate (positive) and the nearest "
+    "DIFFERENT-label candidate (the hard negative a triplet loss "
+    "actually learns from), candidates drawn from the anchor's IVF "
+    "cell only — cell blocking bounds the candidate set as an "
+    "equi-join on the cell id (the semantic_dedup rule), never the "
+    "all-pairs corpus square; anchors broadcast so the cell join is "
+    "map-side. Similarities round to 6 decimals before (sim DESC, "
+    "cand_id) ranking, so the mined triplets replay identically in "
+    "both engines. Anchors missing either candidate kind in their "
+    "cell mine no triplet (inner semantics).",
+    tags=("similarity", "train", "curation"),
+)
+def triplet_mining_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdatasmallprice_spark.operators.similarity import _norm, hard_triplets
+
+    emb = table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("cvec"),
+        _norm("embedding").alias("ncv"),
+    )
+    return hard_triplets(
+        emb.filter(F.col("vec_id") < _TRIP_ANCHORS), emb, centroids, nprobe=1
+    )
+
+
+# ---------------------------------------------------------------------------
+# BM25 lexical retrieval: integer Okapi ranking via the fixed-point log2
+# ---------------------------------------------------------------------------
+
+_BM_NQ = 5  # probe documents (doc-as-query retrieval)
+_BM_K1 = 1200  # k1 = 1.2, milli-units
+_BM_B = 750  # b = 0.75, milli-units
+_BM_TOPK = 5
+
+
+def _bm25_oracle() -> str:
+    from bigdatasmallprice_spark.operators.distill import DUCK_DIV, rdiv
+    from bigdatasmallprice_spark.operators.dsir import log2m
+
+    op = DUCK_DIV
+    idf = f"({log2m('nn + 1', op)} - {log2m('df + 1', op)})"
+    nd = f"(250 + {rdiv('750 * dl * nn', 'toks', op)})"
+    tf_term = rdiv(
+        f"tf * {_BM_K1 + 1000} * 1000",
+        f"tf * 1000 + {rdiv(f'{_BM_K1} * nd_milli', '1000', op)}",
+        op,
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+g AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn, CAST(SUM(dl) AS BIGINT) AS toks FROM dl),
+qt AS (
+  SELECT tf.doc_id AS query_id, tf.term
+  FROM tf WHERE tf.doc_id < {_BM_NQ}
+),
+scored AS (
+  SELECT qt.query_id, tf.doc_id AS cand_id,
+         CAST(SUM({rdiv('idf_milli * tf_milli', '1000', op)}) AS BIGINT) AS score_milli
+  FROM qt
+  JOIN tf ON tf.term = qt.term AND tf.doc_id != qt.query_id
+  JOIN (
+    SELECT doc_id, term, idf_milli,
+           CAST({tf_term} AS BIGINT) AS tf_milli
+    FROM (
+      SELECT tf.doc_id, tf.term, tf.tf,
+             CAST({idf} AS BIGINT) AS idf_milli,
+             CAST({nd} AS BIGINT) AS nd_milli
+      FROM tf
+      JOIN dfq USING (term)
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN g
+    )
+  ) w ON w.doc_id = tf.doc_id AND w.term = tf.term
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, cand_id, score_milli,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score_milli DESC, cand_id) AS rank
+  FROM scored
+)
+SELECT query_id, cand_id, score_milli, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {_BM_TOPK}
+"""
+
+
+@register(
+    "bm25_topk",
+    _bm25_oracle(),
+    doc="Okapi BM25 lexical retrieval (Robertson-Walker), all-integer: "
+    "idf_milli = log2m(N+1) - log2m(df+1) via the deterministic "
+    "Mitchell fixed-point log2 (operators/dsir.py — integer part "
+    "exact from the binary-string length, no libm), tf saturation "
+    "k1=1.2 and length normalization b=0.75 as explicitly-rounded "
+    "milli-unit rationals (dl/avgdl kept exact as dl*N/total_tokens), "
+    "so the ranking replays bit-identically in both engines. The "
+    "missing LEXICAL member of the retrieval family (ann_* is dense, "
+    "hybrid_search_rrf fuses; this is the BM25 leg a production "
+    "hybrid stack actually runs): probe docs query by ALL their "
+    "distinct terms — this corpus's 31-term vocabulary is everywhere, "
+    "so a df stopword cap would empty the query; idf does the "
+    "downweighting here, and a production deployment bounds the term "
+    "equi-join with a df cap exactly like hybrid_search_rrf's "
+    "_RRF_MAXDF (candidate volume = probe terms x df, never the "
+    "corpus square). Candidates score in one (query, cand) aggregate, top-5 by "
+    "(score DESC, cand_id). Model tables (df, dl, the 2-scalar "
+    "global) are vocabulary/corpus-count-sized aggregates computed "
+    "map-side.",
+    tags=("similarity", "topk", "text"),
+)
+def bm25_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from bigdatasmallprice_spark.operators.distill import SPARK_DIV, rdiv
+    from bigdatasmallprice_spark.operators.dsir import log2m
+
+    op = SPARK_DIV
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.expr("filter(split(text, ' '), w -> w <> '')")).alias("term"),
+    )
+    tf = tok.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    ).persist()
+    dfq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+    g = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("nn"),
+        F.sum("dl").cast("long").alias("toks"),
+    )
+    idf = f"({log2m('nn + 1', op)} - {log2m('df + 1', op)})"
+    nd = f"(250 + {rdiv('750 * dl * nn', 'toks', op)})"
+    weighted = (
+        tf.join(dfq, "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(g))
+        .selectExpr(
+            "doc_id", "term", "tf",
+            f"CAST({idf} AS BIGINT) AS idf_milli",
+            f"CAST({nd} AS BIGINT) AS nd_milli",
+        )
+        .selectExpr(
+            "doc_id", "term", "idf_milli",
+            "CAST("
+            + rdiv(
+                f"tf * {_BM_K1 + 1000} * 1000",
+                f"tf * 1000 + {rdiv(f'{_BM_K1} * nd_milli', '1000', op)}",
+                op,
+            )
+            + " AS BIGINT) AS tf_milli",
+        )
+    )
+    qt = tf.filter(F.col("doc_id") < _BM_NQ).select(
+        F.col("doc_id").alias("query_id"), "term"
+    )
+    scored = (
+        F.broadcast(qt)
+        .join(weighted, "term")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("doc_id").alias("cand_id"))
+        .agg(
+            F.sum(F.expr(rdiv("idf_milli * tf_milli", "1000", op)))
+            .cast("long")
+            .alias("score_milli")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_milli").desc(), F.col("cand_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _BM_TOPK)
+        .select("query_id", "cand_id", "score_milli", "rank")
+    )

@@ -90,6 +90,8 @@ DRIVER_ORDER: list[str] = [
     "training_features_stitched",
     "ngram_lm_kn",
     "dsir_importance_sample",
+    "triplet_mining",
+    "bm25_topk",
     # -- r8-firsts, second rows
     "node_embedding_train",
     "langid_train",
@@ -139,8 +141,6 @@ DRIVER_ORDER: list[str] = [
     "dedup_rewrite_hashed",
     "train_gbt_load",
     "bloom_shingle_prefilter_lean",
-    "hll_union_lean",
-    "image_neardup_phash",
     # Every sit-out holds >= 2 green rows (COVERAGE.json is the
     # ledger); earlier rounds' rotation rationales live in git history.
 ]

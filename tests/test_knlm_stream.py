@@ -1,0 +1,56 @@
+"""Streaming KN LM training (streaming/knlm_stream.py): the model
+folded over interleaved deliveries equals the batch-trained model
+bit-for-bit and scores identically; a replayed delivery cannot
+double-count."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bigdatasmallprice_spark.operators.knlm import (
+    doc_bigrams,
+    kn_score,
+    kn_train,
+)
+from bigdatasmallprice_spark.streaming.knlm_stream import (
+    read_kn_model,
+    update_kn_counts,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _sorted(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_streamed_model_equals_batch_model_and_scores_identically(
+    spark, tmp_path
+):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    state = str(tmp_path / "kn_state")
+    for i in range(3):
+        update_kn_counts(
+            spark, state, docs.filter(F.col("doc_id") % 3 == i), batch_id=i
+        )
+    streamed = read_kn_model(spark, state)
+    batch = kn_train(doc_bigrams(docs))
+    for t in ("bc", "ctx", "cont", "types"):
+        assert _sorted(streamed[t]) == _sorted(batch[t]), t
+
+    # end to end: scoring any frame from the streamed model equals the
+    # batch model — harmonic means included
+    probe = docs.filter(F.col("doc_id") % 7 == 0)
+    bg = doc_bigrams(probe)
+    assert _sorted(kn_score(bg, streamed)) == _sorted(kn_score(bg, batch))
+
+
+def test_replayed_delivery_does_not_double_count(spark, tmp_path):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    state = str(tmp_path / "kn_state")
+    update_kn_counts(spark, state, docs.filter(F.col("doc_id") % 3 == 0), batch_id=0)
+    update_kn_counts(spark, state, docs.filter(F.col("doc_id") % 3 == 1), batch_id=1)
+    before = _sorted(read_kn_model(spark, state)["bc"])
+    # at-least-once retry of batch 1: watermark must skip the fold
+    update_kn_counts(spark, state, docs.filter(F.col("doc_id") % 3 == 1), batch_id=1)
+    assert _sorted(read_kn_model(spark, state)["bc"]) == before
