@@ -191,3 +191,189 @@ kn AS (
            AS hm_p_micro
   FROM kna
 )"""
+
+
+# ---------------------------------------------------------------------------
+# Order-3 interpolated Kneser-Ney: the back-off CHAIN (3 -> 2 -> 1)
+# ---------------------------------------------------------------------------
+# The order CCNet-grade filtering actually runs is n >= 3 (KenLM uses
+# 5); the structural content over the bigram model is the RECURSIVE
+# back-off with CONTINUATION counts at every lower order (Chen &
+# Goodman 1998's interpolated KN):
+#
+#   P3(w|u,v) = max(c(uvw) - D, 0)/c(uv.) + lam3(u,v) * P2(w|v)
+#   P2(w|v)   = max(N1+(.vw) - D, 0)/N1+(.v.) + lam2(v) * P1(w)
+#   P1(w)     = N1+(..w) / N1+(...)
+#
+# where every N1+ is a TYPE count over the trigram relation (all
+# lower-order statistics derive from the single trigram count table —
+# the one corpus-scale aggregate), lam_k = D * (distinct-successor
+# count) / (denominator), and unseen histories fall through to the
+# next order (tested). Identical integer quantization discipline as
+# the bigram chain; every table is a shuffle-equi-join model table.
+
+KN3_SCHEMA_DOC = "tc(u,v,w,c3) + five derived type-count tables"
+
+
+def doc_trigrams(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, u, v, w): one row per trigram occurrence, raw-split
+    tokenization (the doc_bigrams convention)."""
+    return docs.selectExpr(
+        "doc_id", f"split({text_col}, ' ') AS t"
+    ).selectExpr(
+        "doc_id",
+        "explode(CASE WHEN size(t) >= 3 THEN "
+        "arrays_zip(slice(t, 1, size(t) - 2), slice(t, 2, size(t) - 2), "
+        "slice(t, 3, size(t) - 2)) ELSE array() END) AS z",
+    ).selectExpr("doc_id", "z['0'] AS u", "z['1'] AS v", "z['2'] AS w")
+
+
+def kn3_train(tg: DataFrame) -> dict[str, DataFrame]:
+    """The six model tables of the order-3 chain, all derived from the
+    trigram count table: tc(u,v,w,c3); tctx(u,v -> c12, nf3);
+    mid(v,w -> n1vw); midctx(v -> nmid, nf2); uni(w -> n1w);
+    types(T3). Every aggregate map-side combines; every table is
+    model-shaped (bounded by type counts, not occurrences)."""
+    tc = tg.groupBy("u", "v", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("c3")
+    )
+    tctx = tc.groupBy("u", "v").agg(
+        F.sum("c3").cast("long").alias("c12"),
+        F.count(F.lit(1)).cast("long").alias("nf3"),
+    )
+    mid = tc.groupBy("v", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("n1vw")
+    )
+    midctx = mid.groupBy("v").agg(
+        F.sum("n1vw").cast("long").alias("nmid"),
+        F.count(F.lit(1)).cast("long").alias("nf2"),
+    )
+    uni = tc.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("n1w"))
+    types = tc.agg(F.count(F.lit(1)).cast("long").alias("T3"))
+    return {
+        "tc": tc,
+        "tctx": tctx,
+        "mid": mid,
+        "midctx": midctx,
+        "uni": uni,
+        "types": types,
+    }
+
+
+def _p3_micro_expr(op: str) -> str:
+    """The order-3 smoothed probability in micro-units over joined
+    columns c3/c12/nf3/n1vw/nmid/nf2/n1w/T3 (each may be NULL for
+    out-of-model lookups; unseen histories fall through an order)."""
+    p1 = rdiv(f"coalesce(n1w, 0) * {MICRO}", "T3", op)
+    lam2 = rdiv(f"{D_MILLI} * nf2 * 1000", "nmid", op)
+    p2main = rdiv(
+        f"greatest(coalesce(n1vw, 0) * 1000 - {D_MILLI}, 0) * 1000",
+        "nmid",
+        op,
+    )
+    p2 = (
+        f"CASE WHEN nmid IS NULL THEN {p1} "
+        f"ELSE ({p2main}) + ({rdiv(f'({lam2}) * ({p1})', str(MICRO), op)}) END"
+    )
+    lam3 = rdiv(f"{D_MILLI} * nf3 * 1000", "c12", op)
+    p3main = rdiv(
+        f"greatest(coalesce(c3, 0) * 1000 - {D_MILLI}, 0) * 1000", "c12", op
+    )
+    return (
+        f"CAST(CASE WHEN c12 IS NULL THEN ({p2}) "
+        f"ELSE ({p3main}) + ({rdiv(f'({lam3}) * ({p2})', str(MICRO), op)}) "
+        "END AS BIGINT)"
+    )
+
+
+def kn3_score(tg: DataFrame, model: dict[str, DataFrame]) -> DataFrame:
+    """(doc_id, n_trigrams, p_sum_micro, avg_p_micro, hm_p_micro):
+    per-document order-3 smoothed aggregates (the kn_score shape one
+    order up). Left joins throughout so out-of-model trigrams back
+    off instead of dropping."""
+    scored = (
+        tg.join(model["tc"], ["u", "v", "w"], "left")
+        .join(model["tctx"], ["u", "v"], "left")
+        .join(model["mid"], ["v", "w"], "left")
+        .join(model["midctx"], "v", "left")
+        .join(model["uni"], "w", "left")
+        .crossJoin(F.broadcast(model["types"]))
+        .selectExpr("doc_id", f"{_p3_micro_expr(SPARK_DIV)} AS pm")
+    )
+    op = SPARK_DIV
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_trigrams"),
+            F.sum("pm").cast("long").alias("p_sum_micro"),
+            F.sum(F.expr(_inv_expr(op))).cast("long").alias("__inv_sum"),
+        )
+        .selectExpr(
+            "doc_id",
+            "n_trigrams",
+            "p_sum_micro",
+            "round(CAST(p_sum_micro AS DOUBLE) / n_trigrams, 6) AS avg_p_micro",
+            f"CAST({rdiv('n_trigrams * ' + str(10**12), '__inv_sum', op)} "
+            "AS BIGINT) AS hm_p_micro",
+        )
+    )
+
+
+def o_kn3_chain_sql(doc_source: str = "documents") -> str:
+    """DuckDB twin as CTE text ending in ``kn3(doc_id, n_trigrams,
+    p_sum_micro, avg_p_micro, hm_p_micro)``."""
+    op = DUCK_DIV
+    return f"""ttoks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM {doc_source}
+),
+tg AS (
+  SELECT doc_id,
+         unnest(t[1:len(t) - 2]) AS u,
+         unnest(t[2:len(t) - 1]) AS v,
+         unnest(t[3:len(t)]) AS w
+  FROM ttoks WHERE len(t) >= 3
+),
+tc AS (
+  SELECT u, v, w, CAST(COUNT(*) AS BIGINT) AS c3 FROM tg GROUP BY 1, 2, 3
+),
+tctx AS (
+  SELECT u, v, CAST(SUM(c3) AS BIGINT) AS c12,
+         CAST(COUNT(*) AS BIGINT) AS nf3
+  FROM tc GROUP BY 1, 2
+),
+mid AS (
+  SELECT v, w, CAST(COUNT(*) AS BIGINT) AS n1vw FROM tc GROUP BY 1, 2
+),
+midctx AS (
+  SELECT v, CAST(SUM(n1vw) AS BIGINT) AS nmid,
+         CAST(COUNT(*) AS BIGINT) AS nf2
+  FROM mid GROUP BY 1
+),
+uni AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS n1w FROM tc GROUP BY 1
+),
+t3types AS (SELECT CAST(COUNT(*) AS BIGINT) AS T3 FROM tc),
+pm3 AS (
+  SELECT tg.doc_id, {_p3_micro_expr(op)} AS pm
+  FROM tg
+  LEFT JOIN tc     ON tc.u = tg.u AND tc.v = tg.v AND tc.w = tg.w
+  LEFT JOIN tctx   ON tctx.u = tg.u AND tctx.v = tg.v
+  LEFT JOIN mid    ON mid.v = tg.v AND mid.w = tg.w
+  LEFT JOIN midctx ON midctx.v = tg.v
+  LEFT JOIN uni    ON uni.w = tg.w
+  CROSS JOIN t3types
+),
+kn3a AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+         CAST(SUM(pm) AS BIGINT) AS p_sum_micro,
+         CAST(SUM({_inv_expr(op)}) AS BIGINT) AS inv_sum
+  FROM pm3 GROUP BY 1
+),
+kn3 AS (
+  SELECT doc_id, n_trigrams, p_sum_micro,
+         round(CAST(p_sum_micro AS DOUBLE) / n_trigrams, 6) AS avg_p_micro,
+         CAST({rdiv("n_trigrams * " + str(10**12), "inv_sum", op)} AS BIGINT)
+           AS hm_p_micro
+  FROM kn3a
+)"""

@@ -652,6 +652,46 @@ def ngram_lm_kn_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kn_score(bg, kn_train(bg))
 
 
+def _kn3_oracle() -> str:
+    from bigdatasmallprice_spark.operators.knlm import o_kn3_chain_sql
+
+    return f"""
+WITH {o_kn3_chain_sql()}
+SELECT doc_id, n_trigrams, p_sum_micro, avg_p_micro, hm_p_micro FROM kn3
+"""
+
+
+@register(
+    "ngram_lm_kn3",
+    _kn3_oracle(),
+    doc="Order-3 interpolated Kneser-Ney (operators/knlm.py) — the "
+    "recursive back-off CHAIN that makes the smoothing CCNet-grade "
+    "(KenLM runs order 5; 3 exhibits the full structure): "
+    "P3(w|u,v) discounts the trigram count and interpolates "
+    "lam3(u,v)*P2(w|v), where P2 uses CONTINUATION type counts "
+    "N1+(.vw)/N1+(.v.) (Chen & Goodman 1998) and falls through to the "
+    "type-count unigram P1(w) = N1+(..w)/N1+(...). ALL lower-order "
+    "statistics derive from the single trigram count table (one "
+    "corpus-scale aggregate; five model-shaped derived tables), "
+    "scoring is shuffle equi-joins on the trigram/bigram/word keys, "
+    "and unseen histories fall through an order (tested). The whole "
+    "chain is the same exact BIGINT micro-unit quantization as "
+    "ngram_lm_kn, replayed bit-identically by the oracle; arithmetic "
+    "AND harmonic per-doc means.",
+    tags=("text", "join", "train", "quality"),
+)
+def ngram_lm_kn3_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdatasmallprice_spark.operators.knlm import (
+        doc_trigrams,
+        kn3_score,
+        kn3_train,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    tg = doc_trigrams(docs).persist()
+    return kn3_score(tg, kn3_train(tg))
+
+
 # ---------------------------------------------------------------------------
 # BPE tokenizer training: the pair-frequency merge step as aggregation
 # ---------------------------------------------------------------------------

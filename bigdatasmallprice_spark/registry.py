@@ -83,15 +83,17 @@ DRIVER_ORDER: list[str] = [
     # out in r8 (last green r5) and as much of the r6 tier (last green
     # r6) as fits under the cap.
     # -- new in r9: the registered scale-safe flagship (SURVEY §7.3's
-    #    single-partition-window hazard closed with an external row)
-    #    the Kneser-Ney smoothed LM (the CCNet-grade upgrade of
-    #    ngram_lm_score), and DSIR importance resampling (the
-    #    content-weighted member of the mixture/sampling surface)
+    #    single-partition-window hazard closed with an external row),
+    #    the Kneser-Ney smoothed LM + its order-3 back-off chain (the
+    #    CCNet-grade upgrades of ngram_lm_score), DSIR importance
+    #    resampling (the content-weighted member of the sampling
+    #    surface), hard-negative triplet mining, and integer BM25
     "training_features_stitched",
     "ngram_lm_kn",
     "dsir_importance_sample",
     "triplet_mining",
     "bm25_topk",
+    "ngram_lm_kn3",
     # -- r8-firsts, second rows
     "node_embedding_train",
     "langid_train",
@@ -140,7 +142,6 @@ DRIVER_ORDER: list[str] = [
     "dedup_rewrite",
     "dedup_rewrite_hashed",
     "train_gbt_load",
-    "bloom_shingle_prefilter_lean",
     # Every sit-out holds >= 2 green rows (COVERAGE.json is the
     # ledger); earlier rounds' rotation rationales live in git history.
 ]

@@ -99,3 +99,77 @@ def test_smoothed_lm_separates_better_than_raw_frequency(spark):
     kn_ratio = kn_clean / kn_shuf
     raw_ratio = raw_clean / raw_shuf
     assert kn_ratio > raw_ratio, (kn_ratio, raw_ratio)
+
+
+# ---------------------------------------------------------------------------
+# order-3 chain
+# ---------------------------------------------------------------------------
+
+
+def test_kn3_closed_form_and_backoff_chain(spark):
+    """Corpus {a b c, a b d, x b c}: trigram types (a,b,c), (a,b,d),
+    (x,b,c). Hand-checked: tc counts all 1; tctx(a,b): c12=2, nf3=2;
+    mid(b,c): n1vw=2; midctx(b): nmid=3, nf2=2; uni(c): n1w=2; T3=3.
+
+    P3(c|a,b): p3main = rdiv(250*1000, 2) = 125000;
+    lam3 = rdiv(750*2*1000, 2) = 750000;
+    P2(c|b): p2main = rdiv((2000-750)*1000, 3) = 416667;
+    lam2 = rdiv(750*2*1000, 3) = 500000;
+    P1(c) = rdiv(2e6, 3) = 666667;
+    p2 = 416667 + rdiv(500000*666667, 1e6) = 416667 + 333334 = 750001;
+    p3 = 125000 + rdiv(750000*750001, 1e6) = 125000 + 562501 = 687501."""
+    from bigdatasmallprice_spark.operators.knlm import (
+        doc_trigrams,
+        kn3_score,
+        kn3_train,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "a b c"), (1, "a b d"), (2, "x b c")],
+        "doc_id long, text string",
+    )
+    tg = doc_trigrams(docs)
+    model = kn3_train(tg)
+    scores = {r.doc_id: r for r in kn3_score(tg, model).collect()}
+    assert scores[0].n_trigrams == 1
+    assert scores[0].p_sum_micro == 687501
+
+    # unseen trigram context (q,b): falls through to P2(c|b) = 750001
+    probe = spark.createDataFrame([(9, "q b c")], "doc_id long, text string")
+    row = kn3_score(doc_trigrams(probe), model).collect()[0]
+    assert row.p_sum_micro == 750001
+    # unseen middle word: falls through to P1(c) = 666667
+    probe2 = spark.createDataFrame([(8, "q z c")], "doc_id long, text string")
+    row2 = kn3_score(doc_trigrams(probe2), model).collect()[0]
+    assert row2.p_sum_micro == 666667
+    # fully unseen: zero
+    probe3 = spark.createDataFrame([(7, "q z y")], "doc_id long, text string")
+    row3 = kn3_score(doc_trigrams(probe3), model).collect()[0]
+    assert row3.p_sum_micro == 0
+
+
+def test_kn3_separates_clean_from_sorted_twins(spark):
+    from bigdatasmallprice_spark.operators.knlm import (
+        doc_trigrams,
+        kn3_score,
+        kn3_train,
+    )
+
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", "text")
+        .filter(F.expr("size(split(text, ' ')) >= 5"))
+    )
+    shuffled = docs.select(
+        "doc_id",
+        F.expr("array_join(array_sort(split(text, ' ')), ' ')").alias("text"),
+    )
+    tg_clean = doc_trigrams(docs).persist()
+    model = kn3_train(tg_clean)
+
+    def mean_of(df):
+        return df.agg(F.avg("hm_p_micro")).collect()[0][0]
+
+    clean = mean_of(kn3_score(tg_clean, model))
+    shuf = mean_of(kn3_score(doc_trigrams(shuffled), model))
+    assert clean > shuf, (clean, shuf)

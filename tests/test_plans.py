@@ -733,3 +733,28 @@ def test_stitch_operators_window_inside_buckets(spark):
         base, "v", 24, "h", bucket, "s24", "n24", validate=False
     )
     _assert_no_unpartitioned_corpus_window(_formatted(rolled))
+
+
+def test_kn_and_bm25_model_joins_are_equi_not_cartesian(spark):
+    """The LM/retrieval model tables join on their word keys; the only
+    nested-loop joins allowed are vs broadcast 1-row scalars (the KN
+    type count, BM25's 2-scalar global)."""
+    from bigdatasmallprice_spark.registry import all_queries
+
+    for name in ("ngram_lm_kn", "ngram_lm_kn3", "bm25_topk"):
+        spark.catalog.clearCache()
+        plan = _formatted(all_queries()[name].fn(spark, SF))
+        assert "CartesianProduct" not in plan, (name, plan[:400])
+        assert "MapInPandas" not in plan and "EvalPython" not in plan, name
+
+
+def test_dsir_ratio_table_broadcasts_and_rank_is_band_bounded(spark):
+    """The DSIR score join is vs the broadcast model-sized ratio table;
+    the only rank window runs over ONE band's rows (never the corpus)."""
+    from bigdatasmallprice_spark.registry import all_queries
+
+    spark.catalog.clearCache()
+    df = all_queries()["dsir_importance_sample"].fn(spark, SF)
+    plan = _formatted(df)
+    assert "CartesianProduct" not in plan, plan[:400]
+    assert "BroadcastHashJoin" in plan, plan[:400]
