@@ -1369,4 +1369,6 @@ def hard_triplets(
             F.col("sim").alias("neg_sim"),
         )
     )
-    return pos.join(neg, "anchor_id")
+    # both sides are anchor-count-sized (post top-1 windows); hint the
+    # broadcast because window outputs carry no stats for AQE
+    return pos.join(F.broadcast(neg), "anchor_id")

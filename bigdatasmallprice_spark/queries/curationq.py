@@ -1511,3 +1511,198 @@ def dsir_importance_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "AS BIGINT) AS keep",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# curation pipeline v2: the r8/r9 stages composed into one funnel
+# ---------------------------------------------------------------------------
+
+
+def _pipeline_v2_oracle() -> str:
+    from bigdatasmallprice_spark.operators.distill import DUCK_DIV, rdiv
+    from bigdatasmallprice_spark.operators.dsir import o_dsir_chain_sql
+    from bigdatasmallprice_spark.operators.knlm import o_kn_chain_sql
+    from bigdatasmallprice_spark.queries.textq import _NT, _NU, _SH, _gr_flags_sql
+
+    op = DUCK_DIV
+    nc = "CAST(length(replace(text, ' ', '')) AS BIGINT)"
+    flags = ", ".join(_gr_flags_sql(_NT, _NU, _SH, nc))
+    from bigdatasmallprice_spark.functions.texts import o_bag_fingerprint
+
+    return f"""
+WITH {o_kn_chain_sql()},
+{o_dsir_chain_sql(_DSIR_TARGET)},
+hm_thr AS (SELECT CAST({rdiv('SUM(hm_p_micro)', 'COUNT(*)', op)} AS BIGINT)
+             AS thr FROM kn),
+lw_thr AS (SELECT CAST({rdiv('SUM(lw_milli)', 'COUNT(*)', op)} AS BIGINT)
+             AS thr FROM dw),
+basev2 AS (
+  SELECT d.doc_id, d.source, {_NT} AS nt, {flags},
+         {o_bag_fingerprint('text')} AS bag_fp,
+         kn.hm_p_micro, dw.lw_milli
+  FROM documents d
+  LEFT JOIN kn ON kn.doc_id = d.doc_id
+  LEFT JOIN dw ON dw.doc_id = d.doc_id
+),
+gated AS (
+  SELECT *,
+         (f_wc + f_mwl + f_stop + f_ttr = 0) AS g_pass,
+         (f_wc + f_mwl + f_stop + f_ttr = 0
+          AND hm_p_micro IS NOT NULL
+          AND hm_p_micro >= (SELECT thr FROM hm_thr)) AS lm_pass,
+         (f_wc + f_mwl + f_stop + f_ttr = 0
+          AND hm_p_micro IS NOT NULL
+          AND hm_p_micro >= (SELECT thr FROM hm_thr)
+          AND lw_milli IS NOT NULL
+          AND lw_milli >= (SELECT thr FROM lw_thr)) AS d_pass
+  FROM basev2
+),
+survv2 AS (
+  SELECT *, MIN(doc_id) OVER (PARTITION BY bag_fp) AS keeper
+  FROM gated WHERE d_pass
+),
+agg1 AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(COALESCE(SUM(CASE WHEN g_pass THEN 1 END), 0) AS BIGINT) AS n_gopher,
+         CAST(COALESCE(SUM(CASE WHEN lm_pass THEN 1 END), 0) AS BIGINT) AS n_lm,
+         CAST(COALESCE(SUM(CASE WHEN d_pass THEN 1 END), 0) AS BIGINT) AS n_dsir
+  FROM gated GROUP BY 1
+),
+agg2 AS (
+  SELECT source,
+         CAST(COALESCE(SUM(CASE WHEN doc_id = keeper THEN 1 END), 0) AS BIGINT) AS n_canonical,
+         CAST(COALESCE(SUM(CASE WHEN doc_id = keeper THEN nt END), 0) AS BIGINT) AS tokens_final
+  FROM survv2 GROUP BY 1
+)
+SELECT a.source, a.n_docs, a.n_gopher, a.n_lm, a.n_dsir,
+       COALESCE(b.n_canonical, 0) AS n_canonical,
+       COALESCE(b.tokens_final, 0) AS tokens_final
+FROM agg1 a LEFT JOIN agg2 b USING (source)
+"""
+
+
+@register(
+    "curation_pipeline_v2",
+    _pipeline_v2_oracle(),
+    doc="The r8/r9 curation stages COMPOSED into one funnel — the "
+    "successor of curation_funnel with the trained/model-based gates "
+    "a modern pipeline runs: Gopher rule gate (all four integer rules "
+    "pass) -> Kneser-Ney LM gate (harmonic smoothed probability >= "
+    "the corpus integer mean — the perplexity cut; docs too short to "
+    "score fail) -> DSIR importance gate (log-weight toward the "
+    "English target >= the corpus integer mean — the registered "
+    "exact-top-k query demonstrates the band selection; the "
+    "composition uses the mean threshold, one scalar) -> exact-dedup "
+    "canonical selection among full survivors (lowest doc_id per bag "
+    "fingerprint). Per-source attrition: docs at each gate, canonical "
+    "count, final token mass. Catalyst sees every stage in one DAG: "
+    "one documents scan feeds the stats/flags path, the bigram LM "
+    "chain and the hashed-bucket featurizer; both model tables join "
+    "back by doc_id; thresholds are broadcast 1-row scalars; the only "
+    "window keys on bag_fp. The per-stage accounting a 100 TB run "
+    "reports, now with the model-gated stages.",
+    tags=("curation", "text", "quality", "agg"),
+)
+def curation_pipeline_v2_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from bigdatasmallprice_spark.functions.texts import (
+        STOPWORDS_EN,
+        bag_fingerprint,
+        n_unique_tokens,
+        o_n_tokens,
+        stopword_hits,
+    )
+    from bigdatasmallprice_spark.operators.distill import SPARK_DIV, rdiv
+    from bigdatasmallprice_spark.operators.dsir import (
+        dsir_features,
+        dsir_weights,
+        log_ratio_table,
+    )
+    from bigdatasmallprice_spark.operators.knlm import (
+        doc_bigrams,
+        kn_score,
+        kn_train,
+    )
+    from bigdatasmallprice_spark.queries.textq import _gr_flags_sql
+
+    op = SPARK_DIV
+    docs = table(spark, sf_dir, "documents")
+    bg = doc_bigrams(docs).persist()
+    kn = kn_score(bg, kn_train(bg)).select("doc_id", "hm_p_micro")
+    feats = dsir_features(docs).persist()
+    wts = dsir_weights(feats, log_ratio_table(feats, _DSIR_TARGET))
+
+    hm_thr = kn.agg(
+        F.sum("hm_p_micro").alias("s"), F.count(F.lit(1)).alias("n")
+    ).selectExpr(f"CAST({rdiv('s', 'n', op)} AS BIGINT) AS hm_thr")
+    lw_thr = wts.agg(
+        F.sum("lw_milli").alias("s"), F.count(F.lit(1)).alias("n")
+    ).selectExpr(f"CAST({rdiv('s', 'n', op)} AS BIGINT) AS lw_thr")
+
+    nc = "CAST(length(replace(text, ' ', '')) AS BIGINT)"
+    t = F.col("text")
+    base = docs.select(
+        "doc_id",
+        "source",
+        "text",
+        n_unique_tokens(t).alias("nu_x"),
+        stopword_hits(t, STOPWORDS_EN).alias("sh_x"),
+        bag_fingerprint(t).alias("bag_fp"),
+    ).selectExpr(
+        "doc_id", "source", "bag_fp",
+        f"{o_n_tokens('text')} AS nt",
+        *_gr_flags_sql(o_n_tokens("text"), "nu_x", "sh_x", nc),
+    )
+    gated = (
+        base.join(kn, "doc_id", "left")
+        .join(wts, "doc_id", "left")
+        .crossJoin(F.broadcast(hm_thr))
+        .crossJoin(F.broadcast(lw_thr))
+        .selectExpr(
+            "doc_id", "source", "bag_fp", "nt",
+            "(f_wc + f_mwl + f_stop + f_ttr = 0) AS g_pass",
+            "(f_wc + f_mwl + f_stop + f_ttr = 0 AND hm_p_micro IS NOT NULL "
+            "AND hm_p_micro >= hm_thr) AS lm_pass",
+            "(f_wc + f_mwl + f_stop + f_ttr = 0 AND hm_p_micro IS NOT NULL "
+            "AND hm_p_micro >= hm_thr AND lw_milli IS NOT NULL "
+            "AND lw_milli >= lw_thr) AS d_pass",
+        )
+        .persist()
+    )
+    agg1 = gated.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.coalesce(F.sum(F.when(F.col("g_pass"), 1)), F.lit(0))
+        .cast("long")
+        .alias("n_gopher"),
+        F.coalesce(F.sum(F.when(F.col("lm_pass"), 1)), F.lit(0))
+        .cast("long")
+        .alias("n_lm"),
+        F.coalesce(F.sum(F.when(F.col("d_pass"), 1)), F.lit(0))
+        .cast("long")
+        .alias("n_dsir"),
+    )
+    surv = gated.filter(F.col("d_pass")).withColumn(
+        "keeper", F.min("doc_id").over(Window.partitionBy("bag_fp"))
+    )
+    agg2 = surv.groupBy("source").agg(
+        F.coalesce(F.sum(F.when(F.col("doc_id") == F.col("keeper"), 1)), F.lit(0))
+        .cast("long")
+        .alias("n_canonical"),
+        F.coalesce(
+            F.sum(F.when(F.col("doc_id") == F.col("keeper"), F.col("nt"))),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("tokens_final"),
+    )
+    z = F.lit(0).cast("long")
+    return (
+        agg1.join(agg2, "source", "left")
+        .select(
+            "source", "n_docs", "n_gopher", "n_lm", "n_dsir",
+            F.coalesce("n_canonical", z).alias("n_canonical"),
+            F.coalesce("tokens_final", z).alias("tokens_final"),
+        )
+    )

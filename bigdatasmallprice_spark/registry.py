@@ -87,13 +87,15 @@ DRIVER_ORDER: list[str] = [
     #    the Kneser-Ney smoothed LM + its order-3 back-off chain (the
     #    CCNet-grade upgrades of ngram_lm_score), DSIR importance
     #    resampling (the content-weighted member of the sampling
-    #    surface), hard-negative triplet mining, and integer BM25
+    #    surface), hard-negative triplet mining, integer BM25, and the
+    #    composed curation pipeline v2 (Gopher -> KN -> DSIR -> dedup)
     "training_features_stitched",
     "ngram_lm_kn",
     "dsir_importance_sample",
     "triplet_mining",
     "bm25_topk",
     "ngram_lm_kn3",
+    "curation_pipeline_v2",
     # -- r8-firsts, second rows
     "node_embedding_train",
     "langid_train",
@@ -141,7 +143,6 @@ DRIVER_ORDER: list[str] = [
     "hll_union_distinct",
     "dedup_rewrite",
     "dedup_rewrite_hashed",
-    "train_gbt_load",
     # Every sit-out holds >= 2 green rows (COVERAGE.json is the
     # ledger); earlier rounds' rotation rationales live in git history.
 ]

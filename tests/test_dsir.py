@@ -87,3 +87,17 @@ def test_weights_deterministic_and_model_sized_ratio_table(spark):
     a = sorted(map(tuple, dsir_weights(feats, lr).collect()))
     b = sorted(map(tuple, dsir_weights(feats, lr).collect()))
     assert a == b
+
+
+def test_curation_pipeline_v2_funnel_is_monotone_and_nonempty(spark):
+    rows = all_queries()["curation_pipeline_v2"].fn(spark, SF).collect()
+    assert len(rows) == 20  # every source reports
+    assert sum(r.n_canonical for r in rows) > 0
+    assert sum(r.tokens_final for r in rows) > 0
+    for r in rows:
+        assert (
+            r.n_docs >= r.n_gopher >= r.n_lm >= r.n_dsir >= r.n_canonical >= 0
+        ), r
+    # the model gates actually cut something corpus-wide
+    assert sum(r.n_lm for r in rows) < sum(r.n_gopher for r in rows)
+    assert sum(r.n_dsir for r in rows) < sum(r.n_lm for r in rows)

@@ -1,0 +1,62 @@
+"""Streaming DSIR statistics (streaming/dsir_stream.py): the folded
+model equals the batch model bit-for-bit over interleaved deliveries
+and weighs documents identically; replays cannot double-count; the
+target-predicate pin refuses a different target definition."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdatasmallprice_spark.operators.dsir import (
+    dsir_features,
+    dsir_weights,
+    log_ratio_table,
+)
+from bigdatasmallprice_spark.streaming.dsir_stream import (
+    read_log_ratio_table,
+    update_dsir_counts,
+)
+
+SF = "/root/testdata/sf0.001"
+PRED = "lang = 'en'"
+
+
+def _sorted(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_streamed_ratio_table_and_weights_equal_batch(spark, tmp_path):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    state = str(tmp_path / "dsir_state")
+    for i in range(3):
+        update_dsir_counts(
+            spark,
+            state,
+            docs.filter(F.col("doc_id") % 3 == i),
+            PRED,
+            batch_id=i,
+        )
+    streamed_lr = read_log_ratio_table(spark, state)
+    feats = dsir_features(docs).persist()
+    batch_lr = log_ratio_table(feats, PRED)
+    assert _sorted(streamed_lr) == _sorted(batch_lr)
+    # end to end: weights from the streamed model == batch weights
+    assert _sorted(dsir_weights(feats, streamed_lr)) == _sorted(
+        dsir_weights(feats, batch_lr)
+    )
+
+
+def test_replay_and_target_pin(spark, tmp_path):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    state = str(tmp_path / "dsir_state")
+    update_dsir_counts(spark, state, docs.filter("doc_id % 2 = 0"), PRED, batch_id=0)
+    before = _sorted(read_log_ratio_table(spark, state))
+    # at-least-once retry: skipped
+    update_dsir_counts(spark, state, docs.filter("doc_id % 2 = 0"), PRED, batch_id=0)
+    assert _sorted(read_log_ratio_table(spark, state)) == before
+    # a different target definition must refuse to fold
+    with pytest.raises(ValueError, match="different parameters"):
+        update_dsir_counts(
+            spark, state, docs.filter("doc_id % 2 = 1"), "lang = 'fr'", batch_id=1
+        )
