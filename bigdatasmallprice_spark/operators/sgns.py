@@ -381,21 +381,37 @@ def o_sgns_chain_sql(
         o_walk_chain_sql,
     )
 
-    op = DUCK_DIV
-    nkey = (
-        "'ng:' || CAST(center AS VARCHAR) || ':' || "
-        "CAST(context AS VARCHAR) || ':' || CAST(j AS VARCHAR)"
-    )
-    parts = [
-        f"""{o_walk_chain_sql()},
+    prefix = f"""{o_walk_chain_sql()},
 sgp AS MATERIALIZED (
   SELECT a.node AS center, b.node AS context, CAST(COUNT(*) AS BIGINT) AS cnt
   FROM walks a JOIN walks b
     ON a.start = b.start AND a.w = b.w AND a.step <> b.step
    AND abs(a.step - b.step) <= {SKIPGRAM_WINDOW}
   GROUP BY 1, 2
-),
-nidx AS MATERIALIZED (
+)"""
+    return prefix + ",\n" + o_sgns_core_sql(iters, dim, neg_per_pos)
+
+
+def o_sgns_core_sql(
+    iters: int = SGNS_ITERS,
+    dim: int = EMB_DIM,
+    neg_per_pos: int = NEG_PER_POS,
+) -> str:
+    """The corpus-independent tail of the SGNS oracle: everything
+    downstream of ``sgp(center, context, cnt)`` and ``nodes(node)`` —
+    deterministic negatives -> train -> md5 init -> ``iters`` unrolled
+    GD blocks, ending with ``emb{iters}``. Callers prepend their own
+    corpus prefix: the walk corpus for graph embeddings
+    (o_sgns_chain_sql), token co-occurrence windows for word
+    embeddings (operators/word2vec.py) — the SAME trajectory trains
+    both, which is the point of SGNS."""
+    op = DUCK_DIV
+    nkey = (
+        "'ng:' || CAST(center AS VARCHAR) || ':' || "
+        "CAST(context AS VARCHAR) || ':' || CAST(j AS VARCHAR)"
+    )
+    parts = [
+        f"""nidx AS MATERIALIZED (
   SELECT CAST(row_number() OVER (ORDER BY node) - 1 AS BIGINT) AS nidx,
          node AS neg
   FROM nodes

@@ -1,0 +1,103 @@
+"""word2vec on text: the SGNS trainer applied to token co-occurrence.
+
+operators/sgns.py trains skip-gram-with-negative-sampling over a
+GRAPH walk corpus (DeepWalk); this module feeds it the corpus word2vec
+was born on — token windows over documents (Mikolov et al. 2013). The
+entire trajectory (deterministic negatives, md5 init, the all-integer
+full-batch GD) is REUSED unchanged: sgns_training_pairs / sgns_fit
+never cared what a "node" is, and string word keys ride through every
+expression (the md5 keys CAST to VARCHAR, the negative draw lands on
+the ranked vocabulary index). The oracle composes the same way: a
+token-window prefix producing ``sgp(center, context, cnt)`` +
+``nodes(node)`` in front of o_sgns_core_sql's corpus-independent GD
+chain — one trajectory, two corpora, which is the point of SGNS.
+
+Pair corpus: symmetric skip-gram windows of width SKIPGRAM_WINDOW
+over the NON-EMPTY token positions of each document (the langid
+tokenization), harvested with a doc-keyed position self-join (the
+walks' own sgp shape: equi-join on the sequence id plus a bounded
+position-distance predicate — at 100 TB each task windows its own
+documents, nothing global). Vocabulary = distinct tokens.
+
+Scale: the model state is a DataFrame (word, dim, u, v) exactly as in
+the graph fit; the vocabulary table replaces the node table. Per GD
+iteration the cost is the same two broadcast joins + one word-keyed
+aggregate (sgns.py's plan notes apply verbatim).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from bigdatasmallprice_spark.operators.sgns import (
+    NEG_PER_POS,
+    SGNS_ITERS,
+    o_sgns_core_sql,
+)
+from bigdatasmallprice_spark.operators.walks import SKIPGRAM_WINDOW
+
+# non-empty whitespace tokens — the house tokenization (langid.py)
+_SPARK_TOKS = "filter(split(text, ' '), w -> w <> '')"
+_DUCK_TOKS = "list_filter(string_split(text, ' '), w -> w <> '')"
+
+
+def word_positions(docs: DataFrame) -> DataFrame:
+    """(doc_id, pos, wd): 1-based token positions per document."""
+    return docs.selectExpr(
+        "doc_id", f"posexplode({_SPARK_TOKS}) AS (pos0, wd)"
+    ).selectExpr("doc_id", "pos0 + 1 AS pos", "wd")
+
+
+def word_skipgram_pairs(
+    docs: DataFrame, window: int = SKIPGRAM_WINDOW
+) -> DataFrame:
+    """(center, context, cnt): symmetric token-window co-occurrence
+    counts — the word2vec positive-pair corpus. Doc-keyed position
+    self-join (the walks sgp shape)."""
+    p = word_positions(docs)
+    a = p.alias("a")
+    b = p.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.pos") != F.col("b.pos"))
+            & (F.abs(F.col("a.pos") - F.col("b.pos")) <= window),
+        )
+        .groupBy(
+            F.col("a.wd").alias("center"), F.col("b.wd").alias("context")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def vocab_nodes(docs: DataFrame) -> DataFrame:
+    """(node): the distinct-token vocabulary."""
+    return docs.selectExpr(f"explode({_SPARK_TOKS}) AS node").distinct()
+
+
+def o_word2vec_chain_sql(
+    iters: int = SGNS_ITERS,
+    window: int = SKIPGRAM_WINDOW,
+    neg_per_pos: int = NEG_PER_POS,
+    doc_source: str = "documents",
+) -> str:
+    """DuckDB twin: the token-window prefix in front of the shared
+    corpus-independent SGNS core. Ends with ``emb{iters}``."""
+    prefix = f"""wtoks AS (
+  SELECT doc_id, {_DUCK_TOKS} AS t FROM {doc_source}
+),
+wpos AS (
+  SELECT doc_id, unnest(t) AS wd, generate_subscripts(t, 1) AS pos
+  FROM wtoks
+),
+sgp AS MATERIALIZED (
+  SELECT a.wd AS center, b.wd AS context, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM wpos a JOIN wpos b
+    ON a.doc_id = b.doc_id AND a.pos <> b.pos
+   AND abs(a.pos - b.pos) <= {window}
+  GROUP BY 1, 2
+),
+nodes AS (SELECT DISTINCT wd AS node FROM wpos)"""
+    return prefix + ",\n" + o_sgns_core_sql(iters, neg_per_pos=neg_per_pos)

@@ -692,6 +692,60 @@ def ngram_lm_kn3_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kn3_score(tg, kn3_train(tg))
 
 
+def _word2vec_oracle() -> str:
+    from bigdatasmallprice_spark.operators.sgns import SGNS_ITERS
+    from bigdatasmallprice_spark.operators.word2vec import o_word2vec_chain_sql
+
+    return f"""WITH {o_word2vec_chain_sql()}
+SELECT node AS word, dim, u AS u_micro, v AS v_micro
+FROM emb{SGNS_ITERS}
+"""
+
+
+@register(
+    "word_embedding_train",
+    _word2vec_oracle(),
+    doc="word2vec on TEXT (operators/word2vec.py): the all-integer "
+    "SGNS trainer node_embedding_train verified on the graph walk "
+    "corpus, fed the corpus word2vec was born on — symmetric token "
+    "co-occurrence windows over documents (Mikolov 2013). The "
+    "trajectory (md5-deterministic negatives, md5 init, full-batch "
+    "integer GD with the rational sigmoid) is REUSED UNCHANGED: "
+    "string word keys ride through every expression and the oracle "
+    "composes the token-window prefix onto the same corpus-"
+    "independent GD chain (o_sgns_core_sql) the graph oracle uses — "
+    "one trajectory, two corpora. Pair harvest is a doc-keyed "
+    "position self-join (bounded window, nothing global); the model "
+    "state is a (word, dim, u, v) DataFrame, vocabulary-sized tables "
+    "broadcast. Output: the final input/output embedding entries per "
+    "(word, dim).",
+    tags=("text", "train", "join", "curation"),
+)
+def word_embedding_train_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdatasmallprice_spark.operators.sgns import (
+        sgns_fit,
+        sgns_init,
+        sgns_training_pairs,
+    )
+    from bigdatasmallprice_spark.operators.word2vec import (
+        vocab_nodes,
+        word_skipgram_pairs,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = word_skipgram_pairs(docs)
+    nodes = vocab_nodes(docs).persist()
+    n = nodes.count()  # vocabulary scalar (the graph fit's n)
+    train = sgns_training_pairs(pairs, nodes, n).persist()
+    emb = sgns_fit(train, sgns_init(nodes))
+    return emb.select(
+        F.col("node").alias("word"),
+        "dim",
+        F.col("u").alias("u_micro"),
+        F.col("v").alias("v_micro"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # BPE tokenizer training: the pair-frequency merge step as aggregation
 # ---------------------------------------------------------------------------

@@ -87,8 +87,10 @@ DRIVER_ORDER: list[str] = [
     #    the Kneser-Ney smoothed LM + its order-3 back-off chain (the
     #    CCNet-grade upgrades of ngram_lm_score), DSIR importance
     #    resampling (the content-weighted member of the sampling
-    #    surface), hard-negative triplet mining, integer BM25, and the
-    #    composed curation pipeline v2 (Gopher -> KN -> DSIR -> dedup)
+    #    surface), hard-negative triplet mining, integer BM25, the
+    #    composed curation pipeline v2 (Gopher -> KN -> DSIR -> dedup),
+    #    and word2vec on text (the graph-verified SGNS trainer fed
+    #    token co-occurrence windows)
     "training_features_stitched",
     "ngram_lm_kn",
     "dsir_importance_sample",
@@ -96,6 +98,7 @@ DRIVER_ORDER: list[str] = [
     "bm25_topk",
     "ngram_lm_kn3",
     "curation_pipeline_v2",
+    "word_embedding_train",
     # -- r8-firsts, second rows
     "node_embedding_train",
     "langid_train",
@@ -142,7 +145,6 @@ DRIVER_ORDER: list[str] = [
     "zorder_pruning",
     "hll_union_distinct",
     "dedup_rewrite",
-    "dedup_rewrite_hashed",
     # Every sit-out holds >= 2 green rows (COVERAGE.json is the
     # ledger); earlier rounds' rotation rationales live in git history.
 ]
