@@ -82,6 +82,18 @@ QUERIES = [
     "randomwalk_skipgram_pairs",
     "lpa_communities",
     "token_budget_sample",
+    # r9 additions (registered scale-safe flagship + the LM/retrieval/
+    # sampling family; training_features_stitched is also appended by
+    # the no-args special case below — listing it here keeps the row
+    # refreshed on partial runs too)
+    "training_features_stitched",
+    "ngram_lm_kn",
+    "ngram_lm_kn3",
+    "dsir_importance_sample",
+    "triplet_mining",
+    "bm25_topk",
+    "curation_pipeline_v2",
+    "word_embedding_train",
 ]
 
 
