@@ -1476,6 +1476,11 @@ def dsir_importance_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # band into <= 4096 buckets, resolve the exact boundary driver-side
     # on the band-count-sized histogram
     lo, hi = w.agg(F.min("lw_milli"), F.max("lw_milli")).collect()[0]
+    # w's cache is filled by that action; feats is fully consumed —
+    # release it now instead of leaking it for the session (r9 ADVICE;
+    # w itself stays cached for the caller's materialization and is
+    # released by caching.released_caches / bench's clearCache).
+    feats.unpersist()
     if lo is None:
         return w.select("doc_id", "lw_milli", F.lit(0).cast("long").alias("keep"))
     bw = max((hi - lo) // 4096, 1) + 1
@@ -1629,6 +1634,11 @@ def curation_pipeline_v2_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     op = SPARK_DIV
     docs = table(spark, sf_dir, "documents")
+    # bg / feats / gated feed multiple branches of the ONE returned
+    # plan and nothing is materialized in-function, so they must stay
+    # persisted until the caller's action; release discipline is the
+    # session-level convention (caching.released_caches — what serving
+    # and bench use; covered in tests/test_caching.py).
     bg = doc_bigrams(docs).persist()
     kn = kn_score(bg, kn_train(bg)).select("doc_id", "hm_p_micro")
     feats = dsir_features(docs).persist()

@@ -1019,13 +1019,37 @@ def langid_eval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-_LANGID_FIT_MEMO: dict[str, dict[str, list[int]]] = {}
+_LANGID_FIT_MEMO: dict[tuple, dict[str, list[int]]] = {}
+
+
+def _documents_fingerprint(sf_dir: str) -> tuple:
+    """(path, mtime_ns, size) tuples for the documents parquet data —
+    the memo key's staleness guard: regenerating the data under an
+    unchanged sf_dir path invalidates the cached fit (r9 ADVICE)."""
+    import os
+
+    root = os.path.join(sf_dir, "documents.parquet")
+    paths = [root]
+    if os.path.isdir(root):
+        paths = sorted(
+            os.path.join(d, f)
+            for d, _, fs in os.walk(root)
+            for f in fs
+            if not f.startswith((".", "_"))
+        )
+    out = []
+    for p in paths:
+        st = os.stat(p)
+        out.append((p, st.st_mtime_ns, st.st_size))
+    return tuple(out)
 
 
 def _langid_fit_for(spark: SparkSession, sf_dir: str) -> dict[str, list[int]]:
     """Fit — or reuse this session's fit of — the langid model on the
     doc_id%5<>0 train slice. The fit is deterministic (all-integer
-    trajectory), so memoizing per sf_dir changes no value anywhere; it
+    trajectory), so memoizing per (sf_dir, data fingerprint) changes no
+    value anywhere — the mtime/size fingerprint invalidates the memo if
+    the parquet under the path is regenerated mid-session; it
     only stops langid_trained_eval from replaying langid_train's full
     GD chain inside the same session (the r8 VERDICT note — the
     deployment-grade sharing lives in modelstore.score_langid_latest;
@@ -1037,8 +1061,9 @@ def _langid_fit_for(spark: SparkSession, sf_dir: str) -> dict[str, list[int]]:
         langid_fit,
     )
 
-    if sf_dir in _LANGID_FIT_MEMO:
-        return _LANGID_FIT_MEMO[sf_dir]
+    key = (sf_dir, _documents_fingerprint(sf_dir))
+    if key in _LANGID_FIT_MEMO:
+        return _LANGID_FIT_MEMO[key]
     tr = table(spark, sf_dir, "documents").filter("doc_id % 5 <> 0")
     arrays = doc_feature_arrays(lang_features(tr)).persist()
     try:
@@ -1048,7 +1073,7 @@ def _langid_fit_for(spark: SparkSession, sf_dir: str) -> dict[str, list[int]]:
         w = langid_fit(arrays, classes, arrays.count())
     finally:
         arrays.unpersist()
-    _LANGID_FIT_MEMO[sf_dir] = w
+    _LANGID_FIT_MEMO[key] = w
     return w
 
 

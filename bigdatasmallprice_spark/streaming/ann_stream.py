@@ -12,9 +12,13 @@ upsert cost scales with the delivery) and set-unions the (id, cid)
 membership rows into the versioned state.
 
 Merge class: given a FROZEN quantizer, a vector's cell is a pure
-function of its embedding, so the membership fold is idempotent set
-union (the graph_stream class — replays cannot corrupt it); the
-batch-id watermark still skips replayed deliveries' work. What makes
+function of its embedding, so bit-identical re-deliveries fold as a
+no-op; the fold itself is LAST-WRITER-WINS BY ID (a delivery's
+assignment replaces any prior posting row for the same id via an
+anti-join), so a vector re-delivered with a changed embedding — or an
+id present in both the base corpus and a delivery — ends up in exactly
+one cell instead of accumulating stale postings. The batch-id
+watermark still skips replayed deliveries' work. What makes
 idempotence REAL is the quantizer pin: assignments from two different
 quantizers must never fold into one index, so the state manifest pins
 an md5 fingerprint of the centroid table (the langid_stream
@@ -140,15 +144,25 @@ def update_ann_index(
         state_path,
         {"quantizer_md5": _fingerprint_of(cent), "k": manifest["config"]["k"]},
     )
-    part = assign_cells(with_scaled_units(batch), cent).select(
-        "id", "cid", F.lit(False).alias("is_base")
+    part = (
+        assign_cells(with_scaled_units(batch), cent)
+        # within one delivery a duplicated id resolves deterministically
+        # to its smallest cell; across deliveries the LATEST delivery
+        # wins (see the anti-join below)
+        .groupBy("id")
+        .agg(F.min("cid").cast("long").alias("cid"))
+        .select("id", "cid", F.lit(False).alias("is_base"))
     )
     state_dir = resolve_state_dir(state_path)
-    new = (
-        part.unionByName(
-            spark.read.schema(ANN_STATE_SCHEMA).parquet(state_dir)
-        ).distinct()
-    )
+    prior = spark.read.schema(ANN_STATE_SCHEMA).parquet(state_dir)
+    # Dedupe by id on fold (r9 ADVICE): a vector re-delivered with a
+    # CHANGED embedding — or an id present in both the base corpus and
+    # a delivery — must REPLACE its old posting row, not accumulate a
+    # second one (stale postings double-count n_total and can surface
+    # one id through two cells in read_topk). The delivery's assignment
+    # wins; bit-identical re-deliveries still fold idempotently because
+    # replacing a row with itself is a no-op.
+    new = part.unionByName(prior.join(part.select("id"), "id", "left_anti"))
     version = next_state_version(state_path)
     new.coalesce(1).write.mode("overwrite").parquet(
         state_version_dir(state_path, version)

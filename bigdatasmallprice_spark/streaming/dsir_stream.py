@@ -38,10 +38,15 @@ def update_dsir_counts(
     batch: DataFrame,
     target_pred: str,
     batch_id: int | None = None,
+    buckets: int | None = None,
 ) -> None:
     """foreachBatch body: SUM one delivery's raw + target bucket
-    counts into the persisted state. The target predicate is pinned."""
-    from bigdatasmallprice_spark.operators.dsir import dsir_features
+    counts into the persisted state. The target predicate AND the
+    bucket count are pinned: the add-one normalizer in the ratio table
+    depends on the bin geometry, so counts hashed into N buckets must
+    never fold with (or be read back under) a different N — the
+    quantile stream's bin-geometry rule."""
+    from bigdatasmallprice_spark.operators.dsir import DSIR_BUCKETS, dsir_features
     from bigdatasmallprice_spark.streaming.state import (
         next_state_version,
         publish_state,
@@ -51,10 +56,14 @@ def update_dsir_counts(
         versioned_already_applied,
     )
 
+    if buckets is None:
+        buckets = DSIR_BUCKETS
     if versioned_already_applied(state_path, batch_id):
         return
-    validate_state_config(state_path, {"target_pred": target_pred})
-    feats = dsir_features(batch)
+    validate_state_config(
+        state_path, {"target_pred": target_pred, "buckets": buckets}
+    )
+    feats = dsir_features(batch, buckets=buckets)
     part = feats.groupBy("bucket").agg(
         F.sum("f").cast("long").alias("cq"),
         F.sum(F.when(F.expr(target_pred), F.col("f")).otherwise(0))
@@ -75,7 +84,10 @@ def update_dsir_counts(
         state_version_dir(state_path, version)
     )
     publish_state(
-        state_path, version, batch_id, config={"target_pred": target_pred}
+        state_path,
+        version,
+        batch_id,
+        config={"target_pred": target_pred, "buckets": buckets},
     )
 
 
@@ -87,7 +99,10 @@ def read_log_ratio_table(
     formulas), so streamed weights equal batch weights bit-for-bit."""
     from bigdatasmallprice_spark.operators.distill import SPARK_DIV
     from bigdatasmallprice_spark.operators.dsir import DSIR_BUCKETS, log2m
-    from bigdatasmallprice_spark.streaming.state import resolve_state_dir
+    from bigdatasmallprice_spark.streaming.state import (
+        read_state_manifest,
+        resolve_state_dir,
+    )
 
     state_dir = resolve_state_dir(state_path)
     if state_dir is None:
@@ -98,7 +113,11 @@ def read_log_ratio_table(
         F.sum("ct").cast("long").alias("tt"),
     )
     op = SPARK_DIV
-    buckets = DSIR_BUCKETS
+    # The add-one normalizer must use the bin geometry the counts were
+    # hashed into — read it from the manifest pin, never a constant
+    # (pre-pin manifests folded with the default).
+    manifest = read_state_manifest(state_path) or {}
+    buckets = int(manifest.get("config", {}).get("buckets", DSIR_BUCKETS))
     return base.crossJoin(F.broadcast(tot)).selectExpr(
         "bucket",
         f"CAST({log2m('ct + 1', op)} - {log2m(f'tt + {buckets}', op)} "

@@ -59,6 +59,45 @@ def test_stream_assembled_index_equals_batch_upsert(spark, tmp_path):
     assert sorted(map(tuple, read_index_manifest(spark, state).collect())) == stream
 
 
+def test_redelivered_id_replaces_stale_posting(spark, tmp_path):
+    """A vector re-delivered with a CHANGED embedding (and an id that
+    already exists in the base corpus) must REPLACE its old posting
+    row — one row per id, n_total counts it once, and read_topk cannot
+    surface it through two cells (r9 ADVICE item)."""
+    old, new = _splits(spark)
+    state = str(tmp_path / "ann_state")
+    init_ann_index(spark, state, old, k=8, iters=2)
+    update_ann_index(spark, state, new, batch_id=0)
+    n_ids = read_index_state(spark, state).select("id").distinct().count()
+
+    # mutate every delivered embedding hard enough to move cells, and
+    # include a base id too — both must land in exactly one cell
+    base_one = old.limit(1)
+    mutated = (
+        new.unionByName(base_one)
+        .select(
+            "vec_id",
+            F.expr("transform(embedding, e -> -e)").alias("embedding"),
+            *[c for c in new.columns if c not in ("vec_id", "embedding")],
+        )
+    )
+    update_ann_index(spark, state, mutated, batch_id=1)
+
+    st = read_index_state(spark, state)
+    dup_ids = (
+        st.groupBy("id").count().filter(F.col("count") > 1).count()
+    )
+    assert dup_ids == 0, "stale posting rows survived a re-delivery"
+    assert st.count() == n_ids  # same id universe, no double-counting
+    # manifest totals count each id exactly once
+    total = (
+        read_index_manifest(spark, state)
+        .agg(F.sum("n_total"))
+        .collect()[0][0]
+    )
+    assert total == n_ids
+
+
 def test_quantizer_pin_refuses_different_centroids(spark, tmp_path):
     from bigdatasmallprice_spark.streaming.ann_stream import _centroid_dir
 

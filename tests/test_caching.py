@@ -23,6 +23,10 @@ PERSISTING = [
     "corpus_curation_summary",
     "embedding_covariance",
     "hybrid_search_rrf",
+    # r10: the two heaviest r9 persisters (ADVICE item) — several
+    # persists each across the KN/DSIR model chains
+    "dsir_importance_sample",
+    "curation_pipeline_v2",
 ]
 
 SF = "/root/testdata/sf0.001"

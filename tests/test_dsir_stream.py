@@ -60,3 +60,29 @@ def test_replay_and_target_pin(spark, tmp_path):
         update_dsir_counts(
             spark, state, docs.filter("doc_id % 2 = 1"), "lang = 'fr'", batch_id=1
         )
+    # ... and so must a different bin geometry (the add-one normalizer
+    # depends on the bucket count — r9 ADVICE item)
+    with pytest.raises(ValueError, match="different parameters"):
+        update_dsir_counts(
+            spark, state, docs.filter("doc_id % 2 = 1"), PRED, batch_id=1, buckets=64
+        )
+
+
+def test_nondefault_bucket_geometry_reads_back_pinned(spark, tmp_path):
+    """Counts folded at buckets=64 must read back with the 64-bucket
+    add-one normalizer, not the module default (r9 ADVICE item)."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    state = str(tmp_path / "dsir_state64")
+    for i in range(2):
+        update_dsir_counts(
+            spark,
+            state,
+            docs.filter(F.col("doc_id") % 2 == i),
+            PRED,
+            batch_id=i,
+            buckets=64,
+        )
+    streamed_lr = read_log_ratio_table(spark, state)
+    feats = dsir_features(docs, buckets=64)
+    batch_lr = log_ratio_table(feats, PRED, buckets=64)
+    assert _sorted(streamed_lr) == _sorted(batch_lr)
