@@ -237,6 +237,15 @@ def kn3_train(tg: DataFrame) -> dict[str, DataFrame]:
     tc = tg.groupBy("u", "v", "w").agg(
         F.count(F.lit(1)).cast("long").alias("c3")
     )
+    return kn3_model_from_counts(tc)
+
+
+def kn3_model_from_counts(tc: DataFrame) -> dict[str, DataFrame]:
+    """The five lower-order tables + type total as PURE FUNCTIONS of
+    the trigram count table — the single corpus-scale sufficient
+    statistic. Shared by the batch fit (kn3_train) and the streaming
+    twin (streaming/kn3_stream.py), which folds tc across deliveries
+    and recomputes these on read, so ONE derivation serves both."""
     tctx = tc.groupBy("u", "v").agg(
         F.sum("c3").cast("long").alias("c12"),
         F.count(F.lit(1)).cast("long").alias("nf3"),

@@ -701,6 +701,19 @@ def kmeans_assignments(
     return assigned
 
 
+def kmeans_assignments_prescaled(
+    scaled: DataFrame, k: int = 8, iters: int = 2
+) -> DataFrame:
+    """kmeans_assignments for callers whose vectors are ALREADY exact
+    integer micro-units (id, xu array<long>) — e.g. mean-pooled
+    document embeddings from the SGNS fit (operators/word2vec.py),
+    which are integer-born and must NOT ride through the double
+    round-trip of with_scaled_units. Same shared _lloyd loop, same
+    final-assignment contract as kmeans_assignments."""
+    assigned, _ = _lloyd(scaled.select("id", "xu"), k, iters, final_update=False)
+    return assigned
+
+
 def semantic_dedup_summary(
     assigned: DataFrame, tau: float, sim_round: int = 6
 ) -> DataFrame:

@@ -77,6 +77,72 @@ def vocab_nodes(docs: DataFrame) -> DataFrame:
     return docs.selectExpr(f"explode({_SPARK_TOKS}) AS node").distinct()
 
 
+def doc_embeddings(docs: DataFrame, emb: DataFrame) -> DataFrame:
+    """(doc_id, xu array<long>): MEAN-POOLED document embeddings from
+    the trained token INPUT vectors — the standard bag-of-vectors
+    document representation (word2vec-mean; Mikolov 2013 §4 uses the
+    input matrix as *the* word vectors). Pooling is over token
+    OCCURRENCES (each repeat counts), per (doc_id, dim) one exact
+    BIGINT sum with the house round-half-away integer division, so the
+    pooled vector stays in integer micro-units and the DuckDB oracle
+    replays it bit-for-bit (o_doc_embeddings_sql).
+
+    This is the bridge the similarity family needed: everything in
+    operators/similarity.py consumes (id, xu) integer micro-unit
+    vectors, so pooled TEXT vectors drop straight into k-means /
+    SemDeDup / brute-force top-k with no new machinery.
+
+    Scale: one (wd) equi-join against the vocabulary-sized embedding
+    table (broadcast-able until the vocabulary outgrows executors, then
+    a plain shuffle join — both correct), one (doc_id, dim) aggregate,
+    one (doc_id) array re-assembly. Token positions never pair with
+    each other here — cost is linear in corpus tokens. Documents with
+    ZERO tokens have no positions and therefore no row (both engines
+    drop them identically).
+
+    ``emb`` is the (word, dim, u_micro, ...) frame word_embedding_train
+    produces (extra columns ignored)."""
+    from bigdatasmallprice_spark.operators.distill import SPARK_DIV, rdiv
+
+    p = word_positions(docs)
+    e = emb.select(F.col("word").alias("wd"), "dim", F.col("u_micro"))
+    per_dim = (
+        p.join(e, "wd")
+        .groupBy("doc_id", "dim")
+        .agg(
+            F.sum("u_micro").cast("long").alias("s"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .selectExpr(
+            "doc_id",
+            "dim",
+            f"CAST({rdiv('s', 'n', SPARK_DIV)} AS BIGINT) AS ev",
+        )
+    )
+    return per_dim.groupBy("doc_id").agg(
+        F.expr(
+            "transform(sort_array(collect_list(struct(dim, ev))), s -> s.ev)"
+        ).alias("xu")
+    )
+
+
+def o_doc_embeddings_sql(iters: int = SGNS_ITERS) -> str:
+    """DuckDB twin of doc_embeddings as CTE text (no leading WITH):
+    composes after o_word2vec_chain_sql (which defines ``wpos`` and
+    ``emb{iters}``) and ends with ``dvec(doc_id, xu)``."""
+    from bigdatasmallprice_spark.operators.distill import DUCK_DIV, rdiv
+
+    return f"""dpool AS (
+  SELECT p.doc_id, e.dim,
+         CAST({rdiv('SUM(e.u)', 'COUNT(*)', DUCK_DIV)} AS BIGINT) AS ev
+  FROM wpos p JOIN emb{iters} e ON p.wd = e.node
+  GROUP BY 1, 2
+),
+dvec AS (
+  SELECT doc_id, list(ev ORDER BY dim) AS xu FROM dpool GROUP BY doc_id
+)"""
+
+
 def o_word2vec_chain_sql(
     iters: int = SGNS_ITERS,
     window: int = SKIPGRAM_WINDOW,

@@ -76,21 +76,24 @@ def all_queries() -> dict[str, QuerySpec]:
 DRIVER_CAP = 50
 
 DRIVER_ORDER: list[str] = [
-    # r9 rotation (VERDICT r8 asks #1/#2): the never-driver-verified
-    # r9-new queries first, then the six r8-firsts for their second
-    # rows (everything else already holds >= 2 green external rows),
-    # then the 2-green tiers stalest-first — the r5-tier tail rotated
-    # out in r8 (last green r5) and as much of the r6 tier (last green
+    # r10 rotation (VERDICT r9 asks #1-#4): the never-driver-verified
+    # r10-new queries first, then the eight r9-firsts for their second
+    # rows, then the 2-green tiers stalest-first (the r6 tail the r9
+    # list stopped before, the full r7 tier, the r8 tier, the r9-green
+    # r8-firsts), then as much of the stalest 3-green pool (last green
     # r6) as fits under the cap.
-    # -- new in r9: the registered scale-safe flagship (SURVEY §7.3's
-    #    single-partition-window hazard closed with an external row),
-    #    the Kneser-Ney smoothed LM + its order-3 back-off chain (the
-    #    CCNet-grade upgrades of ngram_lm_score), DSIR importance
-    #    resampling (the content-weighted member of the sampling
-    #    surface), hard-negative triplet mining, integer BM25, the
-    #    composed curation pipeline v2 (Gopher -> KN -> DSIR -> dedup),
-    #    and word2vec on text (the graph-verified SGNS trainer fed
-    #    token co-occurrence windows)
+    # -- new in r10: the text -> embedding bridge (word2vec token
+    #    vectors mean-pooled into document embeddings and served by
+    #    the EXISTING similarity operators: brute-force cosine top-k
+    #    and SemDeDup — the last synthetic seam in the text ->
+    #    embedding -> dedup/retrieval story closed), hybrid retrieval
+    #    re-based on the in-engine BM25 sparse leg, and CCNet
+    #    bucketing re-based on the Kneser-Ney scorer
+    "doc_embedding_topk",
+    "text_semantic_dedup",
+    "hybrid_bm25_rrf",
+    "perplexity_buckets_kn",
+    # -- r9-firsts, second rows
     "training_features_stitched",
     "ngram_lm_kn",
     "dsir_importance_sample",
@@ -99,52 +102,50 @@ DRIVER_ORDER: list[str] = [
     "ngram_lm_kn3",
     "curation_pipeline_v2",
     "word_embedding_train",
-    # -- r8-firsts, second rows
+    # -- stalest 2-green pool: last green r6
+    "dedup_rewrite_hashed",
+    "train_gbt_load",
+    "bloom_shingle_prefilter_lean",
+    # -- 2-green, last green r7
+    "hll_union_lean",
+    "image_neardup_phash",
+    "winnow_neardup_pairs",
+    "quantile_sketch_by_type",
+    "quantile_sketch_lean",
+    "ann_pq_topk",
+    "ann_ivfpq_topk",
+    # -- 2-green, last green r8
+    "quality_classifier_train",
+    "audio_neardup_fingerprint",
+    "pagerank_copurchase",
+    "ppr_related_suppliers",
+    "triangle_counts",
+    "randomwalk_skipgram_pairs",
+    "lpa_communities",
+    "token_budget_sample",
+    # -- 2-green, last green r9 (the r8-firsts' second rows landed r9)
     "node_embedding_train",
     "langid_train",
     "langid_trained_eval",
     "node2vec_walk_corpus",
     "html_extract_main",
     "gopher_rules_report",
-    # -- stalest 2-green pool: last green r5
-    "median_impute",
-    "price_history",
-    "sliding_hour_windows",
-    "stratified_sample_summary",
-    "market_revenue",
-    "top_users",
-    "revenue_grouping_sets",
-    "small_quantity_revenue",
-    "video_frame_sample",
-    "semantic_dedup",
-    "multimodal_png_stats",
-    "langid_eval",
-    "perplexity_buckets",
-    "rolling_backtest",
-    "scd2_history",
-    "user_spend_rank",
-    "line_dedup_hashed",
-    "train_gbt_full",
-    # -- next-stalest 2-green pool: last green r6 (head; what doesn't
-    #    fit under the cap rotates in next round)
-    "minhash_signatures",
-    "ngram_jaccard_pairs",
-    "value_distribution",
-    "union_by_name",
-    "filtered_counts",
-    "daily_mean_deviation",
-    "traffic_light",
-    "chart_downsample",
-    "twap_hourly",
-    "value_trend_regression",
-    "value_quantiles_by_type",
-    "value_deciles",
-    "train_gbt_model",
-    "hll_distinct",
-    "count_min_probe",
-    "zorder_pruning",
-    "hll_union_distinct",
-    "dedup_rewrite",
+    # -- stalest 3-green pool: last green r6 (head; the tail rotates
+    #    in next round)
+    "dedup_exact",
+    "minhash_lsh_pairs",
+    "simhash_pairs",
+    "neardup_clusters",
+    "corpus_curation_summary",
+    "model_score",
+    "training_features",
+    "hourly_rollup",
+    "net_position",
+    "row_explorer_page",
+    "hourly_pivot",
+    "table_stats",
+    "tariff_breakdown",
+    "freshness_gate",
     # Every sit-out holds >= 2 green rows (COVERAGE.json is the
     # ledger); earlier rounds' rotation rationales live in git history.
 ]
