@@ -78,12 +78,48 @@ def main() -> None:
     bench_skew(spark, sf_dir, skew_evidence)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    # Carried-vs-new decomposition against the PREVIOUS artifact on
+    # disk (VERDICT r9 ask #8): the ±20% host band dominates raw
+    # round-over-round totals, so every cross-round comparison needed
+    # manual forensics in BASELINE.md prose. The artifact now records
+    # the like-for-like split itself: the HEADLINE subtotal, this
+    # run's subtotal over the query set the previous artifact also
+    # measured (carried), the previous artifact's subtotal over that
+    # same set (prev_carried_subtotal — the direct like-for-like
+    # comparand), and what's genuinely new.
+    full_name = (
+        "BENCH_FULL_local.json"
+        if sf == "0.1"
+        else f"BENCH_FULL_local_sf{sf}.json"
+    )
+    full_path = os.path.join(os.path.dirname(__file__) or ".", full_name)
+    prev_q: dict[str, float] = {}
+    prev_total = None
+    try:
+        with open(full_path) as fh:
+            prev = json.load(fh)
+        prev_q = prev.get("queries", {})
+        prev_total = prev.get("value")
+    except (OSError, ValueError):
+        pass
+    shared = sorted(set(timings) & set(prev_q))
     full = {
         "metric": "total_query_wall_seconds",
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
         "queries": timings,
         "skew_evidence": skew_evidence,
+        "headline_subtotal": round(
+            sum(timings[n] for n in HEADLINE if n in timings), 4
+        ),
+        "carried_subtotal": round(sum(timings[n] for n in shared), 4),
+        "prev_carried_subtotal": round(sum(prev_q[n] for n in shared), 4),
+        "prev_total": prev_total,
+        "new_queries": sorted(set(timings) - set(prev_q)),
+        "new_subtotal": round(
+            sum(v for n, v in timings.items() if n not in prev_q), 4
+        ),
         # metric-composition flags: the headline total covers every
         # registered query and EXCLUDES the synthetic skew A/B pair
         # (moved to skew_evidence after round 1 — round-1 totals
@@ -102,13 +138,10 @@ def main() -> None:
     # driver-allowlist per-query timings at 2-decimal precision — the
     # total still covers every registered query — and points at the file.
     # sf-tagged filename: a run at another sf must not clobber the
-    # committed sf0.1 evidence the stdout pointer names
-    full_name = (
-        "BENCH_FULL_local.json"
-        if sf == "0.1"
-        else f"BENCH_FULL_local_sf{sf}.json"
-    )
-    with open(os.path.join(os.path.dirname(__file__) or ".", full_name), "w") as fh:
+    # committed sf0.1 evidence the stdout pointer names (full_name /
+    # full_path resolved above, where the previous artifact is read
+    # for the carried-vs-new decomposition)
+    with open(full_path, "w") as fh:
         json.dump(full, fh, indent=1, sort_keys=True)
     from bigdatasmallprice_spark.registry import DRIVER_ORDER
 

@@ -194,6 +194,204 @@ kn AS (
 
 
 # ---------------------------------------------------------------------------
+# Modified Kneser-Ney: count-bucketed discounts (Chen & Goodman 1998 §3)
+# ---------------------------------------------------------------------------
+# KenLM ships MODIFIED KN: instead of one absolute discount D, three
+# count-dependent discounts D1 / D2 / D3+ applied to bigrams seen
+# once / twice / three-plus times, each a CLOSED-FORM rational of the
+# count-of-count statistics n_k = |{(w1,w2): c12 = k}|:
+#
+#   Y  = n1 / (n1 + 2*n2)
+#   D1 = 1 - 2*Y*n2/n1 = n1/(n1 + 2*n2)        (simplifies exactly)
+#   D2 = 2 - 3*Y*n3/n2
+#   D3 = 3 - 4*Y*n4/n3
+#
+# and the back-off weight becomes per-context
+#   lam(w1) = (D1*N1(w1.) + D2*N2(w1.) + D3*N3+(w1.)) / c1
+# where N_k(w1.) counts w1's successor TYPES with count k. All of it
+# is integer rationals of the bigram count table, so the house
+# discipline holds: milli-unit discounts via rdiv, micro-unit
+# probabilities, zero libm. Discounts are clamped to [0, k*1000]
+# (D(c) <= c keeps every discounted numerator non-negative; the lower
+# clamp covers degenerate count-of-count shapes where the closed form
+# goes negative — C&G's estimator assumes n1..n4 > 0, so denominators
+# are floored at 1 and the clamp makes the fallback explicit rather
+# than undefined). Overflow bound: the D2/D3 numerators are
+# 3000*n1*n3 / 4000*n1*n4 — exact in BIGINT while n1*n3 < 2.3e15,
+# i.e. count-of-count statistics into the tens of millions of types
+# each; past that, pre-reduce the fraction before widening.
+
+
+def _mkn_disc_exprs(op: str) -> tuple[str, str, str]:
+    """(d1, d2, d3) milli-unit discount expressions over the global
+    count-of-count columns n1/n2/n3/n4."""
+    den_y = "greatest(n1 + 2 * n2, 1)"
+    d1 = rdiv("1000 * n1", den_y, op)
+    d2 = (
+        f"greatest(least(2000 - {rdiv(f'3000 * n1 * n3', f'({den_y}) * greatest(n2, 1)', op)}, 2000), 0)"
+    )
+    d3 = (
+        f"greatest(least(3000 - {rdiv(f'4000 * n1 * n4', f'({den_y}) * greatest(n3, 1)', op)}, 3000), 0)"
+    )
+    return d1, d2, d3
+
+
+def mkn_train(bg: DataFrame) -> dict[str, DataFrame]:
+    """The modified-KN model tables from a bigram-occurrence frame:
+    bc(w1,w2,c12); mctx(w1 -> c1, nf1, nf2, nf3p) — successor-type
+    counts BUCKETED by count; cont(w2, n_bwd); types(T); disc — the
+    1-row (d1,d2,d3) milli-unit discount table derived from the global
+    count-of-counts (broadcast, like the type scalar)."""
+    bc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("c12"))
+    mctx = bc.groupBy("w1").agg(
+        F.sum("c12").cast("long").alias("c1"),
+        F.sum(F.when(F.col("c12") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("nf1"),
+        F.sum(F.when(F.col("c12") == 2, 1).otherwise(0))
+        .cast("long")
+        .alias("nf2"),
+        F.sum(F.when(F.col("c12") >= 3, 1).otherwise(0))
+        .cast("long")
+        .alias("nf3p"),
+    )
+    cont = bc.groupBy("w2").agg(F.count(F.lit(1)).cast("long").alias("n_bwd"))
+    types = bc.agg(F.count(F.lit(1)).cast("long").alias("T"))
+    op = SPARK_DIV
+    d1, d2, d3 = _mkn_disc_exprs(op)
+    disc = (
+        bc.agg(
+            F.sum(F.when(F.col("c12") == 1, 1).otherwise(0)).cast("long").alias("n1"),
+            F.sum(F.when(F.col("c12") == 2, 1).otherwise(0)).cast("long").alias("n2"),
+            F.sum(F.when(F.col("c12") == 3, 1).otherwise(0)).cast("long").alias("n3"),
+            F.sum(F.when(F.col("c12") == 4, 1).otherwise(0)).cast("long").alias("n4"),
+        )
+        .selectExpr(
+            f"CAST({d1} AS BIGINT) AS d1",
+            f"CAST({d2} AS BIGINT) AS d2",
+            f"CAST({d3} AS BIGINT) AS d3",
+        )
+    )
+    return {"bc": bc, "mctx": mctx, "cont": cont, "types": types, "disc": disc}
+
+
+def _mp_micro_expr(op: str) -> str:
+    """The modified-KN per-bigram probability in micro-units over
+    joined columns c12 / c1 / nf1 / nf2 / nf3p / n_bwd / T / d1 / d2 /
+    d3 (model columns may be NULL for out-of-model lookups)."""
+    pc = rdiv(f"coalesce(n_bwd, 0) * {MICRO}", "T", op)
+    dcase = (
+        "CASE WHEN coalesce(c12, 0) = 1 THEN d1 "
+        "WHEN coalesce(c12, 0) = 2 THEN d2 ELSE d3 END"
+    )
+    lam = rdiv("(d1 * nf1 + d2 * nf2 + d3 * nf3p) * 1000", "c1", op)
+    p1 = rdiv(
+        f"greatest(coalesce(c12, 0) * 1000 - ({dcase}), 0) * 1000", "c1", op
+    )
+    return (
+        f"CAST(CASE WHEN c1 IS NULL THEN {pc} "
+        f"ELSE ({p1}) + ({rdiv(f'({lam}) * ({pc})', str(MICRO), op)}) "
+        "END AS BIGINT)"
+    )
+
+
+def mkn_score(bg: DataFrame, model: dict[str, DataFrame]) -> DataFrame:
+    """(doc_id, n_bigrams, p_sum_micro, avg_p_micro, hm_p_micro): the
+    kn_score shape under the count-bucketed discounts. Left joins so
+    out-of-model bigrams fall through to the continuation term."""
+    scored = (
+        bg.join(model["bc"], ["w1", "w2"], "left")
+        .join(model["mctx"], "w1", "left")
+        .join(model["cont"], "w2", "left")
+        .crossJoin(F.broadcast(model["types"]))
+        .crossJoin(F.broadcast(model["disc"]))
+        .selectExpr("doc_id", f"{_mp_micro_expr(SPARK_DIV)} AS pm")
+    )
+    op = SPARK_DIV
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("pm").cast("long").alias("p_sum_micro"),
+            F.sum(F.expr(_inv_expr(op))).cast("long").alias("__inv_sum"),
+        )
+        .selectExpr(
+            "doc_id",
+            "n_bigrams",
+            "p_sum_micro",
+            "round(CAST(p_sum_micro AS DOUBLE) / n_bigrams, 6) AS avg_p_micro",
+            f"CAST({rdiv('n_bigrams * ' + str(10**12), '__inv_sum', op)} "
+            "AS BIGINT) AS hm_p_micro",
+        )
+    )
+
+
+def o_mkn_chain_sql(doc_source: str = "documents") -> str:
+    """DuckDB twin as CTE text ending in ``mkn(doc_id, n_bigrams,
+    p_sum_micro, avg_p_micro, hm_p_micro)``."""
+    op = DUCK_DIV
+    d1, d2, d3 = _mkn_disc_exprs(op)
+    return f"""mtoks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM {doc_source}
+),
+mbg AS (
+  SELECT doc_id,
+         unnest(t[1:len(t) - 1]) AS w1,
+         unnest(t[2:len(t)]) AS w2
+  FROM mtoks WHERE len(t) >= 2
+),
+mbc AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM mbg GROUP BY 1, 2
+),
+mctx AS (
+  SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+         CAST(SUM(CASE WHEN c12 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nf1,
+         CAST(SUM(CASE WHEN c12 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS nf2,
+         CAST(SUM(CASE WHEN c12 >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS nf3p
+  FROM mbc GROUP BY 1
+),
+mcont AS (
+  SELECT w2, CAST(COUNT(*) AS BIGINT) AS n_bwd FROM mbc GROUP BY 1
+),
+mtypes AS (SELECT CAST(COUNT(*) AS BIGINT) AS T FROM mbc),
+mdisc AS (
+  SELECT CAST({d1} AS BIGINT) AS d1,
+         CAST({d2} AS BIGINT) AS d2,
+         CAST({d3} AS BIGINT) AS d3
+  FROM (
+    SELECT CAST(SUM(CASE WHEN c12 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+           CAST(SUM(CASE WHEN c12 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+           CAST(SUM(CASE WHEN c12 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+           CAST(SUM(CASE WHEN c12 = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n4
+    FROM mbc
+  )
+),
+mpm AS (
+  SELECT mbg.doc_id, {_mp_micro_expr(op)} AS pm
+  FROM mbg
+  LEFT JOIN mbc  ON mbc.w1 = mbg.w1 AND mbc.w2 = mbg.w2
+  LEFT JOIN mctx ON mctx.w1 = mbg.w1
+  LEFT JOIN mcont ON mcont.w2 = mbg.w2
+  CROSS JOIN mtypes
+  CROSS JOIN mdisc
+),
+mkna AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         CAST(SUM(pm) AS BIGINT) AS p_sum_micro,
+         CAST(SUM({_inv_expr(op)}) AS BIGINT) AS inv_sum
+  FROM mpm GROUP BY 1
+),
+mkn AS (
+  SELECT doc_id, n_bigrams, p_sum_micro,
+         round(CAST(p_sum_micro AS DOUBLE) / n_bigrams, 6) AS avg_p_micro,
+         CAST({rdiv("n_bigrams * " + str(10**12), "inv_sum", op)} AS BIGINT)
+           AS hm_p_micro
+  FROM mkna
+)"""
+
+
+# ---------------------------------------------------------------------------
 # Order-3 interpolated Kneser-Ney: the back-off CHAIN (3 -> 2 -> 1)
 # ---------------------------------------------------------------------------
 # The order CCNet-grade filtering actually runs is n >= 3 (KenLM uses

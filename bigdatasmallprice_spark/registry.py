@@ -87,12 +87,14 @@ DRIVER_ORDER: list[str] = [
     #    the EXISTING similarity operators: brute-force cosine top-k
     #    and SemDeDup — the last synthetic seam in the text ->
     #    embedding -> dedup/retrieval story closed), hybrid retrieval
-    #    re-based on the in-engine BM25 sparse leg, and CCNet
-    #    bucketing re-based on the Kneser-Ney scorer
+    #    re-based on the in-engine BM25 sparse leg, CCNet
+    #    bucketing re-based on the Kneser-Ney scorer, and the
+    #    modified-KN LM (count-bucketed discounts, Chen & Goodman)
     "doc_embedding_topk",
     "text_semantic_dedup",
     "hybrid_bm25_rrf",
     "perplexity_buckets_kn",
+    "ngram_lm_mkn",
     # -- r9-firsts, second rows
     "training_features_stitched",
     "ngram_lm_kn",
@@ -145,7 +147,6 @@ DRIVER_ORDER: list[str] = [
     "hourly_pivot",
     "table_stats",
     "tariff_breakdown",
-    "freshness_gate",
     # Every sit-out holds >= 2 green rows (COVERAGE.json is the
     # ledger); earlier rounds' rotation rationales live in git history.
 ]

@@ -94,6 +94,15 @@ QUERIES = [
     "bm25_topk",
     "curation_pipeline_v2",
     "word_embedding_train",
+    # r10 additions: the text -> embedding bridge (SGNS fit + pool +
+    # serve — one vocab join and one (doc,dim) agg on top of the
+    # word2vec trajectory; must stay ~linear), the BM25-legged RRF
+    # fusion, and the KN-scored CCNet buckets
+    "doc_embedding_topk",
+    "text_semantic_dedup",
+    "hybrid_bm25_rrf",
+    "perplexity_buckets_kn",
+    "ngram_lm_mkn",
 ]
 
 

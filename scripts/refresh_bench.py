@@ -40,12 +40,24 @@ def main() -> None:
         full = json.load(fh)
     total = full["value"]
     nq = len(full["queries"])
+    # the artifact self-reports the like-for-like decomposition
+    # (bench.py, VERDICT r9 ask #8) — quote it so the trend reads
+    # without BASELINE.md forensics
+    decomp = ""
+    if "carried_subtotal" in full:
+        decomp = (
+            f" Headline subtotal {full['headline_subtotal']}s; carried "
+            f"set {full['carried_subtotal']}s vs "
+            f"{full['prev_carried_subtotal']}s in the previous artifact "
+            f"(like-for-like); {len(full['new_queries'])} new queries "
+            f"add {full['new_subtotal']}s."
+        )
     msg = (
         f"Refresh bench artifact from a quiet-machine run\n\n"
         f"BENCH_FULL_local.json reads {total}s / {nq} queries — the "
         f"total quoted here is read back from the committed artifact "
         f"itself (scripts/refresh_bench.py), so message and file "
-        f"cannot disagree."
+        f"cannot disagree.{decomp}"
     )
     if "--commit" in sys.argv:
         subprocess.run(["git", "-C", REPO, "add", ARTIFACT], check=True)

@@ -173,3 +173,83 @@ def test_kn3_separates_clean_from_sorted_twins(spark):
     clean = mean_of(kn3_score(tg_clean, model))
     shuf = mean_of(kn3_score(doc_trigrams(shuffled), model))
     assert clean > shuf, (clean, shuf)
+
+
+# ---------------------------------------------------------------------------
+# modified KN: count-bucketed discounts (Chen & Goodman 1998 §3)
+# ---------------------------------------------------------------------------
+
+
+def test_mkn_discounts_and_closed_form(spark):
+    """Corpus {a b, a b, a c, d b, d c, d c, d c}: counts (a,b)=2,
+    (a,c)=1, (d,b)=1, (d,c)=3 -> n1=2, n2=1, n3=1, n4=0, so
+    d1 = rdiv(2000, 4) = 500, d2 = 2000 - rdiv(6000, 4) = 500,
+    d3 = 3000 (n4=0 degenerates the closed form to the clamp).
+    P_mkn(b|a): D(c=2)=d2 -> p1 = rdiv(1500*1000, 3) = 500000;
+    lam(a) = rdiv((500*1 + 500*1)*1000, 3) = 333333;
+    pc(b) = rdiv(2e6, 4) = 500000; p2 = rdiv(333333*500000, 1e6)
+    = 166667 -> 666667."""
+    from bigdatasmallprice_spark.operators.knlm import mkn_score, mkn_train
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(
+            ["a b", "a b", "a c", "d b", "d c", "d c", "d c"]
+        )],
+        "doc_id long, text string",
+    )
+    bg = doc_bigrams(docs)
+    model = mkn_train(bg)
+    d = model["disc"].collect()[0]
+    assert (d.d1, d.d2, d.d3) == (500, 500, 3000)
+    scores = {r.doc_id: r.p_sum_micro for r in mkn_score(bg, model).collect()}
+    assert scores[0] == 666667  # "a b"
+    # all-singleton corpora push d1 to the 1000 clamp: everything
+    # backs off to continuation mass (the formula's exact behavior)
+    bg2, _ = _model_of(spark, ["a b", "a c", "d b"])
+    from bigdatasmallprice_spark.operators.knlm import mkn_train as _mt
+
+    m2 = _mt(bg2)
+    d2_ = m2["disc"].collect()[0]
+    assert (d2_.d1, d2_.d2, d2_.d3) == (1000, 2000, 3000)
+    s2 = {r.doc_id: r.p_sum_micro for r in mkn_score(bg2, m2).collect()}
+    assert s2[0] == 666667  # pure continuation: pc(b) = rdiv(2e6, 3)
+
+
+def test_mkn_unseen_context_falls_back_to_continuation(spark):
+    from bigdatasmallprice_spark.operators.knlm import mkn_score, mkn_train
+
+    bg, _ = _model_of(spark, ["a b", "a c", "d b"])
+    model = mkn_train(bg)
+    probe = spark.createDataFrame([(99, "x b")], "doc_id long, text string")
+    row = mkn_score(doc_bigrams(probe), model).collect()[0]
+    assert row.p_sum_micro == 666667  # pc(b) = rdiv(2 * 1e6, 3)
+    probe2 = spark.createDataFrame([(98, "x y")], "doc_id long, text string")
+    assert mkn_score(doc_bigrams(probe2), model).collect()[0].p_sum_micro == 0
+
+
+def test_mkn_separates_clean_from_sorted_twins(spark):
+    """The quality direction holds under the count-bucketed
+    discounts: clean documents out-score token-sorted twins on the
+    harmonic mean."""
+    from bigdatasmallprice_spark.operators.knlm import mkn_score, mkn_train
+
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", "text")
+        .filter(F.expr("size(split(text, ' ')) >= 5"))
+    )
+    shuffled = docs.select(
+        "doc_id",
+        F.expr("array_join(array_sort(split(text, ' ')), ' ')").alias("text"),
+    )
+    bg_clean = doc_bigrams(docs).persist()
+    model = mkn_train(bg_clean)
+    for t in model.values():
+        t.persist()
+
+    def mean_of(df):
+        return df.agg(F.avg("hm_p_micro")).collect()[0][0]
+
+    assert mean_of(mkn_score(bg_clean, model)) > mean_of(
+        mkn_score(doc_bigrams(shuffled), model)
+    )
