@@ -243,6 +243,15 @@ def mkn_train(bg: DataFrame) -> dict[str, DataFrame]:
     1-row (d1,d2,d3) milli-unit discount table derived from the global
     count-of-counts (broadcast, like the type scalar)."""
     bc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("c12"))
+    return mkn_model_from_counts(bc)
+
+
+def mkn_model_from_counts(bc: DataFrame) -> dict[str, DataFrame]:
+    """Everything but bc as PURE FUNCTIONS of the bigram count table —
+    the same sufficient statistic the plain-KN stream already folds
+    (streaming/knlm_stream.py), so a modified-KN model can be served
+    from the identical persisted state (read_mkn_model) with zero new
+    streaming machinery: one count table, two smoothers."""
     mctx = bc.groupBy("w1").agg(
         F.sum("c12").cast("long").alias("c1"),
         F.sum(F.when(F.col("c12") == 1, 1).otherwise(0))

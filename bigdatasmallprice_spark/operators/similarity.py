@@ -701,6 +701,23 @@ def kmeans_assignments(
     return assigned
 
 
+def kmeans_fit_prescaled(
+    scaled: DataFrame, k: int = 8, iters: int = 2
+) -> DataFrame:
+    """kmeans_fit_scaled for ALREADY integer micro-unit (id, xu)
+    vectors (the prescaled twin of kmeans_assignments_prescaled):
+    returns the final post-assignment (cid, dim, cu_e, n_assigned)
+    centroid table — the trained coarse quantizer an IVF probe over
+    pooled text vectors consumes."""
+    _, per_dim = _lloyd(scaled.select("id", "xu"), k, iters, final_update=True)
+    return per_dim.select(
+        "cid",
+        F.col("dim").cast("long").alias("dim"),
+        "cu_e",
+        "n_assigned",
+    )
+
+
 def kmeans_assignments_prescaled(
     scaled: DataFrame, k: int = 8, iters: int = 2
 ) -> DataFrame:

@@ -2016,3 +2016,133 @@ def text_semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = max(8, scaled.count() // _SD_TARGET_CLUSTER)
     assigned = kmeans_assignments_prescaled(scaled, k=k, iters=_KM_ITERS)
     return semantic_dedup_summary(assigned, tau=_TSD_TAU)
+
+
+_DV_NPROBE = 2
+
+
+def _doc_embedding_ivf_oracle() -> str:
+    it = _KM_ITERS
+    k_expr = f"(SELECT GREATEST(8, COUNT(*) // {_SD_TARGET_CLUSTER}) FROM x)"
+    km = _o_km_ctes(
+        k_expr,
+        it,
+        x_select="SELECT doc_id AS id, xu FROM dvec",
+        dim=8,
+        lead=", ",
+        with_final_update=True,
+    )
+    dist8 = (
+        "list_sum(list_transform(range(1, 9), "
+        "i -> (x.xu[i] - c.cu[i]) * (x.xu[i] - c.cu[i])))"
+    )
+    idot = _O_IDOT8
+    cos = (
+        f"round(CAST({idot.format(a='q', b='a')} AS DOUBLE)"
+        f" / (sqrt(CAST({idot.format(a='q', b='q')} AS DOUBLE))"
+        f" * sqrt(CAST({idot.format(a='a', b='a')} AS DOUBLE))), 6)"
+    )
+    return f"""
+{_doc_vec_chain_sql()}{km}
+, af AS (
+  SELECT id, cid, xu FROM (
+    SELECT x.id, c.cid, x.xu,
+           row_number() OVER (PARTITION BY x.id ORDER BY {dist8}, c.cid) AS rn
+    FROM x, c{it} c) WHERE rn = 1
+)
+, qc AS (
+  SELECT id AS query_id, xu, cid FROM (
+    SELECT x.id, x.xu, c.cid,
+           row_number() OVER (PARTITION BY x.id ORDER BY {dist8}, c.cid) AS crn
+    FROM x, c{it} c WHERE x.id < {_DV_NQ}) WHERE crn <= {_DV_NPROBE}
+)
+, scored AS (
+  SELECT q.query_id, a.id AS cand_id, {cos} AS sim
+  FROM qc q JOIN af a ON a.cid = q.cid AND a.id <> q.query_id
+)
+, ranked AS (
+  SELECT query_id, cand_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rank
+  FROM scored
+)
+SELECT query_id, cand_id, sim, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {_DV_TOPK}
+"""
+
+
+@register(
+    "doc_embedding_ivf_topk",
+    _doc_embedding_ivf_oracle(),
+    doc="The SCALE PATH of the text -> embedding bridge: IVF-served "
+    "top-k over the pooled word2vec document vectors. "
+    "doc_embedding_topk's brute scan is the correctness baseline "
+    "(probes x corpus); this trains the coarse quantizer on the SAME "
+    "prescaled exact-int Lloyd loop (kmeans_fit_prescaled, k scales "
+    "with the corpus), assigns every document to its nearest cell by "
+    "exact integer squared L2 (assign_cells — one Arrow-batched "
+    "narrow map against the broadcast k-row centroid table), and "
+    "each probe query scans only its nprobe=2 nearest cells' posting "
+    "lists (an equi-join on cid) with an exact integer cosine "
+    "re-rank — candidates per query bounded by cell population, "
+    "never the corpus. Recall vs the brute baseline is pinned in "
+    "tests/test_doc_embeddings.py. Oracle = fit -> pool -> Lloyd -> "
+    "assign -> probe -> re-rank as ONE closed CTE chain.",
+    tags=("similarity", "text", "topk", "train"),
+)
+def doc_embedding_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from bigdatasmallprice_spark.operators.similarity import (
+        assign_cells,
+        centroid_arrays,
+        kmeans_fit_prescaled,
+    )
+
+    scaled = _doc_vectors(spark, sf_dir).select(
+        F.col("doc_id").alias("id"), "xu"
+    ).persist()
+    k = max(8, scaled.count() // _SD_TARGET_CLUSTER)
+    cent = centroid_arrays(
+        kmeans_fit_prescaled(scaled, k=k, iters=_KM_ITERS)
+    ).localCheckpoint(eager=True)  # k-row model; sever the Lloyd lineage
+    assigned = assign_cells(scaled, cent)
+
+    d2 = F.expr(
+        "aggregate(zip_with(xu, cu, (a, b) -> (a - b) * (a - b)), "
+        "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+    wc = Window.partitionBy("id").orderBy(F.col("d2"), F.col("cid"))
+    qc = (
+        scaled.filter(F.col("id") < _DV_NQ)
+        .crossJoin(F.broadcast(cent))
+        .withColumn("d2", d2)
+        .withColumn("crn", F.row_number().over(wc))
+        .filter(F.col("crn") <= _DV_NPROBE)
+        .select(F.col("id").alias("query_id"), F.col("xu").alias("qv"), "cid")
+    )
+    idot = (
+        "aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+        "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+    cands = (
+        F.broadcast(qc)
+        .join(assigned.select(F.col("id").alias("cand_id"), "cid", F.col("xu").alias("cv")), "cid")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .withColumn(
+            "sim",
+            F.round(
+                F.expr(idot.format(a="qv", b="cv")).cast("double")
+                / (
+                    F.sqrt(F.expr(idot.format(a="qv", b="qv")).cast("double"))
+                    * F.sqrt(F.expr(idot.format(a="cv", b="cv")).cast("double"))
+                ),
+                6,
+            ),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("cand_id"))
+    return (
+        cands.withColumn("rank", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rank") <= _DV_TOPK)
+        .select("query_id", "cand_id", "sim", "rank")
+    )

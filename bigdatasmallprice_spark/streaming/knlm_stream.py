@@ -93,3 +93,20 @@ def read_kn_model(spark: SparkSession, state_path: str) -> dict[str, DataFrame]:
     cont = bc.groupBy("w2").agg(F.count(F.lit(1)).cast("long").alias("n_bwd"))
     types = bc.agg(F.count(F.lit(1)).cast("long").alias("T"))
     return {"bc": bc, "ctx": ctx, "cont": cont, "types": types}
+
+
+def read_mkn_model(spark: SparkSession, state_path: str) -> dict[str, DataFrame]:
+    """The MODIFIED-KN model tables (count-bucketed discounts, Chen &
+    Goodman 1998 §3) from the SAME folded bigram counts: bc is the
+    sufficient statistic for both smoothers, so one persisted stream
+    state serves plain and modified KN alike — the derivation is the
+    batch fit's own mkn_model_from_counts (operators/knlm.py), one
+    source of truth for the count-of-count discount arithmetic."""
+    from bigdatasmallprice_spark.operators.knlm import mkn_model_from_counts
+    from bigdatasmallprice_spark.streaming.state import resolve_state_dir
+
+    state_dir = resolve_state_dir(state_path)
+    if state_dir is None:
+        raise FileNotFoundError(f"no KN LM state at {state_path}")
+    bc = spark.read.schema(KN_STATE_SCHEMA).parquet(state_dir)
+    return mkn_model_from_counts(bc)

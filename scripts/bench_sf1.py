@@ -103,6 +103,7 @@ QUERIES = [
     "hybrid_bm25_rrf",
     "perplexity_buckets_kn",
     "ngram_lm_mkn",
+    "doc_embedding_ivf_topk",
 ]
 
 

@@ -127,3 +127,28 @@ def test_semantic_dedup_conserves_and_prunes(spark):
     assert agg.nv == agg.nr + agg.nk
     # the bar prunes SOMETHING but never a majority (see _TSD_TAU note)
     assert 0 < agg.nr < n_docs // 2
+
+
+def test_ivf_topk_recall_vs_brute(spark):
+    """The scale-path IVF serving must stay close to the brute-force
+    baseline: per probe query, the nprobe=2 cell-bounded top-5 and
+    the exact top-5 overlap on average by >= 3 of 5 (and the serving
+    answers are complete: 5 ranked rows per query)."""
+    from bigdatasmallprice_spark.queries.simq import (
+        _DV_NQ,
+        _DV_TOPK,
+        doc_embedding_ivf_topk_q,
+        doc_embedding_topk_q,
+    )
+
+    ivf = doc_embedding_ivf_topk_q(spark, SF).collect()
+    brute = doc_embedding_topk_q(spark, SF).collect()
+    assert len(ivf) == _DV_NQ * _DV_TOPK
+    got = {}
+    for r in ivf:
+        got.setdefault(r.query_id, set()).add(r.cand_id)
+    want = {}
+    for r in brute:
+        want.setdefault(r.query_id, set()).add(r.cand_id)
+    recalls = [len(got[q] & want[q]) for q in want]
+    assert sum(recalls) / len(recalls) >= 3.0, recalls

@@ -54,3 +54,26 @@ def test_replayed_delivery_does_not_double_count(spark, tmp_path):
     # at-least-once retry of batch 1: watermark must skip the fold
     update_kn_counts(spark, state, docs.filter(F.col("doc_id") % 3 == 1), batch_id=1)
     assert _sorted(read_kn_model(spark, state)["bc"]) == before
+
+
+def test_streamed_state_serves_modified_kn_identically(spark, tmp_path):
+    """bc is the sufficient statistic for BOTH smoothers: the same
+    folded stream state must serve a modified-KN model equal to the
+    batch mkn_train fit, discounts and scores included."""
+    from bigdatasmallprice_spark.operators.knlm import mkn_score, mkn_train
+    from bigdatasmallprice_spark.streaming.knlm_stream import read_mkn_model
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    state = str(tmp_path / "kn_state")
+    for i in range(3):
+        update_kn_counts(
+            spark, state, docs.filter(F.col("doc_id") % 3 == i), batch_id=i
+        )
+    streamed = read_mkn_model(spark, state)
+    batch = mkn_train(doc_bigrams(docs))
+    for t in ("bc", "mctx", "cont", "types", "disc"):
+        assert _sorted(streamed[t]) == _sorted(batch[t]), t
+    probe = doc_bigrams(docs.filter(F.col("doc_id") % 7 == 0))
+    assert _sorted(mkn_score(probe, streamed)) == _sorted(
+        mkn_score(probe, batch)
+    )

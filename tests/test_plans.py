@@ -758,3 +758,40 @@ def test_dsir_ratio_table_broadcasts_and_rank_is_band_bounded(spark):
     plan = _formatted(df)
     assert "CartesianProduct" not in plan, plan[:400]
     assert "BroadcastHashJoin" in plan, plan[:400]
+
+
+def test_text_semantic_dedup_pairs_join_on_cluster_not_cartesian(spark):
+    """The bridge SemDeDup (pooled text vectors) keeps the cluster
+    bound: the pair stage is an equi-join keyed on cid; the only
+    nested-loop joins are broadcast model-sized frames (the k-row
+    centroid table inside assign_cells, the SGNS 1-row scalars)."""
+    from bigdatasmallprice_spark.registry import all_queries
+
+    df = all_queries()["text_semantic_dedup"].fn(spark, SF)
+    plan = _formatted(df)
+    assert "CartesianProduct" not in plan, plan
+    for line in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in line and not line.strip().startswith("("):
+            assert "BuildRight" in line or "BuildLeft" in line, line
+
+
+def test_doc_embedding_pooling_is_equi_join_shaped(spark):
+    """Mean-pooling joins token positions against the vocabulary-sized
+    embedding table by an EQUI key (wd) and aggregates — no product,
+    no Python stage; cost stays linear in corpus tokens."""
+    from bigdatasmallprice_spark.queries.simq import _doc_vectors
+
+    plan = _formatted(_doc_vectors(spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_hybrid_bm25_fusion_stays_bounded(spark):
+    """The BM25 leg's probe terms broadcast; fusion is a full outer
+    join of two top-20 frames — nothing unbounded, no cartesian."""
+    from bigdatasmallprice_spark.registry import all_queries
+
+    df = all_queries()["hybrid_bm25_rrf"].fn(spark, SF)
+    plan = _formatted(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
