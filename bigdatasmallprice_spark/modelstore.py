@@ -407,3 +407,85 @@ def quality_keep_latest(
         "source",
         F.expr(score_keep_expr(w)).cast("boolean").alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# word-embedding serving: train-once / embed-everywhere for the bridge
+# ---------------------------------------------------------------------------
+# The three bridge queries (doc_embedding_topk / doc_embedding_ivf_topk
+# / text_semantic_dedup) are oracle-paired REFIT queries, so each runs
+# the full word2vec trajectory inside the query. The deployment shape
+# persists the trained token vectors once and pools any document frame
+# from the artifact — the score_langid_latest pattern applied to the
+# embedding model, sharing embed_stream's fingerprint pin so the
+# artifact, the stream state and the live fit all verify against the
+# SAME canonical serialization. Collecting here is vocabulary-sized
+# (vocab x D rows); past driver-friendly vocabularies the parquet
+# frozen-model dir of streaming/embed_stream.py is the artifact.
+
+
+def save_word_vectors(
+    model_dir: str,
+    name: str,
+    emb: DataFrame,
+    version: str | None = None,
+) -> str:
+    """Persist trained token INPUT vectors (word_embedding_train's
+    (word, dim, u_micro, ...) frame) as a ``kind: "word2vec"``
+    artifact with a fingerprint pin."""
+    from bigdatasmallprice_spark.streaming.embed_stream import (
+        token_vector_fingerprint,
+    )
+
+    rows = sorted(
+        (r.word, int(r.dim), int(r.u_micro))
+        for r in emb.select("word", "dim", "u_micro").collect()
+    )
+    return _write_artifact(
+        model_dir,
+        name,
+        version,
+        None,
+        {
+            "kind": "word2vec",
+            "coefficients": [list(t) for t in rows],
+            "fingerprint": token_vector_fingerprint(rows),
+        },
+    )
+
+
+def load_word_vectors(spark: SparkSession, path: str) -> DataFrame:
+    """Load + fingerprint-verify a word2vec artifact into the
+    (word, dim, u_micro) frame doc_embeddings consumes. Raises on kind
+    mismatch or fingerprint divergence (a tampered/torn artifact must
+    refuse to embed a corpus, not silently shift its vector space)."""
+    from bigdatasmallprice_spark.streaming.embed_stream import (
+        token_vector_fingerprint,
+    )
+
+    with open(path) as f:
+        doc = json.load(f)
+    if doc.get("kind") != "word2vec":
+        raise ValueError(f"{path} is not a word2vec artifact")
+    rows = [(w, int(d), int(u)) for w, d, u in doc["coefficients"]]
+    if token_vector_fingerprint(rows) != doc.get("fingerprint"):
+        raise ValueError(f"{path} fingerprint mismatch — refusing to embed")
+    return spark.createDataFrame(
+        rows, "word string, dim long, u_micro long"
+    )
+
+
+def embed_documents_latest(
+    spark: SparkSession, docs: DataFrame, model_dir: str, name: str
+) -> DataFrame:
+    """(doc_id, xu): mean-pooled document vectors for any document
+    frame from the NEWEST persisted word2vec model — the deployment
+    half of the bridge (the pooling is the same doc_embeddings the
+    refit queries and the stream twin run; only the model source
+    differs)."""
+    from bigdatasmallprice_spark.operators.word2vec import doc_embeddings
+
+    path = find_latest(model_dir, name)
+    if path is None:
+        raise FileNotFoundError(f"no artifact for model {name!r} in {model_dir}")
+    return doc_embeddings(docs, load_word_vectors(spark, path))

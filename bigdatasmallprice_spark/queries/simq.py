@@ -1680,17 +1680,31 @@ def _bm25_scored(docs: DataFrame, nq: int = _BM_NQ) -> DataFrame:
     """(query_id, cand_id, score_milli): the all-integer Okapi BM25
     scoring chain for the first ``nq`` probe docs — shared by
     bm25_topk (top-5 readout) and hybrid_bm25_rrf (the sparse leg)."""
-    from bigdatasmallprice_spark.operators.distill import SPARK_DIV, rdiv
-    from bigdatasmallprice_spark.operators.dsir import log2m
+    return bm25_scored_from_tf(bm25_tf(docs).persist(), nq)
 
-    op = SPARK_DIV
+
+def bm25_tf(docs: DataFrame) -> DataFrame:
+    """(doc_id, term, tf): the per-document term-frequency table — the
+    ONLY corpus-dependent state of the BM25 model (df/dl/the 2-scalar
+    global are pure functions of it); what streaming/bm25_stream.py
+    folds."""
     tok = docs.select(
         "doc_id",
         F.explode(F.expr("filter(split(text, ' '), w -> w <> '')")).alias("term"),
     )
-    tf = tok.groupBy("doc_id", "term").agg(
+    return tok.groupBy("doc_id", "term").agg(
         F.count(F.lit(1)).cast("long").alias("tf")
-    ).persist()
+    )
+
+
+def bm25_scored_from_tf(tf: DataFrame, nq: int = _BM_NQ) -> DataFrame:
+    """The scoring chain from a tf table — shared by the batch queries
+    (live tokenize) and the streaming index twin (folded state), so
+    stream-served rankings equal batch rankings by construction."""
+    from bigdatasmallprice_spark.operators.distill import SPARK_DIV, rdiv
+    from bigdatasmallprice_spark.operators.dsir import log2m
+
+    op = SPARK_DIV
     dfq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
     dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
     g = dl.agg(

@@ -121,3 +121,54 @@ def test_quality_fingerprint_pin_refuses_tampering(tmp_path):
     json.dump(doc, open(path, "w"))
     with pytest.raises(ValueError, match="fingerprint"):
         modelstore.load_quality_weights(path)
+
+
+def test_word_vectors_served_embed_equal_refit_path(spark, tmp_path):
+    """Bridge deployment shape: persist the trained token vectors once,
+    then embed_documents_latest pools any frame bit-identically to the
+    in-query refit pooling (doc_embeddings over the live fit)."""
+    from bigdatasmallprice_spark.modelstore import (
+        embed_documents_latest,
+        save_word_vectors,
+    )
+    from bigdatasmallprice_spark.operators.word2vec import doc_embeddings
+    from bigdatasmallprice_spark.queries.textq import word_embedding_train_q
+
+    sf = "/root/testdata/sf0.001"
+    emb = word_embedding_train_q(spark, sf).persist()
+    emb.count()
+    save_word_vectors(str(tmp_path), "w2v_docs", emb)
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
+    served = sorted(
+        (r.doc_id, tuple(r.xu))
+        for r in embed_documents_latest(spark, docs, str(tmp_path), "w2v_docs").collect()
+    )
+    refit = sorted(
+        (r.doc_id, tuple(r.xu)) for r in doc_embeddings(docs, emb).collect()
+    )
+    assert served == refit
+    emb.unpersist()
+
+
+def test_word_vectors_fingerprint_pin_refuses_tampering(spark, tmp_path):
+    import json
+
+    from bigdatasmallprice_spark.modelstore import (
+        find_latest,
+        load_word_vectors,
+        save_word_vectors,
+    )
+
+    emb = spark.createDataFrame(
+        [("a", 0, 100), ("a", 1, -50), ("b", 0, 7), ("b", 1, 9)],
+        "word string, dim long, u_micro long",
+    )
+    save_word_vectors(str(tmp_path), "w2v_tiny", emb)
+    path = find_latest(str(tmp_path), "w2v_tiny")
+    with open(path) as f:
+        doc = json.load(f)
+    doc["coefficients"][0][2] += 1  # shift one weight, keep the pin
+    with open(path, "w") as f:
+        json.dump(doc, f)
+    with pytest.raises(ValueError, match="fingerprint mismatch"):
+        load_word_vectors(spark, path)
