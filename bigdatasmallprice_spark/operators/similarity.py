@@ -731,27 +731,19 @@ def kmeans_assignments_prescaled(
     return assigned
 
 
-def semantic_dedup_summary(
+def _semantic_removed(
     assigned: DataFrame, tau: float, sim_round: int = 6
-) -> DataFrame:
-    """SemDeDup (Abbas et al. 2023) pruning summary over a cluster
-    assignment: within each k-means cluster, a vector is REMOVED when a
-    smaller-id vector in the same cluster has cosine >= tau (keep the
-    smallest id of every eps-ball; pairwise rule, no transitive
-    closure). Cosines come from the exact integer micro-unit vectors
-    (int64 dot < 2^53 for dim 64), so both engines evaluate identical
-    doubles. The pair join is EQUI on cid — the whole point of
-    clustering first: candidates shrink from O(N^2) to sum of per-
-    cluster squares, and each cluster's block joins co-partitioned.
-    Returns one row per cluster: (cid, n_vecs, n_removed, n_kept)."""
+) -> tuple[DataFrame, DataFrame]:
+    """Shared SemDeDup pair stage: (withn, removed) where ``withn`` is
+    the assignment with per-row self-dots (persisted — the Lloyd
+    lineage must not recompute per join branch) and ``removed`` the
+    DISTINCT (cid, rid) rows a keep-smallest-id cosine>=tau ball
+    prunes. semantic_dedup_summary aggregates it; the curation
+    pipeline's semantic stage anti-joins it."""
     idot = (
         "aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
         "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
     )
-    # persist before the self-join: the assignment's Lloyd lineage
-    # (broadcast-assign rounds) would otherwise recompute once per join
-    # branch; precompute each row's self-dot once (norms per row, not
-    # per pair — 3x fewer folds and a narrower shuffle)
     withn = assigned.withColumn(
         "aa", F.expr(idot.format(a="xu", b="xu"))
     ).persist()
@@ -774,8 +766,26 @@ def semantic_dedup_summary(
         .filter(F.col("sim") >= tau)
         .select("cid", F.col("id_b").alias("rid"))
         .distinct()
-        .groupBy("cid")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_removed"))
+    )
+    return withn, removed
+
+
+def semantic_dedup_summary(
+    assigned: DataFrame, tau: float, sim_round: int = 6
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) pruning summary over a cluster
+    assignment: within each k-means cluster, a vector is REMOVED when a
+    smaller-id vector in the same cluster has cosine >= tau (keep the
+    smallest id of every eps-ball; pairwise rule, no transitive
+    closure). Cosines come from the exact integer micro-unit vectors
+    (int64 dot < 2^53 for dim 64), so both engines evaluate identical
+    doubles. The pair join is EQUI on cid — the whole point of
+    clustering first: candidates shrink from O(N^2) to sum of per-
+    cluster squares, and each cluster's block joins co-partitioned.
+    Returns one row per cluster: (cid, n_vecs, n_removed, n_kept)."""
+    withn, rem_ids = _semantic_removed(assigned, tau, sim_round)
+    removed = rem_ids.groupBy("cid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_removed")
     )
     sizes = withn.groupBy("cid").agg(
         F.count(F.lit(1)).cast("long").alias("n_vecs")

@@ -1612,6 +1612,49 @@ FROM agg1 a LEFT JOIN agg2 b USING (source)
 def curation_pipeline_v2_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
+    gated = _v2_gated(spark, sf_dir)
+    agg1 = gated.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.coalesce(F.sum(F.when(F.col("g_pass"), 1)), F.lit(0))
+        .cast("long")
+        .alias("n_gopher"),
+        F.coalesce(F.sum(F.when(F.col("lm_pass"), 1)), F.lit(0))
+        .cast("long")
+        .alias("n_lm"),
+        F.coalesce(F.sum(F.when(F.col("d_pass"), 1)), F.lit(0))
+        .cast("long")
+        .alias("n_dsir"),
+    )
+    surv = gated.filter(F.col("d_pass")).withColumn(
+        "keeper", F.min("doc_id").over(Window.partitionBy("bag_fp"))
+    )
+    agg2 = surv.groupBy("source").agg(
+        F.coalesce(F.sum(F.when(F.col("doc_id") == F.col("keeper"), 1)), F.lit(0))
+        .cast("long")
+        .alias("n_canonical"),
+        F.coalesce(
+            F.sum(F.when(F.col("doc_id") == F.col("keeper"), F.col("nt"))),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("tokens_final"),
+    )
+    z = F.lit(0).cast("long")
+    return (
+        agg1.join(agg2, "source", "left")
+        .select(
+            "source", "n_docs", "n_gopher", "n_lm", "n_dsir",
+            F.coalesce("n_canonical", z).alias("n_canonical"),
+            F.coalesce("tokens_final", z).alias("tokens_final"),
+        )
+    )
+
+
+def _v2_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The v2 funnel's gated frame (doc_id, source, bag_fp, nt,
+    g_pass, lm_pass, d_pass), persisted — the stage pipeline both
+    curation_pipeline_v2 (per-source accounting) and v3 (the added
+    semantic-dedup stage) consume."""
     from bigdatasmallprice_spark.functions.texts import (
         STOPWORDS_EN,
         bag_fingerprint,
@@ -1681,6 +1724,172 @@ def curation_pipeline_v2_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()
     )
+    return gated
+
+
+def _pipeline_v3_oracle() -> str:
+    from bigdatasmallprice_spark.operators.distill import DUCK_DIV, rdiv
+    from bigdatasmallprice_spark.operators.dsir import o_dsir_chain_sql
+    from bigdatasmallprice_spark.operators.knlm import o_kn_chain_sql
+    from bigdatasmallprice_spark.operators.word2vec import (
+        o_doc_embeddings_sql,
+        o_word2vec_chain_sql,
+    )
+    from bigdatasmallprice_spark.functions.texts import o_bag_fingerprint
+    from bigdatasmallprice_spark.queries.simq import (
+        _KM_ITERS,
+        _O_IDOT8,
+        _SD_TARGET_CLUSTER,
+        _TSD_TAU,
+        _o_km_ctes,
+    )
+    from bigdatasmallprice_spark.queries.textq import _NT, _NU, _SH, _gr_flags_sql
+
+    op = DUCK_DIV
+    nc = "CAST(length(replace(text, ' ', '')) AS BIGINT)"
+    flags = ", ".join(_gr_flags_sql(_NT, _NU, _SH, nc))
+    k_expr = f"(SELECT GREATEST(8, COUNT(*) // {_SD_TARGET_CLUSTER}) FROM x)"
+    km = _o_km_ctes(
+        k_expr,
+        _KM_ITERS,
+        x_select=(
+            "SELECT c.doc_id AS id, v.xu FROM canonv3 c "
+            "JOIN dvec v ON v.doc_id = c.doc_id"
+        ),
+        dim=8,
+        lead=", ",
+        seed_by_rank=True,
+    )
+    it = _KM_ITERS
+    return f"""
+WITH {o_kn_chain_sql()},
+{o_dsir_chain_sql(_DSIR_TARGET)},
+{o_word2vec_chain_sql()},
+{o_doc_embeddings_sql()},
+hm_thr AS (SELECT CAST({rdiv('SUM(hm_p_micro)', 'COUNT(*)', op)} AS BIGINT)
+             AS thr FROM kn),
+lw_thr AS (SELECT CAST({rdiv('SUM(lw_milli)', 'COUNT(*)', op)} AS BIGINT)
+             AS thr FROM dw),
+basev2 AS (
+  SELECT d.doc_id, d.source, {_NT} AS nt, {flags},
+         {o_bag_fingerprint('text')} AS bag_fp,
+         kn.hm_p_micro, dw.lw_milli
+  FROM documents d
+  LEFT JOIN kn ON kn.doc_id = d.doc_id
+  LEFT JOIN dw ON dw.doc_id = d.doc_id
+),
+gated AS (
+  SELECT *,
+         (f_wc + f_mwl + f_stop + f_ttr = 0) AS g_pass,
+         (f_wc + f_mwl + f_stop + f_ttr = 0
+          AND hm_p_micro IS NOT NULL
+          AND hm_p_micro >= (SELECT thr FROM hm_thr)) AS lm_pass,
+         (f_wc + f_mwl + f_stop + f_ttr = 0
+          AND hm_p_micro IS NOT NULL
+          AND hm_p_micro >= (SELECT thr FROM hm_thr)
+          AND lw_milli IS NOT NULL
+          AND lw_milli >= (SELECT thr FROM lw_thr)) AS d_pass
+  FROM basev2
+),
+survv2 AS (
+  SELECT *, MIN(doc_id) OVER (PARTITION BY bag_fp) AS keeper
+  FROM gated WHERE d_pass
+),
+canonv3 AS (SELECT * FROM survv2 WHERE doc_id = keeper){km}
+, semrem AS (
+  SELECT DISTINCT b.id AS rid
+  FROM a{it} a JOIN a{it} b ON a.cid = b.cid AND a.id < b.id
+  WHERE round(CAST({_O_IDOT8.format(a='a', b='b')} AS DOUBLE)
+              / (sqrt(CAST({_O_IDOT8.format(a='a', b='a')} AS DOUBLE))
+                 * sqrt(CAST({_O_IDOT8.format(a='b', b='b')} AS DOUBLE))), 6) >= {_TSD_TAU}
+)
+, keptv3 AS (
+  SELECT c.* FROM canonv3 c LEFT JOIN semrem r ON r.rid = c.doc_id
+  WHERE r.rid IS NULL
+)
+, agg1 AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(COALESCE(SUM(CASE WHEN g_pass THEN 1 END), 0) AS BIGINT) AS n_gopher,
+         CAST(COALESCE(SUM(CASE WHEN lm_pass THEN 1 END), 0) AS BIGINT) AS n_lm,
+         CAST(COALESCE(SUM(CASE WHEN d_pass THEN 1 END), 0) AS BIGINT) AS n_dsir
+  FROM gated GROUP BY 1
+)
+, agg2 AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_canonical FROM canonv3 GROUP BY 1
+)
+, agg3 AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_semantic,
+         CAST(SUM(nt) AS BIGINT) AS tokens_final_sem
+  FROM keptv3 GROUP BY 1
+)
+SELECT a.source, a.n_docs, a.n_gopher, a.n_lm, a.n_dsir,
+       COALESCE(b.n_canonical, 0) AS n_canonical,
+       COALESCE(c.n_semantic, 0) AS n_semantic,
+       COALESCE(c.tokens_final_sem, 0) AS tokens_final_sem
+FROM agg1 a
+LEFT JOIN agg2 b USING (source)
+LEFT JOIN agg3 c USING (source)
+"""
+
+
+@register(
+    "curation_pipeline_v3",
+    _pipeline_v3_oracle(),
+    doc="The FULL modern curation recipe in one declarative DAG — v2's "
+    "funnel (Gopher rule gate -> Kneser-Ney perplexity gate -> DSIR "
+    "importance gate -> exact-dedup canonical) EXTENDED with the "
+    "semantic-dedup stage every production pipeline runs last "
+    "(SemDeDup over the bridge's pooled word2vec document vectors: "
+    "cluster the exact-dedup canonicals with the prescaled exact-int "
+    "Lloyd loop — k scales with the SURVIVOR count, seeds by "
+    "smallest-id RANK because survivor ids are not contiguous — then "
+    "prune keep-smallest-id cosine >= tau balls WITHIN clusters). "
+    "Per source: the v2 attrition columns plus n_semantic and the "
+    "final token mass after semantic pruning. Catalyst sees "
+    "everything in one DAG; the semantic stage's pair join is "
+    "cluster-bounded (equi on cid) over CANONICALS ONLY — the stage "
+    "runs on the funnel's survivors, exactly where a 100 TB pipeline "
+    "puts it because it is the quadratic-risk stage. The oracle "
+    "replays kn + dsir + word2vec + pooling + Lloyd + prune + funnel "
+    "as ONE closed WITH chain. Funnel monotonicity incl. the new "
+    "stage pinned in tests/test_dsir.py.",
+    tags=("curation", "text", "quality", "dedup", "train", "agg"),
+)
+def curation_pipeline_v3_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from bigdatasmallprice_spark.operators.similarity import (
+        _semantic_removed,
+        kmeans_assignments_prescaled,
+    )
+    from bigdatasmallprice_spark.queries.simq import (
+        _KM_ITERS,
+        _SD_TARGET_CLUSTER,
+        _TSD_TAU,
+        _doc_vectors,
+    )
+
+    gated = _v2_gated(spark, sf_dir)
+    surv = gated.filter(F.col("d_pass")).withColumn(
+        "keeper", F.min("doc_id").over(Window.partitionBy("bag_fp"))
+    )
+    canon = surv.filter(F.col("doc_id") == F.col("keeper")).persist()
+
+    dv = _doc_vectors(spark, sf_dir)
+    scaled = (
+        dv.join(canon.select("doc_id"), "doc_id")
+        .select(F.col("doc_id").alias("id"), "xu")
+        .persist()
+    )
+    k = max(8, scaled.count() // _SD_TARGET_CLUSTER)
+    assigned = kmeans_assignments_prescaled(scaled, k=k, iters=_KM_ITERS)
+    _, removed = _semantic_removed(assigned, _TSD_TAU)
+    kept = canon.join(
+        removed.select(F.col("rid").alias("doc_id")), "doc_id", "left_anti"
+    )
+
     agg1 = gated.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.coalesce(F.sum(F.when(F.col("g_pass"), 1)), F.lit(0))
@@ -1693,26 +1902,21 @@ def curation_pipeline_v2_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_dsir"),
     )
-    surv = gated.filter(F.col("d_pass")).withColumn(
-        "keeper", F.min("doc_id").over(Window.partitionBy("bag_fp"))
+    agg2 = canon.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_canonical")
     )
-    agg2 = surv.groupBy("source").agg(
-        F.coalesce(F.sum(F.when(F.col("doc_id") == F.col("keeper"), 1)), F.lit(0))
-        .cast("long")
-        .alias("n_canonical"),
-        F.coalesce(
-            F.sum(F.when(F.col("doc_id") == F.col("keeper"), F.col("nt"))),
-            F.lit(0),
-        )
-        .cast("long")
-        .alias("tokens_final"),
+    agg3 = kept.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_semantic"),
+        F.sum("nt").cast("long").alias("tokens_final_sem"),
     )
     z = F.lit(0).cast("long")
     return (
         agg1.join(agg2, "source", "left")
+        .join(agg3, "source", "left")
         .select(
             "source", "n_docs", "n_gopher", "n_lm", "n_dsir",
             F.coalesce("n_canonical", z).alias("n_canonical"),
-            F.coalesce("tokens_final", z).alias("tokens_final"),
+            F.coalesce("n_semantic", z).alias("n_semantic"),
+            F.coalesce("tokens_final_sem", z).alias("tokens_final_sem"),
         )
     )

@@ -1051,6 +1051,7 @@ def _o_km_ctes(
     x_select: str | None = None,
     dim: int = 64,
     lead: str = "WITH ",
+    seed_by_rank: bool = False,
 ) -> str:
     """The unrolled exact-int Lloyd chain as reusable CTE text: ends
     after a{iters} (the final assignment), optionally also defining
@@ -1073,10 +1074,19 @@ def _o_km_ctes(
             f"list_transform(embedding, e -> CAST(round({_KM_SCALE} * CAST(e AS DOUBLE)) AS BIGINT)) AS xu "
             f"FROM embeddings WHERE {where}"
         )
-    parts = [
-        f"{lead}x AS ({x_select}),",
-        f"c0 AS (SELECT id AS cid, xu AS cu FROM x WHERE id < {k})",
-    ]
+    if seed_by_rank:
+        # the k SMALLEST ids by rank — REQUIRED when the source's ids
+        # are not contiguous from 0 (e.g. funnel survivors), where
+        # `id < k` would seed fewer than k centroids; _lloyd's cid is
+        # the rank among the sorted seeds, mirrored exactly here
+        c0 = (
+            "c0 AS (SELECT CAST(rn - 1 AS BIGINT) AS cid, xu AS cu FROM ("
+            "SELECT id, xu, row_number() OVER (ORDER BY id) AS rn FROM x) "
+            f"WHERE rn <= {k})"
+        )
+    else:
+        c0 = f"c0 AS (SELECT id AS cid, xu AS cu FROM x WHERE id < {k})"
+    parts = [f"{lead}x AS ({x_select}),", c0]
     for it in range(1, iters + 1):
         parts.append(
             f", a{it} AS (SELECT id, cid, xu FROM ("

@@ -96,6 +96,7 @@ DRIVER_ORDER: list[str] = [
     "perplexity_buckets_kn",
     "ngram_lm_mkn",
     "doc_embedding_ivf_topk",
+    "curation_pipeline_v3",
     # -- r9-firsts, second rows
     "training_features_stitched",
     "ngram_lm_kn",
@@ -146,7 +147,6 @@ DRIVER_ORDER: list[str] = [
     "net_position",
     "row_explorer_page",
     "hourly_pivot",
-    "table_stats",
     # Every sit-out holds >= 2 green rows (COVERAGE.json is the
     # ledger); earlier rounds' rotation rationales live in git history.
 ]

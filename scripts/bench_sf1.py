@@ -104,6 +104,7 @@ QUERIES = [
     "perplexity_buckets_kn",
     "ngram_lm_mkn",
     "doc_embedding_ivf_topk",
+    "curation_pipeline_v3",
 ]
 
 

@@ -101,3 +101,26 @@ def test_curation_pipeline_v2_funnel_is_monotone_and_nonempty(spark):
     # the model gates actually cut something corpus-wide
     assert sum(r.n_lm for r in rows) < sum(r.n_gopher for r in rows)
     assert sum(r.n_dsir for r in rows) < sum(r.n_lm for r in rows)
+
+
+def test_curation_pipeline_v3_adds_a_real_semantic_stage(spark):
+    """v3 = v2 + SemDeDup over the canonicals: per source the funnel
+    stays monotone through the new stage, the v2 prefix is unchanged,
+    and the semantic stage prunes SOMETHING corpus-wide (the bridge's
+    pooled vectors find near-dups the exact bag-fingerprint missed)."""
+    v3 = all_queries()["curation_pipeline_v3"].fn(spark, SF).collect()
+    v2 = {r.source: r for r in all_queries()["curation_pipeline_v2"].fn(spark, SF).collect()}
+    assert len(v3) == 20
+    for r in v3:
+        assert (
+            r.n_docs >= r.n_gopher >= r.n_lm >= r.n_dsir
+            >= r.n_canonical >= r.n_semantic >= 0
+        ), r
+        # the v2 prefix is bit-identical (shared _v2_gated)
+        p = v2[r.source]
+        assert (p.n_docs, p.n_gopher, p.n_lm, p.n_dsir, p.n_canonical) == (
+            r.n_docs, r.n_gopher, r.n_lm, r.n_dsir, r.n_canonical
+        )
+    assert sum(r.n_semantic for r in v3) < sum(r.n_canonical for r in v3)
+    assert sum(r.n_semantic for r in v3) > 0
+    assert sum(r.tokens_final_sem for r in v3) > 0
