@@ -2170,3 +2170,103 @@ def doc_embedding_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _DV_TOPK)
         .select("query_id", "cand_id", "sim", "rank")
     )
+
+
+_TT_ANCHORS = 20
+
+
+def _o_cos8(a: str, b: str, na: str, nb: str) -> str:
+    dot = _O_DOT8.format(a=a, b=b)
+    return f"CASE WHEN {na} * {nb} > 0 THEN {dot} / ({na} * {nb}) ELSE 0.0 END"
+
+
+def _text_triplet_oracle() -> str:
+    def cells(src, idc, vecc, nrmc, nprobe):
+        return _O_TRIP_CELLS.format(
+            src=src,
+            idc=idc,
+            vecc=vecc,
+            nrmc=nrmc,
+            nprobe=nprobe,
+            cos=_o_cos8(f"t.{vecc}", "c.cvec", f"t.{nrmc}", "c.ncv"),
+        )
+
+    nrm = _O_NORM8.format(a="v.xu")
+    return f"""
+{_doc_vec_chain_sql()},
+dlab AS (
+  SELECT v.doc_id, v.xu, {nrm} AS nn, d.lang AS lbl
+  FROM dvec v JOIN documents d ON d.doc_id = v.doc_id
+),
+cent AS (SELECT doc_id AS cid, xu AS cvec, nn AS ncv FROM dlab WHERE doc_id < 8),
+a AS ({cells(
+    f"SELECT doc_id AS anchor_id, xu AS qv, nn AS nq, lbl FROM dlab WHERE doc_id < {_TT_ANCHORS}",
+    'anchor_id', 'qv', 'nq', 1)}),
+c AS ({cells(
+    "SELECT doc_id AS cand_id, xu AS cv, nn AS nc, lbl FROM dlab",
+    'cand_id', 'cv', 'nc', 1)}),
+s AS (
+  SELECT a.anchor_id, a.lbl AS albl, c.cand_id, c.lbl AS clbl,
+         round({_o_cos8('a.qv', 'c.cv', 'a.nq', 'c.nc')}, 6) AS sim
+  FROM a JOIN c ON a.cell = c.cell AND a.anchor_id != c.cand_id
+),
+pos AS (
+  SELECT anchor_id, cand_id AS pos_id, sim AS pos_sim FROM (
+    SELECT anchor_id, cand_id, sim,
+           row_number() OVER (PARTITION BY anchor_id ORDER BY sim DESC, cand_id) AS rn
+    FROM s WHERE albl = clbl
+  ) WHERE rn = 1
+),
+neg AS (
+  SELECT anchor_id, cand_id AS neg_id, sim AS neg_sim FROM (
+    SELECT anchor_id, cand_id, sim,
+           row_number() OVER (PARTITION BY anchor_id ORDER BY sim DESC, cand_id) AS rn
+    FROM s WHERE albl != clbl
+  ) WHERE rn = 1
+)
+SELECT pos.anchor_id, pos_id, pos_sim, neg_id, neg_sim
+FROM pos JOIN neg ON pos.anchor_id = neg.anchor_id
+"""
+
+
+@register(
+    "text_triplet_mining",
+    _text_triplet_oracle(),
+    doc="Hard-negative triplet mining over REAL text-derived vectors — "
+    "the metric-learning member of the bridge: triplet_mining's "
+    "EXISTING hard_triplets operator (IVF cell-blocked candidates, "
+    "per-anchor nearest same-label positive and nearest "
+    "different-label hard negative, 6-decimal rounded sims with a "
+    "total tie-break) run on the pooled word2vec document vectors "
+    "with the documents table's LANGUAGE as the label — the data "
+    "prep for fine-tuning a doc embedding to separate languages. "
+    "8-dim integer micro folds stay exact in the double accumulator, "
+    "so the operator runs UNMODIFIED (vec_col='xu', label_col="
+    "'lang'); candidates bounded by cell population, anchors "
+    "broadcast. The oracle chains fit -> pool -> cells -> mine as "
+    "one closed WITH block.",
+    tags=("similarity", "text", "train", "curation"),
+)
+def text_triplet_mining_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdatasmallprice_spark.operators.similarity import _norm, hard_triplets
+
+    docs = table(spark, sf_dir, "documents")
+    dl = (
+        _doc_vectors(spark, sf_dir)
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .persist()
+    )
+    centroids = dl.filter(F.col("doc_id") < 8).select(
+        F.col("doc_id").alias("cid"),
+        F.col("xu").alias("cvec"),
+        _norm("xu").alias("ncv"),
+    )
+    return hard_triplets(
+        dl.filter(F.col("doc_id") < _TT_ANCHORS),
+        dl,
+        centroids,
+        nprobe=1,
+        id_col="doc_id",
+        vec_col="xu",
+        label_col="lang",
+    )

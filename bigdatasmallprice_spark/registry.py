@@ -97,6 +97,7 @@ DRIVER_ORDER: list[str] = [
     "ngram_lm_mkn",
     "doc_embedding_ivf_topk",
     "curation_pipeline_v3",
+    "text_triplet_mining",
     # -- r9-firsts, second rows
     "training_features_stitched",
     "ngram_lm_kn",
@@ -146,7 +147,6 @@ DRIVER_ORDER: list[str] = [
     "hourly_rollup",
     "net_position",
     "row_explorer_page",
-    "hourly_pivot",
     # Every sit-out holds >= 2 green rows (COVERAGE.json is the
     # ledger); earlier rounds' rotation rationales live in git history.
 ]

@@ -105,6 +105,7 @@ QUERIES = [
     "ngram_lm_mkn",
     "doc_embedding_ivf_topk",
     "curation_pipeline_v3",
+    "text_triplet_mining",
 ]
 
 
