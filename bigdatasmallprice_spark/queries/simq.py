@@ -1989,6 +1989,11 @@ def _text_semantic_dedup_oracle() -> str:
         x_select="SELECT doc_id AS id, xu FROM dvec",
         dim=8,
         lead=", ",
+        # dvec doc_ids are contiguous today (so this is a no-op), but
+        # any empty-text doc below k dropping out of dvec would break
+        # the `id < k` seed while Spark's _lloyd seeds by rank —
+        # mirror the rank seed to remove the latent seam
+        seed_by_rank=True,
     )
     return f"""
 {_doc_vec_chain_sql()}{km}
@@ -2055,6 +2060,10 @@ def _doc_embedding_ivf_oracle() -> str:
         dim=8,
         lead=", ",
         with_final_update=True,
+        # same latent-seam removal as _text_semantic_dedup_oracle:
+        # rank seeding ≡ `id < k` on contiguous ids, and stays correct
+        # if a sub-k doc ever drops out of dvec
+        seed_by_rank=True,
     )
     dist8 = (
         "list_sum(list_transform(range(1, 9), "
@@ -2114,6 +2123,17 @@ FROM ranked WHERE rank <= {_DV_TOPK}
     tags=("similarity", "text", "topk", "train"),
 )
 def doc_embedding_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scaled = _doc_vectors(spark, sf_dir).select(
+        F.col("doc_id").alias("id"), "xu"
+    ).persist()
+    return _div_ivf_topk(scaled)
+
+
+def _div_ivf_topk(scaled: DataFrame) -> DataFrame:
+    """The IVF twin's fit -> assign -> probe -> re-rank over a
+    persisted (id, xu) frame — factored so doc_embedding_recall_eval
+    can serve the approximate leg from the SAME pooled vectors its
+    ground truth scans (one word2vec fit per query, not two)."""
     from pyspark.sql import Window
 
     from bigdatasmallprice_spark.operators.similarity import (
@@ -2122,9 +2142,6 @@ def doc_embedding_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         kmeans_fit_prescaled,
     )
 
-    scaled = _doc_vectors(spark, sf_dir).select(
-        F.col("doc_id").alias("id"), "xu"
-    ).persist()
     k = max(8, scaled.count() // _SD_TARGET_CLUSTER)
     cent = centroid_arrays(
         kmeans_fit_prescaled(scaled, k=k, iters=_KM_ITERS)
@@ -2169,6 +2186,128 @@ def doc_embedding_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         cands.withColumn("rank", F.row_number().over(wr).cast("long"))
         .filter(F.col("rank") <= _DV_TOPK)
         .select("query_id", "cand_id", "sim", "rank")
+    )
+
+
+def _doc_embedding_recall_oracle() -> str:
+    it = _KM_ITERS
+    k_expr = f"(SELECT GREATEST(8, COUNT(*) // {_SD_TARGET_CLUSTER}) FROM x)"
+    km = _o_km_ctes(
+        k_expr,
+        it,
+        x_select="SELECT doc_id AS id, xu FROM dvec",
+        dim=8,
+        lead=", ",
+        with_final_update=True,
+        seed_by_rank=True,
+    )
+    dist8 = (
+        "list_sum(list_transform(range(1, 9), "
+        "i -> (x.xu[i] - c.cu[i]) * (x.xu[i] - c.cu[i])))"
+    )
+    idot = _O_IDOT8
+    icos = (
+        f"round(CAST({idot.format(a='q', b='a')} AS DOUBLE)"
+        f" / (sqrt(CAST({idot.format(a='q', b='q')} AS DOUBLE))"
+        f" * sqrt(CAST({idot.format(a='a', b='a')} AS DOUBLE))), 6)"
+    )
+    bdot = _O_DOT8.format(a="qv", b="cv")
+    return f"""
+{_doc_vec_chain_sql()},
+bq AS (SELECT doc_id AS query_id, xu AS qv, {_O_NORM8.format(a='xu')} AS nq
+       FROM dvec WHERE doc_id < {_DV_NQ}),
+bcand AS (SELECT doc_id AS cand_id, xu AS cv, {_O_NORM8.format(a='xu')} AS nc
+          FROM dvec),
+bscored AS (
+  SELECT query_id, cand_id,
+         round(CASE WHEN nq * nc > 0 THEN {bdot} / (nq * nc) ELSE 0.0 END, 6) AS sim
+  FROM bq, bcand WHERE query_id != cand_id
+),
+gt AS (
+  SELECT query_id, cand_id FROM (
+    SELECT query_id, cand_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rank
+    FROM bscored) WHERE rank <= {_DV_TOPK}
+){km}
+, iaf AS (
+  SELECT id, cid, xu FROM (
+    SELECT x.id, c.cid, x.xu,
+           row_number() OVER (PARTITION BY x.id ORDER BY {dist8}, c.cid) AS rn
+    FROM x, c{it} c) WHERE rn = 1
+)
+, iqc AS (
+  SELECT id AS query_id, xu, cid FROM (
+    SELECT x.id, x.xu, c.cid,
+           row_number() OVER (PARTITION BY x.id ORDER BY {dist8}, c.cid) AS crn
+    FROM x, c{it} c WHERE x.id < {_DV_NQ}) WHERE crn <= {_DV_NPROBE}
+)
+, iscored AS (
+  SELECT q.query_id, a.id AS cand_id, {icos} AS sim
+  FROM iqc q JOIN iaf a ON a.cid = q.cid AND a.id <> q.query_id
+)
+, ap AS (
+  SELECT query_id, cand_id FROM (
+    SELECT query_id, cand_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rank
+    FROM iscored) WHERE rank <= {_DV_TOPK}
+)
+SELECT g.query_id,
+       CAST(COUNT(*) AS BIGINT) AS possible,
+       CAST(COUNT(a.cand_id) AS BIGINT) AS hits,
+       round(CAST(COUNT(a.cand_id) AS DOUBLE) / COUNT(*), 6) AS recall
+FROM gt g
+LEFT JOIN ap a ON a.query_id = g.query_id AND a.cand_id = g.cand_id
+GROUP BY 1
+"""
+
+
+@register(
+    "doc_embedding_recall_eval",
+    _doc_embedding_recall_oracle(),
+    doc="Index-quality gate for the text -> embedding bridge (VERDICT "
+    "r10 ask #5): per-probe recall@k of the IVF scale path "
+    "(doc_embedding_ivf_topk's exact chain) against the brute-force "
+    "ground truth (doc_embedding_topk's exact chain), both computed "
+    "over ONE shared word2vec fit + pooling — the ann_recall_eval "
+    "pattern re-based on pooled text vectors, so the bridge's "
+    "quality number is externally verified per probe instead of "
+    "living only in pytest. Output: (query_id, possible, hits, "
+    "recall). Oracle = the two registered chains composed into one "
+    "closed WITH over the shared dvec prefix. At 100 TB ground "
+    "truth comes from this same fixed probe sample — never a full "
+    "cross join.",
+    tags=("similarity", "text", "eval", "train"),
+)
+def doc_embedding_recall_eval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdatasmallprice_spark.operators.similarity import brute_force_topk
+
+    dv = _doc_vectors(spark, sf_dir).persist()
+    scaled = dv.select(F.col("doc_id").alias("id"), "xu").persist()
+    gt = brute_force_topk(
+        dv.filter(F.col("doc_id") < _DV_NQ),
+        dv,
+        k=_DV_TOPK,
+        id_col="doc_id",
+        vec_col="xu",
+    ).select("query_id", "cand_id")
+    ap = _div_ivf_topk(scaled).select(
+        "query_id", "cand_id", F.lit(1).alias("__hit")
+    )
+    return (
+        gt.join(ap, ["query_id", "cand_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("possible"),
+            F.count("__hit").cast("long").alias("hits"),
+        )
+        .select(
+            "query_id",
+            "possible",
+            "hits",
+            F.round(
+                F.col("hits").cast("double") / F.col("possible"), 6
+            ).alias("recall"),
+        )
     )
 
 

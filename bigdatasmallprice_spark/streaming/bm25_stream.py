@@ -58,10 +58,12 @@ def update_bm25_index(
     if state_dir is not None:
         prior = spark.read.schema(BM25_STATE_SCHEMA).parquet(state_dir)
         # last-writer-wins BY DOC_ID: every old row of a re-delivered
-        # document goes, including terms its edit removed
-        new = part.unionByName(
-            prior.join(part.select("doc_id").distinct(), "doc_id", "left_anti")
-        )
+        # document goes, including terms its edit removed. The anti-join
+        # keys on the DELIVERY's doc_ids, not the tokenized tf rows — a
+        # document re-delivered with empty/whitespace-only text yields
+        # zero tf rows but must still evict its stale postings.
+        delivered = batch.select("doc_id").distinct()
+        new = part.unionByName(prior.join(delivered, "doc_id", "left_anti"))
     version = next_state_version(state_path)
     new.write.mode("overwrite").parquet(state_version_dir(state_path, version))
     publish_state(state_path, version, batch_id)

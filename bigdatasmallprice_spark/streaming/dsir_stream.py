@@ -52,6 +52,7 @@ def update_dsir_counts(
         publish_state,
         resolve_state_dir,
         state_version_dir,
+        validate_pin_with_default,
         validate_state_config,
         versioned_already_applied,
     )
@@ -60,9 +61,13 @@ def update_dsir_counts(
         buckets = DSIR_BUCKETS
     if versioned_already_applied(state_path, batch_id):
         return
-    validate_state_config(
-        state_path, {"target_pred": target_pred, "buckets": buckets}
-    )
+    validate_state_config(state_path, {"target_pred": target_pred})
+    # Migration: pre-pin states (manifest config lacking 'buckets') were
+    # folded with the default geometry — the read path already treats a
+    # missing pin as DSIR_BUCKETS, so validation must too, instead of
+    # freezing those states forever (None != N). The pin is then
+    # re-published by this fold's publish_state below.
+    validate_pin_with_default(state_path, "buckets", buckets, DSIR_BUCKETS)
     feats = dsir_features(batch, buckets=buckets)
     part = feats.groupBy("bucket").agg(
         F.sum("f").cast("long").alias("cq"),

@@ -68,6 +68,36 @@ def _fingerprint_of(vec: DataFrame) -> str:
     return token_vector_fingerprint(rows)
 
 
+# fingerprint memo: the frozen model is written ONCE at init, so
+# re-collecting the vocab×dim table on EVERY delivery just to recompute
+# an identical md5 is per-delivery driver cost growing with vocabulary.
+# Keyed on the vector dir's parquet file signature (name, size,
+# mtime_ns) so a re-init with a different model invalidates the memo.
+_FP_MEMO: dict[str, tuple[tuple, str]] = {}
+
+
+def _vector_dir_signature(state_path: str) -> tuple:
+    import os
+
+    d = _vector_dir(state_path)
+    return tuple(
+        (name, st.st_size, st.st_mtime_ns)
+        for name in sorted(os.listdir(d))
+        if name.endswith(".parquet")
+        for st in (os.stat(os.path.join(d, name)),)
+    )
+
+
+def _pinned_fingerprint(spark: SparkSession, state_path: str) -> str:
+    sig = _vector_dir_signature(state_path)
+    hit = _FP_MEMO.get(state_path)
+    if hit is not None and hit[0] == sig:
+        return hit[1]
+    fp = _fingerprint_of(_read_vectors(spark, state_path))
+    _FP_MEMO[state_path] = (sig, fp)
+    return fp
+
+
 def init_doc_embeddings(
     spark: SparkSession, state_path: str, emb: DataFrame
 ) -> None:
@@ -83,7 +113,7 @@ def init_doc_embeddings(
 
     vec = emb.select("word", "dim", F.col("u_micro").cast("long"))
     vec.coalesce(1).write.mode("overwrite").parquet(_vector_dir(state_path))
-    vec = _read_vectors(spark, state_path)
+    fp = _pinned_fingerprint(spark, state_path)  # seeds the memo too
     version = next_state_version(state_path)
     spark.createDataFrame([], EMBED_STATE_SCHEMA).coalesce(1).write.mode(
         "overwrite"
@@ -92,7 +122,7 @@ def init_doc_embeddings(
         state_path,
         version,
         batch_id=None,
-        config={"token_vectors_md5": _fingerprint_of(vec)},
+        config={"token_vectors_md5": fp},
     )
 
 
@@ -128,8 +158,10 @@ def update_doc_embeddings(
     vec = _read_vectors(spark, state_path)
     # the model pin: refuse to fold vectors pooled under a different
     # token model than the one the state was initialized with
+    # (fingerprint memoized per state_path — the frozen model is
+    # immutable after init, so no per-delivery vocab collect)
     validate_state_config(
-        state_path, {"token_vectors_md5": _fingerprint_of(vec)}
+        state_path, {"token_vectors_md5": _pinned_fingerprint(spark, state_path)}
     )
     part = doc_embeddings(
         batch.select("doc_id", "text"),
@@ -138,12 +170,13 @@ def update_doc_embeddings(
     prior = spark.read.schema(EMBED_STATE_SCHEMA).parquet(
         resolve_state_dir(state_path)
     )
-    # last-writer-wins by doc_id: a re-delivered document's vector
-    # REPLACES its old row (text edits re-embed; bit-identical replays
-    # rewrite the same row)
-    new = part.unionByName(
-        prior.join(part.select("doc_id"), "doc_id", "left_anti")
-    )
+    # last-writer-wins by doc_id, keyed on the DELIVERY's doc_ids:
+    # a re-delivered document's vector REPLACES its old row (text
+    # edits re-embed; bit-identical replays rewrite the same row),
+    # and a document re-delivered with empty/whitespace-only text —
+    # which pools to ZERO rows — still evicts its stale vector
+    delivered = batch.select("doc_id").distinct()
+    new = part.unionByName(prior.join(delivered, "doc_id", "left_anti"))
     version = next_state_version(state_path)
     new.coalesce(1).write.mode("overwrite").parquet(
         state_version_dir(state_path, version)

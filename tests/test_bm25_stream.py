@@ -63,3 +63,20 @@ def test_text_edit_replaces_all_stale_term_rows(spark, tmp_path):
     assert (0, "beta") not in tf, "stale term row survived the edit"
     assert tf[(0, "delta")] == 1 and tf[(0, "alpha")] == 1
     assert tf[(1, "gamma")] == 1  # untouched doc intact
+
+
+def test_empty_text_redelivery_evicts_stale_postings(spark, tmp_path):
+    """A document re-delivered with empty/whitespace-only text yields
+    ZERO tf rows — its stale postings must still be evicted (the
+    anti-join keys on the delivery's doc_ids, not the tokenized rows;
+    r10 ADVICE item)."""
+    docs = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "gamma")], "doc_id long, text string"
+    )
+    state = str(tmp_path / "bm25_state")
+    update_bm25_index(spark, state, docs, batch_id=0)
+    emptied = spark.createDataFrame([(0, "   ")], "doc_id long, text string")
+    update_bm25_index(spark, state, emptied, batch_id=1)
+    tf = {(r.doc_id, r.term) for r in read_tf_table(spark, state).collect()}
+    assert not {k for k in tf if k[0] == 0}, "stale postings survived emptying"
+    assert (1, "gamma") in tf  # untouched doc intact

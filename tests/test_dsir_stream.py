@@ -86,3 +86,40 @@ def test_nondefault_bucket_geometry_reads_back_pinned(spark, tmp_path):
     feats = dsir_features(docs, buckets=64)
     batch_lr = log_ratio_table(feats, PRED, buckets=64)
     assert _sorted(streamed_lr) == _sorted(batch_lr)
+
+
+def test_pre_pin_state_migrates_instead_of_freezing(spark, tmp_path):
+    """A state whose manifest predates the 'buckets' pin (config lacks
+    the key) must accept default-geometry folds — matching the read
+    path's fallback — and re-publish the pin on the next successful
+    fold; a NON-default geometry still refuses (r10 ADVICE item)."""
+    import json
+
+    from bigdatasmallprice_spark.operators.dsir import DSIR_BUCKETS
+    from bigdatasmallprice_spark.streaming.state import read_state_manifest
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    state = str(tmp_path / "dsir_state")
+    update_dsir_counts(spark, state, docs.filter("doc_id % 2 = 0"), PRED, batch_id=0)
+    # simulate a pre-pin manifest: strip the 'buckets' key in place
+    mpath = state + "._state_manifest.json"
+    m = json.load(open(mpath))
+    del m["config"]["buckets"]
+    json.dump(m, open(mpath, "w"))
+    # default geometry folds fine and restores the pin
+    update_dsir_counts(spark, state, docs.filter("doc_id % 2 = 1"), PRED, batch_id=1)
+    pinned = read_state_manifest(state)["config"]
+    assert pinned["buckets"] == DSIR_BUCKETS
+    # streamed model == batch over the full corpus
+    from bigdatasmallprice_spark.operators.dsir import dsir_features, log_ratio_table
+
+    feats = dsir_features(docs)
+    assert _sorted(read_log_ratio_table(spark, state)) == _sorted(
+        log_ratio_table(feats, PRED)
+    )
+    # a pre-pin state can never fold a non-default geometry
+    m = json.load(open(mpath))
+    del m["config"]["buckets"]
+    json.dump(m, open(mpath, "w"))
+    with pytest.raises(ValueError, match="predates the buckets pin"):
+        update_dsir_counts(spark, state, docs, PRED, batch_id=2, buckets=64)

@@ -108,3 +108,39 @@ def test_update_without_init_raises(spark, tmp_path):
     docs = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
     with pytest.raises(FileNotFoundError, match="init_doc_embeddings"):
         update_doc_embeddings(spark, str(tmp_path / "missing"), docs, batch_id=0)
+
+
+def test_empty_text_redelivery_evicts_stale_vector(spark, tmp_path, emb):
+    """A document re-delivered with whitespace-only text pools to ZERO
+    rows — its stale vector must still be evicted (the anti-join keys
+    on the delivery's doc_ids; r10 ADVICE item)."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    state = str(tmp_path / "emb_state")
+    init_doc_embeddings(spark, state, emb)
+    update_doc_embeddings(spark, state, docs, batch_id=0)
+    n = read_doc_vectors(spark, state).count()
+    emptied = spark.createDataFrame([(0, "   ")], "doc_id long, text string")
+    update_doc_embeddings(spark, state, emptied, batch_id=1)
+    st = read_doc_vectors(spark, state)
+    assert st.filter(F.col("doc_id") == 0).count() == 0, "stale vector kept"
+    assert st.count() == n - 1
+
+
+def test_fingerprint_memo_skips_vocab_recollect(spark, tmp_path, emb, monkeypatch):
+    """After init, per-delivery validation must NOT re-collect the
+    vocab×dim table (r10 ADVICE item): the fingerprint is memoized on
+    the frozen model's file signature, so a delivery succeeds even if
+    recomputing were impossible — and a model swap (new signature)
+    still forces a recompute (covered by the pin-refusal test)."""
+    from bigdatasmallprice_spark.streaming import embed_stream
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    state = str(tmp_path / "emb_state")
+    init_doc_embeddings(spark, state, emb)
+
+    def boom(_vec):
+        raise AssertionError("vocab table re-collected despite memo")
+
+    monkeypatch.setattr(embed_stream, "_fingerprint_of", boom)
+    update_doc_embeddings(spark, state, docs, batch_id=0)
+    assert read_doc_vectors(spark, state).count() == docs.count()
