@@ -288,3 +288,30 @@ def test_token_budget_sample_is_weighted_and_deterministic(spark):
     # determinism
     again = all_queries()["token_budget_sample"].fn(spark, sf).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
+
+
+def test_v3_served_equals_refit(spark):
+    """The deployment twin: curation_pipeline_v3_served (scoring from
+    persisted modelstore/stream-state artifacts) must equal
+    curation_pipeline_v3 (full refit in-query) row-for-row — the
+    streamed/read models are bit-identical to batch fits, so the
+    shared funnel body (_v3_summary) yields the same attrition."""
+    from bigdatasmallprice_spark.registry import all_queries
+
+    specs = all_queries()
+    refit = sorted(
+        map(tuple, specs["curation_pipeline_v3"].fn(spark, SF).collect())
+    )
+    served = sorted(
+        map(tuple, specs["curation_pipeline_v3_served"].fn(spark, SF).collect())
+    )
+    assert served == refit
+    # the artifact bootstrap is memoized per corpus fingerprint: a
+    # second build must reuse it (no re-train), and still match
+    from bigdatasmallprice_spark.queries import curationq
+
+    assert curationq._V3_ARTIFACT_MEMO, "bootstrap memo not populated"
+    again = sorted(
+        map(tuple, specs["curation_pipeline_v3_served"].fn(spark, SF).collect())
+    )
+    assert again == refit
