@@ -107,3 +107,59 @@ def trained_merges(spark, sf_dir: str) -> list[tuple[str, str]]:
 
     ranked = bpe_train_merges_q(spark, sf_dir).orderBy("merge_rank").collect()
     return [(r.pair[0], r.pair[1]) for r in ranked]
+
+
+def bpe_symbols_sql(text_sql: str, merges: list[tuple[str, str]], dialect: str) -> str:
+    """BPE APPLY as a pure string-expression chain — the codegen scale
+    path for SINGLE-LEVEL merge tables (every pair is two single
+    characters, so merged symbols never re-merge; the registered
+    trainer produces exactly this shape).
+
+    Equivalence argument: with a single-level table, the classic
+    priority loop (``bpe_segment``: merge the lowest-rank pair present,
+    repeat) degenerates to ONE left-to-right non-overlapping merge pass
+    per rank in rank order — merging rank r consumes all its
+    occurrences and can never create an occurrence of any rank (merged
+    symbols are 2-char, table pairs are 1-char/1-char). A left-to-right
+    non-overlapping literal ``replace()`` IS that pass when each symbol
+    is self-delimited: mark every character as ``(c)``, then
+    ``replace(s, '(a)(b)', '(ab)')`` per merge in rank order. The
+    parenthesis delimiters make false matches impossible (``(b)(c)``
+    cannot match inside ``(ab)(c)``) and adjacent matches share no
+    characters (the aaaa run merges floor(n/2) times, exactly like
+    ``bpe_segment``). Token count = count of '(' in the result.
+
+    The same chain text runs on both engines (``replace`` is
+    left-to-right non-overlapping in Spark and DuckDB); only the
+    char-marking regexp differs per dialect ($1 vs \\1 backrefs).
+    Delimiters are safe for the corpus alphabet (space + [a-z]); a
+    general deployment would first map text through a 1:1 escape.
+
+    At 100 TB this is the packing-stage tokenizer: ~R+1 linear scans
+    of each row inside whole-stage codegen, zero shuffle, zero Python
+    — vs the Arrow ``bpe_encode_tokens`` path (general multi-level
+    tables), which pays the Python batch transfer.
+    """
+    if any(len(a) != 1 or len(b) != 1 for a, b in merges):
+        raise ValueError("codegen BPE apply requires a single-level merge table")
+    if dialect == "spark":
+        chain = f"regexp_replace({text_sql}, '(.)', '($1)')"
+    elif dialect == "duckdb":
+        chain = f"regexp_replace({text_sql}, '(.)', '(\\1)', 'g')"
+    else:
+        raise ValueError(f"unknown dialect {dialect!r}")
+    for a, b in merges:
+        chain = f"replace({chain}, '({a})({b})', '({a}{b})')"
+    return chain
+
+
+def bpe_token_count_from_symbols_sql(sym_col: str, text_sql: str) -> str:
+    """Per-document BPE token count from a marked-symbol column: number
+    of '(' symbols minus the space symbols (spaces are never in a merge
+    pair, so each is its own symbol and a natural word barrier —
+    whitespace pre-tokenization for free). Engine-shared SQL."""
+    return (
+        f"CAST(length({sym_col}) - length(replace({sym_col}, '(', ''))"
+        f" - (length({text_sql}) - length(replace({text_sql}, ' ', '')))"
+        " AS BIGINT)"
+    )

@@ -361,6 +361,112 @@ def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The FROZEN tokenizer artifact the BPE packing twin bins with — the
+# engine's own trainer's top-20 ranked merges (bpe_train_merges run at
+# sf0.001; a production run pins ~50k merges the same way, like GPT-2's
+# vocab.bpe). Pinned as literals because a trainer-of-record artifact
+# is exactly that: fixed at tokenize time, shipped to every consumer —
+# a packing stage that retrained its tokenizer per query would emit
+# incompatible token ids across runs.
+_PACK_BPE_MERGES: list[tuple[str, str]] = [
+    ("e", "r"), ("o", "r"), ("i", "n"), ("o", "w"), ("s", "t"),
+    ("r", "t"), ("l", "u"), ("u", "e"), ("a", "r"), ("p", "a"),
+    ("a", "l"), ("a", "s"), ("m", "e"), ("t", "o"), ("a", "t"),
+    ("r", "o"), ("t", "a"), ("a", "n"), ("c", "a"), ("s", "c"),
+]
+
+
+def _pack_bpe_oracle() -> str:
+    from bigdatasmallprice_spark.operators.bpe import (
+        bpe_symbols_sql,
+        bpe_token_count_from_symbols_sql,
+    )
+
+    sym = bpe_symbols_sql("text", _PACK_BPE_MERGES, "duckdb")
+    cnt = bpe_token_count_from_symbols_sql("m", "text")
+    return f"""
+WITH t AS (
+  SELECT doc_id, {cnt} AS nt
+  FROM (SELECT doc_id, text, {sym} AS m FROM documents)
+),
+n AS (
+  SELECT CAST(CEIL(CAST(SUM(nt) AS DOUBLE) / {_PACK_BUDGET}) AS BIGINT) AS n_bins FROM t
+),
+r AS (
+  SELECT doc_id, nt,
+         ROW_NUMBER() OVER (ORDER BY nt DESC, doc_id) AS rn
+  FROM t
+),
+b AS (
+  SELECT (r.rn - 1) % n.n_bins AS bin, r.nt FROM r, n
+)
+SELECT bin,
+       COUNT(*) AS n_docs,
+       CAST(SUM(nt) AS BIGINT) AS token_sum,
+       CAST(MIN(nt) AS BIGINT) AS min_tokens,
+       CAST(MAX(nt) AS BIGINT) AS max_tokens,
+       round(CAST(SUM(nt) AS DOUBLE) / {_PACK_BUDGET}, 6) AS utilization
+FROM b GROUP BY 1
+"""
+
+
+@register(
+    "pack_sequences_bpe",
+    _pack_bpe_oracle(),
+    doc="Sequence packing over the ACTUAL tokenizer output (VERDICT "
+    "r10 ask #3): per-document BPE token counts from the pinned "
+    "merge artifact (_PACK_BPE_MERGES — the engine's own trainer's "
+    "ranked merges, frozen like a production vocab.bpe), packed into "
+    f"{_PACK_BUDGET}-token bins by the same size-rank round-robin as "
+    "pack_sequences — the artifact an LLM trainer consumes bins "
+    "tokenizer tokens, not whitespace words. The BPE APPLY is the "
+    "codegen scale path (operators/bpe.py::bpe_symbols_sql): for a "
+    "single-level merge table the GPT-2 priority loop degenerates to "
+    "one left-to-right replace() pass per rank, so tokenization is "
+    "~21 linear string scans inside whole-stage codegen — zero "
+    "Python, zero shuffle (differential-tested char-exact against "
+    "bpe_segment/bpe_encode_tokens, runs and rank-interactions "
+    "included). Both engines run the IDENTICAL replace chain; only "
+    "the char-marking regexp differs per dialect.",
+    tags=("text", "pack", "window", "curation"),
+)
+def pack_sequences_bpe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from bigdatasmallprice_spark.operators.bpe import (
+        bpe_symbols_sql,
+        bpe_token_count_from_symbols_sql,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    sym = bpe_symbols_sql("text", _PACK_BPE_MERGES, "spark")
+    cnt = bpe_token_count_from_symbols_sql("m", "text")
+    t = (
+        docs.select("doc_id", "text")
+        .withColumn("m", F.expr(sym))
+        .selectExpr("doc_id", f"{cnt} AS nt")
+    )
+    n_bins = t.agg(
+        F.ceil(F.sum("nt").cast("double") / F.lit(_PACK_BUDGET)).cast("long").alias(
+            "n_bins"
+        )
+    )
+    w = Window.orderBy(F.col("nt").desc(), F.col("doc_id"))
+    r = t.withColumn("rn", F.row_number().over(w))
+    b = r.crossJoin(F.broadcast(n_bins)).select(
+        ((F.col("rn") - 1) % F.col("n_bins")).alias("bin"), "nt"
+    )
+    return b.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("nt").cast("long").alias("token_sum"),
+        F.min("nt").cast("long").alias("min_tokens"),
+        F.max("nt").cast("long").alias("max_tokens"),
+        F.round(F.sum("nt").cast("double") / F.lit(_PACK_BUDGET), 6).alias(
+            "utilization"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # benchmark decontamination: n-gram overlap against a held-out eval set
 # ---------------------------------------------------------------------------
@@ -730,6 +836,51 @@ def ngram_lm_kn3_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     tg = doc_trigrams(docs).persist()
     return kn3_score(tg, kn3_train(tg))
+
+
+def _mkn3_oracle() -> str:
+    from bigdatasmallprice_spark.operators.knlm import o_mkn3_chain_sql
+
+    return f"""
+WITH {o_mkn3_chain_sql()}
+SELECT doc_id, n_trigrams, p_sum_micro, avg_p_micro, hm_p_micro FROM mkn3
+"""
+
+
+@register(
+    "ngram_lm_mkn3",
+    _mkn3_oracle(),
+    doc="Order-3 MODIFIED Kneser-Ney (VERDICT r10 ask #4) — the "
+    "KenLM formulation at full structure: Chen & Goodman's "
+    "count-bucketed discounts at EVERY order of the back-off chain. "
+    "Order 3 discounts raw trigram counts with D3_1/D3_2/D3_3+ from "
+    "the trigram count-of-counts; order 2 discounts the CONTINUATION "
+    "type counts N1+(.vw) with its own discount row derived from the "
+    "count-of-counts OF those type counts (the adjusted-count "
+    "estimation of lower orders); per-context back-off weights are "
+    "bucketed sums lam_k = (D_1*N_1 + D_2*N_2 + D_3*N_3+)/denom; the "
+    "continuation unigram stays the undiscounted base case (matching "
+    "ngram_lm_kn3). BOTH discount rows are 1-row broadcasts of "
+    "closed-form integer rationals (the bigram mkn's _mkn_disc_exprs "
+    "reused verbatim — one source of truth), and every table remains "
+    "a pure function of the single trigram count table, so the kn3 "
+    "STREAM state serves this smoother too "
+    "(kn3_stream.read_mkn3_model) and the whole fit + score replays "
+    "as one closed integer oracle chain. Same 100 TB shape as "
+    "ngram_lm_kn3: model-as-table shuffle equi-joins, broadcast "
+    "scalars, one integer aggregate per document.",
+    tags=("text", "join", "train", "quality"),
+)
+def ngram_lm_mkn3_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdatasmallprice_spark.operators.knlm import (
+        doc_trigrams,
+        mkn3_score,
+        mkn3_train,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    tg = doc_trigrams(docs).persist()
+    return mkn3_score(tg, mkn3_train(tg))
 
 
 def _word2vec_oracle() -> str:

@@ -1658,3 +1658,80 @@ def test_ivfpq_recall_and_cell_pruning(spark):
         probe_cells.setdefault(r.pid, set()).add(r.cell)
     for r in rows:
         assert cells[r.vec_id] in probe_cells[r.probe_id], r
+
+
+def test_bpe_codegen_apply_equals_segment():
+    """The codegen replace-chain apply (bpe_symbols_sql) must count
+    tokens char-exactly like the priority-loop bpe_segment for
+    single-level merge tables — including the run/overlap traps
+    (aaaa merges floor(n/2) times; a grouping choice upstream must
+    not starve a later-rank pair) and rank interactions."""
+    import duckdb
+
+    from bigdatasmallprice_spark.operators.bpe import (
+        bpe_segment,
+        bpe_symbols_sql,
+        bpe_token_count_from_symbols_sql,
+        make_ranks,
+    )
+
+    cases = [
+        ([("a", "a")], ["aaaa", "aaa", "a", "", "baab", "aabaa aaa"]),
+        ([("a", "b"), ("b", "c")], ["abc", "abcb", "aabbcc", "abab bcbc"]),
+        ([("b", "c"), ("a", "b")], ["abc", "abcbc", "ab"]),
+        ([("a", "a"), ("a", "b")], ["aaaaaaab", "aaab", "aab aaab abab"]),
+        ([("e", "r"), ("o", "r"), ("i", "n")], ["error in order", "winner"]),
+    ]
+    con = duckdb.connect()
+    for merges, texts in cases:
+        ranks = make_ranks(merges)
+        sym = bpe_symbols_sql("t", merges, "duckdb")
+        cnt = bpe_token_count_from_symbols_sql("m", "t")
+        for text in texts:
+            want = sum(len(bpe_segment(w, ranks)) for w in text.split(" ") if w)
+            got = con.execute(
+                f"SELECT {cnt} FROM (SELECT t, {sym} AS m FROM (SELECT ? AS t))",
+                [text],
+            ).fetchone()[0]
+            assert got == want, (merges, text, want, got)
+
+
+def test_bpe_codegen_requires_single_level():
+    import pytest as _pytest
+
+    from bigdatasmallprice_spark.operators.bpe import bpe_symbols_sql
+
+    with _pytest.raises(ValueError, match="single-level"):
+        bpe_symbols_sql("t", [("th", "e")], "spark")
+
+
+def test_bpe_codegen_equals_arrow_on_corpus(spark):
+    """Two independent implementations of the same tokenizer — the
+    codegen replace chain and the Arrow bpe_encode_tokens path — must
+    produce identical per-document counts over the corpus with the
+    pinned pack merges."""
+    from pyspark.sql import functions as F
+
+    from bigdatasmallprice_spark.operators.bpe import (
+        bpe_encode_tokens,
+        bpe_symbols_sql,
+        bpe_token_count_from_symbols_sql,
+    )
+    from bigdatasmallprice_spark.queries.core import table
+    from bigdatasmallprice_spark.queries.textq import _PACK_BPE_MERGES
+
+    docs = table(spark, "/root/testdata/sf0.001", "documents")
+    sym = bpe_symbols_sql("text", _PACK_BPE_MERGES, "spark")
+    cnt = bpe_token_count_from_symbols_sql("m", "text")
+    expr_counts = dict(
+        docs.select("doc_id", "text")
+        .withColumn("m", F.expr(sym))
+        .selectExpr("doc_id", f"{cnt} AS n")
+        .collect()
+    )
+    arrow_counts = dict(
+        bpe_encode_tokens(docs, _PACK_BPE_MERGES)
+        .select("doc_id", "n_bpe_tokens")
+        .collect()
+    )
+    assert expr_counts == arrow_counts
