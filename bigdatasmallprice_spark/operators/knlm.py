@@ -593,3 +593,240 @@ kn3 AS (
            AS hm_p_micro
   FROM kn3a
 )"""
+
+
+# ---------------------------------------------------------------------------
+# Order-3 MODIFIED Kneser-Ney: count-bucketed discounts at EVERY order
+# ---------------------------------------------------------------------------
+# KenLM runs the Chen & Goodman §3 discounts at every order of the
+# back-off chain, not just the top: order 3 discounts raw trigram
+# counts c(uvw) with D3_1/D3_2/D3_3+ derived from the trigram
+# count-of-counts, order 2 discounts the CONTINUATION type counts
+# N1+(.vw) with its own D2_* derived from the count-of-counts OF THOSE
+# TYPE COUNTS (the adjusted-count estimation of the lower orders), and
+# the continuation unigram stays undiscounted (the interpolated-KN
+# base case, matching kn3's chain). Back-off weights are per-context
+# bucketed sums: lam_k(ctx) = (D_1*N_1(ctx) + D_2*N_2(ctx) +
+# D_3*N_3+(ctx)) / denom. Everything — both discount rows included —
+# remains a pure function of the single trigram count table, so the
+# kn3 stream state serves this smoother too (read_mkn3_model).
+
+
+def _disc_row(cdf: DataFrame, count_col: str, out: tuple[str, str, str]) -> DataFrame:
+    """ONE broadcast row of (D1, D2, D3+) milli-unit discounts from the
+    count-of-count statistics of ``count_col`` — the same closed forms
+    as the bigram mkn fit (_mkn_disc_exprs), reused verbatim so the
+    discount arithmetic has a single source of truth."""
+    op = SPARK_DIV
+    d1, d2, d3 = _mkn_disc_exprs(op)
+    c = F.col(count_col)
+    return (
+        cdf.agg(
+            F.sum(F.when(c == 1, 1).otherwise(0)).cast("long").alias("n1"),
+            F.sum(F.when(c == 2, 1).otherwise(0)).cast("long").alias("n2"),
+            F.sum(F.when(c == 3, 1).otherwise(0)).cast("long").alias("n3"),
+            F.sum(F.when(c == 4, 1).otherwise(0)).cast("long").alias("n4"),
+        )
+        .selectExpr(
+            f"CAST({d1} AS BIGINT) AS {out[0]}",
+            f"CAST({d2} AS BIGINT) AS {out[1]}",
+            f"CAST({d3} AS BIGINT) AS {out[2]}",
+        )
+    )
+
+
+def mkn3_train(tg: DataFrame) -> dict[str, DataFrame]:
+    """The modified order-3 model from a trigram-occurrence frame."""
+    tc = tg.groupBy("u", "v", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("c3")
+    )
+    return mkn3_model_from_counts(tc)
+
+
+def mkn3_model_from_counts(tc: DataFrame) -> dict[str, DataFrame]:
+    """Every table as a PURE FUNCTION of the trigram count table — the
+    kn3 sufficient-statistic rule extended to the modified smoother:
+    tc(u,v,w,c3); tctx(u,v -> c12, mf1/mf2/mf3p successor types
+    bucketed by c3); disc3 (1-row, from c3's count-of-counts);
+    mid(v,w -> n1vw); midctx(v -> nmid, mm1/mm2/mm3p successor types
+    bucketed by n1vw); disc2 (1-row, from n1vw's count-of-counts);
+    uni(w, n1w); types(T3). Shared by the batch fit and the streaming
+    readback (streaming/kn3_stream.py::read_mkn3_model)."""
+    tctx = tc.groupBy("u", "v").agg(
+        F.sum("c3").cast("long").alias("c12"),
+        F.sum(F.when(F.col("c3") == 1, 1).otherwise(0)).cast("long").alias("mf1"),
+        F.sum(F.when(F.col("c3") == 2, 1).otherwise(0)).cast("long").alias("mf2"),
+        F.sum(F.when(F.col("c3") >= 3, 1).otherwise(0)).cast("long").alias("mf3p"),
+    )
+    mid = tc.groupBy("v", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("n1vw")
+    )
+    midctx = mid.groupBy("v").agg(
+        F.sum("n1vw").cast("long").alias("nmid"),
+        F.sum(F.when(F.col("n1vw") == 1, 1).otherwise(0)).cast("long").alias("mm1"),
+        F.sum(F.when(F.col("n1vw") == 2, 1).otherwise(0)).cast("long").alias("mm2"),
+        F.sum(F.when(F.col("n1vw") >= 3, 1).otherwise(0)).cast("long").alias("mm3p"),
+    )
+    uni = tc.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("n1w"))
+    types = tc.agg(F.count(F.lit(1)).cast("long").alias("T3"))
+    return {
+        "tc": tc,
+        "tctx": tctx,
+        "disc3": _disc_row(tc, "c3", ("d31", "d32", "d33")),
+        "mid": mid,
+        "midctx": midctx,
+        "disc2": _disc_row(mid, "n1vw", ("d21", "d22", "d23")),
+        "uni": uni,
+        "types": types,
+    }
+
+
+def _mp3_micro_expr(op: str) -> str:
+    """The modified order-3 smoothed probability in micro-units over
+    joined columns c3/c12/mf*/n1vw/nmid/mm*/n1w/T3/d3*/d2* (model
+    columns may be NULL; unseen histories fall through an order)."""
+    p1 = rdiv(f"coalesce(n1w, 0) * {MICRO}", "T3", op)
+    dc2 = (
+        "CASE WHEN coalesce(n1vw, 0) = 1 THEN d21 "
+        "WHEN coalesce(n1vw, 0) = 2 THEN d22 ELSE d23 END"
+    )
+    lam2 = rdiv("(d21 * mm1 + d22 * mm2 + d23 * mm3p) * 1000", "nmid", op)
+    p2main = rdiv(
+        f"greatest(coalesce(n1vw, 0) * 1000 - ({dc2}), 0) * 1000", "nmid", op
+    )
+    p2 = (
+        f"CASE WHEN nmid IS NULL THEN {p1} "
+        f"ELSE ({p2main}) + ({rdiv(f'({lam2}) * ({p1})', str(MICRO), op)}) END"
+    )
+    dc3 = (
+        "CASE WHEN coalesce(c3, 0) = 1 THEN d31 "
+        "WHEN coalesce(c3, 0) = 2 THEN d32 ELSE d33 END"
+    )
+    lam3 = rdiv("(d31 * mf1 + d32 * mf2 + d33 * mf3p) * 1000", "c12", op)
+    p3main = rdiv(
+        f"greatest(coalesce(c3, 0) * 1000 - ({dc3}), 0) * 1000", "c12", op
+    )
+    return (
+        f"CAST(CASE WHEN c12 IS NULL THEN ({p2}) "
+        f"ELSE ({p3main}) + ({rdiv(f'({lam3}) * ({p2})', str(MICRO), op)}) "
+        "END AS BIGINT)"
+    )
+
+
+def mkn3_score(tg: DataFrame, model: dict[str, DataFrame]) -> DataFrame:
+    """(doc_id, n_trigrams, p_sum_micro, avg_p_micro, hm_p_micro): the
+    kn3_score shape under count-bucketed discounts at both upper
+    orders. Left joins so out-of-model trigrams back off."""
+    scored = (
+        tg.join(model["tc"], ["u", "v", "w"], "left")
+        .join(model["tctx"], ["u", "v"], "left")
+        .join(model["mid"], ["v", "w"], "left")
+        .join(model["midctx"], "v", "left")
+        .join(model["uni"], "w", "left")
+        .crossJoin(F.broadcast(model["types"]))
+        .crossJoin(F.broadcast(model["disc3"]))
+        .crossJoin(F.broadcast(model["disc2"]))
+        .selectExpr("doc_id", f"{_mp3_micro_expr(SPARK_DIV)} AS pm")
+    )
+    op = SPARK_DIV
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_trigrams"),
+            F.sum("pm").cast("long").alias("p_sum_micro"),
+            F.sum(F.expr(_inv_expr(op))).cast("long").alias("__inv_sum"),
+        )
+        .selectExpr(
+            "doc_id",
+            "n_trigrams",
+            "p_sum_micro",
+            "round(CAST(p_sum_micro AS DOUBLE) / n_trigrams, 6) AS avg_p_micro",
+            f"CAST({rdiv('n_trigrams * ' + str(10**12), '__inv_sum', op)} "
+            "AS BIGINT) AS hm_p_micro",
+        )
+    )
+
+
+def o_mkn3_chain_sql(doc_source: str = "documents") -> str:
+    """DuckDB twin as CTE text ending in ``mkn3(doc_id, n_trigrams,
+    p_sum_micro, avg_p_micro, hm_p_micro)``. CTE names are m3-prefixed
+    so the chain composes beside the kn/mkn/kn3 chains in one WITH."""
+    op = DUCK_DIV
+    d1, d2, d3 = _mkn_disc_exprs(op)
+
+    def disc_cte(src: str, col: str, o1: str, o2: str, o3: str) -> str:
+        return f"""(
+  SELECT CAST({d1} AS BIGINT) AS {o1},
+         CAST({d2} AS BIGINT) AS {o2},
+         CAST({d3} AS BIGINT) AS {o3}
+  FROM (
+    SELECT CAST(SUM(CASE WHEN {col} = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+           CAST(SUM(CASE WHEN {col} = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+           CAST(SUM(CASE WHEN {col} = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+           CAST(SUM(CASE WHEN {col} = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n4
+    FROM {src}
+  )
+)"""
+
+    return f"""m3toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM {doc_source}
+),
+m3tg AS (
+  SELECT doc_id,
+         unnest(t[1:len(t) - 2]) AS u,
+         unnest(t[2:len(t) - 1]) AS v,
+         unnest(t[3:len(t)]) AS w
+  FROM m3toks WHERE len(t) >= 3
+),
+m3tc AS (
+  SELECT u, v, w, CAST(COUNT(*) AS BIGINT) AS c3 FROM m3tg GROUP BY 1, 2, 3
+),
+m3tctx AS (
+  SELECT u, v, CAST(SUM(c3) AS BIGINT) AS c12,
+         CAST(SUM(CASE WHEN c3 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS mf1,
+         CAST(SUM(CASE WHEN c3 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS mf2,
+         CAST(SUM(CASE WHEN c3 >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS mf3p
+  FROM m3tc GROUP BY 1, 2
+),
+m3disc3 AS {disc_cte("m3tc", "c3", "d31", "d32", "d33")},
+m3mid AS (
+  SELECT v, w, CAST(COUNT(*) AS BIGINT) AS n1vw FROM m3tc GROUP BY 1, 2
+),
+m3midctx AS (
+  SELECT v, CAST(SUM(n1vw) AS BIGINT) AS nmid,
+         CAST(SUM(CASE WHEN n1vw = 1 THEN 1 ELSE 0 END) AS BIGINT) AS mm1,
+         CAST(SUM(CASE WHEN n1vw = 2 THEN 1 ELSE 0 END) AS BIGINT) AS mm2,
+         CAST(SUM(CASE WHEN n1vw >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS mm3p
+  FROM m3mid GROUP BY 1
+),
+m3disc2 AS {disc_cte("m3mid", "n1vw", "d21", "d22", "d23")},
+m3uni AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS n1w FROM m3tc GROUP BY 1
+),
+m3types AS (SELECT CAST(COUNT(*) AS BIGINT) AS T3 FROM m3tc),
+m3pm AS (
+  SELECT m3tg.doc_id, {_mp3_micro_expr(op)} AS pm
+  FROM m3tg
+  LEFT JOIN m3tc     ON m3tc.u = m3tg.u AND m3tc.v = m3tg.v AND m3tc.w = m3tg.w
+  LEFT JOIN m3tctx   ON m3tctx.u = m3tg.u AND m3tctx.v = m3tg.v
+  LEFT JOIN m3mid    ON m3mid.v = m3tg.v AND m3mid.w = m3tg.w
+  LEFT JOIN m3midctx ON m3midctx.v = m3tg.v
+  LEFT JOIN m3uni    ON m3uni.w = m3tg.w
+  CROSS JOIN m3types
+  CROSS JOIN m3disc3
+  CROSS JOIN m3disc2
+),
+mkn3a AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+         CAST(SUM(pm) AS BIGINT) AS p_sum_micro,
+         CAST(SUM({_inv_expr(op)}) AS BIGINT) AS inv_sum
+  FROM m3pm GROUP BY 1
+),
+mkn3 AS (
+  SELECT doc_id, n_trigrams, p_sum_micro,
+         round(CAST(p_sum_micro AS DOUBLE) / n_trigrams, 6) AS avg_p_micro,
+         CAST({rdiv("n_trigrams * " + str(10**12), "inv_sum", op)} AS BIGINT)
+           AS hm_p_micro
+  FROM mkn3a
+)"""

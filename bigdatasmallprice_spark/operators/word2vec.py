@@ -148,6 +148,7 @@ def o_word2vec_chain_sql(
     window: int = SKIPGRAM_WINDOW,
     neg_per_pos: int = NEG_PER_POS,
     doc_source: str = "documents",
+    dim: int | None = None,
 ) -> str:
     """DuckDB twin: the token-window prefix in front of the shared
     corpus-independent SGNS core. Ends with ``emb{iters}``."""
@@ -166,4 +167,8 @@ sgp AS MATERIALIZED (
   GROUP BY 1, 2
 ),
 nodes AS (SELECT DISTINCT wd AS node FROM wpos)"""
-    return prefix + ",\n" + o_sgns_core_sql(iters, neg_per_pos=neg_per_pos)
+    from bigdatasmallprice_spark.operators.sgns import EMB_DIM
+
+    return prefix + ",\n" + o_sgns_core_sql(
+        iters, dim=EMB_DIM if dim is None else dim, neg_per_pos=neg_per_pos
+    )

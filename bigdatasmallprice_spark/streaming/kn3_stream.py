@@ -55,11 +55,15 @@ def update_kn3_counts(
         publish_state,
         resolve_state_dir,
         state_version_dir,
+        validate_pin_with_default,
         versioned_already_applied,
     )
 
     if versioned_already_applied(state_path, batch_id):
         return
+    # the knlm_stream source-column pin, one order up (pre-pin states
+    # migrate under the default; the pin re-publishes below)
+    validate_pin_with_default(state_path, "text_col", text_col, "text")
     part = (
         doc_trigrams(batch, text_col=text_col)
         .groupBy("u", "v", "w")
@@ -75,7 +79,7 @@ def update_kn3_counts(
     )
     version = next_state_version(state_path)
     new.write.mode("overwrite").parquet(state_version_dir(state_path, version))
-    publish_state(state_path, version, batch_id)
+    publish_state(state_path, version, batch_id, config={"text_col": text_col})
 
 
 def read_kn3_model(spark: SparkSession, state_path: str) -> dict[str, DataFrame]:
@@ -91,3 +95,21 @@ def read_kn3_model(spark: SparkSession, state_path: str) -> dict[str, DataFrame]
         raise FileNotFoundError(f"no order-3 KN LM state at {state_path}")
     tc = spark.read.schema(KN3_STATE_SCHEMA).parquet(state_dir)
     return kn3_model_from_counts(tc)
+
+
+def read_mkn3_model(spark: SparkSession, state_path: str) -> dict[str, DataFrame]:
+    """The MODIFIED order-3 model (count-bucketed discounts at both
+    upper orders, Chen & Goodman 1998 §3) from the SAME folded trigram
+    counts: tc is the sufficient statistic for the plain AND modified
+    smoothers, so one persisted stream state serves both — the
+    derivation is the batch fit's own mkn3_model_from_counts
+    (operators/knlm.py), one source of truth for the bucketed
+    successor tables and both discount rows."""
+    from bigdatasmallprice_spark.operators.knlm import mkn3_model_from_counts
+    from bigdatasmallprice_spark.streaming.state import resolve_state_dir
+
+    state_dir = resolve_state_dir(state_path)
+    if state_dir is None:
+        raise FileNotFoundError(f"no KN3 LM state at {state_path}")
+    tc = spark.read.schema(KN3_STATE_SCHEMA).parquet(state_dir)
+    return mkn3_model_from_counts(tc)

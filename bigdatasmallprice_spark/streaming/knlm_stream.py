@@ -53,11 +53,17 @@ def update_kn_counts(
         publish_state,
         resolve_state_dir,
         state_version_dir,
+        validate_pin_with_default,
         versioned_already_applied,
     )
 
     if versioned_already_applied(state_path, batch_id):
         return
+    # The source-column pin: bigram counts tokenized from one column
+    # must never fold with another's (two different corpora in one
+    # model). Pre-pin states validate against the default and get the
+    # pin re-published below (the dsir_stream migration rule).
+    validate_pin_with_default(state_path, "text_col", text_col, "text")
     part = (
         doc_bigrams(batch, text_col=text_col)
         .groupBy("w1", "w2")
@@ -73,7 +79,7 @@ def update_kn_counts(
     )
     version = next_state_version(state_path)
     new.write.mode("overwrite").parquet(state_version_dir(state_path, version))
-    publish_state(state_path, version, batch_id)
+    publish_state(state_path, version, batch_id, config={"text_col": text_col})
 
 
 def read_kn_model(spark: SparkSession, state_path: str) -> dict[str, DataFrame]:

@@ -216,3 +216,23 @@ def advance_watermark(state_path: str, batch_id: int) -> None:
     with open(tmp, "w") as fh:
         json.dump(manifest, fh)
     os.replace(tmp, p)
+
+
+def validate_pin_with_default(state_path: str, key: str, value, default) -> None:
+    """Validate ONE pinned fold parameter, treating a pre-pin manifest
+    (config lacking ``key``) as pinned to ``default`` — the migration
+    rule: legacy states keep folding under the default (matching their
+    read paths' fallbacks) instead of freezing forever on None != value,
+    and the caller's next successful publish_state re-publishes the
+    pin. A non-default value still refuses against a pre-pin state."""
+    manifest = read_state_manifest(state_path)
+    if manifest is None:
+        return
+    if key not in manifest.get("config", {}):
+        if value != default:
+            raise ValueError(
+                f"state at {state_path} predates the {key} pin (built "
+                f"with the default {default!r}); cannot fold {value!r}"
+            )
+        return
+    validate_state_config(state_path, {key: value})

@@ -253,3 +253,92 @@ def test_mkn_separates_clean_from_sorted_twins(spark):
     assert mean_of(mkn_score(bg_clean, model)) > mean_of(
         mkn_score(doc_bigrams(shuffled), model)
     )
+
+
+def test_mkn3_discount_rows_and_backoff_chain(spark):
+    """Corpus {a b c, a b c, a b d, e b c}: trigram counts abc=2,
+    abd=1, ebc=1 -> order-3 count-of-counts n1=2, n2=1 -> d31=500,
+    d32=2000 (n3=0 degenerate), d33=3000 (n4=0). Continuation counts
+    n1vw: (b,c)=2, (b,d)=1 -> order-2 count-of-counts n1=1, n2=1 ->
+    d21=333, d22=2000, d23=3000. An unseen history (x,b) falls
+    through to order 2; an unseen middle falls to the continuation
+    unigram; fully unseen scores 0. Expected values are recomputed
+    from the formulas with the house rdiv_py — an independent
+    (engine-free) replay of the quantization chain."""
+    from bigdatasmallprice_spark.operators.distill import rdiv_py
+    from bigdatasmallprice_spark.operators.knlm import (
+        doc_trigrams,
+        mkn3_score,
+        mkn3_train,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(["a b c", "a b c", "a b d", "e b c"])],
+        "doc_id long, text string",
+    )
+    model = mkn3_train(doc_trigrams(docs))
+    d3 = model["disc3"].collect()[0]
+    assert (d3.d31, d3.d32, d3.d33) == (500, 2000, 3000)
+    d2 = model["disc2"].collect()[0]
+    assert (d2.d21, d2.d22, d2.d23) == (333, 2000, 3000)
+
+    # order-2 fall-through: probe "x b c" has unseen history (x, b)
+    # -> p2 for (b, c): n1vw=2 buckets to d22, nmid=3, lam2 over
+    # mm1=1/mm2=1, p1(c) = rdiv(2e6, 3)
+    p1_c = rdiv_py(2 * 10**6, 3)
+    lam2 = rdiv_py((333 * 1 + 2000 * 1 + 3000 * 0) * 1000, 3)
+    p2main_bc = rdiv_py(max(2 * 1000 - 2000, 0) * 1000, 3)
+    want_xbc = p2main_bc + rdiv_py(lam2 * p1_c, 10**6)
+    probe = spark.createDataFrame([(99, "x b c")], "doc_id long, text string")
+    got = mkn3_score(doc_trigrams(probe), model).collect()[0]
+    assert got.p_sum_micro == want_xbc
+
+    # unigram fall-through: "x y d" (middle y unseen) -> p1(d)
+    probe2 = spark.createDataFrame([(98, "x y d")], "doc_id long, text string")
+    got2 = mkn3_score(doc_trigrams(probe2), model).collect()[0]
+    assert got2.p_sum_micro == rdiv_py(1 * 10**6, 3)
+
+    # fully unseen: zero
+    probe3 = spark.createDataFrame([(97, "x y z")], "doc_id long, text string")
+    assert mkn3_score(doc_trigrams(probe3), model).collect()[0].p_sum_micro == 0
+
+    # seen trigram (a b c): full order-3 path with bucketed discounts
+    # (c3=2 -> d32), interpolating the SAME p2 computed above
+    p3main = rdiv_py(max(2 * 1000 - 2000, 0) * 1000, 3)
+    lam3 = rdiv_py((500 * 1 + 2000 * 1 + 3000 * 0) * 1000, 3)
+    p2_bc = want_xbc
+    want_abc = p3main + rdiv_py(lam3 * p2_bc, 10**6)
+    probe4 = spark.createDataFrame([(96, "a b c")], "doc_id long, text string")
+    assert (
+        mkn3_score(doc_trigrams(probe4), model).collect()[0].p_sum_micro
+        == want_abc
+    )
+
+
+def test_mkn3_separates_clean_from_sorted_twins(spark):
+    from bigdatasmallprice_spark.operators.knlm import (
+        doc_trigrams,
+        mkn3_score,
+        mkn3_train,
+    )
+
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", "text")
+        .filter(F.expr("size(split(text, ' ')) >= 5"))
+    )
+    shuffled = docs.select(
+        "doc_id",
+        F.expr("array_join(array_sort(split(text, ' ')), ' ')").alias("text"),
+    )
+    tg_clean = doc_trigrams(docs).persist()
+    model = mkn3_train(tg_clean)
+    for t in model.values():
+        t.persist()
+
+    def mean_of(df):
+        return df.agg(F.avg("hm_p_micro")).collect()[0][0]
+
+    assert mean_of(mkn3_score(tg_clean, model)) > mean_of(
+        mkn3_score(doc_trigrams(shuffled), model)
+    )

@@ -77,3 +77,34 @@ def test_streamed_state_serves_modified_kn_identically(spark, tmp_path):
     assert _sorted(mkn_score(probe, streamed)) == _sorted(
         mkn_score(probe, batch)
     )
+
+
+def test_source_column_pin_refuses_cross_fold(spark, tmp_path):
+    """Counts tokenized from one column must never fold with
+    another's (the model-pin refusal class swept across the LM
+    streams, VERDICT r10 ask #7); a pre-pin manifest migrates under
+    the default and the pin is re-published."""
+    import json
+
+    import pytest as _pytest
+
+    from bigdatasmallprice_spark.streaming.state import read_state_manifest
+
+    docs = spark.createDataFrame(
+        [(0, "a b c", "x y z"), (1, "b c d", "y z w")],
+        "doc_id long, text string, alt string",
+    )
+    state = str(tmp_path / "kn_state")
+    update_kn_counts(spark, state, docs, batch_id=0)
+    with _pytest.raises(ValueError, match="different parameters"):
+        update_kn_counts(spark, state, docs, batch_id=1, text_col="alt")
+    # pre-pin migration: strip the pin; default folds and re-pins,
+    # non-default still refuses
+    mpath = state + "._state_manifest.json"
+    m = json.load(open(mpath))
+    del m["config"]["text_col"]
+    json.dump(m, open(mpath, "w"))
+    with _pytest.raises(ValueError, match="predates the text_col pin"):
+        update_kn_counts(spark, state, docs, batch_id=1, text_col="alt")
+    update_kn_counts(spark, state, docs.filter("doc_id = 1"), batch_id=1)
+    assert read_state_manifest(state)["config"]["text_col"] == "text"
