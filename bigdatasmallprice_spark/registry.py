@@ -76,20 +76,26 @@ def all_queries() -> dict[str, QuerySpec]:
 DRIVER_CAP = 50
 
 DRIVER_ORDER: list[str] = [
-    # r10 rotation (VERDICT r9 asks #1-#4): the never-driver-verified
-    # r10-new queries first, then the eight r9-firsts for their second
-    # rows, then the 2-green tiers stalest-first (the r6 tail the r9
-    # list stopped before, the full r7 tier, the r8 tier, the r9-green
-    # r8-firsts), then as much of the stalest 3-green pool (last green
-    # r6) as fits under the cap.
-    # -- new in r10: the text -> embedding bridge (word2vec token
-    #    vectors mean-pooled into document embeddings and served by
-    #    the EXISTING similarity operators: brute-force cosine top-k
-    #    and SemDeDup — the last synthetic seam in the text ->
-    #    embedding -> dedup/retrieval story closed), hybrid retrieval
-    #    re-based on the in-engine BM25 sparse leg, CCNet
-    #    bucketing re-based on the Kneser-Ney scorer, and the
-    #    modified-KN LM (count-bucketed discounts, Chen & Goodman)
+    # r11 rotation (VERDICT r10 asks #2-#5 + ledger rule): the four
+    # never-driver-verified r11-new queries first, then the eight
+    # r10-firsts for their second rows, then the stalest 3-green pools
+    # in last-green order (the full last-green-r6 tier, then the head
+    # of the last-green-r7 tier) up to the cap.
+    # -- new in r11: the v3 funnel's DEPLOYMENT twin (scoring from
+    #    fingerprint-pinned modelstore artifacts + stream-state
+    #    readbacks, never refitting in-query — served == refit by the
+    #    bit-identical-models guarantee), sequence packing over REAL
+    #    BPE tokenizer output (codegen replace-chain apply of the
+    #    pinned merge artifact), order-3 MODIFIED Kneser-Ney
+    #    (Chen-Goodman count-bucketed discounts at every upper order),
+    #    and the bridge's externally-verified quality gate (per-probe
+    #    recall@k of the IVF path vs the brute ground truth over one
+    #    shared fit)
+    "curation_pipeline_v3_served",
+    "pack_sequences_bpe",
+    "ngram_lm_mkn3",
+    "doc_embedding_recall_eval",
+    # -- r10-firsts, second rows
     "doc_embedding_topk",
     "text_semantic_dedup",
     "hybrid_bm25_rrf",
@@ -98,55 +104,47 @@ DRIVER_ORDER: list[str] = [
     "doc_embedding_ivf_topk",
     "curation_pipeline_v3",
     "text_triplet_mining",
-    # -- r9-firsts, second rows
-    "training_features_stitched",
-    "ngram_lm_kn",
-    "dsir_importance_sample",
-    "triplet_mining",
-    "bm25_topk",
-    "ngram_lm_kn3",
-    "curation_pipeline_v2",
-    "word_embedding_train",
-    # -- stalest 2-green pool: last green r6
-    "dedup_rewrite_hashed",
-    "train_gbt_load",
-    "bloom_shingle_prefilter_lean",
-    # -- 2-green, last green r7
-    "hll_union_lean",
-    "image_neardup_phash",
-    "winnow_neardup_pairs",
-    "quantile_sketch_by_type",
-    "quantile_sketch_lean",
-    "ann_pq_topk",
-    "ann_ivfpq_topk",
-    # -- 2-green, last green r8
-    "quality_classifier_train",
-    "audio_neardup_fingerprint",
-    "pagerank_copurchase",
-    "ppr_related_suppliers",
-    "triangle_counts",
-    "randomwalk_skipgram_pairs",
-    "lpa_communities",
-    "token_budget_sample",
-    # -- 2-green, last green r9 (the r8-firsts' second rows landed r9)
-    "node_embedding_train",
-    "langid_train",
-    "langid_trained_eval",
-    "node2vec_walk_corpus",
-    "html_extract_main",
-    "gopher_rules_report",
-    # -- stalest 3-green pool: last green r6 (head; the tail rotates
-    #    in next round)
-    "dedup_exact",
-    "minhash_lsh_pairs",
-    "simhash_pairs",
-    "neardup_clusters",
-    "corpus_curation_summary",
-    "model_score",
-    "training_features",
-    "hourly_rollup",
-    "net_position",
-    "row_explorer_page",
+    # -- stalest 3-green pool: last green r6 (the full tier)
+    "hourly_pivot",
+    "table_stats",
+    "tariff_breakdown",
+    "freshness_gate",
+    "net_load_features",
+    "chrono_split_summary",
+    "upsert_idempotency",
+    "error_monitor",
+    "pricing_summary",
+    "asof_last_purchase",
+    # -- 3-green, last green r7 (head; the tail — embedding_neardup_np,
+    #    quality_classifier_filter — rotates in next round)
+    "session_stats",
+    "latest_event_per_user",
+    "top_days_per_type",
+    "peak_hour_spend",
+    "ann_cosine_topk",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "embedding_neardup",
+    "label_centroids",
+    "text_stats",
+    "lang_id",
+    "quality_filter",
+    "tfidf_terms",
+    "bpe_token_stats",
+    "json_props_stats",
+    "multimodal_wav_stats",
+    "pii_scrub",
+    "mixture_sampling_plan",
+    "hybrid_search_rrf",
+    "doc_length_histogram",
+    "cross_source_contamination",
+    "bow_cosine_pairs",
+    "ann_quantized_topk",
+    "ann_recall_eval",
+    "ann_label_precision",
+    "ann_ivf_trained",
+    "embedding_norms",
+    "ann_cosine_topk_np",
     # Every sit-out holds >= 2 green rows (COVERAGE.json is the
     # ledger); earlier rounds' rotation rationales live in git history.
 ]
