@@ -106,6 +106,11 @@ QUERIES = [
     "doc_embedding_ivf_topk",
     "curation_pipeline_v3",
     "text_triplet_mining",
+    # r11: served funnel, BPE packing, order-3 mkn, bridge recall eval
+    "curation_pipeline_v3_served",
+    "pack_sequences_bpe",
+    "ngram_lm_mkn3",
+    "doc_embedding_recall_eval",
 ]
 
 
