@@ -92,3 +92,54 @@ def approx_quantile_buckets(
     for c in cuts:
         bucket = bucket + F.when(v > F.lit(c), 1).otherwise(0)
     return df.withColumn("bucket", bucket.cast("int"))
+
+
+def banded_global_rank(
+    df: DataFrame,
+    band_col: str,
+    tie_col: str,
+    out_col: str = "rn",
+) -> DataFrame:
+    """The global dense ROW_NUMBER() OVER (ORDER BY band_col DESC,
+    tie_col) WITHOUT a single-partition sort — the partitioned_lag_
+    stitch lesson applied to ranking.
+
+    Two phases, bit-identical to the global window:
+
+    1. band bases: groupBy(band_col).count() collapses the corpus to
+       its DISTINCT band values (document token counts: thousands of
+       distinct values at any corpus size), then one window over THAT
+       bounded frame computes each band's cumulative starting rank —
+       the only unpartitioned window runs over the band table, never
+       the corpus (the hourly-rollup global-window class, documented
+       safe).
+    2. within-band ranks: row_number() partitioned BY the band,
+       ordered by the tie column — every partition is one band's
+       documents, so the corpus-scale sort is sharded by band value.
+
+    rank = base(band) + within-band rank. Total order (band DESC,
+    tie ASC) is preserved exactly; callers' downstream arithmetic
+    (round-robin bin = (rn-1) % n_bins) is unchanged.
+
+    Skew note: a band with a huge population (every doc the same
+    length) degrades to the single-partition case — for packing
+    inputs, token counts spread over hundreds-to-thousands of values;
+    if one band dominates, sub-salt on the tie column's hash and
+    stitch, as partitioned_lag_stitch does for time.
+    """
+    from pyspark.sql import Window
+
+    bands = df.groupBy(band_col).agg(F.count(F.lit(1)).alias("__bn"))
+    wb = Window.orderBy(F.col(band_col).desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    base = bands.select(
+        band_col,
+        F.coalesce(F.sum("__bn").over(wb), F.lit(0)).cast("long").alias("__base"),
+    )
+    ww = Window.partitionBy(band_col).orderBy(F.col(tie_col))
+    return (
+        df.join(F.broadcast(base), band_col)
+        .withColumn(out_col, (F.col("__base") + F.row_number().over(ww)).cast("long"))
+        .drop("__base")
+    )

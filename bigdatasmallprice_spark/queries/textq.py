@@ -330,13 +330,15 @@ FROM b GROUP BY 1
     "parallel, deterministic approximation of longest-processing-time "
     "bin packing — sequential first-fit does not distribute). Per-bin "
     "doc count, exact token mass, and utilization against the 4096-"
-    "token budget. The global size-rank window is over doc COUNT rows "
-    "(not tokens); at 100 TB rank via approx-quantile cut points "
-    "(operators/topk.py::approx_quantile_buckets) instead.",
+    "token budget. The size-rank is the BANDED two-phase rank "
+    "(operators/topk.py::banded_global_rank): bit-identical to the "
+    "global (nt DESC, doc_id) window, but the corpus-scale sort is "
+    "sharded by token-count band — the only unpartitioned window "
+    "runs over the bounded distinct-count table.",
     tags=("text", "pack", "window"),
 )
 def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from bigdatasmallprice_spark.operators.topk import banded_global_rank
 
     docs = table(spark, sf_dir, "documents")
     t = docs.select("doc_id", n_tokens(F.col("text")).alias("nt"))
@@ -345,8 +347,11 @@ def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_bins"
         )
     )
-    w = Window.orderBy(F.col("nt").desc(), F.col("doc_id"))
-    r = t.withColumn("rn", F.row_number().over(w))
+    # the size-rank via the banded two-phase rank: identical to the
+    # global (nt DESC, doc_id) window bit-for-bit, but the corpus-scale
+    # sort is sharded by token-count band — the only unpartitioned
+    # window runs over the bounded distinct-count table
+    r = banded_global_rank(t, "nt", "doc_id")
     b = r.crossJoin(F.broadcast(n_bins)).select(
         ((F.col("rn") - 1) % F.col("n_bins")).alias("bin"), "nt"
     )
@@ -427,16 +432,17 @@ FROM b GROUP BY 1
     "Python, zero shuffle (differential-tested char-exact against "
     "bpe_segment/bpe_encode_tokens, runs and rank-interactions "
     "included). Both engines run the IDENTICAL replace chain; only "
-    "the char-marking regexp differs per dialect.",
+    "the char-marking regexp differs per dialect. Ranking uses the "
+    "same banded two-phase rank as pack_sequences (no "
+    "single-partition corpus sort).",
     tags=("text", "pack", "window", "curation"),
 )
 def pack_sequences_bpe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     from bigdatasmallprice_spark.operators.bpe import (
         bpe_symbols_sql,
         bpe_token_count_from_symbols_sql,
     )
+    from bigdatasmallprice_spark.operators.topk import banded_global_rank
 
     docs = table(spark, sf_dir, "documents")
     sym = bpe_symbols_sql("text", _PACK_BPE_MERGES, "spark")
@@ -451,8 +457,11 @@ def pack_sequences_bpe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_bins"
         )
     )
-    w = Window.orderBy(F.col("nt").desc(), F.col("doc_id"))
-    r = t.withColumn("rn", F.row_number().over(w))
+    # the size-rank via the banded two-phase rank: identical to the
+    # global (nt DESC, doc_id) window bit-for-bit, but the corpus-scale
+    # sort is sharded by token-count band — the only unpartitioned
+    # window runs over the bounded distinct-count table
+    r = banded_global_rank(t, "nt", "doc_id")
     b = r.crossJoin(F.broadcast(n_bins)).select(
         ((F.col("rn") - 1) % F.col("n_bins")).alias("bin"), "nt"
     )

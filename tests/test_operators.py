@@ -1735,3 +1735,35 @@ def test_bpe_codegen_equals_arrow_on_corpus(spark):
         .collect()
     )
     assert expr_counts == arrow_counts
+
+
+
+def test_banded_global_rank_equals_global_window(spark):
+    """banded_global_rank must reproduce ROW_NUMBER() OVER (ORDER BY
+    band DESC, tie) bit-for-bit — including heavy ties (many rows per
+    band) and bands of size 1 — while never sorting the corpus in one
+    partition."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from bigdatasmallprice_spark.operators.topk import banded_global_rank
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    t = docs.selectExpr("doc_id", "size(split(text, ' ')) AS nt")
+    w = Window.orderBy(F.col("nt").desc(), F.col("doc_id"))
+    want = {
+        (r.doc_id, r.rn)
+        for r in t.withColumn("rn", F.row_number().over(w)).collect()
+    }
+    got = {
+        (r.doc_id, r.rn)
+        for r in banded_global_rank(t, "nt", "doc_id").collect()
+    }
+    assert got == want
+    # degenerate: every row in ONE band (all-equal counts) still ranks
+    # correctly by the tie column
+    one = t.select("doc_id", F.lit(7).alias("nt"))
+    got1 = sorted(
+        (r.doc_id, r.rn) for r in banded_global_rank(one, "nt", "doc_id").collect()
+    )
+    assert got1 == [(i, j + 1) for j, i in enumerate(sorted(d for d, _ in got1))]
