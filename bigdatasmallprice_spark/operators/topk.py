@@ -99,6 +99,7 @@ def banded_global_rank(
     band_col: str,
     tie_col: str,
     out_col: str = "rn",
+    band_desc: bool = True,
 ) -> DataFrame:
     """The global dense ROW_NUMBER() OVER (ORDER BY band_col DESC,
     tie_col) WITHOUT a single-partition sort — the partitioned_lag_
@@ -130,9 +131,8 @@ def banded_global_rank(
     from pyspark.sql import Window
 
     bands = df.groupBy(band_col).agg(F.count(F.lit(1)).alias("__bn"))
-    wb = Window.orderBy(F.col(band_col).desc()).rowsBetween(
-        Window.unboundedPreceding, -1
-    )
+    border = F.col(band_col).desc() if band_desc else F.col(band_col).asc()
+    wb = Window.orderBy(border).rowsBetween(Window.unboundedPreceding, -1)
     base = bands.select(
         band_col,
         F.coalesce(F.sum("__bn").over(wb), F.lit(0)).cast("long").alias("__base"),

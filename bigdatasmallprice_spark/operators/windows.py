@@ -294,3 +294,49 @@ def partitioned_rolling_stitch(
         .withColumn(out_cnt, total_cnt)
         .drop("__bucket", "__pos", "__psum", "__pcnt", "__rsum", "__rcnt")
     )
+
+
+def partitioned_lead1_stitch(
+    df: DataFrame,
+    value_col: str,
+    order_by: Sequence[str],
+    bucket_expr: Column,
+    out_col: str,
+) -> DataFrame:
+    """lead(value, 1) over a global (order_by) order WITHOUT the
+    single-partition sort: lead inside coarse buckets, then repair each
+    bucket's LAST row from the next bucket's FIRST value.
+
+    Unlike partitioned_lag_stitch there is no minimum-bucket-size
+    precondition: lead(1) only ever reaches one row forward, so the
+    only rows a bucket boundary breaks are each bucket's last — and
+    the repair value is exactly the successor bucket's head (1-row
+    buckets chain correctly: the head IS the last row). The final
+    bucket's last row keeps NULL, matching the global window's final
+    row. Bucket/successor/head tables are all bounded by the bucket
+    count — broadcast-sized at any corpus scale.
+    """
+    b = df.withColumn("__bucket", bucket_expr)
+    w_in = Window.partitionBy("__bucket").orderBy(*order_by)
+    out = b.withColumn(out_col, F.lead(value_col).over(w_in))
+    heads = (
+        b.withColumn("__rk", F.row_number().over(w_in))
+        .filter(F.col("__rk") == 1)
+        .select(
+            F.col("__bucket").alias("__hb"),
+            F.col(value_col).alias("__head"),
+        )
+    )
+    w_b = Window.orderBy("__bucket")
+    succ = (
+        b.select("__bucket")
+        .distinct()
+        .withColumn("__next", F.lead("__bucket").over(w_b))
+    )
+    nxt = succ.join(heads, succ["__next"] == heads["__hb"]).select(
+        "__bucket", F.col("__head").alias("__next_head")
+    )
+    out = out.join(F.broadcast(nxt), "__bucket", "left")
+    return out.withColumn(
+        out_col, F.coalesce(F.col(out_col), F.col("__next_head"))
+    ).drop("__bucket", "__next_head")

@@ -385,19 +385,41 @@ FROM t GROUP BY 1
     doc="Decile assignment via ntile(10) over a total order (cents, "
     "event_id tie-break — float ordering with duplicate values would "
     "be engine-dependent): equal-count value buckets with per-bucket "
-    "range and mass. The calibration/binning primitive. ntile needs a "
-    "global sort; at 100 TB the substitute is approx_percentile cut "
-    "points + a per-row bucket join (bounds-tested in "
-    "tests/test_operators.py).",
+    "range and mass. The calibration/binning primitive. ntile is "
+    "computed WITHOUT a global sort: the banded two-phase rank "
+    "(operators/topk.py::banded_global_rank, cents band + event_id "
+    "tie) plus the closed-form bucket function of (rank, N) — "
+    "bit-identical to engine ntile, corpus never sorts in one "
+    "partition. approx_percentile cut points remain the sketch "
+    "alternative (bounds-tested in tests/test_operators.py).",
     tags=("window", "agg", "stats"),
 )
 def value_deciles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from bigdatasmallprice_spark.operators.topk import banded_global_rank
 
     ev = events(spark, sf_dir)
     vc = cents(F.col("value"))
-    w = Window.orderBy(vc, F.col("event_id"))
-    t = ev.select(vc.alias("vc"), F.ntile(10).over(w).alias("decile"))
+    # ntile(10) WITHOUT the global sort: the banded two-phase rank
+    # (cents band ASC, event_id tie) gives the global 1-based rank,
+    # and ntile is a closed-form function of (rank, N): the first
+    # N%10 buckets hold ceil(N/10) rows, the rest floor(N/10) — the
+    # SQL-standard semantics both engines already agree on (this
+    # query has hash-matched DuckDB's ntile since r2).
+    r = banded_global_rank(
+        ev.select(vc.alias("vc"), "event_id"), "vc", "event_id",
+        band_desc=False,
+    )
+    n_tot = r.agg(F.count(F.lit(1)).cast("long").alias("n_tot"))
+    t = r.crossJoin(F.broadcast(n_tot)).selectExpr(
+        "vc",
+        """CAST(CASE
+             WHEN rn <= (n_tot % 10) * (n_tot DIV 10 + 1)
+             THEN (rn - 1) DIV (n_tot DIV 10 + 1) + 1
+             ELSE (n_tot % 10)
+                  + (rn - (n_tot % 10) * (n_tot DIV 10 + 1) - 1)
+                    DIV (n_tot DIV 10) + 1
+           END AS INT) AS decile""",
+    )
     return t.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n"),
         (F.min("vc").cast("double") / 100.0).alias("lo"),

@@ -1156,19 +1156,37 @@ FROM seg GROUP BY 1
     "arithmetic until the final division. This is the correct mean for "
     "unevenly-sampled series, where the row-mean (A6 resample) "
     "over-weights bursts; segments are attributed to the hour they "
-    "start in. One global-order window on the filtered slice, then a "
+    "start in. The successor timestamp comes from the day-bucketed "
+    "lead stitch (operators/windows.py::partitioned_lead1_stitch) — "
+    "identical to the global (ts, event_id) window with one task "
+    "per day instead of a single-partition sort — then a "
     "map-side-combinable groupBy.",
     tags=("window", "agg", "timeseries"),
 )
 def twap_hourly_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdatasmallprice_spark.operators.windows import partitioned_lead1_stitch
+
     ev = events(spark, sf_dir).filter(F.col("event_type") == "purchase")
-    w = Window.orderBy("ts", "event_id")
     us = F.unix_micros(F.col("ts"))
-    p = ev.select(
-        "ts",
-        cents(F.col("value")).alias("vc"),
-        (F.lead(us).over(w) - us).alias("dur_us"),
-    ).filter(F.col("dur_us").isNotNull())
+    # global lead(1) via the day-bucketed stitch: lead inside day
+    # buckets, each bucket's last row repaired from the next day's
+    # first timestamp — identical to the global (ts, event_id) window
+    # (tests/test_operators.py) with one task per day instead of one
+    # single-partition sort
+    withus = ev.select(
+        "ts", "event_id", cents(F.col("value")).alias("vc"), us.alias("__us")
+    )
+    p = (
+        partitioned_lead1_stitch(
+            withus,
+            "__us",
+            ["ts", "event_id"],
+            F.date_trunc("day", F.col("ts")),
+            "__next_us",
+        )
+        .select("ts", "vc", (F.col("__next_us") - F.col("__us")).alias("dur_us"))
+        .filter(F.col("dur_us").isNotNull())
+    )
     seg = p.select(F.date_trunc("hour", F.col("ts")).alias("h"), "vc", "dur_us")
     return seg.groupBy("h").agg(
         F.count(F.lit(1)).alias("n_segments"),

@@ -1767,3 +1767,48 @@ def test_banded_global_rank_equals_global_window(spark):
         (r.doc_id, r.rn) for r in banded_global_rank(one, "nt", "doc_id").collect()
     )
     assert got1 == [(i, j + 1) for j, i in enumerate(sorted(d for d, _ in got1))]
+
+
+
+def test_partitioned_lead1_stitch_equals_global_window(spark):
+    """The lead stitch must equal lead(1) over the global order for
+    every row — bucket-boundary rows repaired from the successor
+    bucket's head, the final row NULL, 1-row buckets chaining."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from bigdatasmallprice_spark.operators.windows import (
+        partitioned_lead1_stitch,
+    )
+
+    from bigdatasmallprice_spark.catalog import load_table
+
+    ev = (
+        load_table(spark, "/root/testdata/sf0.001", "events")
+        .select("event_id", "ts")
+        .withColumn("us", F.unix_micros("ts"))
+    )
+    want = {
+        (r["event_id"], r["l"])
+        for r in ev.withColumn(
+            "l", F.lead("us").over(Window.orderBy("ts", "event_id"))
+        ).collect()
+    }
+    got = {
+        (r["event_id"], r["nxt"])
+        for r in partitioned_lead1_stitch(
+            ev, "us", ["ts", "event_id"], F.date_trunc("day", F.col("ts")), "nxt"
+        ).collect()
+    }
+    assert got == want
+    # degenerate: every row its own bucket — heads chain row to row
+    tiny = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30)], "k long, v long"
+    )
+    got1 = sorted(
+        (r["k"], r["nxt"])
+        for r in partitioned_lead1_stitch(
+            tiny, "v", ["k"], F.col("k"), "nxt"
+        ).collect()
+    )
+    assert got1 == [(1, 20), (2, 30), (3, None)]
