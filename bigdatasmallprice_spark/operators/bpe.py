@@ -111,23 +111,32 @@ def trained_merges(spark, sf_dir: str) -> list[tuple[str, str]]:
 
 def bpe_symbols_sql(text_sql: str, merges: list[tuple[str, str]], dialect: str) -> str:
     """BPE APPLY as a pure string-expression chain — the codegen scale
-    path for SINGLE-LEVEL merge tables (every pair is two single
-    characters, so merged symbols never re-merge; the registered
-    trainer produces exactly this shape).
+    path for any WELL-FORMED (creation-ordered) merge table: each
+    pair's two symbols must be single characters or outputs of
+    earlier-ranked merges. Every table a BPE TRAINER emits has this
+    shape by construction (a symbol is born at the rank that merges
+    it), so this covers production multi-level tokenizers, not just
+    the registered trainer's char-pair table.
 
-    Equivalence argument: with a single-level table, the classic
-    priority loop (``bpe_segment``: merge the lowest-rank pair present,
-    repeat) degenerates to ONE left-to-right non-overlapping merge pass
-    per rank in rank order — merging rank r consumes all its
-    occurrences and can never create an occurrence of any rank (merged
-    symbols are 2-char, table pairs are 1-char/1-char). A left-to-right
-    non-overlapping literal ``replace()`` IS that pass when each symbol
-    is self-delimited: mark every character as ``(c)``, then
-    ``replace(s, '(a)(b)', '(ab)')`` per merge in rank order. The
-    parenthesis delimiters make false matches impossible (``(b)(c)``
-    cannot match inside ``(ab)(c)``) and adjacent matches share no
-    characters (the aaaa run merges floor(n/2) times, exactly like
-    ``bpe_segment``). Token count = count of '(' in the result.
+    Equivalence argument: the classic priority loop (``bpe_segment``:
+    merge the lowest-rank pair present, repeat) equals ONE
+    left-to-right non-overlapping merge pass per rank in ascending
+    rank order, because a rank-r merge can only create NEW adjacencies
+    involving its output symbol — and in a creation-ordered table
+    every pair containing that symbol has rank > r (the symbol did
+    not exist earlier), while symbols on either side of the merged
+    span were never made adjacent to each other. So no merge can ever
+    resurrect a lower-or-equal rank, and processing ranks in order
+    visits exactly the occurrences the priority loop merges. A
+    left-to-right non-overlapping literal ``replace()`` IS that pass
+    when each symbol is self-delimited: mark every character as
+    ``(c)``, then ``replace(s, '(a)(b)', '(ab)')`` per merge in rank
+    order. The parenthesis delimiters make false matches impossible
+    (``(b)(c)`` cannot match inside ``(ab)(c)`` — multi-char symbols
+    included) and adjacent matches share no characters (the aaaa run
+    merges floor(n/2) times, exactly like ``bpe_segment``; a
+    same-pair multi-char run ``(ab)(ab)(ab)`` likewise). Token count
+    = count of '(' in the result.
 
     The same chain text runs on both engines (``replace`` is
     left-to-right non-overlapping in Spark and DuckDB); only the
@@ -137,11 +146,19 @@ def bpe_symbols_sql(text_sql: str, merges: list[tuple[str, str]], dialect: str) 
 
     At 100 TB this is the packing-stage tokenizer: ~R+1 linear scans
     of each row inside whole-stage codegen, zero shuffle, zero Python
-    — vs the Arrow ``bpe_encode_tokens`` path (general multi-level
-    tables), which pays the Python batch transfer.
+    — vs the Arrow ``bpe_encode_tokens`` path (which also accepts
+    ill-formed tables), paying the Python batch transfer.
     """
-    if any(len(a) != 1 or len(b) != 1 for a, b in merges):
-        raise ValueError("codegen BPE apply requires a single-level merge table")
+    known = set()
+    for a, b in merges:
+        for sym in (a, b):
+            if len(sym) != 1 and sym not in known:
+                raise ValueError(
+                    "codegen BPE apply requires a creation-ordered merge "
+                    f"table: symbol {sym!r} is neither a character nor an "
+                    "earlier merge's output"
+                )
+        known.add(a + b)
     if dialect == "spark":
         chain = f"regexp_replace({text_sql}, '(.)', '($1)')"
     elif dialect == "duckdb":

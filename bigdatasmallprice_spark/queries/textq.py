@@ -425,9 +425,10 @@ FROM b GROUP BY 1
     f"{_PACK_BUDGET}-token bins by the same size-rank round-robin as "
     "pack_sequences — the artifact an LLM trainer consumes bins "
     "tokenizer tokens, not whitespace words. The BPE APPLY is the "
-    "codegen scale path (operators/bpe.py::bpe_symbols_sql): for a "
-    "single-level merge table the GPT-2 priority loop degenerates to "
-    "one left-to-right replace() pass per rank, so tokenization is "
+    "codegen scale path (operators/bpe.py::bpe_symbols_sql, any "
+    "creation-ordered table — multi-level production tokenizers "
+    "included): the GPT-2 priority loop equals one ascending-rank "
+    "left-to-right replace() pass per merge, so tokenization is "
     "~21 linear string scans inside whole-stage codegen — zero "
     "Python, zero shuffle (differential-tested char-exact against "
     "bpe_segment/bpe_encode_tokens, runs and rank-interactions "

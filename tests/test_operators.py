@@ -1696,13 +1696,104 @@ def test_bpe_codegen_apply_equals_segment():
             assert got == want, (merges, text, want, got)
 
 
-def test_bpe_codegen_requires_single_level():
+def test_bpe_codegen_requires_creation_order():
+    """A pair whose symbol is neither a character nor an earlier
+    merge's output cannot come from a BPE trainer — the codegen path
+    refuses instead of silently mis-merging."""
     import pytest as _pytest
 
     from bigdatasmallprice_spark.operators.bpe import bpe_symbols_sql
 
-    with _pytest.raises(ValueError, match="single-level"):
+    with _pytest.raises(ValueError, match="creation-ordered"):
         bpe_symbols_sql("t", [("th", "e")], "spark")
+    # the same pair IS valid once rank 0 creates 'th'
+    bpe_symbols_sql("t", [("t", "h"), ("th", "e")], "spark")
+
+
+def test_bpe_codegen_apply_multilevel_equals_segment():
+    """The codegen chain covers production-shaped MULTI-LEVEL tables:
+    for any creation-ordered table, ascending-rank replace passes
+    equal the priority loop (a rank-r merge only creates pairs
+    containing its output symbol, whose ranks are all > r). Cases:
+    the th/the chain, same-pair multi-char runs, deep 4-level chains,
+    outputs feeding later pairs on both sides."""
+    import duckdb
+
+    from bigdatasmallprice_spark.operators.bpe import (
+        bpe_segment,
+        bpe_symbols_sql,
+        bpe_token_count_from_symbols_sql,
+        make_ranks,
+    )
+
+    cases = [
+        ([("t", "h"), ("th", "e")], ["the", "there", "ether", "the the theth"]),
+        ([("a", "b"), ("ab", "ab")], ["abab", "ababab", "abababab", "aabb ab"]),
+        (
+            [("a", "b"), ("c", "d"), ("ab", "cd"), ("abcd", "abcd")],
+            ["abcd", "abcdabcd", "abcdabcdabcd", "abcab dcd"],
+        ),
+        ([("e", "r"), ("er", "s"), ("t", "er")], ["terser", "ters", "ererer"]),
+    ]
+    con = duckdb.connect()
+    for merges, texts in cases:
+        ranks = make_ranks(merges)
+        sym = bpe_symbols_sql("t", merges, "duckdb")
+        cnt = bpe_token_count_from_symbols_sql("m", "t")
+        for text in texts:
+            want = sum(len(bpe_segment(w, ranks)) for w in text.split(" ") if w)
+            got = con.execute(
+                f"SELECT {cnt} FROM (SELECT t, {sym} AS m FROM (SELECT ? AS t))",
+                [text],
+            ).fetchone()[0]
+            assert got == want, (merges, text, want, got)
+
+
+def test_bpe_codegen_property_random_tables():
+    """Property check: for RANDOM creation-ordered tables (pairs drawn
+    from the growing symbol alphabet, trainer-style) and random
+    strings, the codegen chain equals bpe_segment."""
+    import duckdb
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from bigdatasmallprice_spark.operators.bpe import (
+        bpe_segment,
+        bpe_symbols_sql,
+        bpe_token_count_from_symbols_sql,
+        make_ranks,
+    )
+
+    con = duckdb.connect()
+
+    @settings(max_examples=60, deadline=None)
+    @given(data=st.data())
+    def check(data):
+        chars = ["a", "b", "c"]
+        symbols = list(chars)
+        merges = []
+        n_merges = data.draw(st.integers(0, 6))
+        for _ in range(n_merges):
+            a = data.draw(st.sampled_from(symbols))
+            b = data.draw(st.sampled_from(symbols))
+            if (a, b) in merges:
+                continue
+            merges.append((a, b))
+            if a + b not in symbols:
+                symbols.append(a + b)
+        text = data.draw(st.text(alphabet="abc ", max_size=24))
+        ranks = make_ranks(merges)
+        want = sum(len(bpe_segment(w, ranks)) for w in text.split(" ") if w)
+        sym = bpe_symbols_sql("t", merges, "duckdb")
+        cnt = bpe_token_count_from_symbols_sql("m", "t")
+        got = con.execute(
+            f"SELECT {cnt} FROM (SELECT t, {sym} AS m FROM (SELECT ? AS t))",
+            [text],
+        ).fetchone()[0]
+        assert got == want, (merges, text, want, got)
+
+    check()
 
 
 def test_bpe_codegen_equals_arrow_on_corpus(spark):
