@@ -300,6 +300,35 @@ def tfidf_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PACK_BUDGET = 4096  # tokens per packed training sequence
 
 
+def pack_bins_from_counts(t: DataFrame) -> DataFrame:
+    """The packing tail over any (doc_id, nt) token-count frame:
+    ceil(total/budget) bins, banded size-rank round-robin, per-bin
+    accounting — ONE body serving pack_sequences, pack_sequences_bpe
+    and the streamed token-count state's serving read
+    (streaming/bpe_stream.py::read_packed_bins), so the bin
+    arithmetic cannot fork."""
+    from bigdatasmallprice_spark.operators.topk import banded_global_rank
+
+    n_bins = t.agg(
+        F.ceil(F.sum("nt").cast("double") / F.lit(_PACK_BUDGET)).cast("long").alias(
+            "n_bins"
+        )
+    )
+    r = banded_global_rank(t, "nt", "doc_id")
+    b = r.crossJoin(F.broadcast(n_bins)).select(
+        ((F.col("rn") - 1) % F.col("n_bins")).alias("bin"), "nt"
+    )
+    return b.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("nt").cast("long").alias("token_sum"),
+        F.min("nt").cast("long").alias("min_tokens"),
+        F.max("nt").cast("long").alias("max_tokens"),
+        F.round(F.sum("nt").cast("double") / F.lit(_PACK_BUDGET), 6).alias(
+            "utilization"
+        ),
+    )
+
+
 @register(
     "pack_sequences",
     f"""
@@ -338,32 +367,9 @@ FROM b GROUP BY 1
     tags=("text", "pack", "window"),
 )
 def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from bigdatasmallprice_spark.operators.topk import banded_global_rank
-
     docs = table(spark, sf_dir, "documents")
     t = docs.select("doc_id", n_tokens(F.col("text")).alias("nt"))
-    n_bins = t.agg(
-        F.ceil(F.sum("nt").cast("double") / F.lit(_PACK_BUDGET)).cast("long").alias(
-            "n_bins"
-        )
-    )
-    # the size-rank via the banded two-phase rank: identical to the
-    # global (nt DESC, doc_id) window bit-for-bit, but the corpus-scale
-    # sort is sharded by token-count band — the only unpartitioned
-    # window runs over the bounded distinct-count table
-    r = banded_global_rank(t, "nt", "doc_id")
-    b = r.crossJoin(F.broadcast(n_bins)).select(
-        ((F.col("rn") - 1) % F.col("n_bins")).alias("bin"), "nt"
-    )
-    return b.groupBy("bin").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("nt").cast("long").alias("token_sum"),
-        F.min("nt").cast("long").alias("min_tokens"),
-        F.max("nt").cast("long").alias("max_tokens"),
-        F.round(F.sum("nt").cast("double") / F.lit(_PACK_BUDGET), 6).alias(
-            "utilization"
-        ),
-    )
+    return pack_bins_from_counts(t)
 
 
 # The FROZEN tokenizer artifact the BPE packing twin bins with — the
@@ -443,7 +449,6 @@ def pack_sequences_bpe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         bpe_symbols_sql,
         bpe_token_count_from_symbols_sql,
     )
-    from bigdatasmallprice_spark.operators.topk import banded_global_rank
 
     docs = table(spark, sf_dir, "documents")
     sym = bpe_symbols_sql("text", _PACK_BPE_MERGES, "spark")
@@ -453,28 +458,7 @@ def pack_sequences_bpe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("m", F.expr(sym))
         .selectExpr("doc_id", f"{cnt} AS nt")
     )
-    n_bins = t.agg(
-        F.ceil(F.sum("nt").cast("double") / F.lit(_PACK_BUDGET)).cast("long").alias(
-            "n_bins"
-        )
-    )
-    # the size-rank via the banded two-phase rank: identical to the
-    # global (nt DESC, doc_id) window bit-for-bit, but the corpus-scale
-    # sort is sharded by token-count band — the only unpartitioned
-    # window runs over the bounded distinct-count table
-    r = banded_global_rank(t, "nt", "doc_id")
-    b = r.crossJoin(F.broadcast(n_bins)).select(
-        ((F.col("rn") - 1) % F.col("n_bins")).alias("bin"), "nt"
-    )
-    return b.groupBy("bin").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("nt").cast("long").alias("token_sum"),
-        F.min("nt").cast("long").alias("min_tokens"),
-        F.max("nt").cast("long").alias("max_tokens"),
-        F.round(F.sum("nt").cast("double") / F.lit(_PACK_BUDGET), 6).alias(
-            "utilization"
-        ),
-    )
+    return pack_bins_from_counts(t)
 
 
 # ---------------------------------------------------------------------------
