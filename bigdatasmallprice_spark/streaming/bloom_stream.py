@@ -45,6 +45,7 @@ def update_bloom(
         publish_state,
         resolve_state_dir,
         state_version_dir,
+        validate_pin_with_default,
         validate_state_config,
         versioned_already_applied,
     )
@@ -54,6 +55,10 @@ def update_bloom(
     if versioned_already_applied(state_path, batch_id):
         return
     validate_state_config(state_path, {"m": m, "k": k})
+    # the source-column pin (knlm_stream's rule): bits hashed from one
+    # column must never OR with another's; pre-pin states migrate
+    # under the default and the pin re-publishes below
+    validate_pin_with_default(state_path, "text_col", text_col, "text")
     part = bloom_bits(batch, text_col=text_col, m=m, k=k)
     state_dir = resolve_state_dir(state_path)
     if state_dir is not None:
@@ -64,7 +69,10 @@ def update_bloom(
     new.coalesce(1).write.mode("overwrite").parquet(
         state_version_dir(state_path, version)
     )
-    publish_state(state_path, version, batch_id, config={"m": m, "k": k})
+    publish_state(
+        state_path, version, batch_id,
+        config={"m": m, "k": k, "text_col": text_col},
+    )
 
 
 def read_bloom_bits(spark: SparkSession, state_path: str) -> DataFrame:

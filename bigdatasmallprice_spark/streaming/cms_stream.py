@@ -49,6 +49,7 @@ def update_cms(
         publish_state,
         resolve_state_dir,
         state_version_dir,
+        validate_pin_with_default,
         validate_state_config,
         versioned_already_applied,
     )
@@ -56,6 +57,8 @@ def update_cms(
     if versioned_already_applied(state_path, batch_id):
         return
     validate_state_config(state_path, {"w": _CMS_W, "d": _CMS_D})
+    # source-column pin (knlm_stream's rule; migration per pre-pin states)
+    validate_pin_with_default(state_path, "text_col", text_col, "text")
     part = _batch_registers(batch, text_col)
     state_dir = resolve_state_dir(state_path)
     if state_dir is not None:
@@ -67,7 +70,8 @@ def update_cms(
         state_version_dir(state_path, version)
     )
     publish_state(
-        state_path, version, batch_id, config={"w": _CMS_W, "d": _CMS_D}
+        state_path, version, batch_id,
+        config={"w": _CMS_W, "d": _CMS_D, "text_col": text_col}
     )
 
 

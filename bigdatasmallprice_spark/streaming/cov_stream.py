@@ -47,11 +47,16 @@ def update_moments(
         publish_state,
         resolve_state_dir,
         state_version_dir,
+        validate_pin_with_default,
         versioned_already_applied,
     )
 
     if versioned_already_applied(summary_path, batch_id):
         return
+    # source-column pin (knlm_stream's rule): moments from two
+    # different vector columns must never sum into one summary;
+    # pre-pin states migrate under the default
+    validate_pin_with_default(summary_path, "vec_col", vec_col, "embedding")
 
     m = covariance_moments_vectorized(batch, vec_col=vec_col)
     state_dir = resolve_state_dir(summary_path)
@@ -63,7 +68,9 @@ def update_moments(
     new.coalesce(1).write.mode("overwrite").parquet(
         state_version_dir(summary_path, version)
     )
-    publish_state(summary_path, version, batch_id)
+    publish_state(
+        summary_path, version, batch_id, config={"vec_col": vec_col}
+    )
 
 
 def covariance_stream(

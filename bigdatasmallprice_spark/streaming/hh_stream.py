@@ -88,6 +88,7 @@ def update_summary(
         publish_state,
         resolve_state_dir,
         state_version_dir,
+        validate_pin_with_default,
         validate_state_config,
         versioned_already_applied,
     )
@@ -95,7 +96,14 @@ def update_summary(
     if versioned_already_applied(summary_path, batch_id):
         return
     validate_state_config(summary_path, {"m": m, "n_shards": n_shards})
-    shard = F.pmod(F.xxhash64(F.col(term_col)), F.lit(n_shards)).cast("long")
+    # source-column pin (knlm_stream's rule). term_col has no default,
+    # so pre-pin states trust the first post-migration fold's value
+    # and re-pin it (trust-on-first-use; later mismatches refuse).
+    validate_pin_with_default(summary_path, "term_col", term_col, term_col)
+    # shard hashes the ALIASED column: with term_col != "term" the
+    # original F.col(term_col) no longer resolved after the alias
+    # (latent until the source-column pin's test passed a real name)
+    shard = F.pmod(F.xxhash64(F.col("term")), F.lit(n_shards)).cast("long")
     # NULL terms excluded — term=NULL is the summary's error sentinel
     b = (
         batch.select(F.col(term_col).alias("term"))
@@ -128,7 +136,10 @@ def update_summary(
         state_version_dir(summary_path, version)
     )
     publish_state(
-        summary_path, version, batch_id, config={"m": m, "n_shards": n_shards}
+        summary_path,
+        version,
+        batch_id,
+        config={"m": m, "n_shards": n_shards, "term_col": term_col},
     )
 
 

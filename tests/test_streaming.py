@@ -1796,3 +1796,42 @@ def test_legacy_flat_verdict_sink_is_refused(spark, tmp_path):
     (verdicts / "part-00000-legacy.snappy.parquet").write_bytes(b"")
     with _pytest.raises(ValueError, match="legacy flat layout"):
         update_winnow_state(spark, state, docs, str(verdicts), batch_id=0)
+
+
+
+def test_source_column_pins_across_sketch_streams(spark, tmp_path):
+    """The knlm_stream source-column refusal swept across the sketch
+    states (r11): bloom bits, CMS registers, covariance moments and
+    MG summaries from one column must never fold with another's."""
+    import pytest as _pytest
+
+    from bigdatasmallprice_spark.streaming.bloom_stream import update_bloom
+    from bigdatasmallprice_spark.streaming.cms_stream import update_cms
+    from bigdatasmallprice_spark.streaming.cov_stream import update_moments
+    from bigdatasmallprice_spark.streaming.hh_stream import update_summary
+
+    docs = spark.createDataFrame(
+        [(0, "a b c", "x y z")], "doc_id long, text string, alt string"
+    )
+    for name, fn in (("bloom", update_bloom), ("cms", update_cms)):
+        state = str(tmp_path / name)
+        fn(spark, state, docs, batch_id=0)
+        with _pytest.raises(ValueError, match="different parameters"):
+            fn(spark, state, docs, text_col="alt", batch_id=1)
+
+    vecs = spark.createDataFrame(
+        [(0, [1.0, 2.0], [9.0, 9.0])],
+        "vec_id long, embedding array<double>, alt array<double>",
+    )
+    state = str(tmp_path / "cov")
+    update_moments(spark, state, vecs, batch_id=0)
+    with _pytest.raises(ValueError, match="different parameters"):
+        update_moments(spark, state, vecs, vec_col="alt", batch_id=1)
+
+    terms = spark.createDataFrame(
+        [("alpha", "beta")], "t1 string, t2 string"
+    )
+    state = str(tmp_path / "hh")
+    update_summary(spark, state, terms, "t1", batch_id=0)
+    with _pytest.raises(ValueError, match="different parameters"):
+        update_summary(spark, state, terms, "t2", batch_id=1)
