@@ -127,6 +127,13 @@ def banded_global_rank(
     inputs, token counts spread over hundreds-to-thousands of values;
     if one band dominates, sub-salt on the tie column's hash and
     stitch, as partitioned_lag_stitch does for time.
+
+    Cardinality note: the base table is broadcast, so the band
+    column's DISTINCT count must stay broadcast-sized (true for token
+    counts and cent-valued amounts — bounded by max document length /
+    value range, not corpus size). For an unbounded band domain,
+    coarsen through approx_quantile_buckets first and rank within
+    buckets.
     """
     from pyspark.sql import Window
 
