@@ -307,6 +307,11 @@ def partitioned_lead1_stitch(
     single-partition sort: lead inside coarse buckets, then repair each
     bucket's LAST row from the next bucket's FIRST value.
 
+    PRECONDITION: ``bucket_expr`` must be monotone non-decreasing
+    along ``order_by`` (e.g. ``date_trunc`` of the leading order
+    column), so each bucket is one CONTIGUOUS run of the global order
+    — the same contract as partitioned_lag_stitch's time buckets.
+
     Unlike partitioned_lag_stitch there is no minimum-bucket-size
     precondition: lead(1) only ever reaches one row forward, so the
     only rows a bucket boundary breaks are each bucket's last — and

@@ -1903,3 +1903,59 @@ def test_partitioned_lead1_stitch_equals_global_window(spark):
         ).collect()
     )
     assert got1 == [(1, 20), (2, 30), (3, None)]
+
+
+
+def test_banded_rank_and_lead_stitch_property(spark):
+    """Property check over random data: banded_global_rank equals the
+    global ROW_NUMBER window and partitioned_lead1_stitch equals the
+    global lead(1) — duplicate bands/order keys, skewed bands, and
+    arbitrary bucket granularities included. Driven by ONE seeded
+    sample set (hypothesis-free loop: Spark jobs are too slow for
+    per-example shrinking; the cases enumerate the failure classes)."""
+    import itertools
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from bigdatasmallprice_spark.operators.topk import banded_global_rank
+    from bigdatasmallprice_spark.operators.windows import (
+        partitioned_lead1_stitch,
+    )
+
+    # deterministic pseudo-random rows: (id, band, v) with heavy band
+    # collisions (band = id*7 % 5) and a skewed variant (band mostly 0)
+    datasets = [
+        [(i, (i * 7) % 5, (i * 13) % 11) for i in range(40)],
+        [(i, 0 if i % 10 else i, i % 3) for i in range(30)],
+        [(0, 4, 1)],  # single row
+    ]
+    for rows in datasets:
+        df = spark.createDataFrame(rows, "id long, band long, v long")
+        w = Window.orderBy(F.col("band").desc(), F.col("id"))
+        want = {
+            (r["id"], r["rn"])
+            for r in df.withColumn("rn", F.row_number().over(w)).collect()
+        }
+        got = {
+            (r["id"], r["rn"])
+            for r in banded_global_rank(df, "band", "id").collect()
+        }
+        assert got == want, rows[:3]
+
+        # bucket granularities incl. near-1-row buckets; bucket_expr
+        # must be MONOTONE along the order (the operator's contract,
+        # like date_trunc over time) — floor(v/mod) is, v%mod is not
+        for mod in (1, 3, 7, 100):
+            wl = Window.orderBy("v", "id")
+            wantl = {
+                (r["id"], r["l"])
+                for r in df.withColumn("l", F.lead("band").over(wl)).collect()
+            }
+            gotl = {
+                (r["id"], r["l"])
+                for r in partitioned_lead1_stitch(
+                    df, "band", ["v", "id"], F.floor(F.col("v") / mod), "l"
+                ).collect()
+            }
+            assert gotl == wantl, (rows[:3], mod)
