@@ -1835,3 +1835,30 @@ def test_source_column_pins_across_sketch_streams(spark, tmp_path):
     update_summary(spark, state, terms, "t1", batch_id=0)
     with _pytest.raises(ValueError, match="different parameters"):
         update_summary(spark, state, terms, "t2", batch_id=1)
+
+
+
+def test_hh_term_col_pin_trust_on_first_use(spark, tmp_path):
+    """term_col has no default, so a pre-pin MG state accepts the
+    first post-migration fold's column and re-pins it; a later
+    mismatch refuses."""
+    import json
+
+    import pytest as _pytest
+
+    from bigdatasmallprice_spark.streaming.hh_stream import update_summary
+    from bigdatasmallprice_spark.streaming.state import read_state_manifest
+
+    terms = spark.createDataFrame([("alpha", "beta")], "t1 string, t2 string")
+    state = str(tmp_path / "hh")
+    update_summary(spark, state, terms, "t1", batch_id=0)
+    # simulate a pre-pin manifest: strip the column pin in place
+    mpath = state + "._state_manifest.json"
+    m = json.load(open(mpath))
+    del m["config"]["term_col"]
+    json.dump(m, open(mpath, "w"))
+    # first post-migration fold: any column accepted, pin restored
+    update_summary(spark, state, terms, "t1", batch_id=1)
+    assert read_state_manifest(state)["config"]["term_col"] == "t1"
+    with _pytest.raises(ValueError, match="different parameters"):
+        update_summary(spark, state, terms, "t2", batch_id=2)
