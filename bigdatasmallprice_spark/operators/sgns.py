@@ -62,6 +62,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
 
 from bigdatasmallprice_spark.operators.distill import (
     DUCK_DIV,
@@ -167,7 +168,10 @@ def sgns_training_pairs(
     (center, other, ym) with exact summed weights. ``n_nodes`` is the
     node count (a model-sized scalar, like PageRank's n); negatives
     land on the ranked node index so the id space never matters."""
-    from pyspark.sql import Window
+    from bigdatasmallprice_spark.operators.topk import (
+        approx_quantile_buckets,
+        banded_global_rank,
+    )
 
     # the pair corpus feeds BOTH the positives branch and the negative
     # draw below — checkpoint our own reference once so the skip-gram
@@ -178,10 +182,25 @@ def sgns_training_pairs(
         "center", F.col("context").alias("other"),
         F.lit(1000).cast("long").alias("ym"), "cnt",
     )
-    idx = nodes.select(
-        (
-            F.row_number().over(Window.orderBy("node")) - 1
-        ).cast("long").alias("nidx"),
+    # the node index is ROW_NUMBER() OVER (ORDER BY node) - 1, but |V|
+    # is corpus-scale for a real graph (or a vocabulary for the word
+    # trainer), so the sort is sharded: a MONOTONE coarsening of the
+    # unbounded node domain makes a bounded band — approx-quantile
+    # buckets for numeric ids, a 2-char prefix for string tokens (a
+    # fixed-length prefix preserves UTF8-binary order) — then
+    # banded_global_rank (band ASC, tie=node) reproduces the global
+    # rank bit-identically: (band, node) order equals (node) order
+    # because the band is monotone in node. The oracle keeps the plain
+    # window (same ranks by construction).
+    nd = nodes.select(F.col("node"))
+    if isinstance(nd.schema["node"].dataType, StringType):
+        bucketed = nd.withColumn("bucket", F.substring("node", 1, 2))
+    else:
+        bucketed = approx_quantile_buckets(nd, "node", n_buckets=32)
+    idx = banded_global_rank(
+        bucketed, "bucket", "node", out_col="__rk", band_desc=False
+    ).select(
+        (F.col("__rk") - 1).cast("long").alias("nidx"),
         F.col("node").alias("neg"),
     )
     key = (

@@ -9,9 +9,11 @@ Three variants, matching the reference exactly:
   val = ``val_days`` before that.
 
 Invariants tested in the reference (test_feature_pipeline.py:109-146):
-ordering, exact sizes, no overlap, totality. Ratio splits need a global
-row_number — fine post-aggregation; for raw-scale data use the calendar
-variants (pure filters, partition-prunable, no shuffle).
+ordering, exact sizes, no overlap, totality. The ratio split's global
+row order is computed by the two-phase ``banded_global_rank`` (band =
+the leading order column, ties = the rest), so no caller sorts the
+corpus on one reducer; the calendar variants stay pure filters
+(partition-prunable, no shuffle).
 """
 
 from __future__ import annotations
@@ -20,6 +22,8 @@ import datetime as dt
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+from bigdatasmallprice_spark.operators.topk import banded_global_rank
 
 
 def split_label_by_ratio(
@@ -36,20 +40,34 @@ def split_label_by_ratio(
             f"invalid split fractions train={train_frac} val={val_frac}: "
             "need train > 0, val >= 0, train + val < 1 (test is the remainder)"
         )
-    # single pass: the count rides a window beside the row_number (both
-    # globally partitioned, one Window stage) instead of a separate
-    # df.count() action — floor(n*frac) over doubles matches the
-    # reference's int(n*frac) exactly for non-negative n
-    w = Window.orderBy(*order_by)
-    rn = F.row_number().over(w)
-    n = F.count(F.lit(1)).over(Window.partitionBy(F.lit(1)))
+    # the global row order rides banded_global_rank: band = the leading
+    # order column (a date/time — bounded distinct values), ties = the
+    # remaining columns, so the corpus-scale sort is sharded by band and
+    # the only unpartitioned window runs over the DISTINCT-band table —
+    # bit-identical to ROW_NUMBER() OVER (ORDER BY *order_by) (for a
+    # single-column order the within-band tie among equal values is
+    # arbitrary, exactly as the plain window's is). n arrives as a
+    # broadcast 1-row aggregate instead of a corpus-wide global window;
+    # floor(n*frac) over doubles matches the reference's int(n*frac)
+    # exactly for non-negative n.
+    band, *ties = order_by
+    ranked = banded_global_rank(
+        df, band, ties or [band], out_col="__rn", band_desc=False
+    )
+    n1 = df.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    rn = F.col("__rn")
+    n = F.col("__n")
     n_train = F.floor(n * F.lit(train_frac))
     n_val = F.floor(n * F.lit(val_frac))
-    return df.withColumn(
-        label_col,
-        F.when(rn <= n_train, F.lit("train"))
-        .when(rn <= n_train + n_val, F.lit("val"))
-        .otherwise(F.lit("test")),
+    return (
+        ranked.crossJoin(F.broadcast(n1))
+        .withColumn(
+            label_col,
+            F.when(rn <= n_train, F.lit("train"))
+            .when(rn <= n_train + n_val, F.lit("val"))
+            .otherwise(F.lit("test")),
+        )
+        .drop("__rn", "__n")
     )
 
 

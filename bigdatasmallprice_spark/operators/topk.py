@@ -97,13 +97,14 @@ def approx_quantile_buckets(
 def banded_global_rank(
     df: DataFrame,
     band_col: str,
-    tie_col: str,
+    tie_col: str | list[str],
     out_col: str = "rn",
     band_desc: bool = True,
 ) -> DataFrame:
     """The global dense ROW_NUMBER() OVER (ORDER BY band_col DESC,
     tie_col) WITHOUT a single-partition sort — the partitioned_lag_
-    stitch lesson applied to ranking.
+    stitch lesson applied to ranking. ``tie_col`` accepts a list for a
+    composite tie order (all ascending, matching the window default).
 
     Two phases, bit-identical to the global window:
 
@@ -134,19 +135,30 @@ def banded_global_rank(
     value range, not corpus size). For an unbounded band domain,
     coarsen through approx_quantile_buckets first and rank within
     buckets.
+
+    NULL bands are first-class: the base-table join is null-safe
+    (``eqNullSafe``), and the band ordering pins NULLS FIRST for ASC /
+    NULLS LAST for DESC — exactly where the plain window's default
+    ordering puts them — so a NULL band neither drops rows nor
+    diverges from ``ROW_NUMBER() OVER (ORDER BY band, ties)``.
     """
     from pyspark.sql import Window
 
+    ties = [tie_col] if isinstance(tie_col, str) else list(tie_col)
     bands = df.groupBy(band_col).agg(F.count(F.lit(1)).alias("__bn"))
-    border = F.col(band_col).desc() if band_desc else F.col(band_col).asc()
+    border = (
+        F.col(band_col).desc_nulls_last()
+        if band_desc
+        else F.col(band_col).asc_nulls_first()
+    )
     wb = Window.orderBy(border).rowsBetween(Window.unboundedPreceding, -1)
     base = bands.select(
-        band_col,
+        F.col(band_col).alias("__band"),
         F.coalesce(F.sum("__bn").over(wb), F.lit(0)).cast("long").alias("__base"),
     )
-    ww = Window.partitionBy(band_col).orderBy(F.col(tie_col))
+    ww = Window.partitionBy(band_col).orderBy(*[F.col(c) for c in ties])
     return (
-        df.join(F.broadcast(base), band_col)
+        df.join(F.broadcast(base), F.col(band_col).eqNullSafe(F.col("__band")))
         .withColumn(out_col, (F.col("__base") + F.row_number().over(ww)).cast("long"))
-        .drop("__base")
+        .drop("__band", "__base")
     )

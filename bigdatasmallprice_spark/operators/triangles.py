@@ -88,17 +88,19 @@ def triangle_counts(edges: DataFrame, nodes: DataFrame) -> DataFrame:
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("degree"))
     )
-    # total order (degree, node): rank every touched node
-    from pyspark.sql import Window
+    # total order (degree, node): rank every touched node. Banded
+    # two-phase rank (operators/topk.py::banded_global_rank, band =
+    # degree ASC, tie = node) — bit-identical to ROW_NUMBER() OVER
+    # (ORDER BY degree, node) but the |V|-scale sort is sharded by
+    # degree value (power-law: few distinct degrees), never a single
+    # reducer. The degree-1 band is the biggest; its within-band sort
+    # is still partitioned per band value, and orientation only needs
+    # ANY consistent total order, so a skewed band shards fine.
+    from bigdatasmallprice_spark.operators.topk import banded_global_rank
 
-    rnk = deg.select(
-        "node",
-        "degree",
-        F.row_number()
-        .over(Window.orderBy("degree", "node"))
-        .cast("long")
-        .alias("rk"),
-    )
+    rnk = banded_global_rank(
+        deg, "degree", "node", out_col="rk", band_desc=False
+    ).select("node", "degree", "rk")
     ra = rnk.select(F.col("node").alias("u"), F.col("rk").alias("rku"))
     rb = rnk.select(F.col("node").alias("v"), F.col("rk").alias("rkv"))
     # orient each edge low-rank -> high-rank
