@@ -320,17 +320,22 @@ def partitioned_lead1_stitch(
     bucket's last row keeps NULL, matching the global window's final
     row. Bucket/successor/head tables are all bounded by the bucket
     count — broadcast-sized at any corpus scale.
+
+    The repair targets each bucket's last row BY POSITION (rk == n),
+    never by NULL-ness of the in-bucket lead, so a nullable
+    ``value_col`` is safe: an interior row whose true successor value
+    is NULL keeps that NULL instead of being wrongly patched with the
+    next bucket's head.
     """
     b = df.withColumn("__bucket", bucket_expr)
     w_in = Window.partitionBy("__bucket").orderBy(*order_by)
+    b = b.withColumn("__rk", F.row_number().over(w_in)).withColumn(
+        "__n", F.count(F.lit(1)).over(Window.partitionBy("__bucket"))
+    )
     out = b.withColumn(out_col, F.lead(value_col).over(w_in))
-    heads = (
-        b.withColumn("__rk", F.row_number().over(w_in))
-        .filter(F.col("__rk") == 1)
-        .select(
-            F.col("__bucket").alias("__hb"),
-            F.col(value_col).alias("__head"),
-        )
+    heads = b.filter(F.col("__rk") == 1).select(
+        F.col("__bucket").alias("__hb"),
+        F.col(value_col).alias("__head"),
     )
     w_b = Window.orderBy("__bucket")
     succ = (
@@ -343,5 +348,8 @@ def partitioned_lead1_stitch(
     )
     out = out.join(F.broadcast(nxt), "__bucket", "left")
     return out.withColumn(
-        out_col, F.coalesce(F.col(out_col), F.col("__next_head"))
-    ).drop("__bucket", "__next_head")
+        out_col,
+        F.when(F.col("__rk") == F.col("__n"), F.col("__next_head")).otherwise(
+            F.col(out_col)
+        ),
+    ).drop("__bucket", "__next_head", "__rk", "__n")

@@ -33,11 +33,21 @@ from pyspark.sql import functions as F
 BM25_STATE_SCHEMA = "doc_id long, term string, tf long"
 
 
+# the tf fold's tokenization convention, pinned in the state manifest:
+# a state built under one tokenizer must never fold rows from another
+# (mixed tf rows are silently incomparable). "ws_split_v1" names the
+# engine's shared convention — split on single spaces, drop empties —
+# i.e. exactly queries/simq.py::bm25_tf, the one scorer both the batch
+# queries and this stream run.
+BM25_TOKENIZER = "ws_split_v1"
+
+
 def update_bm25_index(
     spark: SparkSession,
     state_path: str,
     batch: DataFrame,
     batch_id: int | None = None,
+    tokenizer: str = BM25_TOKENIZER,
 ) -> None:
     """foreachBatch body: tokenize ONLY the delivery and fold its
     (doc_id, term, tf) rows last-writer-wins by doc_id."""
@@ -47,11 +57,23 @@ def update_bm25_index(
         publish_state,
         resolve_state_dir,
         state_version_dir,
+        validate_pin_with_default,
         versioned_already_applied,
     )
 
     if versioned_already_applied(state_path, batch_id):
         return
+    # trust-on-first-use with migration (the sketch streams' rule):
+    # pre-pin states fold under the default convention and the pin
+    # re-publishes below; a non-default tokenizer refuses to fold into
+    # a state pinned (or defaulted) to another.
+    validate_pin_with_default(state_path, "tokenizer", tokenizer, BM25_TOKENIZER)
+    if tokenizer != BM25_TOKENIZER:
+        raise ValueError(
+            f"unknown BM25 tokenization convention {tokenizer!r}: the "
+            f"engine ships exactly {BM25_TOKENIZER!r} (bm25_tf); a new "
+            "convention needs its own tf builder registered here"
+        )
     part = bm25_tf(batch.select("doc_id", "text"))
     state_dir = resolve_state_dir(state_path)
     new = part
@@ -66,7 +88,7 @@ def update_bm25_index(
         new = part.unionByName(prior.join(delivered, "doc_id", "left_anti"))
     version = next_state_version(state_path)
     new.write.mode("overwrite").parquet(state_version_dir(state_path, version))
-    publish_state(state_path, version, batch_id)
+    publish_state(state_path, version, batch_id, config={"tokenizer": tokenizer})
 
 
 def read_tf_table(spark: SparkSession, state_path: str) -> DataFrame:

@@ -68,6 +68,7 @@ def update_summary(
     m: int = 64,
     n_shards: int = 8,
     batch_id: int | None = None,
+    allow_repin: bool = False,
 ) -> None:
     """foreachBatch body: fold one micro-batch into the persisted
     sketch. Reads the (tiny) current state version, merges per shard,
@@ -96,10 +97,26 @@ def update_summary(
     if versioned_already_applied(summary_path, batch_id):
         return
     validate_state_config(summary_path, {"m": m, "n_shards": n_shards})
-    # source-column pin (knlm_stream's rule). term_col has no default,
-    # so pre-pin states trust the first post-migration fold's value
-    # and re-pin it (trust-on-first-use; later mismatches refuse).
-    validate_pin_with_default(summary_path, "term_col", term_col, term_col)
+    # source-column pin (knlm_stream's rule). term_col has no default
+    # to fall back on, so a pre-pin state CANNOT trust-on-first-use —
+    # one fold from the wrong column would mix two columns' counts and
+    # then pin the wrong column. Migration is an explicit, one-time
+    # acknowledgment: the caller re-runs with allow_repin=True naming
+    # the column the summary was historically built from, and the pin
+    # publishes below. Already-pinned states refuse mismatches as ever.
+    from bigdatasmallprice_spark.streaming.state import read_state_manifest
+
+    manifest = read_state_manifest(summary_path)
+    if manifest is not None and "term_col" not in manifest.get("config", {}):
+        if not allow_repin:
+            raise ValueError(
+                f"state at {summary_path} predates the term_col pin and "
+                "the column cannot be inferred; re-run ONCE with "
+                "allow_repin=True naming the column this summary was "
+                "built from"
+            )
+    else:
+        validate_pin_with_default(summary_path, "term_col", term_col, term_col)
     # shard hashes the ALIASED column: with term_col != "term" the
     # original F.col(term_col) no longer resolved after the alias
     # (latent until the source-column pin's test passed a real name)

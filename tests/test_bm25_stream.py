@@ -80,3 +80,43 @@ def test_empty_text_redelivery_evicts_stale_postings(spark, tmp_path):
     tf = {(r.doc_id, r.term) for r in read_tf_table(spark, state).collect()}
     assert not {k for k in tf if k[0] == 0}, "stale postings survived emptying"
     assert (1, "gamma") in tf  # untouched doc intact
+
+
+def test_tokenizer_convention_pin_refuses_and_migrates(spark, tmp_path):
+    """The r11 stream-hygiene nit closed: a state folds only under its
+    pinned tokenization convention — a wrong-convention delivery
+    refuses (tf rows from two tokenizers are silently incomparable) —
+    and a pre-pin state migrates under the default, re-publishing the
+    pin on its first post-migration fold (the sketch streams' rule)."""
+    import json
+
+    import pytest as _pytest
+
+    from bigdatasmallprice_spark.streaming.bm25_stream import BM25_TOKENIZER
+    from bigdatasmallprice_spark.streaming.state import read_state_manifest
+
+    docs = spark.createDataFrame([(1, "a b a")], "doc_id long, text string")
+    state = str(tmp_path / "bm25_state")
+    update_bm25_index(spark, state, docs, batch_id=0)
+    assert read_state_manifest(state)["config"]["tokenizer"] == BM25_TOKENIZER
+    # wrong convention refuses — whether or not it names a real builder
+    with _pytest.raises(ValueError, match="different parameters|unknown"):
+        update_bm25_index(spark, state, docs, batch_id=1, tokenizer="bpe_v2")
+    # pre-pin manifest: strip the pin in place, fold migrates + re-pins
+    mpath = state + "._state_manifest.json"
+    m = json.load(open(mpath))
+    del m["config"]["tokenizer"]
+    json.dump(m, open(mpath, "w"))
+    update_bm25_index(
+        spark, state, spark.createDataFrame([(2, "c c")], "doc_id long, text string"),
+        batch_id=1,
+    )
+    assert read_state_manifest(state)["config"]["tokenizer"] == BM25_TOKENIZER
+    # the migrated fold kept both documents' postings
+    assert {r.doc_id for r in read_tf_table(spark, state).collect()} == {1, 2}
+    # a pre-pin state refuses a NON-default convention outright
+    m = json.load(open(mpath))
+    del m["config"]["tokenizer"]
+    json.dump(m, open(mpath, "w"))
+    with _pytest.raises(ValueError, match="predates"):
+        update_bm25_index(spark, state, docs, batch_id=2, tokenizer="bpe_v2")

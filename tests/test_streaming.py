@@ -1838,10 +1838,12 @@ def test_source_column_pins_across_sketch_streams(spark, tmp_path):
 
 
 
-def test_hh_term_col_pin_trust_on_first_use(spark, tmp_path):
-    """term_col has no default, so a pre-pin MG state accepts the
-    first post-migration fold's column and re-pins it; a later
-    mismatch refuses."""
+def test_hh_term_col_pin_requires_explicit_repin(spark, tmp_path):
+    """term_col has no default, so a pre-pin MG state cannot
+    trust-on-first-use (one wrong-column fold would mix two columns'
+    counts, then pin the wrong column): migration is an EXPLICIT
+    one-time allow_repin=True acknowledgment, after which the restored
+    pin refuses mismatches as ever (the r11 ADVICE hh_stream item)."""
     import json
 
     import pytest as _pytest
@@ -1857,8 +1859,11 @@ def test_hh_term_col_pin_trust_on_first_use(spark, tmp_path):
     m = json.load(open(mpath))
     del m["config"]["term_col"]
     json.dump(m, open(mpath, "w"))
-    # first post-migration fold: any column accepted, pin restored
-    update_summary(spark, state, terms, "t1", batch_id=1)
+    # a silent fold refuses — even from the historically-correct column
+    with _pytest.raises(ValueError, match="predates the term_col pin"):
+        update_summary(spark, state, terms, "t1", batch_id=1)
+    # the explicit one-time acknowledgment folds and restores the pin
+    update_summary(spark, state, terms, "t1", batch_id=1, allow_repin=True)
     assert read_state_manifest(state)["config"]["term_col"] == "t1"
     with _pytest.raises(ValueError, match="different parameters"):
         update_summary(spark, state, terms, "t2", batch_id=2)
