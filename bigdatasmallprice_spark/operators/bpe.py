@@ -144,10 +144,17 @@ def bpe_symbols_sql(text_sql: str, merges: list[tuple[str, str]], dialect: str) 
     Delimiters are safe for the corpus alphabet (space + [a-z]); a
     general deployment would first map text through a 1:1 escape.
 
-    At 100 TB this is the packing-stage tokenizer: ~R+1 linear scans
-    of each row inside whole-stage codegen, zero shuffle, zero Python
-    — vs the Arrow ``bpe_encode_tokens`` path (which also accepts
-    ill-formed tables), paying the Python batch transfer.
+    At 100 TB this is the packing-stage tokenizer for SMALL pinned
+    artifacts: ~R+1 linear scans of each row inside whole-stage
+    codegen, zero shuffle, zero Python. MEASURED crossover
+    (tests/test_bpe_train.py): both the SQL parser and the Column-API
+    converter stack-overflow near ~300-400 nested replaces, and cost
+    is O(merges) scans per row regardless — so a production (1k-50k
+    merge) vocabulary runs the Arrow ``bpe_encode_tokens`` path
+    (O(text) per row via the priority loop + Zipf LRU cache, which
+    also accepts ill-formed tables), paying the Arrow batch transfer.
+    The two paths are differential-tested char-exact on their shared
+    (<=200-merge) prefix.
     """
     known = set()
     for a, b in merges:
@@ -159,10 +166,14 @@ def bpe_symbols_sql(text_sql: str, merges: list[tuple[str, str]], dialect: str) 
                     "earlier merge's output"
                 )
         known.add(a + b)
+    # (?s): dot must match newline too — Java and RE2 dot both exclude
+    # \n by default, so without it newline characters go unmarked and
+    # the chain's token counts diverge from bpe_segment /
+    # bpe_encode_tokens on documents containing newlines
     if dialect == "spark":
-        chain = f"regexp_replace({text_sql}, '(.)', '($1)')"
+        chain = f"regexp_replace({text_sql}, '(?s)(.)', '($1)')"
     elif dialect == "duckdb":
-        chain = f"regexp_replace({text_sql}, '(.)', '(\\1)', 'g')"
+        chain = f"regexp_replace({text_sql}, '(?s)(.)', '(\\1)', 'g')"
     else:
         raise ValueError(f"unknown dialect {dialect!r}")
     for a, b in merges:
@@ -180,3 +191,174 @@ def bpe_token_count_from_symbols_sql(sym_col: str, text_sql: str) -> str:
         f" - (length({text_sql}) - length(replace({text_sql}, ' ', '')))"
         " AS BIGINT)"
     )
+
+
+def select_exact_merge_batch(
+    head: list[tuple[str, str, int]],
+    max_ending: dict[str, int],
+    max_starting: dict[str, int],
+) -> list[tuple[str, str, int]]:
+    """The EXACT batched merge selection: the longest prefix of the
+    ranked pair list ``head`` (sorted (cnt DESC, a ASC, b ASC) — the
+    sequential trainer's argmax order) that is provably the same set,
+    in the same order, a one-merge-at-a-time sequential trainer would
+    pick. Driver-side over a bounded head; no corpus access.
+
+    Why a prefix of the ranked list is safe (the equivalence proof the
+    differential tests and the unrolled-sequential oracle check):
+
+    - SYMBOL-DISJOINT: a merge (a,b)->ab only touches adjacencies
+      involving a or b, so a later candidate sharing no symbol with any
+      earlier selection keeps its exact count — it is still the argmax
+      when its sequential turn comes. The first candidate that shares a
+      symbol ends the batch (its count would change; the cheap recount
+      next round restores exactness).
+    - NEW-PAIR BOUND: merging (a,b) creates only pairs (x, ab) and
+      (ab, y), with cnt(x,ab) <= cnt(x,a) and cnt(ab,y) <= cnt(b,y) —
+      both visible in the CURRENT count table. B = the running max of
+      max_ending[a] / max_starting[b] over selections so far bounds
+      every pair any selected merge can create; a candidate with
+      cnt <= B could be outranked by such a new pair (or tie and lose
+      the lexicographic break to an unknown name), so it ends the
+      batch. Existing non-selected pairs only ever DECREASE (they rank
+      below the whole prefix by construction), so nothing else can
+      overtake.
+
+    On natural text the top pairs share symbols heavily, so batches
+    are small (often 1-4) — exact BPE is inherently near-sequential —
+    but every merge saved is one fewer distributed recount round.
+    """
+    batch: list[tuple[str, str, int]] = []
+    used: set[str] = set()
+    bound: int | None = None
+    for a, b, cnt in head:
+        if a in used or b in used:
+            break
+        if bound is not None and cnt <= bound:
+            break
+        batch.append((a, b, cnt))
+        used.update((a, b))
+        nb = max(max_ending.get(a, 0), max_starting.get(b, 0))
+        bound = nb if bound is None else max(bound, nb)
+    return batch
+
+
+def bpe_train_batched(
+    wc: DataFrame,
+    n_merges: int,
+    head_k: int = 256,
+) -> list[tuple[str, str, int]]:
+    """TRUE BPE training (Sennrich et al. 2016: recount pair
+    frequencies after every merge, take the argmax) at production
+    vocab, bit-identical to the one-merge-per-round loop but with
+    EXACT batched selection (``select_exact_merge_batch``) so vocab
+    growth is NOT one Spark job per merge.
+
+    Input: the vocabulary-sized (word, c) count table — the one
+    corpus-scale aggregation happens BEFORE this call; every round
+    here runs over the vocab-sized frame only (at 100 TB the vocab is
+    ~10M rows: distributed but bounded, the word2vec/kmeans state
+    class). Round = one pair-count aggregate + three bounded collects
+    (ranked head + the head symbols' max-ending/max-starting bounds)
+    + a driver batch selection + a codegen replace-chain application
+    (the bpe_symbols_sql marking scheme: segmentation state is the
+    marked string, each merge one literal left-to-right replace — no
+    Python on executors anywhere in the loop).
+
+    Returns the ranked merge list [(a, b, cnt_at_selection)] —
+    len <= n_merges (shorter if the corpus runs out of pairs).
+
+    Precondition (delimiter safety, as bpe_symbols_sql): word charset
+    must not contain '(' or ')'.
+    """
+    from pyspark.sql import functions as F
+
+    seg = wc.select(
+        "word", "c", F.regexp_replace("word", "(?s)(.)", "($1)").alias("m")
+    ).localCheckpoint(eager=True)
+    merges: list[tuple[str, str, int]] = []
+    while len(merges) < n_merges:
+        syms = F.expr(r"split(substring(m, 2, length(m) - 2), '\\)\\(')")
+        pr = seg.select(F.col("c"), syms.alias("s")).filter(F.size("s") >= 2)
+        pairs = pr.select(
+            "c",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(s) - 1),"
+                    " i -> struct(s[i-1] AS a, s[i] AS b))"
+                )
+            ).alias("p"),
+        ).select("c", "p.a", "p.b")
+        pc = (
+            pairs.groupBy("a", "b")
+            .agg(F.sum("c").cast("long").alias("cnt"))
+            .persist()
+        )
+        head = [
+            (r.a, r.b, r.cnt)
+            for r in pc.orderBy(F.col("cnt").desc(), "a", "b")
+            .limit(head_k)
+            .collect()
+        ]
+        if not head:
+            pc.unpersist()
+            break
+        head_syms = list({s for a, b, _ in head for s in (a, b)})
+        max_ending = {
+            r.b: r.mx
+            for r in pc.filter(F.col("b").isin(head_syms))
+            .groupBy("b")
+            .agg(F.max("cnt").alias("mx"))
+            .collect()
+        }
+        max_starting = {
+            r.a: r.mx
+            for r in pc.filter(F.col("a").isin(head_syms))
+            .groupBy("a")
+            .agg(F.max("cnt").alias("mx"))
+            .collect()
+        }
+        pc.unpersist()
+        batch = select_exact_merge_batch(head, max_ending, max_starting)
+        batch = batch[: n_merges - len(merges)]
+        col = F.col("m")
+        for a, b, _ in batch:
+            col = F.replace(col, F.lit(f"({a})({b})"), F.lit(f"({a}{b})"))
+        seg = seg.withColumn("m", col).localCheckpoint(eager=True)
+        merges.extend(batch)
+    return merges
+
+
+def bpe_train_sequential_py(
+    word_counts: dict[str, int], n_merges: int
+) -> list[tuple[str, str, int]]:
+    """Driver-side one-merge-per-round reference trainer (the
+    obviously-correct sequential loop the batched trainer must equal
+    bit-for-bit) — differential-test oracle, vocab-sized input only."""
+    segs: dict[str, list[str]] = {w: list(w) for w in word_counts}
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for w, c in word_counts.items():
+            s = segs[w]
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] = counts.get((s[i], s[i + 1]), 0) + c
+        if not counts:
+            break
+        (a, b), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((a, b, cnt))
+        for w in segs:
+            s = segs[w]
+            out: list[str] = []
+            i = 0
+            while i < len(s):
+                if i < len(s) - 1 and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            segs[w] = out
+    return merges

@@ -1681,6 +1681,9 @@ def test_bpe_codegen_apply_equals_segment():
         ([("b", "c"), ("a", "b")], ["abc", "abcbc", "ab"]),
         ([("a", "a"), ("a", "b")], ["aaaaaaab", "aaab", "aab aaab abab"]),
         ([("e", "r"), ("o", "r"), ("i", "n")], ["error in order", "winner"]),
+        # newline-bearing documents: the (?s) char-marking regex must
+        # wrap \n like any other character (the r11 ADVICE dotall fix)
+        ([("a", "b")], ["ab\ncd", "a\nb", "\n", "ab\nab ab"]),
     ]
     con = duckdb.connect()
     for merges, texts in cases:
@@ -1903,6 +1906,22 @@ def test_partitioned_lead1_stitch_equals_global_window(spark):
         ).collect()
     )
     assert got1 == [(1, 20), (2, 30), (3, None)]
+    # nullable value_col (the r11 ADVICE case): an interior row whose
+    # TRUE lead(1) is NULL must keep NULL, not be patched with the next
+    # bucket's head — the repair targets rk == n by position only
+    nulls = spark.createDataFrame(
+        [(1, 0, 10), (2, 0, None), (3, 0, 30), (4, 1, 40), (5, 1, None)],
+        "k long, b long, v long",
+    )
+    gotn = sorted(
+        (r["k"], r["nxt"])
+        for r in partitioned_lead1_stitch(
+            nulls, "v", ["k"], F.col("b"), "nxt"
+        ).collect()
+    )
+    # global lead over k: 1->None(row2), 2->30, 3->40 (bucket boundary,
+    # repaired from bucket 1's head), 4->None(row5 value), 5->None(last)
+    assert gotn == [(1, None), (2, 30), (3, 40), (4, None), (5, None)]
 
 
 
