@@ -76,26 +76,40 @@ def all_queries() -> dict[str, QuerySpec]:
 DRIVER_CAP = 50
 
 DRIVER_ORDER: list[str] = [
-    # r11 rotation (VERDICT r10 asks #2-#5 + ledger rule): the four
-    # never-driver-verified r11-new queries first, then the eight
-    # r10-firsts for their second rows, then the stalest 3-green pools
-    # in last-green order (the full last-green-r6 tier, then the head
-    # of the last-green-r7 tier) up to the cap.
-    # -- new in r11: the v3 funnel's DEPLOYMENT twin (scoring from
-    #    fingerprint-pinned modelstore artifacts + stream-state
-    #    readbacks, never refitting in-query — served == refit by the
-    #    bit-identical-models guarantee), sequence packing over REAL
-    #    BPE tokenizer output (codegen replace-chain apply of the
-    #    pinned merge artifact), order-3 MODIFIED Kneser-Ney
-    #    (Chen-Goodman count-bucketed discounts at every upper order),
-    #    and the bridge's externally-verified quality gate (per-probe
-    #    recall@k of the IVF path vs the brute ground truth over one
-    #    shared fit)
+    # r12 rotation (VERDICT r11 asks + ledger rule): the three
+    # never-driver-verified r12-new queries first, then the four
+    # r11-firsts for their second rows, then the stalest 2-green pools
+    # in last-green order (the full r10-first tier, then the r11
+    # re-verified tier), then the stalest 3-green pools (the
+    # last-green-r7 tail, then the head of the last-green-r8 tier) up
+    # to the cap.
+    # -- new in r12: TRUE iterative BPE training with exact batched
+    #    merge selection (the oracle unrolls the one-merge-per-round
+    #    sequential trainer, so the batching-equivalence proof is
+    #    externally checked), the end-to-end training-data export
+    #    funnel (v3-served survivors -> pinned-artifact BPE token
+    #    counts -> curated-mass mixture sampling -> packed shard
+    #    manifest, every stage the registered operator's literal
+    #    body), and the text->embedding bridge at production capacity
+    #    (dim 32 / window 5, previously pytest-only)
+    "bpe_train_iterative",
+    "training_export_manifest",
+    "doc_embedding_topk_hi",
+    # -- r11-firsts, second rows
     "curation_pipeline_v3_served",
     "pack_sequences_bpe",
     "ngram_lm_mkn3",
     "doc_embedding_recall_eval",
-    # -- r10-firsts, second rows
+    # -- stalest 2-green pool: the r10-firsts (last green r10)
+    "training_features_stitched",
+    "ngram_lm_kn",
+    "dsir_importance_sample",
+    "triplet_mining",
+    "bm25_topk",
+    "ngram_lm_kn3",
+    "curation_pipeline_v2",
+    "word_embedding_train",
+    # -- 2-green, last green r11
     "doc_embedding_topk",
     "text_semantic_dedup",
     "hybrid_bm25_rrf",
@@ -104,47 +118,38 @@ DRIVER_ORDER: list[str] = [
     "doc_embedding_ivf_topk",
     "curation_pipeline_v3",
     "text_triplet_mining",
-    # -- stalest 3-green pool: last green r6 (the full tier)
-    "hourly_pivot",
-    "table_stats",
-    "tariff_breakdown",
-    "freshness_gate",
-    "net_load_features",
-    "chrono_split_summary",
-    "upsert_idempotency",
-    "error_monitor",
-    "pricing_summary",
-    "asof_last_purchase",
-    # -- 3-green, last green r7 (head; the tail — embedding_neardup_np,
-    #    quality_classifier_filter — rotates in next round)
-    "session_stats",
-    "latest_event_per_user",
-    "top_days_per_type",
-    "peak_hour_spend",
-    "ann_cosine_topk",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "embedding_neardup",
-    "label_centroids",
-    "text_stats",
-    "lang_id",
-    "quality_filter",
-    "tfidf_terms",
-    "bpe_token_stats",
-    "json_props_stats",
-    "multimodal_wav_stats",
-    "pii_scrub",
-    "mixture_sampling_plan",
-    "hybrid_search_rrf",
-    "doc_length_histogram",
-    "cross_source_contamination",
-    "bow_cosine_pairs",
-    "ann_quantized_topk",
-    "ann_recall_eval",
-    "ann_label_precision",
-    "ann_ivf_trained",
-    "embedding_norms",
-    "ann_cosine_topk_np",
+    # -- stalest 3-green pool: the last-green-r7 tail (finally rotates)
+    "embedding_neardup_np",
+    "quality_classifier_filter",
+    # -- 3-green, last green r8 (head; the tail — dedup_span_stats,
+    #    eval_split_clean, dedup_span_stats_hashed,
+    #    eval_split_clean_hashed, embedding_neardup_banded — rotates
+    #    next round)
+    "dedup_canonical",
+    "forecast_metrics",
+    "gap_fill_hourly",
+    "holiday_range_join",
+    "hash_sample_summary",
+    "argmax_event_per_type",
+    "grain_align_join",
+    "backfill_estimate",
+    "brand_nation_revenue",
+    "customer_activity_split",
+    "customer_retention_sets",
+    "warc_ingest_stats",
+    "kanon_release",
+    "ngram_lm_score",
+    "pack_sequences",
+    "robust_outliers_mad",
+    "spend_concentration_gini",
+    "password_hash_audit",
+    "token_stats_by_source",
+    "ann_index_upsert",
+    "bloom_shingle_prefilter",
+    "corpus_snapshot_diff",
+    "cardinality_sketch",
+    "dataset_card",
+    "event_funnel",
     # Every sit-out holds >= 2 green rows (COVERAGE.json is the
     # ledger); earlier rounds' rotation rationales live in git history.
 ]
