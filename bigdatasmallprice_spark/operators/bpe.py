@@ -362,3 +362,84 @@ def bpe_train_sequential_py(
                     i += 1
             segs[w] = out
     return merges
+
+
+def select_disjoint_merge_batch(
+    head: list[tuple[str, str, int]], batch_cap: int
+) -> list[tuple[str, str, int]]:
+    """PRODUCTION batch selection: up to ``batch_cap`` symbol-disjoint
+    pairs from the ranked head, SKIPPING conflicts instead of stopping
+    and dropping the exact new-pair bound — the standard scalable-BPE
+    approximation (fixed work per round, ~n_merges/batch_cap rounds to
+    a 50k vocab). Approximation error: a pair CREATED by an earlier
+    in-batch merge cannot be picked until the next round's recount, so
+    merge order near rank boundaries may differ from the sequential
+    trainer; with batch_cap=1 the selection degenerates to the exact
+    sequential argmax (the differential anchor,
+    tests/test_bpe_train.py)."""
+    batch: list[tuple[str, str, int]] = []
+    used: set[str] = set()
+    for a, b, cnt in head:
+        if len(batch) >= batch_cap:
+            break
+        if a in used or b in used:
+            continue
+        batch.append((a, b, cnt))
+        used.update((a, b))
+    return batch
+
+
+def bpe_train_batched_approx(
+    wc: DataFrame,
+    n_merges: int,
+    batch_cap: int = 64,
+    head_k: int | None = None,
+) -> list[tuple[str, str, int]]:
+    """Production-vocab BPE training: the ``bpe_train_batched`` loop
+    with FIXED-SIZE disjoint batches (``select_disjoint_merge_batch``)
+    instead of the exact prefix rule — O(n_merges / batch_cap) rounds,
+    so a 50k-merge vocabulary is ~800 recount rounds at the default
+    cap instead of 50k sequential jobs. The output is always a valid
+    creation-ordered merge table (every symbol a char or an earlier
+    output), so both apply paths accept it; ``batch_cap=1`` reproduces
+    the exact sequential trainer bit-for-bit, and the registered
+    ``bpe_train_iterative`` (exact batching) is the anchor the
+    approximation is differential-tested against."""
+    from pyspark.sql import functions as F
+
+    if head_k is None:
+        head_k = max(256, 4 * batch_cap)
+    seg = wc.select(
+        "word", "c", F.regexp_replace("word", "(?s)(.)", "($1)").alias("m")
+    ).localCheckpoint(eager=True)
+    merges: list[tuple[str, str, int]] = []
+    while len(merges) < n_merges:
+        syms = F.expr(r"split(substring(m, 2, length(m) - 2), '\\)\\(')")
+        pr = seg.select(F.col("c"), syms.alias("s")).filter(F.size("s") >= 2)
+        pairs = pr.select(
+            "c",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(s) - 1),"
+                    " i -> struct(s[i-1] AS a, s[i] AS b))"
+                )
+            ).alias("p"),
+        ).select("c", "p.a", "p.b")
+        head = [
+            (r.a, r.b, r.cnt)
+            for r in pairs.groupBy("a", "b")
+            .agg(F.sum("c").cast("long").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "a", "b")
+            .limit(head_k)
+            .collect()
+        ]
+        if not head:
+            break
+        batch = select_disjoint_merge_batch(head, batch_cap)
+        batch = batch[: n_merges - len(merges)]
+        col = F.col("m")
+        for a, b, _ in batch:
+            col = F.replace(col, F.lit(f"({a})({b})"), F.lit(f"({a}{b})"))
+        seg = seg.withColumn("m", col).localCheckpoint(eager=True)
+        merges.extend(batch)
+    return merges

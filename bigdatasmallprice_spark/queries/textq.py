@@ -1074,9 +1074,11 @@ SELECT merge_rank, sym_a, sym_b, cnt FROM (
     "driver check externally verifies the batching-equivalence proof "
     "on real data. Scale note: exact batching yields small batches on "
     "natural text (top pairs share symbols) — production 50k-vocab "
-    "training accepts the standard approximation of a fixed-size "
-    "batch per round; this query is the EXACT anchor the approximate "
-    "path is differential-tested against at the shared prefix.",
+    "training runs operators/bpe.py::bpe_train_batched_approx "
+    "(fixed-size disjoint batches, ~n/cap recount rounds); this "
+    "query's exact loop is the anchor the approximation is "
+    "differential-tested against (batch_cap=1 reproduces it "
+    "bit-for-bit, tests/test_bpe_train.py).",
     tags=("text", "train", "agg"),
 )
 def bpe_train_iterative_q(spark: SparkSession, sf_dir: str) -> DataFrame:

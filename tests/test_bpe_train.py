@@ -152,3 +152,40 @@ def test_pack_over_arrow_encode_at_production_vocab(spark):
     ).collect()
     assert sum(r.token_sum for r in bins) == sum(full.values())
     assert sum(r.n_docs for r in bins) == len(full)
+
+
+def test_approx_trainer_cap1_equals_sequential(spark):
+    """The production approximation's differential anchor: with
+    batch_cap=1 the disjoint-batch selection degenerates to the exact
+    sequential argmax, so the approximate trainer must reproduce the
+    sequential reference bit-for-bit."""
+    from bigdatasmallprice_spark.operators.bpe import bpe_train_batched_approx
+
+    rng = random.Random(31)
+    vocab = {
+        "".join(rng.choice("abc") for _ in range(rng.randint(1, 8))): rng.randint(1, 30)
+        for _ in range(50)
+    }
+    got = bpe_train_batched_approx(_wc_df(spark, vocab), 12, batch_cap=1)
+    assert got == bpe_train_sequential_py(vocab, 12)
+
+
+def test_approx_trainer_production_cap(spark):
+    """At a production cap the approximate trainer reaches the vocab in
+    ~n/cap rounds and still emits a VALID creation-ordered table (both
+    apply paths accept it), its first merge is the exact argmax, and
+    encoding through the Arrow path runs end-to-end."""
+    from bigdatasmallprice_spark.operators.bpe import bpe_train_batched_approx
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    w = docs.selectExpr("explode(filter(split(text, ' '), w -> w <> '')) AS word")
+    wc = w.groupBy("word").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    merges = bpe_train_batched_approx(wc, 40, batch_cap=8)
+    assert len(merges) == 40
+    exact_first = bpe_train_batched(wc, 1)[0]
+    assert merges[0] == exact_first
+    table = [(a, b) for a, b, _ in merges]
+    # creation-ordered: bpe_symbols_sql's well-formedness check accepts
+    bpe_symbols_sql("text", table[:40], "spark")
+    enc = bpe_encode_tokens(docs.limit(50), table).collect()
+    assert all(r.n_bpe_tokens <= r.n_chars for r in enc)

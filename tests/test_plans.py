@@ -874,3 +874,25 @@ def test_no_registered_query_sorts_the_corpus_on_one_reducer(spark):
         if hits:
             offenders[name] = hits
     assert not offenders, offenders
+
+
+def test_training_export_manifest_adds_no_python_stage(spark):
+    """The export funnel's ADDED stages (BPE chain, mixture, pack) are
+    pure JVM: every MapInPandas in the composed plan is the v3 stage's
+    own Arrow-batched k-means ``assign`` (the documented exception —
+    its cached lineage prints once per scan reference), and no
+    row-at-a-time Python or cartesian product appears anywhere."""
+    from bigdatasmallprice_spark.registry import all_queries
+
+    spark.catalog.clearCache()
+    df = all_queries()["training_export_manifest"].fn(spark, SF)
+    # "simple" mode prints the Python function name inline on the node
+    export_plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple"
+    )
+    for line in export_plan.splitlines():
+        if "MapInPandas" in line:
+            assert "assign" in line, line
+    assert "BatchEvalPython" not in export_plan, "row-at-a-time Python"
+    assert "BroadcastHashJoin" in export_plan
+    assert "CartesianProduct" not in export_plan
