@@ -2022,8 +2022,13 @@ def _v3_served_artifacts(spark: SparkSession, sf_dir: str) -> dict[str, str]:
         save_word_vectors(root, "w2v_docs", word_embedding_train_q(spark, sf_dir))
         update_kn_counts(spark, kn_state, docs, batch_id=0)
         update_dsir_counts(spark, dsir_state, docs, _DSIR_TARGET, batch_id=0)
-        with open(ready, "w") as fh:
-            fh.write(fp)
+        # atomic publish: write-then-rename, so a crash mid-write can
+        # never leave a READY marker over a torn bootstrap (the naive
+        # open(ready, "w") creates the marker BEFORE the content write
+        # — a crash there poisons every later call into trusting it)
+        with open(ready + ".tmp", "w") as fh:
+            fh.write(repr(fp))
+        os.replace(ready + ".tmp", ready)
     art = {"model_dir": root, "kn_state": kn_state, "dsir_state": dsir_state}
     _V3_ARTIFACT_MEMO[key] = art
     return art

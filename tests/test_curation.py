@@ -332,7 +332,13 @@ def test_v3_served_cold_session_reuses_on_disk_artifacts(spark, monkeypatch):
     art1 = cq._v3_served_artifacts(spark, SF)
     import os
 
-    assert os.path.exists(os.path.join(art1["model_dir"], "_ARTIFACTS_READY"))
+    from bigdatasmallprice_spark.queries.textq import _documents_fingerprint
+
+    marker = os.path.join(art1["model_dir"], "_ARTIFACTS_READY")
+    # the marker must carry the fingerprint it was built for — an
+    # EMPTY marker is the scar of a crash between create and write
+    # (the bug the atomic write-then-rename publish closes)
+    assert open(marker).read() == repr(_documents_fingerprint(SF))
     # simulate a fresh process: the memo dies with the interpreter
     cq._V3_ARTIFACT_MEMO.clear()
 
