@@ -1686,11 +1686,10 @@ def _v2_gated(
 
     op = SPARK_DIV
     docs = table(spark, sf_dir, "documents")
-    # bg / feats / gated feed multiple branches of the ONE returned
-    # plan and nothing is materialized in-function, so they must stay
-    # persisted until the caller's action; release discipline is the
-    # session-level convention (caching.released_caches — what serving
-    # and bench use; covered in tests/test_caching.py).
+    # bg / feats feed multiple branches of the gated frame's one
+    # materialization below, so they persist for its duration and are
+    # released before return (gated itself is localCheckpoint'ed, so
+    # they have no post-return consumer).
     bg = doc_bigrams(docs).persist()
     kn = kn_score(bg, kn_model if kn_model is not None else kn_train(bg)).select(
         "doc_id", "hm_p_micro"
@@ -1738,8 +1737,20 @@ def _v2_gated(
             "AND hm_p_micro >= hm_thr AND lw_milli IS NOT NULL "
             "AND lw_milli >= lw_thr) AS d_pass",
         )
-        .persist()
+        # localCheckpoint, not persist: every consumer (the v2/v3
+        # funnels, the served twin, the export manifest) fans MANY
+        # plan legs out of this frame — under persist each leg's
+        # logical plan still embeds the whole fit+score tree and
+        # Catalyst re-walks it per leg (measured: the export manifest
+        # spends ~10s of driver-side planning gaps at sf0.1; guide
+        # §3.3 "materialising an intermediate truncates the plan").
+        # The checkpointed frame is the corpus-sized but NARROW gated
+        # table (doc_id, source, bag_fp, nt, 3 bools); values are
+        # unchanged — only lineage is cut.
+        .localCheckpoint(eager=True)
     )
+    bg.unpersist(False)
+    feats.unpersist(False)
     return gated
 
 
@@ -1908,19 +1919,27 @@ def _v3_kept_frames(gated: DataFrame, dv: DataFrame) -> tuple[DataFrame, DataFra
     surv = gated.filter(F.col("d_pass")).withColumn(
         "keeper", F.min("doc_id").over(Window.partitionBy("bag_fp"))
     )
-    canon = surv.filter(F.col("doc_id") == F.col("keeper")).persist()
+    # localCheckpoint over persist throughout: canon/scaled/kept feed
+    # several downstream plan legs each (the Lloyd loop's per-round
+    # assignment scans, the SemDeDup pair join, the summary/export
+    # aggregates) — truncating lineage here keeps every later leg's
+    # logical plan leaf-sized instead of re-embedding the whole funnel
+    # (measured on training_export_manifest: 22.9s -> 8.9s at sf0.1).
+    canon = surv.filter(F.col("doc_id") == F.col("keeper")).localCheckpoint(
+        eager=True
+    )
 
     scaled = (
         dv.join(canon.select("doc_id"), "doc_id")
         .select(F.col("doc_id").alias("id"), "xu")
-        .persist()
+        .localCheckpoint(eager=True)
     )
     k = max(8, scaled.count() // _SD_TARGET_CLUSTER)
     assigned = kmeans_assignments_prescaled(scaled, k=k, iters=_KM_ITERS)
     _, removed = _semantic_removed(assigned, _TSD_TAU)
     kept = canon.join(
         removed.select(F.col("rid").alias("doc_id")), "doc_id", "left_anti"
-    )
+    ).localCheckpoint(eager=True)
     return canon, kept
 
 
