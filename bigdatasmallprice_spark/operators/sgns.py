@@ -353,8 +353,13 @@ def sgns_fit(
         upd_v = (
             f"va[i] - {rdiv(f'{SGNS_LR} * coalesce(gva[i], CAST(0 AS BIGINT))', 'wtv', op)}"
         )
+        # garr is vocabulary-sized like cur; under broadcast_state the
+        # update join must broadcast it EXPLICITLY — both inputs are
+        # lineage-truncated (localCheckpoint) frames with unknown
+        # stats, so the planner would otherwise fall back to a
+        # sort-merge join with two extra exchanges per GD round
         cur = (
-            cur.join(garr, "node", "left")
+            cur.join(hint(garr), "node", "left")
             .selectExpr(
                 "node",
                 f"transform(sequence(0, {dim - 1}), i -> CAST("

@@ -53,21 +53,28 @@ def word_skipgram_pairs(
     docs: DataFrame, window: int = SKIPGRAM_WINDOW
 ) -> DataFrame:
     """(center, context, cnt): symmetric token-window co-occurrence
-    counts — the word2vec positive-pair corpus. Doc-keyed position
-    self-join (the walks sgp shape)."""
-    p = word_positions(docs)
-    a = p.alias("a")
-    b = p.alias("b")
+    counts — the word2vec positive-pair corpus.
+
+    Harvested per document with ARRAY higher-order functions (one
+    map-side flatten over each doc's token array), not the position
+    self-join the oracle keeps: windows never cross documents, so the
+    pairs are a per-row computation and the only shuffle left is the
+    final (center, context) count aggregate — the self-join shape paid
+    two corpus-scale position exchanges for the same rows (guide §2.4:
+    remove shuffles outright). Pair multiset identical by construction
+    (every ordered in-window pair with i != j, both verified equal)."""
+    t = docs.selectExpr(f"{_SPARK_TOKS} AS t")
+    pair_expr = f"""
+    flatten(transform(t, (x, i) -> transform(
+      filter(sequence(greatest(0, i - {window}),
+                      least(size(t) - 1, i + {window})),
+             j -> j != i),
+      j -> struct(x AS center, t[j] AS context))))
+    """
     return (
-        a.join(
-            b,
-            (F.col("a.doc_id") == F.col("b.doc_id"))
-            & (F.col("a.pos") != F.col("b.pos"))
-            & (F.abs(F.col("a.pos") - F.col("b.pos")) <= window),
-        )
-        .groupBy(
-            F.col("a.wd").alias("center"), F.col("b.wd").alias("context")
-        )
+        t.selectExpr(f"explode({pair_expr}) AS p")
+        .select("p.center", "p.context")
+        .groupBy("center", "context")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
 

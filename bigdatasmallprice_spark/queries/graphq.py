@@ -371,8 +371,12 @@ def node_embedding_train_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     walks = random_walks(edges, nodes).persist()
     pairs = skipgram_pairs(walks)
     n = nodes.count()  # model-sized scalar (PageRank's n)
-    # persist: scanned once per GD iteration (the fused array-form
-    # iteration) plus the two static node-weight aggregates
+    # persist (measured): scanned once per GD iteration plus the two
+    # static node-weight aggregates. The word fit's train frame wins
+    # from localCheckpoint lineage truncation, but here the lineage is
+    # already short (the walk steps are checkpointed inside
+    # random_walks) and the A/B consistently favored the cached
+    # columnar scan (~12-14s vs ~16-20s at sf0.1).
     train = sgns_training_pairs(pairs, nodes, n).persist()
     emb = sgns_fit(train, sgns_init(nodes))
     return emb.select(

@@ -1971,7 +1971,9 @@ def _doc_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_embedding_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdatasmallprice_spark.operators.similarity import brute_force_topk
 
-    dv = _doc_vectors(spark, sf_dir).persist()
+    # localCheckpoint: the probe and corpus legs both re-plan this
+    # frame; truncating the fit+pool lineage keeps them leaf-sized
+    dv = _doc_vectors(spark, sf_dir).localCheckpoint(eager=True)
     return brute_force_topk(
         dv.filter(F.col("doc_id") < _DV_NQ),
         dv,
@@ -2057,14 +2059,16 @@ def doc_embedding_topk_hi_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = word_skipgram_pairs(docs, window=_HI_WIN)
     nodes = vocab_nodes(docs).persist()
     n = nodes.count()
-    train = sgns_training_pairs(pairs, nodes, n).persist()
+    train = sgns_training_pairs(pairs, nodes, n).localCheckpoint(
+        eager=True
+    )
     emb = sgns_fit(train, sgns_init(nodes, dim=_HI_DIM), dim=_HI_DIM)
     dv = doc_embeddings(
         docs,
         emb.select(
             F.col("node").alias("word"), "dim", F.col("u").alias("u_micro")
         ),
-    ).persist()
+    ).localCheckpoint(eager=True)
     return brute_force_topk(
         dv.filter(F.col("doc_id") < _DV_NQ),
         dv,
@@ -2134,7 +2138,7 @@ def text_semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     scaled = _doc_vectors(spark, sf_dir).select(
         F.col("doc_id").alias("id"), "xu"
-    ).persist()
+    ).localCheckpoint(eager=True)
     k = max(8, scaled.count() // _SD_TARGET_CLUSTER)
     assigned = kmeans_assignments_prescaled(scaled, k=k, iters=_KM_ITERS)
     return semantic_dedup_summary(assigned, tau=_TSD_TAU)
@@ -2218,7 +2222,7 @@ FROM ranked WHERE rank <= {_DV_TOPK}
 def doc_embedding_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     scaled = _doc_vectors(spark, sf_dir).select(
         F.col("doc_id").alias("id"), "xu"
-    ).persist()
+    ).localCheckpoint(eager=True)
     return _div_ivf_topk(scaled)
 
 
@@ -2374,8 +2378,8 @@ GROUP BY 1
 def doc_embedding_recall_eval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdatasmallprice_spark.operators.similarity import brute_force_topk
 
-    dv = _doc_vectors(spark, sf_dir).persist()
-    scaled = dv.select(F.col("doc_id").alias("id"), "xu").persist()
+    dv = _doc_vectors(spark, sf_dir).localCheckpoint(eager=True)
+    scaled = dv.select(F.col("doc_id").alias("id"), "xu")
     gt = brute_force_topk(
         dv.filter(F.col("doc_id") < _DV_NQ),
         dv,
@@ -2486,7 +2490,7 @@ def text_triplet_mining_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     dl = (
         _doc_vectors(spark, sf_dir)
         .join(docs.select("doc_id", "lang"), "doc_id")
-        .persist()
+        .localCheckpoint(eager=True)
     )
     centroids = dl.filter(F.col("doc_id") < 8).select(
         F.col("doc_id").alias("cid"),

@@ -921,7 +921,9 @@ def word_embedding_train_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = word_skipgram_pairs(docs)
     nodes = vocab_nodes(docs).persist()
     n = nodes.count()  # vocabulary scalar (the graph fit's n)
-    train = sgns_training_pairs(pairs, nodes, n).persist()
+    train = sgns_training_pairs(pairs, nodes, n).localCheckpoint(
+        eager=True
+    )
     emb = sgns_fit(train, sgns_init(nodes))
     return emb.select(
         F.col("node").alias("word"),
