@@ -47,9 +47,21 @@ def main() -> None:
     # recompute them inside their timed run; only compiled code and file
     # metadata stay warm. What's measured is steady-state wall time per
     # query, cold data every time.
+    #
+    # released_caches wraps every run because clearCache() only drops
+    # SQL-cached relations — localCheckpoint RDD blocks (the curation /
+    # doc-vector lineage truncations) survive it and would otherwise
+    # accumulate corpus-sized executor storage across the 174-query
+    # session (r13 measurement-hygiene fix; methodology — warmup,
+    # min-of-2, collect-to-driver timing — unchanged, and the release
+    # itself happens AFTER the wall-clock read so it never counts
+    # against the query).
+    from bigdatasmallprice_spark.caching import released_caches
+
     for name in names:
-        specs[name].fn(spark, sf_dir).collect()
-    spark.catalog.clearCache()
+        with released_caches(spark):
+            specs[name].fn(spark, sf_dir).collect()
+        spark.catalog.clearCache()
 
     # min-of-2 for anything over a second: single-run wall times of the
     # big queries drift +-10% run-to-run from session/GC noise, which
@@ -59,15 +71,17 @@ def main() -> None:
     # absolute drift is negligible in the total).
     timings: dict[str, float] = {}
     for name in names:
-        t0 = time.perf_counter()
-        df = specs[name].fn(spark, sf_dir)
-        df.collect()
-        wall = time.perf_counter() - t0
+        with released_caches(spark):
+            t0 = time.perf_counter()
+            df = specs[name].fn(spark, sf_dir)
+            df.collect()
+            wall = time.perf_counter() - t0
         spark.catalog.clearCache()  # each query's persists stay in ITS timing
         if wall > 1.0:
-            t0 = time.perf_counter()
-            specs[name].fn(spark, sf_dir).collect()
-            wall = min(wall, time.perf_counter() - t0)
+            with released_caches(spark):
+                t0 = time.perf_counter()
+                specs[name].fn(spark, sf_dir).collect()
+                wall = min(wall, time.perf_counter() - t0)
             spark.catalog.clearCache()
         timings[name] = round(wall, 4)
 

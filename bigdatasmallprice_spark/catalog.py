@@ -39,18 +39,19 @@ def validate_table_name(name: str) -> str:
     return name
 
 
-# tables whose consumers do HEAVY per-row narrow work right after the
-# scan (tokenization, n-gram explodes, shingling, codegen BPE chains)
-# — the scan-parallelism floor below applies to these. The relational
-# facts (orders/lineitem/events) are NOT floored: their queries open
-# with aggregates whose map-side partial aggregation over the unsplit
-# scan is already the cheapest plan, and a pre-aggregate exchange of
-# the raw rows measurably loses 0.3-1s per query across the
-# relational family at sf0.1. embeddings is likewise left alone: its
-# ANN consumers collect/broadcast model-sized probe and codebook legs
-# where the extra exchange adds a stage per leg (ann_ivfpq_topk
-# measured 5.9s unfloored vs 9.1s floored).
-_HEAVY_ROWWORK_TABLES: frozenset[str] = frozenset({"documents"})
+# Scan-parallelism floor is OPT-IN PER CONSUMER (load_table's
+# scan_floor flag / core.table_par): round 12 applied it blanket to
+# every `documents` reader and that (a) injected an Exchange into
+# declared pure-map plans (pii_scrub / video_frame_sample guards went
+# red — a scrub that shuffles 100 TB would be wrong) and (b) regressed
+# aggregate-first consumers whose map-side partial aggregation over
+# the unsplit scan is already the cheapest plan
+# (perplexity_buckets_kn 1.11s -> 4.27s). Relational facts
+# (orders/lineitem/events) are never floored for the same
+# aggregate-first reason (0.3-1s loss per query at sf0.1), and
+# embeddings' ANN consumers collect/broadcast model-sized legs where
+# an extra exchange adds a stage per leg (ann_ivfpq_topk measured
+# 5.9s unfloored vs 9.1s floored).
 
 # columns stored as nanosecond INT64 in the driver's parquet; Spark reads
 # them as LongType (spark.sql.legacy.parquet.nanosAsLong) and we convert
@@ -66,9 +67,19 @@ _NANO_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 _TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, scan_floor: bool = False
+) -> DataFrame:
     validate_table_name(name)
-    key = (spark.sparkContext.applicationId, sf_dir, name)
+    # SPARK_GRAFT_SCAN_FLOOR=all|none overrides the per-consumer choice —
+    # an A/B instrument for measuring the floor's effect query by query
+    # (scripts/time_query.py under each setting), not a production knob.
+    override = os.environ.get("SPARK_GRAFT_SCAN_FLOOR", "")
+    if override == "all":
+        scan_floor = True
+    elif override == "none":
+        scan_floor = False
+    key = (spark.sparkContext.applicationId, sf_dir, name, scan_floor)
     cached = _TABLE_CACHE.get(key)
     if cached is not None:
         return cached
@@ -92,20 +103,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ntz = [c for c, t in df.dtypes if t == "timestamp_ntz"]
     for col in ntz:
         df = df.withColumn(col, F.col(col).cast("timestamp"))
-    # Scale-adaptive scan-parallelism floor for FACT tables: the test
-    # parquet is one row group per table, and a row group is the
-    # parquet read atom — maxPartitionBytes/minPartitionNum cannot
-    # split it, so the scan gets ONE task and every narrow downstream
-    # pipeline (tokenize, n-gram explode, model scoring, BPE chains)
-    # runs on one core no matter how many the session has. One tiny
-    # round-robin exchange of the raw rows (<= a few MB here) restores
-    # full parallelism for everything above it; filters and column
-    # pruning still push through Repartition to the scan. On
-    # production inputs the scan has >= defaultParallelism splits and
-    # this is a no-op — the floor derives from input layout, not a
-    # tuned constant. Dimension tables stay unshuffled: they broadcast
-    # into joins, where an extra exchange would only add a stage.
-    if name in _HEAVY_ROWWORK_TABLES:
+    # Scale-adaptive scan-parallelism floor (opt-in — see the note
+    # above _NANO_TS_COLS): the test parquet is one row group per
+    # table, and a row group is the parquet read atom —
+    # maxPartitionBytes/minPartitionNum cannot split it, so the scan
+    # gets ONE task and every narrow downstream pipeline (tokenize,
+    # n-gram explode, model scoring, BPE chains) runs on one core no
+    # matter how many the session has. One tiny round-robin exchange
+    # of the raw rows (<= a few MB here) restores full parallelism
+    # for everything above it; filters and column pruning still push
+    # through Repartition to the scan. On production inputs the scan
+    # has >= defaultParallelism splits and this is a no-op — the
+    # floor derives from input layout, not a tuned constant.
+    if scan_floor:
         floor = spark.sparkContext.defaultParallelism
         if df.rdd.getNumPartitions() < floor:
             df = df.repartition(floor)

@@ -268,6 +268,23 @@ def bpe_train_batched(
     Returns the ranked merge list [(a, b, cnt_at_selection)] —
     len <= n_merges (shorter if the corpus runs out of pairs).
 
+    Round structure (ONE Spark job per round): the ranked head and the
+    per-symbol max-ending / max-starting bounds are three aggregates
+    over the SAME pair-count subtree, unioned and collected together —
+    the subtree's Exchange is physically identical in all three
+    branches, so ReuseExchange computes the corpus pass once and the
+    three vocab-sized final aggregates share its output (previously:
+    three sequential collect jobs against a persisted pc, plus an
+    eager checkpoint job = 4 driver round trips per round; the
+    driver-side job overhead dominated the whole trainer at small SF
+    and serializes the driver at any SF — guide §5). The per-symbol
+    bounds are collected for ALL symbols instead of just the head's
+    (the symbol table is alphabet+merges-sized, strictly smaller than
+    the head of pairs), which is what makes the single-pass union
+    possible. The updated segmentation is localCheckpoint(eager=False):
+    it materializes inside the NEXT round's job instead of paying its
+    own job, still truncating the replace-chain lineage to one round.
+
     Precondition (delimiter safety, as bpe_symbols_sql): word charset
     must not contain '(' or ')'.
     """
@@ -289,42 +306,40 @@ def bpe_train_batched(
                 )
             ).alias("p"),
         ).select("c", "p.a", "p.b")
-        pc = (
-            pairs.groupBy("a", "b")
-            .agg(F.sum("c").cast("long").alias("cnt"))
-            .persist()
-        )
-        head = [
-            (r.a, r.b, r.cnt)
-            for r in pc.orderBy(F.col("cnt").desc(), "a", "b")
+        pc = pairs.groupBy("a", "b").agg(F.sum("c").cast("long").alias("cnt"))
+        null_s = F.lit(None).cast("string")
+        u = (
+            pc.orderBy(F.col("cnt").desc(), "a", "b")
             .limit(head_k)
-            .collect()
-        ]
+            .select(F.lit("h").alias("kind"), "a", "b", "cnt")
+            .unionByName(
+                pc.groupBy("b").agg(F.max("cnt").alias("cnt")).select(
+                    F.lit("e").alias("kind"), null_s.alias("a"), "b", "cnt"
+                )
+            )
+            .unionByName(
+                pc.groupBy("a").agg(F.max("cnt").alias("cnt")).select(
+                    F.lit("s").alias("kind"), "a", null_s.alias("b"), "cnt"
+                )
+            )
+        )
+        rows = u.collect()
+        # the union does not preserve the head's sort; re-impose the
+        # exact argmax order (cnt DESC, a ASC, b ASC) driver-side
+        head = sorted(
+            ((r.a, r.b, r.cnt) for r in rows if r.kind == "h"),
+            key=lambda t: (-t[2], t[0], t[1]),
+        )
         if not head:
-            pc.unpersist()
             break
-        head_syms = list({s for a, b, _ in head for s in (a, b)})
-        max_ending = {
-            r.b: r.mx
-            for r in pc.filter(F.col("b").isin(head_syms))
-            .groupBy("b")
-            .agg(F.max("cnt").alias("mx"))
-            .collect()
-        }
-        max_starting = {
-            r.a: r.mx
-            for r in pc.filter(F.col("a").isin(head_syms))
-            .groupBy("a")
-            .agg(F.max("cnt").alias("mx"))
-            .collect()
-        }
-        pc.unpersist()
+        max_ending = {r.b: r.cnt for r in rows if r.kind == "e"}
+        max_starting = {r.a: r.cnt for r in rows if r.kind == "s"}
         batch = select_exact_merge_batch(head, max_ending, max_starting)
         batch = batch[: n_merges - len(merges)]
         col = F.col("m")
         for a, b, _ in batch:
             col = F.replace(col, F.lit(f"({a})({b})"), F.lit(f"({a}{b})"))
-        seg = seg.withColumn("m", col).localCheckpoint(eager=True)
+        seg = seg.withColumn("m", col).localCheckpoint(eager=False)
         merges.extend(batch)
     return merges
 
@@ -440,6 +455,8 @@ def bpe_train_batched_approx(
         col = F.col("m")
         for a, b, _ in batch:
             col = F.replace(col, F.lit(f"({a})({b})"), F.lit(f"({a}{b})"))
-        seg = seg.withColumn("m", col).localCheckpoint(eager=True)
+        # lazy checkpoint: materializes inside the next round's head
+        # job (one job per round, as bpe_train_batched)
+        seg = seg.withColumn("m", col).localCheckpoint(eager=False)
         merges.extend(batch)
     return merges

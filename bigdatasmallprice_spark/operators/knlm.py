@@ -75,6 +75,15 @@ def kn_train(bg: DataFrame) -> dict[str, DataFrame]:
     bc(w1,w2,c12), ctx(w1,c1,n_fwd), cont(w2,n_bwd), types(T) — all
     exact integer counts, all map-side-combined aggregates."""
     bc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("c12"))
+    return kn_model_from_counts(bc)
+
+
+def kn_model_from_counts(bc: DataFrame) -> dict[str, DataFrame]:
+    """ctx/cont/types as PURE FUNCTIONS of the bigram count table (the
+    mkn_model_from_counts pattern): one sufficient statistic, every
+    lower-order table derived — shared by the occurrence-frame fit
+    (kn_train) and any count-table consumer (the streaming readback
+    re-derives the same shapes in knlm_stream.read_kn_model)."""
     ctx = bc.groupBy("w1").agg(
         F.sum("c12").cast("long").alias("c1"),
         F.count(F.lit(1)).cast("long").alias("n_fwd"),

@@ -14,10 +14,11 @@ chain — one trajectory, two corpora, which is the point of SGNS.
 
 Pair corpus: symmetric skip-gram windows of width SKIPGRAM_WINDOW
 over the NON-EMPTY token positions of each document (the langid
-tokenization), harvested with a doc-keyed position self-join (the
-walks' own sgp shape: equi-join on the sequence id plus a bounded
-position-distance predicate — at 100 TB each task windows its own
-documents, nothing global). Vocabulary = distinct tokens.
+tokenization), harvested PER ROW with array higher-order functions
+(flatten/transform/filter over the token array — see
+word_skipgram_pairs): each task windows its own documents with zero
+shuffle; the only exchange is the final (center, context) count.
+Vocabulary = distinct tokens.
 
 Scale: the model state is a DataFrame (word, dim, u, v) exactly as in
 the graph fit; the vocabulary table replaces the node table. Per GD

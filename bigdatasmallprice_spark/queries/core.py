@@ -63,6 +63,20 @@ def table(spark, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def table_par(spark, sf_dir: str, name: str) -> DataFrame:
+    """Table with the scan-parallelism floor (catalog.load_table
+    scan_floor=True): opt-in for queries whose first stage is heavy
+    narrow per-row work (tokenize / BPE chains / model scoring) that a
+    one-row-group test scan would otherwise serialize onto one core.
+    Measured per consumer (OPTIMIZATION_r13.md); aggregate-first and
+    pure-map queries must NOT use this — the extra exchange costs more
+    than the parallelism buys (and pure-map plans must stay
+    Exchange-free, tests/test_plans.py)."""
+    from bigdatasmallprice_spark.catalog import load_table
+
+    return load_table(spark, sf_dir, name, scan_floor=True)
+
+
 def hourly_cents(ev: DataFrame, event_type: str) -> DataFrame:
     """Per-hour integer-cent sum + row count for one event type — the
     hourly series every time-series query builds on (the engine's analog

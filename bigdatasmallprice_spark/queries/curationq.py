@@ -38,7 +38,7 @@ from bigdatasmallprice_spark.functions.texts import (
     o_shingle_expr,
     shingle_expr,
 )
-from bigdatasmallprice_spark.queries.core import table
+from bigdatasmallprice_spark.queries.core import table, table_par
 from bigdatasmallprice_spark.registry import register
 
 # ---------------------------------------------------------------------------
@@ -938,7 +938,8 @@ FROM p GROUP BY 1
     tags=("curation", "sketch", "agg"),
 )
 def cardinality_sketch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    # scan floor (A/B: 1.20s -> 0.74s): shingle explode off the scan
+    docs = table_par(spark, sf_dir, "documents")
     sh4 = shingle_expr("ws", 4)
     s = docs.select("source", F.split("text", " ").alias("ws")).select(
         "source", F.explode(F.expr(sh4)).alias("sh")
@@ -1467,7 +1468,10 @@ def dsir_importance_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         log_ratio_table,
     )
 
-    docs = table(spark, sf_dir, "documents")
+    # scan floor (A/B: 9.31s -> 2.72s at sf0.1/32c, the largest floor
+    # win): dsir_features' hashed n-gram explode is one heavy narrow
+    # pass straight off the scan
+    docs = table_par(spark, sf_dir, "documents")
     k = docs.count() // _DSIR_FRAC_DEN
     feats = dsir_features(docs).persist()
     w = dsir_weights(feats, log_ratio_table(feats, _DSIR_TARGET)).persist()

@@ -22,7 +22,7 @@ from bigdatasmallprice_spark.operators.dedup import (
     with_shingles,
     with_simhash,
 )
-from bigdatasmallprice_spark.queries.core import table
+from bigdatasmallprice_spark.queries.core import table, table_par
 from bigdatasmallprice_spark.registry import register
 
 # DuckDB fragments mirroring operators/dedup.py exactly (1-based lists)
@@ -711,7 +711,8 @@ def bloom_shingle_prefilter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         collect_bloom_bitmap,
     )
 
-    docs = table(spark, sf_dir, "documents")
+    # scan floor (A/B: 2.20s -> 1.68s): shingle explode off the scan
+    docs = table_par(spark, sf_dir, "documents")
     sh4 = shingle_expr("ws", _BLOOM_N)
     batch = (
         docs.filter(F.col("doc_id") % 4 == 0)

@@ -17,7 +17,7 @@ from bigdatasmallprice_spark.operators.similarity import (
     scaled_plane_count,
     with_lsh_bucket,
 )
-from bigdatasmallprice_spark.queries.core import table
+from bigdatasmallprice_spark.queries.core import table, table_par
 from bigdatasmallprice_spark.registry import register
 
 _O_DOT = (
@@ -1674,7 +1674,9 @@ FROM ranked WHERE rank <= {_BM_TOPK}
 def bm25_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    docs = table(spark, sf_dir, "documents")
+    # scan floor (A/B: 2.78s -> 1.62s at sf0.1/32c): the tf tokenize +
+    # explode is a heavy narrow pass straight off the scan
+    docs = table_par(spark, sf_dir, "documents")
     scored = _bm25_scored(docs)
     w = Window.partitionBy("query_id").orderBy(
         F.col("score_milli").desc(), F.col("cand_id")
@@ -1836,7 +1838,8 @@ def hybrid_bm25_rrf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from bigdatasmallprice_spark.operators.similarity import brute_force_topk
 
-    docs = table(spark, sf_dir, "documents")
+    # scan floor (A/B: 3.85s -> 2.43s): same bm25 tf pass as bm25_topk
+    docs = table_par(spark, sf_dir, "documents")
     emb = table(spark, sf_dir, "embeddings")
 
     wb = Window.partitionBy("query_id").orderBy(
@@ -1943,7 +1946,11 @@ def _doc_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdatasmallprice_spark.operators.word2vec import doc_embeddings
     from bigdatasmallprice_spark.queries.textq import word_embedding_train_q
 
-    docs = table(spark, sf_dir, "documents")
+    # scan floor on the pooling pass too (word_embedding_train_q
+    # floors its own harvest scan): tokenize + explode + vocab join is
+    # the same heavy-narrow-off-the-scan shape. A/B floor-all improved
+    # all four doc_embedding_* rows 1.1-1.2x and text_semantic_dedup
+    docs = table_par(spark, sf_dir, "documents")
     emb = word_embedding_train_q(spark, sf_dir)
     return doc_embeddings(docs, emb)
 
@@ -2055,7 +2062,8 @@ def doc_embedding_topk_hi_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         word_skipgram_pairs,
     )
 
-    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    # scan floor (A/B: 9.31s -> 8.71s): dim-32/window-5 harvest + pool
+    docs = table_par(spark, sf_dir, "documents").select("doc_id", "text")
     pairs = word_skipgram_pairs(docs, window=_HI_WIN)
     nodes = vocab_nodes(docs).persist()
     n = nodes.count()

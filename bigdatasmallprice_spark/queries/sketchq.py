@@ -49,7 +49,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bigdatasmallprice_spark.functions.texts import o_shingle_expr, shingle_expr
-from bigdatasmallprice_spark.queries.core import table
+from bigdatasmallprice_spark.queries.core import table, table_par
 from bigdatasmallprice_spark.registry import register
 
 # ---------------------------------------------------------------------------

@@ -23,7 +23,7 @@ from bigdatasmallprice_spark.functions.texts import (
     rolling_hash,
     stopword_hits,
 )
-from bigdatasmallprice_spark.queries.core import table
+from bigdatasmallprice_spark.queries.core import table, table_par
 from bigdatasmallprice_spark.registry import register
 
 _NT = o_n_tokens("text")
@@ -450,7 +450,10 @@ def pack_sequences_bpe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         bpe_token_count_from_symbols_sql,
     )
 
-    docs = table(spark, sf_dir, "documents")
+    # scan floor (A/B: 1.65s -> 1.18s; r12's driver-verified 3.23x
+    # poster child): the ~21-replace codegen chain is pure narrow
+    # per-row work straight off the scan
+    docs = table_par(spark, sf_dir, "documents")
     sym = bpe_symbols_sql("text", _PACK_BPE_MERGES, "spark")
     cnt = bpe_token_count_from_symbols_sql("m", "text")
     t = (
@@ -747,6 +750,9 @@ def ngram_lm_kn_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         kn_train,
     )
 
+    # no scan floor: same-session A/B 1.34s unfloored vs 1.65s floored
+    # (the bigram fit is aggregate-first enough that the extra exchange
+    # loses; the order-3 and modified variants below DO floor)
     docs = table(spark, sf_dir, "documents")
     bg = doc_bigrams(docs).persist()
     return kn_score(bg, kn_train(bg))
@@ -787,7 +793,8 @@ def ngram_lm_mkn_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         mkn_train,
     )
 
-    docs = table(spark, sf_dir, "documents")
+    # scan floor (same-session A/B: 2.43s -> 1.75s)
+    docs = table_par(spark, sf_dir, "documents")
     bg = doc_bigrams(docs).persist()
     return mkn_score(bg, mkn_train(bg))
 
@@ -827,7 +834,9 @@ def ngram_lm_kn3_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         kn3_train,
     )
 
-    docs = table(spark, sf_dir, "documents")
+    # scan floor (same-session A/B: 4.26s -> 2.96s): the trigram
+    # explode + 5-table fit off a one-task scan serializes otherwise
+    docs = table_par(spark, sf_dir, "documents")
     tg = doc_trigrams(docs).persist()
     return kn3_score(tg, kn3_train(tg))
 
@@ -872,7 +881,8 @@ def ngram_lm_mkn3_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         mkn3_train,
     )
 
-    docs = table(spark, sf_dir, "documents")
+    # scan floor (same-session A/B: 6.10s -> 4.67s)
+    docs = table_par(spark, sf_dir, "documents")
     tg = doc_trigrams(docs).persist()
     return mkn3_score(tg, mkn3_train(tg))
 
@@ -917,7 +927,11 @@ def word_embedding_train_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         word_skipgram_pairs,
     )
 
-    docs = table(spark, sf_dir, "documents")
+    # scan floor (core.table_par, A/B: 5.56s -> 3.84s at sf0.1/32c):
+    # the skip-gram harvest is one heavy narrow pass (per-row array
+    # HOFs) straight off the scan — a one-row-group scan would run it
+    # on one core
+    docs = table_par(spark, sf_dir, "documents")
     pairs = word_skipgram_pairs(docs)
     nodes = vocab_nodes(docs).persist()
     n = nodes.count()  # vocabulary scalar (the graph fit's n)
@@ -1692,6 +1706,7 @@ def perplexity_buckets_kn_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         kn_train,
     )
 
+    # no scan floor (r12 regression evidence: floored 4.27s vs 1.1s)
     docs = table(spark, sf_dir, "documents")
     bg = doc_bigrams(docs).persist()
     kn = kn_score(bg, kn_train(bg))

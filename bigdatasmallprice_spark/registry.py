@@ -76,25 +76,29 @@ def all_queries() -> dict[str, QuerySpec]:
 DRIVER_CAP = 50
 
 DRIVER_ORDER: list[str] = [
-    # r12 rotation (VERDICT r11 asks + ledger rule): the three
-    # never-driver-verified r12-new queries first, then the four
-    # r11-firsts for their second rows, then the stalest 2-green pools
-    # in last-green order (the full r10-first tier, then the r11
-    # re-verified tier), then the stalest 3-green pools (the
-    # last-green-r7 tail, then the head of the last-green-r8 tier) up
-    # to the cap.
-    # -- new in r12: TRUE iterative BPE training with exact batched
-    #    merge selection (the oracle unrolls the one-merge-per-round
-    #    sequential trainer, so the batching-equivalence proof is
-    #    externally checked), the end-to-end training-data export
-    #    funnel (v3-served survivors -> pinned-artifact BPE token
-    #    counts -> curated-mass mixture sampling -> packed shard
-    #    manifest, every stage the registered operator's literal
-    #    body), and the text->embedding bridge at production capacity
-    #    (dim 32 / window 5, previously pytest-only)
+    # r13 rotation (VERDICT r12 ask #6 + ledger rule): the three
+    # r12-firsts keep their slots for second rows; the r12 plan-work
+    # queries with no external bench row yet rotate IN
+    # (chrono_split_summary, triangle_counts — banded-rank
+    # migrations) along with the r8-tail ledger pool
+    # (dedup_span_stats(+hashed), eval_split_clean(+hashed),
+    # embedding_neardup_banded); seven 4-green relational members
+    # ([1,5,8]+r12 rows: forecast_metrics, gap_fill_hourly,
+    # holiday_range_join, hash_sample_summary, argmax_event_per_type,
+    # backfill_estimate, brand_nation_revenue) rotate OUT — all stay
+    # registered and in the full bench.
+    # -- r12-firsts, second rows
     "bpe_train_iterative",
     "training_export_manifest",
     "doc_embedding_topk_hi",
+    # -- rotated in per VERDICT r12 ask #6
+    "chrono_split_summary",
+    "triangle_counts",
+    "dedup_span_stats",
+    "eval_split_clean",
+    "dedup_span_stats_hashed",
+    "eval_split_clean_hashed",
+    "embedding_neardup_banded",
     # -- r11-firsts, second rows
     "curation_pipeline_v3_served",
     "pack_sequences_bpe",
@@ -121,19 +125,10 @@ DRIVER_ORDER: list[str] = [
     # -- stalest 3-green pool: the last-green-r7 tail (finally rotates)
     "embedding_neardup_np",
     "quality_classifier_filter",
-    # -- 3-green, last green r8 (head; the tail — dedup_span_stats,
-    #    eval_split_clean, dedup_span_stats_hashed,
-    #    eval_split_clean_hashed, embedding_neardup_banded — rotates
-    #    next round)
+    # -- 3-green, last green r8 (the five-query tail of this tier
+    #    rotated in above)
     "dedup_canonical",
-    "forecast_metrics",
-    "gap_fill_hourly",
-    "holiday_range_join",
-    "hash_sample_summary",
-    "argmax_event_per_type",
     "grain_align_join",
-    "backfill_estimate",
-    "brand_nation_revenue",
     "customer_activity_split",
     "customer_retention_sets",
     "warc_ingest_stats",

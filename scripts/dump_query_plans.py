@@ -1,6 +1,12 @@
-"""Dump .explain("formatted") for named queries to plans/r12/<q>_<tag>.txt.
+"""Dump .explain("formatted") for named queries to plans/<round>/<q>_<tag>.txt.
 
-Usage: python scripts/dump_plans.py before name1 name2 ...
+Usage: python scripts/dump_query_plans.py [--round rNN] <tag> name1 name2 ...
+
+e.g. python scripts/dump_query_plans.py --round r13 before ngram_lm_kn3
+
+Note: queries that eagerly localCheckpoint intermediate frames EXECUTE
+those stages while the plan is being built — dumping such a plan runs
+the expensive part of the pipeline, not just planning.
 """
 
 from __future__ import annotations
@@ -13,9 +19,18 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    tag = sys.argv[1]
-    names = sys.argv[2:]
-    out_dir = os.path.join(os.path.dirname(__file__), "..", "plans", "r12")
+    args = sys.argv[1:]
+    round_tag = "r13"
+    if args and args[0] == "--round":
+        if len(args) < 2:
+            sys.exit("usage: dump_query_plans.py [--round rNN] <tag> name1 ...")
+        round_tag = args[1]
+        args = args[2:]
+    if len(args) < 2:
+        sys.exit("usage: dump_query_plans.py [--round rNN] <tag> name1 ...")
+    tag = args[0]
+    names = args[1:]
+    out_dir = os.path.join(os.path.dirname(__file__), "..", "plans", round_tag)
     os.makedirs(out_dir, exist_ok=True)
 
     from bigdatasmallprice_spark.registry import all_queries

@@ -40,15 +40,19 @@ def main() -> None:
                 )
             ))
             continue
+        from bigdatasmallprice_spark.caching import released_caches
+
         spark.sparkContext.setJobDescription(f"warmup: {name}")
-        spec.fn(spark, sf_dir).collect()
+        with released_caches(spark):
+            spec.fn(spark, sf_dir).collect()
         spark.catalog.clearCache()
         wall = float("inf")
         for i in range(runs):
             spark.sparkContext.setJobDescription(f"timed{i}: {name}")
-            t0 = time.perf_counter()
-            spec.fn(spark, sf_dir).collect()
-            wall = min(wall, time.perf_counter() - t0)
+            with released_caches(spark):
+                t0 = time.perf_counter()
+                spec.fn(spark, sf_dir).collect()
+                wall = min(wall, time.perf_counter() - t0)
             spark.catalog.clearCache()
         out[name] = round(wall, 3)
         print(f"TIMED {name}: {out[name]}s", flush=True)
