@@ -28,7 +28,40 @@ from __future__ import annotations
 
 from contextlib import contextmanager
 
-from pyspark.sql import Row, SparkSession
+from pyspark.sql import DataFrame, Row, SparkSession
+
+
+def cut_lineage(df: DataFrame, eager: bool = True) -> DataFrame:
+    """Truncate a frame's lineage — the plan-size/replanning fix the
+    curation funnel, doc-vector and GD-loop paths rely on — choosing
+    the checkpoint flavor by deployment:
+
+    - **Reliable checkpoint** when the session has a checkpoint dir
+      (``spark.sparkContext.setCheckpointDir`` on durable storage —
+      the 100 TB configuration): blocks survive executor loss, the
+      job recovers instead of dying.
+    - **localCheckpoint** otherwise (single-host / local[. ]): blocks
+      live only on executors WITH LINEAGE CUT, so losing an executor
+      kills the job instead of recomputing — acceptable exactly when
+      the "cluster" is one process and executor loss means the host
+      died anyway. This is the same documented-fallback pattern as
+      sgns_fit's ``broadcast_state=False`` for >10M-node vocabularies.
+
+    The choice derives from session configuration, not a constant, so
+    local benches and a production cluster run the same call sites.
+    """
+    sc = df.sparkSession.sparkContext
+    if sc._jsc.sc().getCheckpointDir().isDefined():
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)
+
+
+def cut_lineage_lazy(df: DataFrame) -> DataFrame:
+    """``cut_lineage`` with lazy materialization (the checkpoint fills
+    on the frame's first computation — used by per-round loop states
+    whose materialization should ride the next round's job instead of
+    paying its own). ``DataFrame.transform``-compatible."""
+    return cut_lineage(df, eager=False)
 
 
 def persistent_rdd_ids(spark: SparkSession) -> set[int]:

@@ -116,7 +116,9 @@ def load_table(
     # has >= defaultParallelism splits and this is a no-op — the
     # floor derives from input layout, not a tuned constant.
     if scan_floor:
-        floor = spark.sparkContext.defaultParallelism
+        floor = int(
+            os.environ.get("SPARK_GRAFT_FLOOR_WIDTH", "0")
+        ) or spark.sparkContext.defaultParallelism
         if df.rdd.getNumPartitions() < floor:
             df = df.repartition(floor)
     _TABLE_CACHE[key] = df

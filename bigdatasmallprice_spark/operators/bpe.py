@@ -290,9 +290,11 @@ def bpe_train_batched(
     """
     from pyspark.sql import functions as F
 
+    from bigdatasmallprice_spark.caching import cut_lineage, cut_lineage_lazy
+
     seg = wc.select(
         "word", "c", F.regexp_replace("word", "(?s)(.)", "($1)").alias("m")
-    ).localCheckpoint(eager=True)
+    ).transform(cut_lineage)
     merges: list[tuple[str, str, int]] = []
     while len(merges) < n_merges:
         syms = F.expr(r"split(substring(m, 2, length(m) - 2), '\\)\\(')")
@@ -339,7 +341,7 @@ def bpe_train_batched(
         col = F.col("m")
         for a, b, _ in batch:
             col = F.replace(col, F.lit(f"({a})({b})"), F.lit(f"({a}{b})"))
-        seg = seg.withColumn("m", col).localCheckpoint(eager=False)
+        seg = seg.withColumn("m", col).transform(cut_lineage_lazy)
         merges.extend(batch)
     return merges
 
@@ -422,11 +424,13 @@ def bpe_train_batched_approx(
     approximation is differential-tested against."""
     from pyspark.sql import functions as F
 
+    from bigdatasmallprice_spark.caching import cut_lineage, cut_lineage_lazy
+
     if head_k is None:
         head_k = max(256, 4 * batch_cap)
     seg = wc.select(
         "word", "c", F.regexp_replace("word", "(?s)(.)", "($1)").alias("m")
-    ).localCheckpoint(eager=True)
+    ).transform(cut_lineage)
     merges: list[tuple[str, str, int]] = []
     while len(merges) < n_merges:
         syms = F.expr(r"split(substring(m, 2, length(m) - 2), '\\)\\(')")
@@ -457,6 +461,6 @@ def bpe_train_batched_approx(
             col = F.replace(col, F.lit(f"({a})({b})"), F.lit(f"({a}{b})"))
         # lazy checkpoint: materializes inside the next round's head
         # job (one job per round, as bpe_train_batched)
-        seg = seg.withColumn("m", col).localCheckpoint(eager=False)
+        seg = seg.withColumn("m", col).transform(cut_lineage_lazy)
         merges.extend(batch)
     return merges

@@ -62,8 +62,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
 from pyspark.sql.types import StringType
 
+from bigdatasmallprice_spark.caching import cut_lineage, cut_lineage_lazy
 from bigdatasmallprice_spark.operators.distill import (
     DUCK_DIV,
     DZH,
@@ -177,7 +179,7 @@ def sgns_training_pairs(
     # draw below — checkpoint our own reference once so the skip-gram
     # self-join doesn't execute twice inside the union (localCheckpoint,
     # never persist/unpersist, on what may be a caller-cached frame)
-    pairs = pairs.localCheckpoint(eager=True)
+    pairs = pairs.transform(cut_lineage)
     pos = pairs.select(
         "center", F.col("context").alias("other"),
         F.lit(1000).cast("long").alias("ym"), "cnt",
@@ -276,7 +278,7 @@ def sgns_fit(
             F.expr("coalesce(wtu, CAST(1 AS BIGINT))").alias("wtu"),
             F.expr("coalesce(wtv, CAST(1 AS BIGINT))").alias("wtv"),
         )
-        .localCheckpoint(eager=True)
+        .transform(cut_lineage)
     )
     dot = (
         "CAST(aggregate(zip_with(ua, va, (x, y) -> x * y), "
@@ -284,6 +286,12 @@ def sgns_fit(
     )
     du_i = f"cnt * {rdiv('em * 1000 * va[i]', 'dzsq', op)}"
     dv_i = f"cnt * {rdiv('em * 1000 * ua[i]', 'dzsq', op)}"
+    # (r13 note: sharing ONE BroadcastExchange between the two lookups
+    # via identical project(node, ua, va) build sides was tried and
+    # does NOT work — Catalyst column pruning narrows each build side
+    # back to the columns that join uses, so the canonicalized
+    # exchanges differ and ReuseExchange never fires. Two narrow
+    # broadcasts per round is the resting state.)
     for it in range(iters):
         p = (
             train.join(
@@ -379,7 +387,7 @@ def sgns_fit(
         # it saves one eager job and leaves the repeating per-round
         # unit visible in the returned plan (the plan guard reads it).
         if it < iters - 1:
-            cur = cur.localCheckpoint(eager=True)
+            cur = cur.transform(cut_lineage)
     return cur.selectExpr(
         "node", "posexplode(arrays_zip(ua, va)) AS (pos, s)"
     ).select(

@@ -31,6 +31,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from bigdatasmallprice_spark.caching import cut_lineage
+
 from bigdatasmallprice_spark.functions.texts import n_tokens, o_n_tokens
 from bigdatasmallprice_spark.functions.texts import (
     md5_bucket_expr,
@@ -1751,7 +1753,7 @@ def _v2_gated(
         # The checkpointed frame is the corpus-sized but NARROW gated
         # table (doc_id, source, bag_fp, nt, 3 bools); values are
         # unchanged — only lineage is cut.
-        .localCheckpoint(eager=True)
+        .transform(cut_lineage)
     )
     bg.unpersist(False)
     feats.unpersist(False)
@@ -1929,21 +1931,19 @@ def _v3_kept_frames(gated: DataFrame, dv: DataFrame) -> tuple[DataFrame, DataFra
     # aggregates) — truncating lineage here keeps every later leg's
     # logical plan leaf-sized instead of re-embedding the whole funnel
     # (measured on training_export_manifest: 22.9s -> 8.9s at sf0.1).
-    canon = surv.filter(F.col("doc_id") == F.col("keeper")).localCheckpoint(
-        eager=True
-    )
+    canon = surv.filter(F.col("doc_id") == F.col("keeper")).transform(cut_lineage)
 
     scaled = (
         dv.join(canon.select("doc_id"), "doc_id")
         .select(F.col("doc_id").alias("id"), "xu")
-        .localCheckpoint(eager=True)
+        .transform(cut_lineage)
     )
     k = max(8, scaled.count() // _SD_TARGET_CLUSTER)
     assigned = kmeans_assignments_prescaled(scaled, k=k, iters=_KM_ITERS)
     _, removed = _semantic_removed(assigned, _TSD_TAU)
     kept = canon.join(
         removed.select(F.col("rid").alias("doc_id")), "doc_id", "left_anti"
-    ).localCheckpoint(eager=True)
+    ).transform(cut_lineage)
     return canon, kept
 
 

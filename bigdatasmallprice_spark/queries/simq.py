@@ -5,6 +5,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from bigdatasmallprice_spark.caching import cut_lineage
+
 from bigdatasmallprice_spark.operators.similarity import (
     ANN_PLANES,
     NEARDUP_BLOCK,
@@ -1980,7 +1982,7 @@ def doc_embedding_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # localCheckpoint: the probe and corpus legs both re-plan this
     # frame; truncating the fit+pool lineage keeps them leaf-sized
-    dv = _doc_vectors(spark, sf_dir).localCheckpoint(eager=True)
+    dv = _doc_vectors(spark, sf_dir).transform(cut_lineage)
     return brute_force_topk(
         dv.filter(F.col("doc_id") < _DV_NQ),
         dv,
@@ -2067,16 +2069,14 @@ def doc_embedding_topk_hi_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = word_skipgram_pairs(docs, window=_HI_WIN)
     nodes = vocab_nodes(docs).persist()
     n = nodes.count()
-    train = sgns_training_pairs(pairs, nodes, n).localCheckpoint(
-        eager=True
-    )
+    train = sgns_training_pairs(pairs, nodes, n).transform(cut_lineage)
     emb = sgns_fit(train, sgns_init(nodes, dim=_HI_DIM), dim=_HI_DIM)
     dv = doc_embeddings(
         docs,
         emb.select(
             F.col("node").alias("word"), "dim", F.col("u").alias("u_micro")
         ),
-    ).localCheckpoint(eager=True)
+    ).transform(cut_lineage)
     return brute_force_topk(
         dv.filter(F.col("doc_id") < _DV_NQ),
         dv,
@@ -2146,7 +2146,7 @@ def text_semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     scaled = _doc_vectors(spark, sf_dir).select(
         F.col("doc_id").alias("id"), "xu"
-    ).localCheckpoint(eager=True)
+    ).transform(cut_lineage)
     k = max(8, scaled.count() // _SD_TARGET_CLUSTER)
     assigned = kmeans_assignments_prescaled(scaled, k=k, iters=_KM_ITERS)
     return semantic_dedup_summary(assigned, tau=_TSD_TAU)
@@ -2230,7 +2230,7 @@ FROM ranked WHERE rank <= {_DV_TOPK}
 def doc_embedding_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     scaled = _doc_vectors(spark, sf_dir).select(
         F.col("doc_id").alias("id"), "xu"
-    ).localCheckpoint(eager=True)
+    ).transform(cut_lineage)
     return _div_ivf_topk(scaled)
 
 
@@ -2250,7 +2250,7 @@ def _div_ivf_topk(scaled: DataFrame) -> DataFrame:
     k = max(8, scaled.count() // _SD_TARGET_CLUSTER)
     cent = centroid_arrays(
         kmeans_fit_prescaled(scaled, k=k, iters=_KM_ITERS)
-    ).localCheckpoint(eager=True)  # k-row model; sever the Lloyd lineage
+    ).transform(cut_lineage)  # k-row model; sever the Lloyd lineage
     assigned = assign_cells(scaled, cent)
 
     d2 = F.expr(
@@ -2386,7 +2386,7 @@ GROUP BY 1
 def doc_embedding_recall_eval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdatasmallprice_spark.operators.similarity import brute_force_topk
 
-    dv = _doc_vectors(spark, sf_dir).localCheckpoint(eager=True)
+    dv = _doc_vectors(spark, sf_dir).transform(cut_lineage)
     scaled = dv.select(F.col("doc_id").alias("id"), "xu")
     gt = brute_force_topk(
         dv.filter(F.col("doc_id") < _DV_NQ),
@@ -2498,7 +2498,7 @@ def text_triplet_mining_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     dl = (
         _doc_vectors(spark, sf_dir)
         .join(docs.select("doc_id", "lang"), "doc_id")
-        .localCheckpoint(eager=True)
+        .transform(cut_lineage)
     )
     centroids = dl.filter(F.col("doc_id") < 8).select(
         F.col("doc_id").alias("cid"),

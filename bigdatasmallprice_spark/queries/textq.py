@@ -6,6 +6,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from bigdatasmallprice_spark.caching import cut_lineage
+
 from bigdatasmallprice_spark.functions.texts import (
     STOPWORDS_DE,
     STOPWORDS_EN,
@@ -935,9 +937,7 @@ def word_embedding_train_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = word_skipgram_pairs(docs)
     nodes = vocab_nodes(docs).persist()
     n = nodes.count()  # vocabulary scalar (the graph fit's n)
-    train = sgns_training_pairs(pairs, nodes, n).localCheckpoint(
-        eager=True
-    )
+    train = sgns_training_pairs(pairs, nodes, n).transform(cut_lineage)
     emb = sgns_fit(train, sgns_init(nodes))
     return emb.select(
         F.col("node").alias("word"),

@@ -47,6 +47,16 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # parallelismFirst stays at its default (true). r13 A/B'd
+        # false (coalesce post-shuffle partitions to advisory BYTES
+        # instead of core count, chasing the 8-beats-32-cores gap) on
+        # the 20 heaviest queries and it LOST on all of them
+        # (doc_embedding_topk 6.13 -> 7.10s, pagerank_copurchase
+        # 7.76 -> 9.68s, node2vec 6.62 -> 8.77s): at small SF the
+        # post-shuffle stages are compute-heavy per byte, so
+        # coalescing to one near-empty-by-bytes reducer serializes
+        # real CPU work. Recorded here so the next round does not
+        # retry it.
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
