@@ -1697,6 +1697,12 @@ def _v2_gated(
     # released before return (gated itself is localCheckpoint'ed, so
     # they have no post-return consumer).
     bg = doc_bigrams(docs).persist()
+    # (r13: persisting kn/wts to share them between the threshold
+    # scalars and the gated join was A/B'd and LOST — 12.1s -> 13.2s+
+    # on v3: without the persist the duplicated fit legs run inside
+    # concurrent broadcast futures on otherwise-idle cores, while the
+    # persist serializes the first materialization. Only the exploded
+    # bases stay cached.)
     kn = kn_score(bg, kn_model if kn_model is not None else kn_train(bg)).select(
         "doc_id", "hm_p_micro"
     )
@@ -1900,9 +1906,22 @@ LEFT JOIN agg3 c USING (source)
     tags=("curation", "text", "quality", "dedup", "train", "agg"),
 )
 def curation_pipeline_v3_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from concurrent.futures import ThreadPoolExecutor
+
     from bigdatasmallprice_spark.queries.simq import _doc_vectors
 
-    return _v3_summary(_v2_gated(spark, sf_dir), _doc_vectors(spark, sf_dir))
+    # The gated-funnel fit (KN + DSIR gates, eager checkpoint) and the
+    # word2vec document-vector fit (SGNS GD rounds, eager checkpoints)
+    # are INDEPENDENT stages whose builders each materialize jobs;
+    # submitting them from two driver threads lets the scheduler
+    # back-fill each one's stragglers with the other's tasks (guide
+    # §2.6 'overlap independent jobs'). Frames and values are the same
+    # objects either way — only job submission order changes.
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fg = pool.submit(_v2_gated, spark, sf_dir)
+        fd = pool.submit(_doc_vectors, spark, sf_dir)
+        gated, dv = fg.result(), fd.result()
+    return _v3_summary(gated, dv)
 
 
 def _v3_kept_frames(gated: DataFrame, dv: DataFrame) -> tuple[DataFrame, DataFrame]:
@@ -2085,18 +2104,27 @@ def curation_pipeline_v3_served_q(spark: SparkSession, sf_dir: str) -> DataFrame
     from bigdatasmallprice_spark.streaming.knlm_stream import read_kn_model
 
     art = _v3_served_artifacts(spark, sf_dir)
-    gated = _v2_gated(
-        spark,
-        sf_dir,
-        kn_model=read_kn_model(spark, art["kn_state"]),
-        lr_table=read_log_ratio_table(spark, art["dsir_state"]),
-    )
-    dv = embed_documents_latest(
-        spark,
-        table(spark, sf_dir, "documents"),
-        art["model_dir"],
-        "w2v_docs",
-    )
+    # gated scoring and vector pooling are independent served-model
+    # stages — overlap their jobs from two driver threads (the
+    # curation_pipeline_v3_q pattern, guide §2.6)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fg = pool.submit(
+            _v2_gated,
+            spark,
+            sf_dir,
+            read_kn_model(spark, art["kn_state"]),
+            read_log_ratio_table(spark, art["dsir_state"]),
+        )
+        fd = pool.submit(
+            embed_documents_latest,
+            spark,
+            table(spark, sf_dir, "documents"),
+            art["model_dir"],
+            "w2v_docs",
+        )
+        gated, dv = fg.result(), fd.result()
     return _v3_summary(gated, dv)
 
 
@@ -2202,14 +2230,23 @@ def training_export_manifest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdatasmallprice_spark.streaming.knlm_stream import read_kn_model
 
     art = _v3_served_artifacts(spark, sf_dir)
-    gated = _v2_gated(
-        spark,
-        sf_dir,
-        kn_model=read_kn_model(spark, art["kn_state"]),
-        lr_table=read_log_ratio_table(spark, art["dsir_state"]),
-    )
     docs = table(spark, sf_dir, "documents")
-    dv = embed_documents_latest(spark, docs, art["model_dir"], "w2v_docs")
+    # overlap the two independent served-model stages (the
+    # curation_pipeline_v3_q pattern, guide §2.6)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fg = pool.submit(
+            _v2_gated,
+            spark,
+            sf_dir,
+            read_kn_model(spark, art["kn_state"]),
+            read_log_ratio_table(spark, art["dsir_state"]),
+        )
+        fd = pool.submit(
+            embed_documents_latest, spark, docs, art["model_dir"], "w2v_docs"
+        )
+        gated, dv = fg.result(), fd.result()
     _, kept = _v3_kept_frames(gated, dv)
 
     sym = bpe_symbols_sql("text", _PACK_BPE_MERGES, "spark")
